@@ -1,0 +1,223 @@
+"""Catalog: table registration / create / drop / partition lifecycle.
+
+Reference semantics (public repo: ``hustle/__init__.py``): tables live
+as DDFS tags ``hustle:<table>[:<partition>]`` whose attributes hold the
+schema; ``Table.create`` declares, ``insert`` appends marbles,
+``delete`` drops whole partitions (the only deletion unit),
+``drop`` removes the table, ``tables()/schema()/partitions()``
+enumerate metadata.
+
+Spark mapping: a catalog directory holds one subdirectory of Parquet
+per table (Hive-style ``<part>=<value>/`` layout when partitioned) plus
+``_hustle_schema.json`` carrying the hustle column specs and index
+hints. Partition pruning and columnar scans come from Catalyst/Parquet;
+append-only ingest is ``mode("append")``; delete-by-partition is a
+directory remove — identical lifecycle, zero custom storage.
+
+Scale notes: at 100 TB the catalog dir sits on HDFS/S3; everything here
+is path manipulation + Spark reads, so nothing changes. Indexed columns
+(``index`` spec prefix) get Parquet bloom filters + a sort within
+partitions at write time — the analogue of hustle's EWAH bitmap
+indexes, enabling row-group skip on point predicates.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import TableSchema
+from .table import Table
+
+SCHEMA_FILE = "_hustle_schema.json"
+
+
+def _nanos_timestamp_columns(path: Path) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) under ``path``."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return []
+    target = path
+    if path.is_dir():
+        files = sorted(path.rglob("*.parquet"))
+        if not files:
+            return []
+        target = files[0]
+    try:
+        schema = pq.read_schema(str(target))
+    except Exception:
+        return []
+    out = []
+    for field_ in schema:
+        t = field_.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            out.append(field_.name)
+    return out
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str | Path, scratch: str | Path | None = None):
+        self.spark = spark
+        self.root = Path(root)
+        self.scratch = Path(scratch) if scratch else self.root / "_scratch"
+        self._cache: dict[str, Table] = {}
+
+    # ---- discovery ----
+
+    def tables(self) -> list[str]:
+        """List table names: bare ``<name>.parquet`` files (driver
+        testdata layout) and managed table directories."""
+        names: set[str] = set()
+        if self.root.exists():
+            for p in self.root.iterdir():
+                if p.name.startswith("_") or p.name.startswith("."):
+                    continue
+                if p.is_file() and p.suffix == ".parquet":
+                    names.add(p.stem)
+                elif p.is_dir():
+                    names.add(p.name)
+        return sorted(names)
+
+    def table(self, name: str) -> Table:
+        if name in self._cache:
+            return self._cache[name]
+        path, schema = self._resolve(name)
+        df = self._read_parquet(path)
+        t = Table(name, df, schema=schema, catalog=self)
+        self._cache[name] = t
+        return t
+
+    def _read_parquet(self, path: Path) -> DataFrame:
+        """Read parquet, transparently handling TIMESTAMP(NANOS) columns
+        (Spark's vectorized reader rejects them; the driver testdata's
+        ``events.ts`` is nanos). We read nanos as raw int64 and convert
+        to TimestampType at microsecond precision — a metadata-only
+        change per batch, no row-at-a-time work."""
+        ns_cols = _nanos_timestamp_columns(path)
+        if not ns_cols:
+            return self.spark.read.parquet(str(path))
+        prev = None
+        try:
+            prev = self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        except Exception:
+            pass
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(str(path))
+        for c in ns_cols:
+            # integer division keeps full int64 precision (a float path
+            # would lose it: 1.7e18 ns exceeds double's 53-bit mantissa)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if prev is not None:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        return df
+
+    def _resolve(self, name: str) -> tuple[Path, TableSchema | None]:
+        file_path = self.root / f"{name}.parquet"
+        dir_path = self.root / name
+        if dir_path.is_dir():
+            schema = None
+            sf = dir_path / SCHEMA_FILE
+            if sf.exists():
+                schema = TableSchema.from_json_dict(json.loads(sf.read_text()))
+            return dir_path, schema
+        if file_path.exists():
+            return file_path, None
+        raise KeyError(f"no table {name!r} under {self.root}")
+
+    def schema(self, name: str) -> list[str]:
+        """Hustle-style schema listing (reference ``schema(t)``)."""
+        t = self.table(name)
+        if t.hustle_schema:
+            return [c.spec or f"{c.type_name} {c.name}" for c in t.hustle_schema.columns]
+        return [f"{f.dataType.simpleString()} {f.name}" for f in t.df.schema.fields]
+
+    def partitions(self, name: str) -> list[str]:
+        """Partition values present (reference ``partitions(t)``)."""
+        path, schema = self._resolve(name)
+        if schema is None or schema.partition is None or not path.is_dir():
+            return []
+        prefix = f"{schema.partition}="
+        return sorted(
+            p.name[len(prefix):] for p in path.iterdir()
+            if p.is_dir() and p.name.startswith(prefix)
+        )
+
+    # ---- lifecycle ----
+
+    def create(self, name: str, columns: list[str], partition: str | None = None) -> Table:
+        """Reference ``Table.create(name, columns=[...], partition=...)``."""
+        schema = TableSchema.parse(name, columns, partition)
+        dir_path = self.root / name
+        if dir_path.exists():
+            raise ValueError(f"table {name!r} already exists")
+        dir_path.mkdir(parents=True)
+        (dir_path / SCHEMA_FILE).write_text(json.dumps(schema.to_json_dict(), indent=2))
+        empty = self.spark.createDataFrame([], schema.to_struct())
+        t = Table(name, empty, schema=schema, catalog=self)
+        self._cache[name] = t
+        return t
+
+    def drop(self, name: str) -> None:
+        """Reference ``drop(table)`` — remove table + data."""
+        dir_path = self.root / name
+        if dir_path.is_dir():
+            shutil.rmtree(dir_path)
+        self._cache.pop(name, None)
+
+    def delete_partitions(self, name: str, values: list[str]) -> None:
+        """Reference ``delete(where=...)`` — deletion only by whole
+        partition (append-only model, SURVEY section 1)."""
+        path, schema = self._resolve(name)
+        if schema is None or schema.partition is None:
+            raise ValueError(f"table {name!r} is not partitioned")
+        for v in values:
+            pdir = path / f"{schema.partition}={v}"
+            if pdir.is_dir():
+                shutil.rmtree(pdir)
+        self._cache.pop(name, None)
+
+    # ---- write paths ----
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append a DataFrame into a managed table (the marble push)."""
+        path, schema = self._resolve(name)
+        writer = df.write.mode("append")
+        if schema is not None:
+            indexed = [c for c in schema.indexed_columns if c != schema.partition]
+            for c in indexed:
+                # bloom filter per indexed column ~= hustle's per-value bitmap index
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if indexed:
+                df = df.sortWithinPartitions(*indexed)
+                writer = df.write.mode("append")
+                for c in indexed:
+                    writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if schema.partition:
+                writer = writer.partitionBy(schema.partition)
+        writer.parquet(str(path))
+        self._cache.pop(name, None)
+
+    def materialize(self, df: DataFrame, name: str | None = None) -> Table:
+        """``nest=True`` support: persist a result as a queryable Table
+        (reference wrote marbles to a fresh DDFS tag)."""
+        name = name or f"nest_{uuid.uuid4().hex[:8]}"
+        out = self.scratch / name
+        if out.exists():
+            shutil.rmtree(out)
+        df.write.mode("overwrite").parquet(str(out))
+        t = Table(name, self.spark.read.parquet(str(out)), catalog=self)
+        self._cache[name] = t
+        return t
+
+
+def connect(spark: SparkSession, root: str | Path, scratch: str | Path | None = None) -> Catalog:
+    """Open a catalog over a directory of parquet tables (the analogue of
+    pointing a hustle client at a DDFS master)."""
+    return Catalog(spark, root, scratch=scratch)

@@ -1,0 +1,194 @@
+"""DSL parity tests: the reference's select() surface end-to-end
+(SURVEY.md section 2 non-EXT rows), differentially checked vs DuckDB."""
+
+import pytest
+
+import hustle_spark as h
+
+from helpers import assert_df_matches_duck
+
+
+def test_schema_parser():
+    spec = h.parse_column_spec("wide index string token")
+    assert spec.name == "token" and spec.index and spec.wide
+    assert spec.dtype.simpleString() == "string"
+    spec2 = h.parse_column_spec("index uint32 time")
+    assert spec2.dtype.simpleString() == "bigint" and spec2.index and not spec2.wide
+    spec3 = h.parse_column_spec("lz4 ua")
+    assert spec3.dtype.simpleString() == "string" and not spec3.index
+    with pytest.raises(ValueError):
+        h.parse_column_spec("frobnicate x")
+
+
+def test_catalog_discovery(catalog):
+    names = catalog.tables()
+    for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        assert t in names
+
+
+def test_restrict_groupby_sum(catalog, duck):
+    li = catalog.table("lineitem")
+    df = h.select(
+        li.l_returnflag,
+        h.h_sum(li.l_quantity).alias("sum_qty"),
+        where=li.l_shipdate > "1995-01-01",
+        order_by=li.l_returnflag,
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT l_returnflag, SUM(l_quantity) AS sum_qty
+           FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-01-01'
+           GROUP BY l_returnflag""",
+    )
+
+
+def test_predicates_and_combinators(catalog, duck):
+    ev = catalog.table("events")
+    df = h.select(
+        ev.event_id,
+        ev.user_id,
+        where=(ev.event_type == "click") & ~(ev.value < 10.0) | (ev.user_id == 7),
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT event_id, user_id FROM events
+           WHERE (event_type = 'click' AND NOT value < 10.0) OR user_id = 7""",
+    )
+
+
+def test_isin_lshift(catalog, duck):
+    ev = catalog.table("events")
+    df = h.select(
+        ev.event_type,
+        h.h_count().alias("n"),
+        where=ev.event_type << ["click", "view"],
+        order_by=ev.event_type,
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT event_type, COUNT(*) AS n FROM events
+           WHERE event_type IN ('click','view') GROUP BY event_type""",
+    )
+
+
+def test_all_six_aggregates(catalog, duck):
+    o = catalog.table("orders")
+    df = h.select(
+        o.o_orderstatus,
+        h.h_count().alias("n"),
+        h.h_sum(o.o_totalprice).alias("total"),
+        h.h_avg(o.o_totalprice).alias("mean"),
+        h.h_min(o.o_totalprice).alias("lo"),
+        h.h_max(o.o_totalprice).alias("hi"),
+        h.h_count_distinct(o.o_custkey).alias("nd_cust"),
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT o_orderstatus, COUNT(*) AS n, SUM(o_totalprice) AS total,
+                  AVG(o_totalprice) AS mean, MIN(o_totalprice) AS lo,
+                  MAX(o_totalprice) AS hi, COUNT(DISTINCT o_custkey) AS nd_cust
+           FROM orders GROUP BY o_orderstatus""",
+    )
+
+
+def test_cardinality_approx_close(catalog):
+    ev = catalog.table("events")
+    df = h.select(h.h_cardinality(ev.user_id).alias("card"))
+    exact = h.select(h.h_count_distinct(ev.user_id).alias("card"))
+    approx_v = df.collect()[0][0]
+    exact_v = exact.collect()[0][0]
+    assert abs(approx_v - exact_v) / exact_v < 0.1  # HLL++ default rsd ~2.3%
+
+
+def test_join_two_table(catalog, duck):
+    li = catalog.table("lineitem")
+    o = catalog.table("orders")
+    df = h.select(
+        o.o_orderpriority,
+        h.h_sum(li.l_extendedprice).alias("revenue"),
+        where=(li.l_quantity > 10.0, o.o_orderstatus == "F"),
+        join=(li.l_orderkey, o.o_orderkey),
+        order_by=o.o_orderpriority,
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT o_orderpriority, SUM(l_extendedprice) AS revenue
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_quantity > 10.0 AND o_orderstatus = 'F'
+           GROUP BY o_orderpriority""",
+    )
+
+
+def test_join_by_common_name(catalog, spark, duck):
+    # build two tiny tables sharing a column name, reference's alt join form
+    n = catalog.table("nation")
+    r = catalog.table("region")
+    df = h.select(
+        r.r_name,
+        h.h_count().alias("n_nations"),
+        join=(n.n_regionkey, r.r_regionkey),
+        order_by=r.r_name,
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """SELECT r_name, COUNT(*) AS n_nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name""",
+    )
+
+
+def test_distinct_order_limit(catalog, duck):
+    p = catalog.table("part")
+    df = h.select(p.p_brand, distinct=True, order_by=p.p_brand, desc=True, limit=5)
+    assert_df_matches_duck(
+        df,
+        duck,
+        "SELECT DISTINCT p_brand FROM part ORDER BY p_brand DESC LIMIT 5",
+    )
+
+
+def test_order_by_position_and_star(catalog, duck):
+    r = catalog.table("region")
+    df = h.select(h.star(r), order_by=0, desc=True)
+    rows = [tuple(x) for x in df.collect()]
+    duck_rows = duck.execute(
+        "SELECT * FROM region ORDER BY r_regionkey DESC"
+    ).fetchall()
+    assert rows == duck_rows
+
+
+def test_nest_materialize_requery(catalog, duck):
+    ev = catalog.table("events")
+    nested = h.select(
+        ev.user_id,
+        h.h_sum(ev.value).alias("total"),
+        where=ev.event_type == "purchase",
+        nest=True,
+    )
+    assert isinstance(nested, h.Table)
+    df = h.select(
+        h.h_count().alias("n_users"),
+        h.h_max(nested.total).alias("max_total"),
+        where=nested.total > 50.0,
+    )
+    assert_df_matches_duck(
+        df,
+        duck,
+        """WITH nested AS (
+             SELECT user_id, SUM(value) AS total FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id)
+           SELECT COUNT(*) AS n_users, MAX(total) AS max_total
+           FROM nested WHERE total > 50.0""",
+    )
+
+
+def test_expr_not_boolable(catalog):
+    ev = catalog.table("events")
+    with pytest.raises(TypeError):
+        bool(ev.event_type == "click")
