@@ -206,21 +206,30 @@ def _build_join(
 
     df = filtered[id(tables[0])]
     joined = {id(tables[0])}
-    remaining = tables[1:]
-    for t in remaining:
-        cond = None
-        for left_col, right_col in pairs:
-            touches = {id(tb) for tb in (left_col.table, right_col.table)}
-            if id(t) in touches and touches - {id(t)} <= joined:
-                c = left_col.scol == right_col.scol
-                cond = c if cond is None else cond & c
-        if join_type == "cross":
-            df = df.crossJoin(filtered[id(t)])
-        elif cond is None:
-            raise ValueError(f"no join condition connects table {t.name!r}")
-        else:
-            df = df.join(filtered[id(t)], cond, join_type)
-        joined.add(id(t))
+    remaining = list(tables[1:])
+    # greedy chain order: each step joins some table connected to the
+    # already-joined set (the user's table order need not be a chain)
+    while remaining:
+        progress = False
+        for t in list(remaining):
+            cond = None
+            for left_col, right_col in pairs:
+                touches = {id(tb) for tb in (left_col.table, right_col.table)}
+                if id(t) in touches and touches - {id(t)} <= joined:
+                    c = left_col.scol == right_col.scol
+                    cond = c if cond is None else cond & c
+            if join_type == "cross":
+                df = df.crossJoin(filtered[id(t)])
+            elif cond is None:
+                continue
+            else:
+                df = df.join(filtered[id(t)], cond, join_type)
+            joined.add(id(t))
+            remaining.remove(t)
+            progress = True
+        if not progress:
+            names = [t.name for t in remaining]
+            raise ValueError(f"no join condition connects table(s) {names}")
 
     # a single where-Expr in join form (EXT convenience): apply post-join;
     # Catalyst pushes single-table conjuncts below the join automatically.

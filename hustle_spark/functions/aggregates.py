@@ -98,6 +98,31 @@ def h_percentile(col: Expr | str, q: float | list[float], accuracy: int = 10000)
     return Aggregate(F.percentile_approx(scol, q, accuracy), tables, "percentile")
 
 
-def agg_expr(spark_agg_col: Any, name: str, tables: frozenset[str] = frozenset()) -> Aggregate:
+def agg_expr(spark_agg_col: Any, name: str, tables: frozenset = frozenset()) -> Aggregate:
     """Escape hatch: wrap any Spark aggregate Column as a DSL aggregate."""
     return Aggregate(spark_agg_col, tables, name)
+
+
+# --- deterministic float aggregation -------------------------------------
+#
+# Floating-point SUM/AVG are nondeterministic at the bit level across
+# partitionings (addition is not associative), so the same query can
+# produce different last-bits run to run — and can never hash-match an
+# external oracle. At 100 TB with AQE re-planning stages between
+# retries, that nondeterminism also breaks idempotent re-runs. These
+# helpers funnel the arithmetic through exact DECIMAL accumulation
+# (inputs with fixed decimal precision, e.g. money), making results
+# bit-identical regardless of partitioning, shuffle order, or engine.
+
+def h_sum_exact(col: Expr | str, scale: int = 2) -> Aggregate:
+    """SUM via exact decimal accumulation, returned as double."""
+    scol, tables = _col_and_tables(col)
+    agg = F.sum(scol.cast(f"decimal(18,{scale})")).cast("double")
+    return Aggregate(agg, tables, "sum")
+
+
+def h_avg_exact(col: Expr | str, scale: int = 2) -> Aggregate:
+    """AVG as exact-decimal SUM divided by COUNT (deterministic double)."""
+    scol, tables = _col_and_tables(col)
+    agg = F.sum(scol.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+    return Aggregate(agg, tables, "avg")

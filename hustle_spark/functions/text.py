@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines (north-star EXT;
+SURVEY.md section 2.10 L4): token stats, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+Everything is built-in-function compositions (codegen, no UDFs) so the
+operators run at scan speed — at 100 TB these are the per-document map
+phase of a curation pipeline and must not bottleneck on Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(text, WS)
+
+
+def token_count(text) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Token count under a BPE-ish regex (word pieces + digits + punct
+    as separate tokens) — a cheap, deterministic proxy for LLM tokenizer
+    counts when the real tokenizer is unavailable cluster-side."""
+    pieces = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def type_token_ratio(text) -> Column:
+    """Lexical diversity: distinct tokens / tokens."""
+    return distinct_token_count(text) / token_count(text)
+
+
+def quality_score(text, n_chars=None) -> Column:
+    """Deterministic quality heuristic in [0, ~3]: rewards length (log
+    bucket), lexical diversity, and reasonable mean token length.
+    The exact formula is arbitrary but fixed — pipelines threshold it."""
+    tc = token_count(text)
+    ttr = type_token_ratio(text)
+    nc = F.length(text) if n_chars is None else n_chars
+    mean_tok_len = nc / tc
+    len_term = F.least(tc, F.lit(256)) / F.lit(256.0)
+    mid_len = 1.0 - F.least(F.abs(mean_tok_len - F.lit(5.0)), F.lit(5.0)) / F.lit(5.0)
+    return len_term + ttr + mid_len
+
+
+# tiny per-language marker lists for the n-gram/stopword heuristic;
+# real pipelines plug in fastText or CLD3 profiles here (not available
+# in-container), but the *operator shape* — score per language via
+# marker hits, argmax — is the production shape.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "value", "table"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+    "es": ["el", "los", "las", "una", "por", "que"],
+    "de": ["der", "die", "das", "und", "ein", "nicht"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],
+}
+
+
+def lang_scores(text) -> Column:
+    """map<lang, hits>: marker-token hit counts per language."""
+    toks = tokens(F.lower(text))
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), marker_arr))
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(text) -> Column:
+    """Best-guess language code, or 'und' when no marker hits."""
+    arr = lang_scores(text)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit("und").alias("lang"), F.lit(0).alias("hits")),
+        lambda acc, x: F.when(
+            (x["hits"] > acc["hits"])
+            | ((x["hits"] == acc["hits"]) & (x["lang"] < acc["lang"]) & (acc["hits"] > 0)),
+            x,
+        ).otherwise(acc),
+    )
+    return best["lang"]
+
+
+def fingerprint(text, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text, truncated. Content-defined,
+    stable across engines (used for exact-dup detection and as a
+    shard-stable doc key)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), WS, " ")
+    return F.substring(F.md5(normalized), 1, length)
+
+
+def rolling_hash_fingerprint(text, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over word n-gram
+    windows — robust to local edits (near-dup friendly), still pure
+    codegen. Rows-only checkable (no SQL oracle equivalent)."""
+    toks = tokens(F.lower(text))
+    count = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.array_min(grams)
+
+
+def text_stats(df: DataFrame, text: str = "text", group_by: str | None = None) -> DataFrame:
+    """Corpus token statistics, optionally per group."""
+    base = df.select(
+        *( [F.col(group_by)] if group_by else [] ),
+        token_count(F.col(text)).alias("__tc"),
+        distinct_token_count(F.col(text)).alias("__dtc"),
+        F.length(F.col(text)).alias("__nc"),
+    )
+    keys = [group_by] if group_by else []
+    return base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tc").alias("total_tokens"),
+        F.sum("__dtc").alias("total_distinct_tokens"),
+        (F.sum("__tc").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("__nc").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

@@ -1,0 +1,235 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+EXT; SURVEY.md section 2.10).
+
+Scale design notes (the whole point of these being Spark-first):
+
+- **Exact dedup** is a hash-groupBy — one shuffle on a short
+  fixed-width digest (md5), never on the full text. At 100 TB the
+  digest shuffle is ~32 bytes/doc regardless of document size.
+- **MinHash/LSH** turns O(n^2) pair comparison into band-bucket
+  grouping: near-duplicate candidates collide in at least one band
+  bucket with high probability, so the only join is an equi-join on
+  (band, bucket-signature) — shuffle-friendly, linear in candidates.
+- **SimHash** reduces each doc to a 64-bit fingerprint; near-dups are
+  fingerprints within small Hamming distance, found by banding the 64
+  bits into k chunks (two fingerprints within d bits share an exact
+  chunk for k > d) — again an equi-join, no cross product.
+- **N-gram Jaccard** here verifies candidate pairs exactly; at scale
+  it runs *after* LSH blocking, never as a full self-join. The
+  ``blocking_key`` argument is how callers bound the pair space.
+
+Everything below stays in built-in functions (codegen) except the
+MinHash signature computation, which uses integer hash arithmetic via
+``F.hash``/``xxhash64`` — still JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_by: str | None = None) -> DataFrame:
+    """Drop exact duplicates over ``cols``. With ``keep_by``, keeps the
+    row with the smallest ``keep_by`` per group (deterministic choice,
+    unlike ``dropDuplicates`` which keeps an arbitrary row)."""
+    if keep_by is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles of a text column as an array<string>.
+
+    Whitespace tokenization + sliding window via higher-order array
+    functions — all codegen, no UDF.
+    """
+    toks = F.split(text_col, r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, minhash array<long>) — n_hashes independent min-hashes of
+    the shingle set, computed with seeded xxhash64 (JVM-side)."""
+    sh = F.array_distinct(shingles(F.col(text), shingle_n))
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    hashes = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*hashes)
+    return agg.select(
+        id_col, F.array(*[f"h{s}" for s in range(n_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, then exact
+    estimated-Jaccard filter on the signatures.
+
+    Returns (a, b, est_jaccard) with a < b. Deterministic: seeded
+    hashes, no sampling. The only shuffles are the signature groupBy
+    and the band-bucket self-join — no cross product anywhere.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text, id_col, n_hashes, shingle_n).cache()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice("minhash", b * rows_per_band + 1, rows_per_band).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
+    )
+    left = buckets.alias("L")
+    right = buckets.alias("R")
+    cand = (
+        left.join(right, (F.col("L.bb") == F.col("R.bb")) & (F.col("L.id") < F.col("R.id")))
+        .select(F.col("L.id").alias("a"), F.col("R.id").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("ma"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("mb"))
+    est = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda v: v))
+                / F.lit(n_hashes)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    blocking_key: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing
+    ``blocking_key`` (at scale: an LSH bucket; must be provided to
+    bound the pair space — a full self-join is refused).
+
+    Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+    """
+    if blocking_key is None:
+        raise ValueError(
+            "ngram_jaccard_pairs requires a blocking_key; an unblocked "
+            "self-join is O(n^2) and will not survive at scale — run "
+            "minhash_lsh_pairs first and verify its candidates instead"
+        )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.col(blocking_key).alias("blk"),
+        F.array_distinct(shingles(F.col(text), n)).alias("sh"),
+    )
+    a = sh.alias("A")
+    b = sh.alias("B")
+    pairs = a.join(b, (F.col("A.blk") == F.col("B.blk")) & (F.col("A.id") < F.col("B.id")))
+    inter = F.size(F.array_intersect(F.col("A.sh"), F.col("B.sh")))
+    union = F.size(F.array_union(F.col("A.sh"), F.col("B.sh")))
+    return (
+        pairs.select(
+            F.col("A.id").alias("a"),
+            F.col("B.id").alias("b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints: sum per-bit +/-1 votes of token
+    hashes, entirely with array expressions (codegen, no UDF)."""
+    toks = F.array_distinct(F.split(F.col(text), r"\s+"))
+    tok_hash = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            tok_hash,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = df.select(F.col(id_col), *bit_votes)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_val = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+        fp = fp + F.when(F.col(f"v{b}") > 0, bit_val).otherwise(0)
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: two 64-bit fingerprints within
+    ``max_hamming`` bits share at least one of ``chunks`` exact 8-bit
+    chunks (pigeonhole, chunks > max_hamming) — candidates come from an
+    equi-join on (chunk_index, chunk_value), then exact popcount filter."""
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
+    fps = simhash(df, text, id_col).cache()
+    width = 64 // chunks
+    chunk_cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = fps.select(F.col(id_col).alias("id"), F.col("simhash"), F.explode(chunk_cols).alias("ch"))
+    l, r = buckets.alias("L"), buckets.alias("R")
+    cand = (
+        l.join(r, (F.col("L.ch") == F.col("R.ch")) & (F.col("L.id") < F.col("R.id")))
+        .select(
+            F.col("L.id").alias("a"),
+            F.col("R.id").alias("b"),
+            F.col("L.simhash").alias("fa"),
+            F.col("R.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

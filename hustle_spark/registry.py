@@ -1,0 +1,1137 @@
+"""Query registry: every operator from SURVEY.md section 2 as a named
+(spark_fn, oracle_sql) pair, consumed by ``__spark_entry__.py``.
+
+Correctness contract (driver): the Spark DataFrame and the DuckDB
+oracle must agree on row count, column names, and an order-insensitive
+value hash at sf0.01. Determinism rules used throughout:
+
+- Float SUM/AVG go through exact DECIMAL accumulation then a final
+  cast to double (``h_sum_exact``/``h_avg_exact``): bit-identical
+  across engines AND across Spark partitionings/retries.
+- Every LIMIT/top-k has a total-order tiebreak.
+- Timestamps are emitted as epoch seconds (BIGINT) or formatted
+  strings, never raw timestamp values (the parquet nanos vs Spark
+  micros precision gap makes raw emission unsafe).
+- Integer sums in DuckDB are cast from HUGEINT back to BIGINT.
+- Approximate / sketch-based operators have no oracle (rows-only).
+
+Reference parity queries cite the public-repo hustle surface they
+mirror; EXT queries are the SURVEY's deliberate capability extensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+import hustle_spark as h
+from .functions.aggregates import h_avg_exact, h_sum_exact
+from .functions import text as TX
+from .operators import asof, dedup, multimodal, similarity
+from .operators.sessionize import session_stats
+from . import streaming as stream_mod
+
+SCRATCH = "/root/repo/.scratch/registry"
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+QUERIES: dict[str, Query] = {}
+
+_catalogs: dict[tuple[int, str], h.Catalog] = {}
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> h.Catalog:
+    key = (id(spark), sf_dir)
+    if key not in _catalogs:
+        h.tune_existing(spark)
+        _catalogs[key] = h.connect(spark, sf_dir, scratch=f"{SCRATCH}/{abs(hash(sf_dir)) % 10**6}")
+    return _catalogs[key]
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = Query(name, fn, oracle)
+        return fn
+    return deco
+
+
+# =====================================================================
+# Parity: reference DSL surface (SURVEY section 2.1-2.5)
+# =====================================================================
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (TPC-H Q1 shape): the reference's core select() spine —
+    restrict + implicit group-by + aggregates (hustle/__init__.py
+    select; pipeline.py group stages)."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    dec = lambda c: c.cast("decimal(18,2)").scol  # noqa: E731
+    return h.select(
+        li.l_returnflag,
+        li.l_linestatus,
+        h.agg_expr(F.sum(dec(li.l_quantity)).cast("double"), "sum_qty", li.l_quantity.tables),
+        h.agg_expr(F.sum(dec(li.l_extendedprice)).cast("double"), "sum_base_price", li.l_quantity.tables),
+        h.agg_expr(
+            F.sum(dec(li.l_extendedprice) * (F.lit(1) - dec(li.l_discount))).cast("double"),
+            "sum_disc_price",
+            li.l_quantity.tables,
+        ),
+        h.agg_expr(
+            F.sum(dec(li.l_quantity)).cast("double") / F.count(F.lit(1)), "avg_qty", li.l_quantity.tables
+        ),
+        h.agg_expr(
+            F.sum(dec(li.l_extendedprice)).cast("double") / F.count(F.lit(1)),
+            "avg_price",
+            li.l_quantity.tables,
+        ),
+        h.agg_expr(F.count(F.lit(1)), "count_order", li.l_quantity.tables),
+        where=li.l_shipdate <= "1998-09-02",
+    )
+
+
+@query(
+    "restrict_groupby_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-30'
+    GROUP BY l_returnflag
+    """,
+)
+def restrict_groupby_sum(spark, sf_dir):
+    """Reference seed query: restrict + agg (hustle select + h_sum)."""
+    li = _cat(spark, sf_dir).table("lineitem")
+    return h.select(
+        li.l_returnflag,
+        h_sum_exact(li.l_extendedprice).alias("total_price"),
+        where=li.l_shipdate > "1995-06-30",
+    )
+
+
+@query(
+    "filter_bool_combinators",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    WHERE (event_type = 'click' AND NOT value < 100.0) OR user_id = 7
+    """,
+)
+def filter_bool_combinators(spark, sf_dir):
+    """Predicate tree: & | ~ (hustle/core/marble.py expression algebra,
+    evaluated there as EWAH bitset AND/OR/NOT; here Catalyst + parquet
+    pushdown)."""
+    ev = _cat(spark, sf_dir).table("events")
+    return h.select(
+        ev.event_id,
+        ev.user_id,
+        ev.event_type,
+        where=(ev.event_type == "click") & ~(ev.value < 100.0) | (ev.user_id == 7),
+    )
+
+
+@query(
+    "filter_isin",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE event_type IN ('click', 'view', 'purchase') GROUP BY event_type
+    """,
+)
+def filter_isin(spark, sf_dir):
+    """IN-list via the reference's ``column << [values]`` operator."""
+    ev = _cat(spark, sf_dir).table("events")
+    return h.select(
+        ev.event_type,
+        h.h_count().alias("n"),
+        where=ev.event_type << ["click", "view", "purchase"],
+    )
+
+
+@query(
+    "filter_comparisons",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0
+      AND o_orderstatus != 'P' AND o_orderdate >= TIMESTAMP '1994-01-01'
+    """,
+)
+def filter_comparisons(spark, sf_dir):
+    """All six comparison operators compose (marble.py Column ops)."""
+    o = _cat(spark, sf_dir).table("orders")
+    return h.select(
+        o.o_orderkey,
+        o.o_orderstatus,
+        where=(o.o_totalprice >= 100000.0)
+        & (o.o_totalprice < 150000.0)
+        & (o.o_orderstatus != "P")
+        & (o.o_orderdate >= "1994-01-01"),
+    )
+
+
+@query(
+    "join_equi_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_quantity > 25.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_equi_revenue(spark, sf_dir):
+    """Two-table equi-join with per-table wheres — the reference's full
+    join form (hustle select(where=(e1, e2), join=(c1, c2));
+    pipeline.py hash-label shuffle; here AQE picks broadcast/SMJ)."""
+    c = _cat(spark, sf_dir)
+    li, o = c.table("lineitem"), c.table("orders")
+    return h.select(
+        o.o_orderpriority,
+        h_sum_exact(li.l_extendedprice).alias("revenue"),
+        h.h_count().alias("n_items"),
+        where=(li.l_quantity > 25.0, o.o_orderstatus == "F"),
+        join=(li.l_orderkey, o.o_orderkey),
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark, sf_dir):
+    """EXT: 3-way join chain (reference capped at 2 tables per select,
+    chaining only via nest — SURVEY 2.3 J4)."""
+    c = _cat(spark, sf_dir)
+    o, cu, n = c.table("orders"), c.table("customer"), c.table("nation")
+    return h.select(
+        n.n_name,
+        h_sum_exact(o.o_totalprice).alias("total"),
+        h.h_count().alias("n_orders"),
+        join=[(o.o_custkey, cu.c_custkey), (cu.c_nationkey, n.n_nationkey)],
+    )
+
+
+@query(
+    "agg_stats_by_status",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           COUNT(DISTINCT o_custkey) AS nd_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_stats_by_status(spark, sf_dir):
+    """The reference's aggregate set in one query: h_count/h_sum/h_avg/
+    h_min/h_max + exact count-distinct (the oracle-checkable variant of
+    h_cardinality — SURVEY 2.4 A6)."""
+    o = _cat(spark, sf_dir).table("orders")
+    return h.select(
+        o.o_orderstatus,
+        h.h_count().alias("n"),
+        h_sum_exact(o.o_totalprice).alias("total"),
+        h_avg_exact(o.o_totalprice).alias("mean"),
+        h.h_min(o.o_totalprice).alias("lo"),
+        h.h_max(o.o_totalprice).alias("hi"),
+        h.h_count_distinct(o.o_custkey).alias("nd_cust"),
+    )
+
+
+@query("approx_cardinality", oracle=None)  # approximate: rows-only check
+def approx_cardinality(spark, sf_dir):
+    """h_cardinality parity: HyperLogLog approximate count-distinct
+    (reference: cardunion C sketches; here HLL++). No oracle by nature."""
+    ev = _cat(spark, sf_dir).table("events")
+    return h.select(
+        ev.event_type,
+        h.h_cardinality(ev.user_id).alias("approx_users"),
+    )
+
+
+@query(
+    "distinct_order_limit",
+    oracle="SELECT DISTINCT p_brand FROM part ORDER BY p_brand DESC LIMIT 5",
+)
+def distinct_order_limit(spark, sf_dir):
+    """distinct=True + order_by/desc/limit final stage (pipeline.py)."""
+    p = _cat(spark, sf_dir).table("part")
+    return h.select(p.p_brand, distinct=True, order_by=p.p_brand, desc=True, limit=5)
+
+
+@query("star_scan_region", oracle="SELECT * FROM region")
+def star_scan_region(spark, sf_dir):
+    """star(table) expansion (hustle/__init__.py)."""
+    r = _cat(spark, sf_dir).table("region")
+    return h.select(h.star(r))
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """order_by + limit compiles to TakeOrderedAndProject (true top-k:
+    no full sort, each partition keeps k rows — SURVEY 2.5)."""
+    o = _cat(spark, sf_dir).table("orders")
+    return h.select(
+        o.o_orderkey,
+        o.o_totalprice,
+        order_by=[o.o_totalprice, o.o_orderkey],
+        desc=[True, False],
+        limit=10,
+    )
+
+
+@query(
+    "nest_requery",
+    oracle="""
+    WITH nested AS (
+      SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT COUNT(*) AS n_users, MAX(total) AS max_total
+    FROM nested WHERE total > 500.0
+    """,
+)
+def nest_requery(spark, sf_dir):
+    """nest=True: materialize a result as a queryable Table and query it
+    again (reference wrote marbles to a fresh DDFS tag —
+    hustle/core/pipeline.py)."""
+    ev = _cat(spark, sf_dir).table("events")
+    nested = h.select(
+        ev.user_id,
+        h_sum_exact(ev.value).alias("total"),
+        where=ev.event_type == "purchase",
+        nest=True,
+    )
+    return h.select(
+        h.h_count().alias("n_users"),
+        h.h_max(nested.total).alias("max_total"),
+        where=nested.total > 500.0,
+    )
+
+
+# =====================================================================
+# EXT: join variants + set ops (SURVEY 2.3 J3, 2.6)
+# =====================================================================
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 200000.0)
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_customers(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    cu, o = c.table("customer").df, c.table("orders").df
+    big = o.filter(F.col("o_totalprice") > 200000.0)
+    return (
+        cu.join(big, cu["c_custkey"] == big["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000.0)
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df
+    o = c.table("orders").df.filter(F.col("o_totalprice") > 300000.0)
+    return (
+        cu.join(o, cu["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@query(
+    "left_join_nation_suppliers",
+    oracle="""
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def left_join_nation_suppliers(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    n, s = c.table("nation").df, c.table("supplier").df
+    return (
+        n.join(s, s["s_nationkey"] == n["n_nationkey"], "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cust.k, supp.k) AS nationkey, n_cust, n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.k = supp.k
+    """,
+)
+def full_outer_nation_activity(spark, sf_dir):
+    """EXT full outer join (also implements the [L]-uncertain reference
+    ``full_join`` flag both ways — SURVEY 2.3 J2)."""
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    su = c.table("supplier").df.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cu.join(su, cu["k"] == su["k"], "full_outer")
+        .select(
+            F.coalesce(cu["k"], su["k"]).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+    )
+
+
+@query(
+    "cross_join_pairs",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def cross_join_pairs(spark, sf_dir):
+    """Cartesian product (the other reading of reference full_join)."""
+    r = _cat(spark, sf_dir).table("region").df
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+    """,
+)
+def set_except(spark, sf_dir):
+    """Nations with customers but no well-capitalized supplier."""
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    su = (
+        c.table("supplier").df.filter(F.col("s_acctbal") > 5000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    return cu.subtract(su)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT SELECT DISTINCT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    su = c.table("supplier").df.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return cu.intersect(su)
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df.select(F.col("c_nationkey").alias("nationkey"))
+    su = c.table("supplier").df.select(F.col("s_nationkey").alias("nationkey"))
+    return cu.unionByName(su).distinct()
+
+
+# =====================================================================
+# EXT: window functions (SURVEY 2.7)
+# =====================================================================
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 2
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    o, cu = c.table("orders").df, c.table("customer").df
+    j = o.join(cu, o["o_custkey"] == cu["c_custkey"])
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def window_running_total(spark, sf_dir):
+    o = _cat(spark, sf_dir).table("orders").df
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+        )
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(value AS DECIMAL(18,2)) -
+                LAG(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta
+    FROM events WHERE user_id < 20
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    ev = _cat(spark, sf_dir).table("events").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            (v - F.lag(v).over(w)).cast("double").alias("delta"),
+        )
+    )
+
+
+# =====================================================================
+# EXT: grouping sets / rollup / cube (SURVEY 2.4 A8)
+# =====================================================================
+
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    o = _cat(spark, sf_dir).table("orders").df
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "cube_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flags(spark, sf_dir):
+    li = _cat(spark, sf_dir).table("lineitem").df
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# EXT: scalar function library / computed projections (SURVEY 2.2 P8)
+# =====================================================================
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT DISTINCT upper(p_brand) AS brand_u, substr(p_type, 1, 6) AS type6,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           length(p_name) AS name_len
+    FROM part WHERE p_size <= 10
+    """,
+)
+def scalar_string_funcs(spark, sf_dir):
+    p = _cat(spark, sf_dir).table("part").df
+    return (
+        p.filter(F.col("p_size") <= 10)
+        .select(
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_type", 1, 6).alias("type6"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
+            F.length("p_name").alias("name_len"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_date_funcs(spark, sf_dir):
+    o = _cat(spark, sf_dir).table("orders").df
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charge,
+           abs(l_quantity - 25.0) AS qty_dev,
+           floor(l_quantity / 7.0) AS qty_bucket,
+           sqrt(l_quantity) AS qty_sqrt
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def scalar_math_funcs(spark, sf_dir):
+    li = _cat(spark, sf_dir).table("lineitem").df
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("disc_price"),
+        (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax")))
+        .cast("double")
+        .alias("charge"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@query(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS nd_cust
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_bucketing(spark, sf_dir):
+    o = _cat(spark, sf_dir).table("orders").df
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("o_custkey").alias("nd_cust")
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """EXT L6: JSON event-property extraction (events.props). Spark uses
+    a real JSON parse (from_json); the oracle extracts the same field
+    textually to avoid depending on DuckDB's JSON extension."""
+    ev = _cat(spark, sf_dir).table("events").df
+    k = F.from_json("props", "k INT")["k"]
+    return ev.groupBy((k % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_types(spark, sf_dir):
+    ev = _cat(spark, sf_dir).table("events").df
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+# =====================================================================
+# EXT: event-time windows + sessionization + as-of (SURVEY 2.8, guide)
+# =====================================================================
+
+@query(
+    "time_tumbling_hour",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_tumbling_hour(spark, sf_dir):
+    """Tumbling event-time window, batch form (the streaming twin is
+    ``streaming_tumbling_hour`` — same expressions, micro-batched)."""
+    ev = _cat(spark, sf_dir).table("events").df
+    return stream_mod.tumbling_window_agg(ev, size="1 hour")
+
+
+@query(
+    "time_sliding_2h",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts) - k * INTERVAL 1 HOUR) AS BIGINT) AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) ks
+    GROUP BY 1
+    """,
+)
+def time_sliding_2h(spark, sf_dir):
+    """Sliding window (2h size, 1h slide): each event lands in two
+    windows. The oracle expresses the same assignment as an explicit
+    bucket union."""
+    ev = _cat(spark, sf_dir).table("events").df
+    return stream_mod.sliding_window_agg(ev, size="2 hours", slide="1 hour")
+
+
+@query(
+    "sessionize_users",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def sessionize_users(spark, sf_dir):
+    """Batch sessionization: 30-minute inactivity gap (operator:
+    hustle_spark.operators.sessionize)."""
+    ev = _cat(spark, sf_dir).table("events").df
+    return session_stats(ev, key="user_id", ts="ts", gap="30 minutes")
+
+
+@query(
+    "asof_join_signup",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_join_signup(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest
+    prior-or-equal signup (operator: hustle_spark.operators.asof —
+    union + carry-forward, one shuffle, no inequality-join cross
+    product). DuckDB's native ASOF JOIN is the oracle."""
+    ev = _cat(spark, sf_dir).table("events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof.asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts_matched").alias("signup_epoch"),
+    )
+
+
+# =====================================================================
+# EXT: LLM-pipeline operators (SURVEY 2.10) on documents / embeddings
+# =====================================================================
+
+@query(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_unique_texts,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique_fp
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    """L1 exact dedup: content hashing — the shuffle key is a 16-byte
+    digest, never the document text (operators.dedup / functions.text)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct(TX.fingerprint(F.col("text"), 32)).alias("n_unique_fp"),
+    )
+
+
+@query(
+    "dedup_exact_keep_min",
+    oracle="""
+    SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_keep_min(spark, sf_dir):
+    """Exact dedup, representative-row form: deterministic keep-smallest
+    per fingerprint group."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.groupBy(TX.fingerprint(F.col("text"), 16).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)  # sketch-based: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """L2 fuzzy dedup: seeded MinHash signatures + banded LSH
+    candidate join (operators.dedup.minhash_lsh_pairs). Deterministic
+    but not SQL-expressible at reasonable cost -> rows-only."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return dedup.minhash_lsh_pairs(d, threshold=0.35)
+
+
+@query("dedup_simhash", oracle=None)  # rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via 8-bit chunk banding."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return dedup.simhash_near_pairs(d, max_hamming=6, chunks=8)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS grams
+      FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over source-blocked pairs (the
+    verify stage that runs after LSH blocking at scale)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return dedup.ngram_jaccard_pairs(d, blocking_key="source", n=3, threshold=0.2)
+
+
+@query(
+    "similarity_topk_exact",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.qid AS query_id, e.vec_id,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def similarity_topk_exact(spark, sf_dir):
+    """L3 exact brute-force cosine top-k for a small query set:
+    broadcast the queries, stream the corpus once, per-query top-k
+    window (operators.similarity.cosine_topk)."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = dbl.filter(F.col("vec_id").isin(0, 1, 2))
+    out = similarity.cosine_topk(dbl, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@query("similarity_ann_lsh", oracle=None)  # approximate: rows-only
+def similarity_ann_lsh(spark, sf_dir):
+    """L3 approximate ANN: random-hyperplane LSH bucket join then exact
+    re-rank among candidates (operators.similarity.ann_topk)."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = dbl.filter(F.col("vec_id").isin(0, 1, 2))
+    return similarity.ann_topk(dbl, queries, dim=64, k=5)
+
+
+@query("embedding_near_dup", oracle=None)  # approximate recall: rows-only
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH bucketing."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    # synthetic embeddings are near-orthogonal; 0.38 ~ the 99.9th pct
+    # pairwise cosine, so the query surfaces the true near-dup tail
+    return similarity.embedding_near_dup_pairs(
+        dbl, dim=64, threshold=0.38, n_tables=8, bits_per_table=6
+    )
+
+
+@query(
+    "embedding_label_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(round(sqrt(list_aggregate(
+                 list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(spark, sf_dir):
+    """Vector aggregate: mean L2 norm per label. Norms are rounded then
+    decimal-accumulated so the float fold is engine-invariant."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(norm, 6).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(string_split_regex(text, '\\s+')))) AS BIGINT) AS total_distinct_tokens,
+           CAST(CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(CAST(SUM(length(text)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark, sf_dir):
+    """L4 token statistics per language (functions.text.text_stats)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.text_stats(d, text="text", group_by="lang")
+
+
+@query(
+    "text_quality_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             round((least(len(string_split_regex(text, '\\s+')), 256) / 256.0
+               + CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+')))
+               + (1.0 - least(abs(CAST(length(text) AS DOUBLE)
+                   / len(string_split_regex(text, '\\s+')) - 5.0), 5.0) / 5.0), 6) AS quality
+      FROM documents)
+    SELECT doc_id, quality FROM scored
+    ORDER BY quality DESC, doc_id LIMIT 20
+    """,
+)
+def text_quality_topk(spark, sf_dir):
+    """L4 quality scoring: deterministic heuristic
+    (functions.text.quality_score), top-20 with doc_id tiebreak."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return (
+        d.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@query("text_lang_id", oracle=None)  # heuristic marker lists: rows-only
+def text_lang_id(spark, sf_dir):
+    """L4 language-ID heuristic: marker-token votes, argmax
+    (functions.text.lang_id); confusion counts vs the labeled lang."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprint_prefix",
+    oracle="""
+    SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2) AS fp2,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprint_prefix(spark, sf_dir):
+    """Document fingerprinting (functions.text.fingerprint): md5 of
+    normalized text; prefix histogram shows shard-balance."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.groupBy(TX.fingerprint(F.col("text"), 2).alias("fp2")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("doc_rolling_fingerprint", oracle=None)  # xxhash64-based: rows-only
+def doc_rolling_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint (near-dup-stable)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.select(
+        "doc_id", TX.rolling_hash_fingerprint(F.col("text"), window=8).alias("rfp")
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, true AS ok
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """L5 multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas feature extraction (operators.multimodal; decode STUB —
+    media libs absent in container). Oracle checks the byte-length
+    plumbing end-to-end."""
+    d = _cat(spark, sf_dir).table("documents").df
+    media = multimodal.attach_payload(d, text_col="text", id_col="doc_id")
+    feats = multimodal.decode_features(media)
+    return feats.select("media_id", "n_bytes", "ok")
+
+
+# =====================================================================
+# EXT: Structured Streaming (SURVEY 2.8) — real micro-batch execution
+# =====================================================================
+
+@query(
+    "streaming_tumbling_hour",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_hour(spark, sf_dir):
+    """REAL Structured Streaming run (file source -> watermark ->
+    tumbling window -> memory sink, availableNow trigger) whose final
+    answer the SQL oracle checks — proving batch/stream agreement."""
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    agg = stream_mod.tumbling_window_agg(events, size="1 hour", watermark="2 hours")
+    return stream_mod.run_streaming_batch(agg, output_mode="complete")
+
+
+@query("streaming_session_windows", oracle=None)  # rows-only
+def streaming_session_windows(spark, sf_dir):
+    """Streaming session windows (F.session_window + watermark)."""
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    agg = stream_mod.session_window_agg(events, gap="30 minutes", watermark="2 hours")
+    return stream_mod.run_streaming_batch(agg, output_mode="complete")
+
+
+# =====================================================================
+# entry point
+# =====================================================================
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: flagship query at sf0.001."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

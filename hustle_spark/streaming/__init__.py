@@ -1,0 +1,8 @@
+from .windows import (  # noqa: F401
+    read_events_stream,
+    run_streaming_batch,
+    sliding_window_agg,
+    session_window_agg,
+    streaming_dedupe,
+    tumbling_window_agg,
+)

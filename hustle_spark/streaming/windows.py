@@ -1,0 +1,114 @@
+"""Structured Streaming surface over the events table (EXT — the
+reference is batch-append only; SURVEY.md section 2.8).
+
+Design: every streaming aggregation here has a *batch twin* built from
+the same column expressions, so the DuckDB oracle can check the
+streaming semantics on static data. The streaming runner uses the
+parquet file source + memory sink + ``processAllAvailable`` — on a
+real cluster the source becomes Kafka and the sink a Delta/parquet
+``foreachBatch``, with the query untouched.
+
+Watermarks bound state: late events beyond the watermark are dropped
+instead of growing executor state without bound — mandatory at any
+real scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (file source). The nanos
+    timestamp is read as long and converted exactly like the batch
+    catalog path, so batch and stream agree to the microsecond."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    w = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window("ts", size).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, size: str = "2 hours", slide: str = "1 hour", watermark: str = "4 hours"
+) -> DataFrame:
+    w = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window("ts", size, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("window_start"), "n")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    w = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedupe by event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion through a
+    memory sink and return the result as a static DataFrame. This is how
+    the oracle checks streaming queries: same expressions, real
+    micro-batch execution."""
+    name = f"hs_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,30 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
+}
+
+
+def interval_seconds(spec: str) -> float:
+    """``'30 minutes'`` -> 1800.0 (mirrors Spark interval grammar for the
+    day-time units used by gaps/tolerances)."""
+    parts = spec.strip().split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"bad interval spec {spec!r}")
+    total = 0.0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        if unit.lower() not in _UNIT_SECONDS:
+            raise ValueError(f"unsupported interval unit {unit!r} in {spec!r}")
+        total += float(qty) * _UNIT_SECONDS[unit.lower()]
+    return total

@@ -1,0 +1,113 @@
+"""Mimic the driver's correctness gate: run every queries() entry and
+its oracle_sql() on the same sf dir, compare row-count + column names +
+order-insensitive values. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from hustle_spark.session import get_session  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def nv(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 6)
+        if isinstance(v, list):
+            return tuple(nv(x) for x in v)
+        try:  # Decimal -> float for cross-engine compare
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return round(float(v), 6)
+        except Exception:
+            pass
+        return v
+
+    return sorted(
+        (tuple(nv(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_session(app_name="oracle-check", extra_conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {str(e)[:300]}"))
+            print(f"  FAIL {name}: spark error")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            rows_only += 1
+            print(f"  ROWS-ONLY {name}: {len(spark_rows)} rows  [{dt:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {str(e)[:300]}"))
+            print(f"  FAIL {name}: oracle error: {str(e)[:160]}")
+            continue
+        problems = []
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        if not problems:
+            a = norm_rows(spark_rows, spark_cols)
+            b = norm_rows(duck_rows, duck_cols)
+            diffs = [(x, y) for x, y in zip(a, b) if x != y]
+            if diffs:
+                problems.append(f"values ({len(diffs)} differing), first: {diffs[:2]}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"  FAIL {name}: {problems[0][:200]}")
+        else:
+            passed += 1
+            print(f"  OK   {name}: {len(spark_rows)} rows  [{dt:.1f}s]")
+
+    print(f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} FAILED")
+    for name, why in failures:
+        print(f"  {name}: {why[:400]}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
