@@ -1,0 +1,90 @@
+"""Benchmark runner (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): per query, one cold run discarded, then 3 warm
+runs fully materialized via a noop-style sink; median reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hustle_spark.session import get_session  # noqa: E402
+from hustle_spark import registry  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "restrict_groupby_sum",
+    "filter_isin",
+    "join_equi_revenue",
+    "join_multiway",
+    "agg_stats_by_status",
+    "window_topk_per_group",
+    "time_tumbling_hour",
+    "time_sliding_2h",
+    "sessionize_users",
+    "asof_join_signup",
+    "json_props_extract",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh",
+    "similarity_topk_exact",
+    "text_stats_by_lang",
+]
+
+WARM_RUNS = 3
+
+
+def materialize(df) -> int:
+    # full materialization of every column (count() alone would let
+    # Catalyst prune the projection)
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="hustle-spark-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    qs = registry.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        try:
+            df = fn(spark, sf_dir)  # cold: plan + run once, discard
+            df.write.format("noop").mode("overwrite").save()
+            times = []
+            for _ in range(WARM_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+        except Exception as exc:  # a broken query must not kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    total = round(sum(t for t in per_query.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_median_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,8 @@ def normalize(rows, colnames):
         return v
 
     return sorted(
-        tuple(norm_val(r[i]) for i in order) for r in rows
+        (tuple(norm_val(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),  # None-safe total order
     )
 
 

@@ -1,0 +1,193 @@
+"""Unit tests for EXT operators: asof, sessionize, dedup, similarity,
+text, multimodal — small inline DataFrames with hand-checked expecteds
+(the reference's golden-in-code test style, SURVEY section 5)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "a"),
+         (1, ts("2024-01-01T12:00:00"), "b"),
+         (2, ts("2024-01-01T09:00:00"), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30:00"), 100.0),
+         (1, ts("2024-01-01T11:00:00"), 200.0),
+         (2, ts("2024-01-01T09:30:00"), 300.0)],
+        "k long, ts timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_backward(asof_data):
+    from hustle_spark.operators.asof import asof_join
+
+    left, right = asof_data
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    got = {(r.k, r.tag): r.px for r in out.collect()}
+    assert got == {(1, "a"): 100.0, (1, "b"): 200.0, (2, "c"): None}
+
+
+def test_asof_exact_ts_matches(spark):
+    from hustle_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"))], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), 5.0)], "k long, ts timestamp, px double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    assert out[0].px == 5.0  # <= semantics: equal timestamps match
+
+
+def test_sessionize(spark):
+    from hustle_spark.operators.sessionize import session_stats, sessionize
+
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00")),
+         (1, ts("2024-01-01T10:10:00")),   # same session (10 min gap)
+         (1, ts("2024-01-01T11:30:00")),   # new session (80 min gap)
+         (2, ts("2024-01-01T09:00:00"))],
+        "user long, ts timestamp",
+    )
+    s = sessionize(df, key="user", ts="ts", gap="30 minutes")
+    sess = {(r.user, str(r.ts)): r.session_id for r in s.collect()}
+    assert sess[(1, "2024-01-01 10:00:00")] == 1
+    assert sess[(1, "2024-01-01 10:10:00")] == 1
+    assert sess[(1, "2024-01-01 11:30:00")] == 2
+    stats = {r.user: (r.n_sessions, r.n_events) for r in session_stats(df, "user", "ts").collect()}
+    assert stats == {1: (2, 3), 2: (1, 1)}
+
+
+def test_exact_dedup_keep_by(spark):
+    from hustle_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "id long, t string"
+    )
+    out = exact_dedup(df, ["t"], keep_by="id").collect()
+    assert sorted((r.id, r.t) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_shingles(spark):
+    from hustle_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    out = df.select(shingles(F.col("t"), 3).alias("sh")).collect()[0].sh
+    assert out == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    out2 = short.select(shingles(F.col("t"), 3).alias("sh")).collect()[0].sh
+    assert out2 == ["a b"]  # shorter than n: whole text as one shingle
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from hustle_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words in this sentence with no overlap at all"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_requires_blocking(spark):
+    from hustle_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c", "s")], "doc_id long, text string, src string")
+    with pytest.raises(ValueError, match="blocking_key"):
+        ngram_jaccard_pairs(df)
+    out = ngram_jaccard_pairs(df, blocking_key="src").collect()
+    assert out == []  # single doc: no pairs
+
+
+def test_simhash_near_pairs(spark):
+    from hustle_spark.operators.dedup import simhash_near_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    pairs = {(r.a, r.b): r.hamming for r in simhash_near_pairs(df, max_hamming=16, chunks=32).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_cosine_topk(spark):
+    from hustle_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = cosine_topk(df, q, k=2)
+    got = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]
+
+
+def test_ann_topk_recall(spark):
+    from hustle_spark.operators.similarity import ann_topk, cosine_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    # plant a near-duplicate of vector 0
+    rows.append((999, [x + rng.gauss(0, 0.01) for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    approx = ann_topk(df, q, dim=16, k=1, n_tables=6, bits_per_table=4)
+    got = [r.vec_id for r in approx.collect()]
+    assert got == [999]  # the planted near-dup is found
+
+
+def test_text_functions(spark):
+    from hustle_spark.functions import text as TX
+
+    df = spark.createDataFrame([("Hello world hello",)], "t string")
+    r = df.select(
+        TX.token_count(F.col("t")).alias("tc"),
+        TX.distinct_token_count(F.col("t")).alias("dtc"),
+        TX.fingerprint(F.col("t")).alias("fp"),
+        TX.lang_id(F.col("t")).alias("lang"),
+    ).collect()[0]
+    assert r.tc == 3
+    assert r.dtc == 3  # case-sensitive distinct
+    assert len(r.fp) == 16
+    assert r.lang == "und"  # no marker words
+    en = spark.createDataFrame([("the cat and the dog of value",)], "t string")
+    assert en.select(TX.lang_id(F.col("t")).alias("l")).collect()[0].l == "en"
+
+
+def test_multimodal_decode(spark):
+    from hustle_spark.operators.multimodal import attach_payload, decode_features
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    media = attach_payload(df, text_col="text", id_col="doc_id")
+    feats = {r.media_id: r for r in decode_features(media).collect()}
+    assert feats[1].n_bytes == 3 and feats[1].ok
+    assert feats[2].n_bytes == 0 and not feats[2].ok
+    # checksum is the documented stub formula: sum(first 256 bytes) + n*31
+    assert feats[1].checksum == sum(b"abc") + 3 * 31
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from hustle_spark import streaming as S
+
+    events = S.read_events_stream(spark, "/root/testdata/sf0.001")
+    out = S.run_streaming_batch(S.tumbling_window_agg(events), output_mode="complete")
+    batch_events = __import__("hustle_spark").connect(spark, "/root/testdata/sf0.001").table("events").df
+    batch = S.tumbling_window_agg(batch_events)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
