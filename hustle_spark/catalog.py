@@ -183,6 +183,20 @@ class Catalog:
                 shutil.rmtree(pdir)
         self._cache.pop(name, None)
 
+    def delete(self, name: str, where) -> list[str]:
+        """Reference ``delete(where=<partition predicate>)``: a
+        predicate over the partition column selects whole partitions to
+        drop. ``where`` is a Python predicate over the partition value
+        string (e.g. ``lambda d: d < '2014-01-21'``) or an explicit
+        value list. Returns the partition values deleted."""
+        values = self.partitions(name)
+        if callable(where):
+            doomed = [v for v in values if where(v)]
+        else:
+            doomed = [v for v in values if v in set(where)]
+        self.delete_partitions(name, doomed)
+        return doomed
+
     # ---- write paths ----
 
     def append(self, name: str, df: DataFrame) -> None:

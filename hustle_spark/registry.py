@@ -1120,6 +1120,150 @@ def streaming_session_windows(spark, sf_dir):
     return stream_mod.run_streaming_batch(agg, output_mode="complete")
 
 
+
+
+# =====================================================================
+# EXT wave 2: SQL API, exact percentiles, manual variance, arrays,
+# unpivot, streaming dedupe
+# =====================================================================
+
+_SHARED_SQL_EXISTS = """
+    SELECT c_mktsegment, COUNT(*) AS n_big_spenders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+    GROUP BY c_mktsegment
+"""
+
+
+@query("sql_api_exists", oracle=_SHARED_SQL_EXISTS)
+def sql_api_exists(spark, sf_dir):
+    """The SQL entry point: the engine registers catalog tables as temp
+    views and runs the IDENTICAL SQL text that the DuckDB oracle runs —
+    correlated EXISTS subquery (decorrelated by Catalyst into a semi
+    join; the reference had no subqueries at all)."""
+    c = _cat(spark, sf_dir)
+    for t in ("customer", "orders"):
+        c.table(t).df.createOrReplaceTempView(t)
+    return spark.sql(_SHARED_SQL_EXISTS)
+
+
+@query(
+    "percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark F.percentile == DuckDB
+    quantile_cont: both sort + linear interpolation — deterministic,
+    unlike percentile_approx)."""
+    o = _cat(spark, sf_dir).table("orders").df
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "variance_manual",
+    oracle="""
+    SELECT l_returnflag,
+           round((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1), 6) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def variance_manual(spark, sf_dir):
+    """Sample variance from exact decimal sums (sum, sum-of-squares):
+    deterministic across engines, unlike builtin stddev/var whose
+    streaming accumulation (Welford) is engine- and order-dependent."""
+    li = _cat(spark, sf_dir).table("lineitem").df
+    d = F.col("l_quantity").cast("decimal(18,2)")
+    s = F.sum(d).cast("double")
+    ss = F.sum(d * d).cast("double")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        F.round((ss - s * s / n) / (n - F.lit(1)), 6).alias("var_qty")
+    )
+
+
+@query(
+    "collect_set_sorted",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def collect_set_sorted(spark, sf_dir):
+    """Array-valued aggregate: collect_set sorted for determinism."""
+    o = _cat(spark, sf_dir).table("orders").df
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    WITH per_status AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'total' AS measure, total AS val FROM per_status
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS val FROM per_status
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Unpivot (wide -> long) via DataFrame.unpivot; oracle is the
+    equivalent UNION ALL."""
+    o = _cat(spark, sf_dir).table("orders").df
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot("o_orderstatus", ["total", "n_orders"], "measure", "val")
+
+
+@query(
+    "union_all_counts",
+    oracle="""
+    SELECT kind, COUNT(*) AS n FROM (
+      SELECT 'customer' AS kind FROM customer
+      UNION ALL SELECT 'supplier' AS kind FROM supplier)
+    GROUP BY kind
+    """,
+)
+def union_all_counts(spark, sf_dir):
+    """Bag-semantics union (unionByName without distinct)."""
+    c = _cat(spark, sf_dir)
+    cu = c.table("customer").df.select(F.lit("customer").alias("kind"))
+    su = c.table("supplier").df.select(F.lit("supplier").alias("kind"))
+    return cu.unionByName(su).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("streaming_dedupe_count", oracle=None)  # stateful streaming: rows-only
+def streaming_dedupe_count(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: a doubled stream (self-union)
+    dedupes back to one row per event_id — bounded state via watermark."""
+    s1 = stream_mod.read_events_stream(spark, sf_dir)
+    s2 = stream_mod.read_events_stream(spark, sf_dir)
+    doubled = s1.unionByName(s2)
+    deduped = stream_mod.streaming_dedupe(doubled, watermark="1 hour")
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return stream_mod.run_streaming_batch(counted, output_mode="complete")
+
+
 # =====================================================================
 # entry point
 # =====================================================================

@@ -80,4 +80,13 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, DEFAULT_CONFIGS.get(k, "true"))
         except Exception:
             pass  # conf locked by the host session; proceed with its value
+    try:
+        # a foreign session may carry Spark's 200 default — wrong for
+        # local mode (AQE coalesces reads, but streaming state stores
+        # are created per shuffle partition and never coalesced)
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 4)))
+    except Exception:
+        pass
     return spark

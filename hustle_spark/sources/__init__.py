@@ -1,0 +1,6 @@
+from .readers import (  # noqa: F401
+    read_binary_files,
+    read_csv,
+    read_json_events,
+    read_parquet_table,
+)

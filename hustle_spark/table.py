@@ -60,8 +60,19 @@ class Table:
     def __iter__(self) -> Iterator[Column]:
         return (Column(self, c) for c in self._df.columns)
 
+    def dump(self, n: int = 100, truncate: bool = False) -> None:
+        """Reference ``dump(result)`` / REPL auto-dump: pretty-print
+        rows (public repo: ``hustle/__init__.py``)."""
+        self._df.show(n, truncate=truncate)
+
     def __repr__(self):
         return f"Table({self.name}: {', '.join(self.columns)})"
+
+
+def dump(result, n: int = 100) -> None:
+    """Reference ``dump``: works on Tables and raw DataFrames."""
+    df = result.df if isinstance(result, Table) else result
+    df.show(n, truncate=False)
 
 
 def star(table: Table) -> list[Column]:

@@ -1,0 +1,87 @@
+"""Scale-hardening helpers: plan audits, salted joins, catalog delete."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import hustle_spark as h
+from hustle_spark.plans import audit_plan, salted_join, scale_configs
+
+
+def test_audit_plan_clean_flagship(spark, catalog):
+    li = catalog.table("lineitem")
+    df = h.select(
+        li.l_returnflag,
+        h.h_sum(li.l_quantity).alias("s"),
+        where=li.l_shipdate > "1995-01-01",
+    )
+    violations = audit_plan(
+        df,
+        expect_pushed=["l_shipdate"],
+        max_read_columns=3,
+        forbid_cartesian=True,
+        forbid_python_udf=True,
+    )
+    assert violations == []
+
+
+def test_audit_plan_catches_wide_scan(spark, catalog):
+    li = catalog.table("lineitem")
+    df = li.df  # full scan, all 11 columns
+    violations = audit_plan(df, max_read_columns=3)
+    assert any("columns" in v for v in violations)
+
+
+def test_audit_plan_catches_cartesian(spark, catalog):
+    r = catalog.table("region").df
+    df = r.crossJoin(r.select(F.col("r_name").alias("rn2")))
+    violations = audit_plan(df)
+    assert any("cartesian" in v for v in violations)
+
+
+def test_salted_join_matches_plain_join(spark, catalog):
+    li = catalog.table("lineitem").df.select("l_orderkey", "l_quantity")
+    o = catalog.table("orders").df.select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, o, key="l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_scale_configs_shape():
+    conf = scale_configs(target_partition_mb=256, cores=1000)
+    assert conf["spark.sql.shuffle.partitions"] == "2000"
+    assert conf["spark.sql.files.maxPartitionBytes"] == "256m"
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_catalog_delete_predicate(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    cat.create("t", ["index string date", "uint32 v"], partition="date")
+    df = spark.createDataFrame(
+        [("2014-01-20", 1), ("2014-01-21", 2), ("2014-01-22", 3)], "date string, v long"
+    )
+    cat.append("t", df)
+    assert cat.partitions("t") == ["2014-01-20", "2014-01-21", "2014-01-22"]
+    deleted = cat.delete("t", where=lambda d: d < "2014-01-22")
+    assert deleted == ["2014-01-20", "2014-01-21"]
+    assert cat.partitions("t") == ["2014-01-22"]
+    assert cat.table("t").df.count() == 1
+
+
+def test_dump_runs(capsys, catalog):
+    from hustle_spark.table import dump
+
+    r = catalog.table("region")
+    r.dump(3)
+    dump(r.df.limit(1))
+    out = capsys.readouterr().out
+    assert "r_name" in out
