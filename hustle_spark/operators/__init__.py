@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     simhash_near_pairs,
 )
 from .multimodal import attach_payload, decode_features, frame_sample_plan  # noqa: F401
+from .rangejoin import range_join  # noqa: F401
 from .sessionize import session_stats, sessionize  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_topk,

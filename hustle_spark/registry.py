@@ -1264,6 +1264,133 @@ def streaming_dedupe_count(spark, sf_dir):
     return stream_mod.run_streaming_batch(counted, output_mode="complete")
 
 
+
+
+# =====================================================================
+# EXT wave 3: range join, UDF/UDAF/UDTF surface, grouping sets
+# =====================================================================
+
+@query(
+    "range_join_purchase_errors",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+               FROM events WHERE event_type = 'purchase'),
+         er AS (SELECT event_id AS error_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS re
+                FROM events WHERE event_type = 'error')
+    SELECT p.event_id AS purchase_id, er.error_id, (re - e) AS gap_s
+    FROM p JOIN er ON p.user_id = er.user_id
+    WHERE re BETWEEN e - 300 AND e + 300
+    """,
+)
+def range_join_purchase_errors(spark, sf_dir):
+    """Interval/range join: purchases paired with same-user errors
+    within +/-5 minutes (operators.rangejoin — bucketized equi-join,
+    no inequality nested loop)."""
+    from .operators.rangejoin import range_join
+
+    ev = _cat(spark, sf_dir).table("events").df
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    j = range_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="ts",
+        lower="-5 minutes", upper="5 minutes",
+    )
+    e_l = F.floor(F.col("ts").cast("double")).cast("long")
+    e_r = F.floor(F.col("ts_r").cast("double")).cast("long")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_r").alias("error_id"),
+        (e_r - e_l).alias("gap_s"),
+    )
+
+
+@query(
+    "udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_token_count(spark, sf_dir):
+    """U2: Arrow-vectorized scalar Pandas UDF (BPE-ish token count);
+    the equivalent regex in SQL is the oracle."""
+    from .functions.udfs import bpe_ish_token_count_udf
+
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.select("doc_id", bpe_ish_token_count_udf(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "udaf_regression_slope",
+    oracle="""
+    WITH prep AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events)
+    SELECT user_id, COUNT(*) AS n,
+           CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE) AS slope
+    FROM prep GROUP BY user_id HAVING COUNT(*) >= 2
+    """,
+)
+def udaf_regression_slope(spark, sf_dir):
+    """U3: UDAF via applyInPandas — per-user OLS slope computed from
+    exact integer sums (order-invariant, so it hash-matches the SQL
+    oracle despite being Python user code)."""
+    from .functions.udfs import regression_slope_by_user
+
+    ev = _cat(spark, sf_dir).table("events").df
+    return regression_slope_by_user(ev).filter(F.col("n") >= 2)
+
+
+@query(
+    "udtf_shingle_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      FROM documents WHERE doc_id < 50),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)] END AS g
+      FROM toks)
+    SELECT doc_id, CAST(len(g) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+    FROM grams
+    """,
+)
+def udtf_shingle_stats(spark, sf_dir):
+    """U4: table function (mapInPandas batch expansion) — one row per
+    shingle, re-aggregated; cardinality-changing user code."""
+    from .functions.udfs import explode_shingles_udtf
+
+    d = _cat(spark, sf_dir).table("documents").df.filter(F.col("doc_id") < 50)
+    sh = explode_shingles_udtf(d, n=3)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+    )
+
+
+_SHARED_SQL_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_sql", oracle=_SHARED_SQL_GROUPING_SETS)
+def grouping_sets_sql(spark, sf_dir):
+    """GROUPING SETS via the SQL API — identical SQL text runs on both
+    engines (SURVEY 2.4 A8)."""
+    c = _cat(spark, sf_dir)
+    c.table("orders").df.createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_SQL_GROUPING_SETS)
+
+
 # =====================================================================
 # entry point
 # =====================================================================
