@@ -1391,6 +1391,35 @@ def grouping_sets_sql(spark, sf_dir):
     return spark.sql(_SHARED_SQL_GROUPING_SETS)
 
 
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals kept as exact integer state across
+    micro-batches; the final state equals the batch aggregate, which is
+    the oracle. Update-mode emissions are folded to latest-per-user."""
+    from .streaming.stateful import running_user_totals
+
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    totals = running_user_totals(events)
+    out = stream_mod.run_streaming_batch(totals, output_mode="update")
+    # update mode may emit a row per user per micro-batch; keep the last
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================

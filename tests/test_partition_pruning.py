@@ -1,0 +1,46 @@
+"""SURVEY S2 parity: partition predicates prune whole partitions before
+any data is read — the DDFS-tag-selection analogue — plus the stateful
+streaming operator."""
+
+from pyspark.sql import functions as F
+
+import hustle_spark as h
+from hustle_spark.plans import explain_str
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    cat.create("imps", ["index string date", "index uint32 ad_id"], partition="date")
+    df = spark.createDataFrame(
+        [(f"2014-01-{20 + i % 3:02d}", 1000 + i) for i in range(30)],
+        "date string, ad_id long",
+    )
+    cat.append("imps", df)
+    t = cat.table("imps")
+    q = h.select(t.ad_id, where=t.date == "2014-01-21")
+    plan = explain_str(q)
+    # Catalyst partition pruning: the partition filter appears as a
+    # PartitionFilters entry on the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "2014-01-21" in plan
+    assert q.count() == 10
+
+
+def test_stateful_streaming_equals_batch(spark):
+    from hustle_spark import streaming as S
+    from hustle_spark.streaming.stateful import running_user_totals
+
+    events = S.read_events_stream(spark, "/root/testdata/sf0.001")
+    out = S.run_streaming_batch(running_user_totals(events), output_mode="update")
+    # latest emission per user == batch aggregate
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    latest = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch_events = h.connect(spark, "/root/testdata/sf0.001").table("events").df
+    batch = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
