@@ -172,20 +172,26 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints: sum per-bit +/-1 votes of token
-    hashes, entirely with array expressions (codegen, no UDF)."""
+    """64-bit SimHash fingerprints: per-bit +/-1 votes of distinct-token
+    hashes, folded back into one long.
+
+    Shape: explode tokens once, hash each token once, then a single
+    partial+final HashAggregate with 64 vote columns — one pass over
+    the token stream (the earlier formulation ran 64 separate array
+    folds per document, re-walking the token array per bit)."""
     toks = F.array_distinct(F.split(F.col(text), r"\s+"))
-    tok_hash = F.transform(toks, lambda t: F.xxhash64(t))
+    tok_hashes = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+    )
     bit_votes = [
-        F.aggregate(
-            tok_hash,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(bits)
     ]
-    voted = df.select(F.col(id_col), *bit_votes)
+    voted = tok_hashes.groupBy(id_col).agg(*bit_votes)
     fp = F.lit(0).cast("long")
     for b in range(bits):
         bit_val = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
@@ -198,12 +204,18 @@ def simhash_near_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    chunks: int = 8,
+    chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: two 64-bit fingerprints within
-    ``max_hamming`` bits share at least one of ``chunks`` exact 8-bit
-    chunks (pigeonhole, chunks > max_hamming) — candidates come from an
-    equi-join on (chunk_index, chunk_value), then exact popcount filter."""
+    ``max_hamming`` bits share at least one of ``chunks`` exact
+    ``64/chunks``-bit chunks (pigeonhole, chunks > max_hamming) —
+    candidates come from an equi-join on (chunk_index, chunk_value),
+    then exact popcount filter.
+
+    Scale note: random-pair chunk collisions scale as
+    ``chunks * 2^-(64/chunks)``; keep chunks small (wide chunks) so
+    candidate generation stays near-linear. chunks=4 (16-bit) admits
+    ~6e-5 of pairs; chunks=8 (8-bit) would admit ~1.4% — quadratic."""
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
     fps = simhash(df, text, id_col).cache()

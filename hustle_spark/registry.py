@@ -890,9 +890,12 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 @query("dedup_simhash", oracle=None)  # rows-only
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs via 8-bit chunk banding."""
+    """SimHash near-dup pairs via 16-bit chunk banding. max_hamming=3
+    with 4 chunks keeps random-chunk collisions at ~4*2^-16 of pairs —
+    candidate generation stays near-linear at corpus scale (8-bit
+    chunks would admit ~1.4% of ALL pairs: quadratic)."""
     d = _cat(spark, sf_dir).table("documents").df
-    return dedup.simhash_near_pairs(d, max_hamming=6, chunks=8)
+    return dedup.simhash_near_pairs(d, max_hamming=3, chunks=4)
 
 
 @query(

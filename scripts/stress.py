@@ -1,0 +1,107 @@
+"""Scale stress: synthesize 10M events + 100k docs (in .scratch) and
+time the shuffle-heavy operators. This is the 'would it survive 100x'
+check — we look for superlinear blowups (candidate-pair explosions,
+per-row Python, full sorts) rather than absolute numbers.
+
+    python scripts/stress.py [n_events] [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from hustle_spark.session import get_session
+
+SCRATCH = Path("/root/repo/.scratch/stress")
+
+
+def gen(spark, n_events: int, n_docs: int):
+    ev_path = SCRATCH / f"events_{n_events}"
+    doc_path = SCRATCH / f"docs_{n_docs}"
+    if not ev_path.exists():
+        n_users = max(n_events // 50, 1)
+        (
+            spark.range(n_events)
+            .select(
+                F.col("id").alias("event_id"),
+                F.timestamp_micros(
+                    (F.lit(1704067200_000_000) + (F.xxhash64("id") % (30 * 86400_000_000)))
+                ).alias("ts"),
+                (F.abs(F.xxhash64("id", F.lit(1))) % n_users).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(x) for x in ["click", "view", "purchase", "signup", "error"]]),
+                    (F.abs(F.xxhash64("id", F.lit(2))) % 5 + 1).cast("int"),
+                ).alias("event_type"),
+                (F.abs(F.xxhash64("id", F.lit(3))) % 50000 / 100.0).alias("value"),
+            )
+            .write.mode("overwrite").parquet(str(ev_path))
+        )
+    if not doc_path.exists():
+        vocab = [f"w{i}" for i in range(60)]
+        (
+            spark.range(n_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(
+                            F.array(*[F.lit(w) for w in vocab]),
+                            (F.abs(F.xxhash64("id", F.lit(i))) % 60 + 1).cast("int"),
+                        )
+                        for i in range(80)
+                    ],
+                ).alias("text"),
+                F.concat(F.lit("src"), (F.col("id") % 200).cast("string")).alias("source"),
+            )
+            .write.mode("overwrite").parquet(str(doc_path))
+        )
+    return spark.read.parquet(str(ev_path)), spark.read.parquet(str(doc_path))
+
+
+def timed(label, thunk):
+    t0 = time.time()
+    n = thunk()
+    dt = time.time() - t0
+    print(f"  {label:34s} {dt:7.1f}s   ({n} rows)")
+    return dt
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_session(app_name="stress", extra_conf={"spark.ui.enabled": "false"})
+    ev, docs = gen(spark, n_events, n_docs)
+    print(f"stress: {n_events:,} events, {n_docs:,} docs, {spark.sparkContext.defaultParallelism} cores")
+
+    from hustle_spark.operators.sessionize import session_stats
+    from hustle_spark.operators.asof import asof_join
+    from hustle_spark.operators.rangejoin import range_join
+    from hustle_spark.operators import dedup
+    from hustle_spark.streaming.windows import tumbling_window_agg
+
+    timed("groupBy agg (tumbling hour)", lambda: tumbling_window_agg(ev).count())
+    timed("sessionize 10M", lambda: session_stats(ev, "user_id", "ts").count())
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    timed("asof join (2M x 2M)", lambda: asof_join(purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=[]).count())
+
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    timed("range join +/-5min", lambda: range_join(purchases, errors, on="user_id", left_ts="ts", right_ts="ts").count())
+
+    timed("exact dedup (digest groupBy)", lambda: dedup.exact_dedup(docs, ["text"], keep_by="doc_id").count())
+    timed("simhash fingerprints 100k", lambda: dedup.simhash(docs).count())
+    timed("simhash near pairs 100k", lambda: dedup.simhash_near_pairs(docs, max_hamming=3, chunks=4).count())
+    timed("minhash signatures 100k", lambda: dedup.minhash_signatures(docs).count())
+    timed("minhash LSH pairs 100k", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
+
+
+if __name__ == "__main__":
+    main()
