@@ -1,0 +1,34 @@
+"""Registry-wide physical-plan audit: the scale invariants hold for
+every non-streaming query — no accidental cartesian joins and no
+Python evaluation outside the three declared UDF queries."""
+
+import pytest
+
+from hustle_spark import registry
+from hustle_spark.plans import explain_str
+
+# queries whose plans legitimately contain these nodes
+ALLOWED_NESTED_LOOP = {
+    "similarity_topk_exact",   # broadcast tiny query set, by design
+    "similarity_ann_lsh",      # broadcast bucketed query set
+    "cross_join_pairs",        # the cartesian operator itself
+}
+ALLOWED_PYTHON = {
+    "udf_token_count",         # U2 demo: Arrow scalar UDF
+    "udaf_regression_slope",   # U3 demo: applyInPandas
+    "udtf_shingle_stats",      # U4 demo: mapInPandas
+    "multimodal_decode",       # media decode is inherently Python
+}
+STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
+
+
+@pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - STREAMING))
+def test_plan_invariants(name, spark, catalog):
+    df = registry.QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop join"
+    if name not in ALLOWED_PYTHON:
+        for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{name}: unexpected Python stage {node}"
