@@ -37,8 +37,12 @@ HEADLINE = [
     "json_props_extract",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_exact",
     "text_stats_by_lang",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "curation_filter",
 ]
 
 WARM_RUNS = 3

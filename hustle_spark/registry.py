@@ -1510,6 +1510,121 @@ def q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+
+
+# =====================================================================
+# EXT wave 4: deeper LLM-pipeline corpus operators
+# =====================================================================
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 9)) AS i),
+    dims AS (
+      SELECT label, i - 1 AS pos,
+             CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM embeddings CROSS JOIN idx GROUP BY label, i)
+    SELECT label, CAST(pos AS INT) AS pos, round(m, 6) AS mean_val
+    FROM dims
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid, element-wise (first 8 dims): posexplode ->
+    (label, dim) partial aggregation — the scalable vector-mean shape
+    (shuffle key (label, dim), never whole vectors through one task).
+    Decimal funnel per element keeps the mean engine-invariant."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    ex = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+    return (
+        ex.filter(F.col("pos") < 8)
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_val")
+        )
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+      FROM documents)
+    SELECT token, COUNT(*) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, token LIMIT 20
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary by document frequency (distinct-per-doc explode
+    -> count -> top-k): the first step of any tokenizer/vocab build."""
+    d = _cat(spark, sf_dir).table("documents").df
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "curation_filter",
+    oracle="""
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS kept_tokens
+    FROM documents
+    WHERE lang = 'en'
+      AND n_chars BETWEEN 100 AND 500
+      AND CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+            / len(string_split_regex(text, '\s+')) >= 0.3
+    GROUP BY source
+    """,
+)
+def curation_filter(spark, sf_dir):
+    """A one-stop curation gate: language + length band + lexical
+    diversity threshold -> per-source survivor stats. This is the
+    filter stage of a training-data pipeline; everything stays in the
+    scan's codegen (no Python)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    kept = d.filter(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 500)
+        & (TX.type_token_ratio(F.col("text")) >= 0.3)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("kept_tokens"),
+    )
+
+
+@query(
+    "contamination_scan",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE text LIKE '%order data column%'
+                            OR text LIKE '%filter value small%') AS n_contaminated
+    FROM documents GROUP BY source
+    """,
+)
+def contamination_scan(spark, sf_dir):
+    """Benchmark-contamination scan: per-source counts of documents
+    containing any probe phrase. At scale the probe set becomes a
+    broadcast n-gram set joined against document shingles; the LIKE
+    form here is the oracle-checkable baseline."""
+    d = _cat(spark, sf_dir).table("documents").df
+    probe = F.col("text").like("%order data column%") | F.col("text").like("%filter value small%")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(probe).alias("n_contaminated"),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
