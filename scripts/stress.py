@@ -102,6 +102,28 @@ def main():
     timed("minhash signatures 100k", lambda: dedup.minhash_signatures(docs).count())
     timed("minhash LSH pairs 100k", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
 
+    # embedding similarity at 200k x 64-dim
+    from hustle_spark.operators import similarity
+
+    n_vec = 200_000
+    emb_path = SCRATCH / f"emb_{n_vec}"
+    if not emb_path.exists():
+        (
+            spark.range(n_vec)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: (F.abs(F.xxhash64(F.col("id"), i)) % 2000 - 1000) / 1000.0,
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite").parquet(str(emb_path))
+        )
+    emb = spark.read.parquet(str(emb_path))
+    q10 = emb.filter(F.col("vec_id") < 10)
+    timed("cosine topk exact (10 q x 200k)", lambda: similarity.cosine_topk(emb, q10, k=5).count())
+    timed("ann topk LSH (10 q x 200k)", lambda: similarity.ann_topk(emb, q10, dim=64, k=5).count())
+
 
 if __name__ == "__main__":
     main()

@@ -44,3 +44,21 @@ def test_stateful_streaming_equals_batch(spark):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
     assert sorted(map(tuple, latest.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_foreach_batch_sink_idempotent(spark, tmp_path):
+    from hustle_spark import streaming as S
+    from hustle_spark.streaming.sinks import foreach_batch_parquet
+
+    events = S.read_events_stream(spark, "/root/testdata/sf0.001")
+    agg = S.tumbling_window_agg(events)
+    out = tmp_path / "sink"
+    q = foreach_batch_parquet(agg, out, tmp_path / "ckpt")
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out)).count()
+    assert first > 0
+    # restart with the same checkpoint: availableNow sees no new files,
+    # writes nothing new (exactly-once on top of source offsets)
+    q2 = foreach_batch_parquet(agg, out, tmp_path / "ckpt")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == first
