@@ -89,7 +89,17 @@ class Catalog:
         if name in self._cache:
             return self._cache[name]
         path, schema = self._resolve(name)
-        df = self._read_parquet(path)
+        if (
+            schema is not None
+            and path.is_dir()
+            and not any(path.rglob("*.parquet"))
+        ):
+            # created but never written: empty relation from the
+            # declared schema (a freshly-created hustle table is
+            # queryable before its first insert)
+            df = self.spark.createDataFrame([], schema.to_struct())
+        else:
+            df = self._read_parquet(path)
         t = Table(name, df, schema=schema, catalog=self)
         self._cache[name] = t
         return t
