@@ -85,3 +85,32 @@ def test_dump_runs(capsys, catalog):
     dump(r.df.limit(1))
     out = capsys.readouterr().out
     assert "r_name" in out
+
+
+def test_bucketized_join_skips_shuffle(spark, catalog, tmp_path):
+    from hustle_spark.plans import bucketize_table, explain_str
+
+    li = catalog.table("lineitem").df.select("l_orderkey", "l_quantity")
+    o = catalog.table("orders").df.select("o_orderkey", "o_orderpriority")
+    bucketize_table(li, "b_lineitem", "l_orderkey", buckets=8, path=str(tmp_path / "bli"))
+    bucketize_table(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", buckets=8, path=str(tmp_path / "bo"),
+    )
+    a = spark.table("b_lineitem")
+    b = spark.table("b_orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = a.join(b, "l_orderkey")
+        plan = explain_str(joined)
+        # co-located bucketed join: SortMergeJoin with NO Exchange on either side
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and it computes the same thing as the shuffled join
+    plain = li.join(o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
