@@ -192,3 +192,36 @@ def test_expr_not_boolable(catalog):
     ev = catalog.table("events")
     with pytest.raises(TypeError):
         bool(ev.event_type == "click")
+
+
+def test_remaining_aggregate_apis(catalog, duck):
+    o = catalog.table("orders")
+    df = h.select(
+        o.o_orderstatus,
+        h.h_avg(o.o_totalprice).alias("m"),
+        h.h_stddev(o.o_totalprice).alias("sd"),
+        h.h_first(o.o_orderkey).alias("f"),
+        h.h_last(o.o_orderkey).alias("l"),
+        h.h_collect_set(o.o_orderpriority).alias("ps"),
+        h.h_percentile(o.o_totalprice, 0.5).alias("med"),
+    )
+    rows = {r.o_orderstatus: r for r in df.collect()}
+    exp = {
+        s: (m, sd) for s, m, sd in duck.execute(
+            "SELECT o_orderstatus, AVG(o_totalprice), STDDEV_SAMP(o_totalprice) FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    for s, r in rows.items():
+        assert abs(r.m - exp[s][0]) < 1e-6
+        assert abs(r.sd - exp[s][1]) < 1e-4
+        assert r.f is not None and r.l is not None and len(r.ps) >= 1
+        assert r.med > 0
+
+
+def test_uint64_strict_mode():
+    spec = h.parse_column_spec("uint64 big")
+    assert spec.dtype.simpleString() == "bigint"
+    from hustle_spark.schema import parse_column_spec
+
+    strict = parse_column_spec("uint64 big", strict_uint64=True)
+    assert strict.dtype.simpleString() == "decimal(20,0)"
