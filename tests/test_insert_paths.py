@@ -1,0 +1,62 @@
+"""S3 bulk-insert parity: every decoder and hook path of insert()."""
+
+import json
+
+from pyspark.sql import functions as F
+
+import hustle_spark as h
+
+
+def make_table(cat):
+    return cat.create(
+        "ev", ["index string date", "index uint32 n", "string tag"], partition="date"
+    )
+
+
+def test_insert_csv_decoder(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    make_table(cat)
+    csv = tmp_path / "in.csv"
+    csv.write_text("date,n,tag\n2014-01-20,1,a\n2014-01-20,2,b\n2014-01-21,3,c\n")
+    assert h.insert(cat, "ev", phile=str(csv), decoder="csv") == 3
+    t = cat.table("ev")
+    assert t.df.count() == 3
+    assert cat.partitions("ev") == ["2014-01-20", "2014-01-21"]
+
+
+def test_insert_streams_dataframe(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    make_table(cat)
+    src = spark.createDataFrame(
+        # extra column must be dropped, string n must coerce to long
+        [("2014-01-20", "7", "x", "JUNK")], "date string, n string, tag string, junk string"
+    )
+    assert h.insert(cat, "ev", streams=src) == 1
+    row = cat.table("ev").df.collect()[0]
+    assert row.n == 7 and row.tag == "x"
+    assert "junk" not in cat.table("ev").columns
+
+
+def test_insert_preprocess_hook(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    make_table(cat)
+    src = tmp_path / "in.json"
+    rows = [{"date": "2014-01-20", "n": i, "tag": "raw"} for i in range(4)]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+
+    def preprocess(df):
+        # the reference's per-row hook, expressed as a distributed transform
+        return df.withColumn("tag", F.upper("tag")).filter(F.col("n") % 2 == 0)
+
+    assert h.insert(cat, "ev", phile=str(src), preprocess=preprocess) == 2
+    got = sorted((r.n, r.tag) for r in cat.table("ev").df.collect())
+    assert got == [(0, "RAW"), (2, "RAW")]
+
+
+def test_insert_requires_source(spark, tmp_path):
+    import pytest
+
+    cat = h.connect(spark, tmp_path)
+    make_table(cat)
+    with pytest.raises(ValueError, match="phile= or streams="):
+        h.insert(cat, "ev")

@@ -50,3 +50,29 @@ def test_random_predicates_match_duckdb(tree, ops, spark, catalog, duck):
     got = h.select(t.o_orderkey, where=expr).count()
     exp = duck.execute(f"SELECT COUNT(*) FROM orders WHERE {sql}").fetchone()[0]
     assert got == exp, f"predicate {sql}: spark={got} duck={exp}"
+
+
+AGG_FNS = ["sum", "min", "max", "count"]
+GROUP_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    group=st.sampled_from(GROUP_COLS),
+    fn=st.sampled_from(AGG_FNS),
+    cutoff=st.integers(min_value=0, max_value=400000),
+)
+def test_random_aggregates_match_duckdb(group, fn, cutoff, spark, catalog, duck):
+    t = catalog.table("orders")
+    hfn = {"sum": h.h_sum, "min": h.h_min, "max": h.h_max}.get(fn)
+    agg = h.h_count().alias("v") if fn == "count" else hfn(t.o_totalprice).alias("v")
+    df = h.select(t[group], agg, where=t.o_totalprice > float(cutoff))
+    got = {r[0]: (round(r[1], 4) if isinstance(r[1], float) else r[1]) for r in df.collect()}
+    sql_fn = "COUNT(*)" if fn == "count" else f"{fn.upper()}(o_totalprice)"
+    exp = {
+        r[0]: (round(r[1], 4) if isinstance(r[1], float) else r[1])
+        for r in duck.execute(
+            f"SELECT {group}, {sql_fn} FROM orders WHERE o_totalprice > {cutoff} GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == exp
