@@ -66,15 +66,26 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, minhash array<long>) — n_hashes independent min-hashes of
-    the shingle set, computed with seeded xxhash64 (JVM-side)."""
+    the shingle set, computed with seeded xxhash64 (JVM-side).
+
+    Computed entirely per-row (``array_min`` over a transformed shingle
+    array per seed): ZERO shuffle — an earlier explode+groupBy
+    formulation shuffled every (doc, shingle) pair, which at 100 TB is
+    a shuffle of the whole corpus's token stream. Map-only stages scale
+    with input and parallelism only."""
     sh = F.array_distinct(shingles(F.col(text), shingle_n))
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("__sh"))
-    hashes = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(seed))).alias(f"h{seed}")
+    tmp = df.select(F.col(id_col), sh.alias("__sh"))
+
+    def hasher(seed: int):
+        # single-arg lambda: F.transform passes the array INDEX to a
+        # two-arg lambda, which would silently replace the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    mins = [
+        F.array_min(F.transform("__sh", hasher(seed))).alias(f"h{seed}")
         for seed in range(n_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*hashes)
-    return agg.select(
+    return tmp.select(F.col(id_col), *mins).select(
         id_col, F.array(*[f"h{s}" for s in range(n_hashes)]).alias("minhash")
     )
 

@@ -56,6 +56,13 @@ def get_session(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local") and not (extra_conf or {}).get("spark.driver.memory"):
+        # local mode: the driver JVM IS the cluster; Spark's 1g default
+        # OOMs on any serious sort/window. Only effective when this call
+        # actually creates the JVM (getOrCreate may reuse an older one).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     for k, v in DEFAULT_CONFIGS.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -124,6 +124,25 @@ def main():
     timed("cosine topk exact (10 q x 200k)", lambda: similarity.cosine_topk(emb, q10, k=5).count())
     timed("ann topk LSH (10 q x 200k)", lambda: similarity.ann_topk(emb, q10, dim=64, k=5).count())
 
+    # pathological skew: 30% of events on ONE user joined to a per-user dim
+    from hustle_spark.plans import salted_join
+
+    skewed = ev.withColumn(
+        "user_id", F.when(F.col("event_id") % 10 < 3, F.lit(0)).otherwise(F.col("user_id"))
+    ).select("user_id", "value")
+    dim = ev.select("user_id").distinct().withColumn("w", F.col("user_id") % 7)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    t_plain = timed(
+        "skewed join plain (30% one key)",
+        lambda: skewed.join(dim, "user_id").groupBy("w").count().count(),
+    )
+    t_salt = timed(
+        "skewed join salted (salt=16)",
+        lambda: salted_join(skewed, dim, key="user_id", salt=16).groupBy("w").count().count(),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    print(f"  skew speedup: {t_plain / max(t_salt, 1e-9):.2f}x (AQE skew-split also active)")
+
 
 if __name__ == "__main__":
     main()

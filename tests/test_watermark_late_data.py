@@ -1,0 +1,74 @@
+"""Watermark semantics under real multi-batch streaming: late events
+beyond the watermark are dropped from append-mode windowed aggregation.
+
+Uses a monitored directory with two sequentially-added parquet files and
+a persistent checkpoint so the query genuinely runs two micro-batch
+rounds with watermark advancement in between — not a single-batch
+simulation.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+RESULTS: list = []
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    schema = "event_id long, ts timestamp, value double"
+    RESULTS.clear()
+
+    def run_round():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("win.start").alias("w"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _eid: RESULTS.extend(tuple(r) for r in df.collect()))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:05:00"), 1.0),
+            (2, ts("2024-01-01T10:20:00"), 1.0),
+            (3, ts("2024-01-01T13:00:00"), 1.0),  # advances watermark to 12:00
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    run_round()
+
+    # round 2: an on-time row (13:10), a LATE row at 10:40 (watermark is
+    # 12:00 — its window already closed), and 15:00 to flush 13:00's window
+    spark.createDataFrame(
+        [
+            (4, ts("2024-01-01T13:10:00"), 1.0),
+            (5, ts("2024-01-01T10:40:00"), 1.0),  # late: must be dropped
+            (6, ts("2024-01-01T15:00:00"), 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    run_round()
+
+    rows = dict(RESULTS)
+    h10 = int(ts("2024-01-01T10:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    h13 = int(ts("2024-01-01T13:00:00").replace(tzinfo=dt.timezone.utc).timestamp())
+    # 10:00 window emitted with ONLY the two on-time rows — the late
+    # 10:40 event neither reopened nor inflated it
+    assert rows.get(h10) == 2, f"10:00 window wrong: {RESULTS}"
+    # 13:00 window (rows 3 and 4) emitted after 15:00 advanced the mark
+    assert rows.get(h13) == 2, f"13:00 window wrong: {RESULTS}"
