@@ -58,10 +58,11 @@ def get_session(
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if master.startswith("local") and not (extra_conf or {}).get("spark.driver.memory"):
         # local mode: the driver JVM IS the cluster; Spark's 1g default
-        # OOMs on any serious sort/window. Only effective when this call
-        # actually creates the JVM (getOrCreate may reuse an older one).
+        # OOMs on any serious sort/window, while huge heaps (16g+) cost
+        # ~1s/query in G1 young-gen work on this box — 8g measured best.
+        # Only effective when this call actually creates the JVM.
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
     for k, v in DEFAULT_CONFIGS.items():
         builder = builder.config(k, v)
