@@ -190,24 +190,26 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int
     partial+final HashAggregate with 64 vote columns — one pass over
     the token stream (the earlier formulation ran 64 separate array
     folds per document, re-walking the token array per bit)."""
+    masks = [(1 << b) if b < 63 else -(2**63) for b in range(bits)]
+    mask_arr = F.array(*[F.lit(m) for m in masks])
     toks = F.array_distinct(F.split(F.col(text), r"\s+"))
-    tok_hashes = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
-        F.col(id_col), F.xxhash64(F.col("__t")).alias("__h")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # one fold over the token hashes, accumulating a 64-slot vote array:
+    # map-only (no explode, no shuffle) — at corpus scale the token
+    # stream never crosses the network
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, mask_arr, lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
     )
-    bit_votes = [
-        F.sum(
-            F.when(
-                F.col("__h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    voted = tok_hashes.groupBy(id_col).agg(*bit_votes)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        bit_val = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
-        fp = fp + F.when(F.col(f"v{b}") > 0, bit_val).otherwise(0)
-    return voted.select(F.col(id_col), fp.alias("simhash"))
+    fp = F.aggregate(
+        F.zip_with(votes, mask_arr, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(
