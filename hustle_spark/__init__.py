@@ -33,6 +33,7 @@ from .functions.aggregates import (
 )
 from .insert import insert
 from .schema import ColumnSpec, TableSchema, parse_column_spec
+from .settings import Settings, connect_from_settings, load_settings
 from .session import get_session, tune_existing
 from .table import Table, star
 
@@ -42,7 +43,7 @@ __all__ = [
     "h_cardinality", "h_collect_set", "h_count", "h_count_distinct",
     "h_first", "h_last", "h_max", "h_min", "h_percentile", "h_stddev",
     "h_sum", "h_variance", "insert", "parse_column_spec", "select",
-    "star", "tune_existing",
+    "star", "tune_existing", "Settings", "connect_from_settings", "load_settings",
 ]
 
 __version__ = "0.1.0"

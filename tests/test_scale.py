@@ -114,3 +114,19 @@ def test_bucketized_join_skips_shuffle(spark, catalog, tmp_path):
     assert joined.count() == plain.count()
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_settings_precedence(tmp_path, monkeypatch):
+    import json
+
+    from hustle_spark.settings import load_settings
+
+    f = tmp_path / "s.json"
+    f.write_text(json.dumps({"catalog_root": "/from/file", "shuffle_partitions": 7}))
+    monkeypatch.setenv("HUSTLE_CATALOG_ROOT", "/from/env")
+    s = load_settings(path=f)
+    assert s.catalog_root == "/from/env"        # env beats file
+    assert s.shuffle_partitions == 7            # file beats default
+    s2 = load_settings(path=f, catalog_root="/from/override")
+    assert s2.catalog_root == "/from/override"  # override beats env
+    assert s2.scratch_dir.endswith(".scratch/settings")
