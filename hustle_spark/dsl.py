@@ -88,6 +88,7 @@ def select(
     join: Any = None,
     full_join: bool = False,
     join_type: str = "inner",
+    broadcast: Any = None,
     order_by: Any = None,
     desc: Any = False,
     limit: int | None = None,
@@ -105,7 +106,10 @@ def select(
 
     EXT kwargs: ``join_type`` (outer/semi/anti/cross), multi-way joins
     via a list of column pairs in ``join``, computed projections via
-    aliased Exprs.
+    aliased Exprs, ``broadcast=`` (a Table or list of Tables whose side
+    of the join should be broadcast — the explicit form of what AQE
+    decides from size estimates; use when statistics lie, e.g. a small
+    post-filter output of a large table).
     """
     proj = _flatten_projection(project)
     if not proj:
@@ -127,7 +131,11 @@ def select(
         elif where is not None:
             df = df.filter(where.scol)
     else:
-        df = _build_join(tables, where, where_list, join, full_join, join_type)
+        bcast = set()
+        if broadcast is not None:
+            items = broadcast if isinstance(broadcast, (list, tuple)) else [broadcast]
+            bcast = {id(t) for t in items}
+        df = _build_join(tables, where, where_list, join, full_join, join_type, bcast)
 
     # --- projection / aggregation (implicit GROUP BY = non-agg columns) ---
     aggs = [p for p in proj if isinstance(p, Aggregate)]
@@ -181,7 +189,9 @@ def _build_join(
     join: Any,
     full_join: bool,
     join_type: str,
+    bcast: set | None = None,
 ) -> DataFrame:
+    bcast = bcast or set()
     if join_type not in _JOIN_TYPES:
         raise ValueError(f"unknown join_type {join_type!r}")
     if full_join:
@@ -197,6 +207,8 @@ def _build_join(
             for w in where_list:
                 if w is not None and _only_touches(w, t):
                     df_t = df_t.filter(w.scol)
+        if id(t) in bcast:
+            df_t = F.broadcast(df_t)
         filtered[id(t)] = df_t
 
     pairs = _join_pairs(tables, join)

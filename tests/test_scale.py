@@ -130,3 +130,27 @@ def test_settings_precedence(tmp_path, monkeypatch):
     s2 = load_settings(path=f, catalog_root="/from/override")
     assert s2.catalog_root == "/from/override"  # override beats env
     assert s2.scratch_dir.endswith(".scratch/settings")
+
+
+def test_dsl_broadcast_hint(spark, catalog):
+    from hustle_spark.plans import explain_str
+
+    li = catalog.table("lineitem")
+    o = catalog.table("orders")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_hint = h.select(
+            o.o_orderpriority, h.h_count().alias("n"),
+            join=(li.l_orderkey, o.o_orderkey),
+        )
+        hinted = h.select(
+            o.o_orderpriority, h.h_count().alias("n"),
+            join=(li.l_orderkey, o.o_orderkey),
+            broadcast=o,
+        )
+        assert "BroadcastHashJoin" not in explain_str(no_hint)
+        assert "BroadcastHashJoin" in explain_str(hinted)
+        assert sorted(map(tuple, no_hint.collect())) == sorted(map(tuple, hinted.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
