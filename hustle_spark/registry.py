@@ -1668,6 +1668,40 @@ def correlation_manual(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "window_rank_ties",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, o_custkey, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey)
+    SELECT c_mktsegment, o_custkey, n_orders,
+           RANK() OVER (PARTITION BY c_mktsegment ORDER BY n_orders DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY n_orders DESC) AS drnk
+    FROM counts
+    """,
+)
+def window_rank_ties(spark, sf_dir):
+    """RANK / DENSE_RANK under genuine ties: ordering only by the tied
+    measure makes the rank values order-independent (deterministic)
+    while exhibiting gap vs no-gap semantics."""
+    c = _cat(spark, sf_dir)
+    o, cu = c.table("orders").df, c.table("customer").df
+    counts = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n_orders").desc())
+    return counts.select(
+        "c_mktsegment", "o_custkey", "n_orders",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
