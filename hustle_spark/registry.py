@@ -974,22 +974,23 @@ def embedding_near_dup(spark, sf_dir):
     "embedding_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(round(sqrt(list_aggregate(
-                 list_transform(embedding::DOUBLE[], x -> x * x), 'sum')), 6)
-               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+           CAST(SUM(CAST(floor(sqrt(list_aggregate(
+                 list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) * 1000000)
+               AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_norm
     FROM embeddings GROUP BY label
     """,
 )
 def embedding_label_stats(spark, sf_dir):
-    """Vector aggregate: mean L2 norm per label. Norms are rounded then
-    decimal-accumulated so the float fold is engine-invariant."""
+    """Vector aggregate: mean L2 norm per label. Norms are floor-scaled
+    to integer micro-units then summed exactly, so the float fold is
+    engine-invariant (floor is tie-free; round(x, 6) is not)."""
     e = _cat(spark, sf_dir).table("embeddings").df
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         (
-            F.sum(F.round(norm, 6).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+            F.sum(F.floor(norm * 1000000)).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
         ).alias("avg_norm"),
     )
 
@@ -1016,23 +1017,29 @@ def text_stats_by_lang(spark, sf_dir):
     oracle="""
     WITH scored AS (
       SELECT doc_id,
-             round((least(len(string_split_regex(text, '\\s+')), 256) / 256.0
+             CAST(floor(((least(len(string_split_regex(text, '\\s+')), 256) / 256.0
                + CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
                  / len(string_split_regex(text, '\\s+')))
                + (1.0 - least(abs(CAST(length(text) AS DOUBLE)
-                   / len(string_split_regex(text, '\\s+')) - 5.0), 5.0) / 5.0), 6) AS quality
+                   / len(string_split_regex(text, '\\s+')) - 5.0), 5.0) / 5.0)) * 1000000)
+             AS BIGINT) AS quality_e6
       FROM documents)
-    SELECT doc_id, quality FROM scored
-    ORDER BY quality DESC, doc_id LIMIT 20
+    SELECT doc_id, quality_e6 FROM scored
+    ORDER BY quality_e6 DESC, doc_id LIMIT 20
     """,
 )
 def text_quality_topk(spark, sf_dir):
     """L4 quality scoring: deterministic heuristic
-    (functions.text.quality_score), top-20 with doc_id tiebreak."""
+    (functions.text.quality_score) floor-scaled to integer micro-units
+    (tie-free across engines, unlike round), top-20 with doc_id
+    tiebreak."""
     d = _cat(spark, sf_dir).table("documents").df
     return (
-        d.select("doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("quality"))
-        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+        d.select(
+            "doc_id",
+            F.floor(TX.quality_score(F.col("text")) * 1000000).alias("quality_e6"),
+        )
+        .orderBy(F.col("quality_e6").desc(), F.col("doc_id"))
         .limit(20)
     )
 
@@ -1522,10 +1529,10 @@ def q5_local_supplier_volume(spark, sf_dir):
     WITH idx AS (SELECT unnest(range(1, 9)) AS i),
     dims AS (
       SELECT label, i - 1 AS pos,
-             CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS DOUBLE)
                / COUNT(*) AS m
       FROM embeddings CROSS JOIN idx GROUP BY label, i)
-    SELECT label, CAST(pos AS INT) AS pos, round(m, 6) AS mean_val
+    SELECT label, CAST(pos AS INT) AS pos, m / 1000000.0 AS mean_val
     FROM dims
     """,
 )
@@ -1533,15 +1540,20 @@ def embedding_centroids(spark, sf_dir):
     """Per-label centroid, element-wise (first 8 dims): posexplode ->
     (label, dim) partial aggregation — the scalable vector-mean shape
     (shuffle key (label, dim), never whole vectors through one task).
-    Decimal funnel per element keeps the mean engine-invariant."""
+    Per-element floor-scaling to integer micro-units keeps the mean
+    engine-invariant: floor on a binary double is tie-free, unlike
+    round(x, 6) whose half-up boundary is resolved differently by
+    Spark (shortest-decimal-repr BigDecimal) and DuckDB (exact binary)
+    — this bit at sf0.1 before the fix."""
     e = _cat(spark, sf_dir).table("embeddings").df
     ex = e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
     return (
         ex.filter(F.col("pos") < 8)
         .groupBy("label", "pos")
         .agg(
-            F.round(
-                F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+            (
+                (F.sum(F.floor(F.col("x") * 1000000)).cast("double") / F.count(F.lit(1)))
+                / F.lit(1000000.0)
             ).alias("mean_val")
         )
     )
