@@ -13,6 +13,8 @@ from .rangejoin import range_join  # noqa: F401
 from .sessionize import session_stats, sessionize  # noqa: F401
 from .similarity import (  # noqa: F401
     ann_topk,
+    ivf_index,
+    ivf_topk,
     cosine,
     cosine_topk,
     embedding_near_dup_pairs,

@@ -199,3 +199,100 @@ def embedding_near_dup_pairs(
         cand.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """IVF (inverted-file) coarse quantizer: k-means centroids + a
+    corpus assignment column. Returns (assigned_corpus, centroids)
+    where centroids is a small driver-side list [(list_id, [floats])].
+
+    Scale shape: centroids train on a SAMPLE (k-means over billions of
+    rows is wasteful — accuracy saturates quickly), assignment is one
+    map-only pass (argmin over n_lists broadcast centroids), and the
+    index is just a column — repartitioning by it co-locates each list.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed=seed)
+    train_vec = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20)
+    model = km.fit(train_vec)
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+
+    # assignment: argmin squared distance over broadcast centroid literals,
+    # expression-only (no model.transform -> no Vector conversion on the
+    # full corpus; stays in codegen)
+    v = F.col(vec_col).cast("array<double>")
+    best = F.lit(None).cast("int")
+    best_d = F.lit(float("inf"))
+    for i, c in centroids:
+        carr = F.array(*[F.lit(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        best = F.when(d < best_d, F.lit(i)).otherwise(best)
+        best_d = F.least(best_d, d)
+    assigned = corpus.withColumn("__ivf_list", best)
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` nearest
+    centroid lists per query, exact cosine rerank within them.
+
+    vs LSH: IVF adapts to the data distribution (centroids follow
+    density) and bounds the scanned fraction to ~n_probe/n_lists of the
+    corpus; the probe-list join is an equi-join on the list id.
+    """
+    import math as _math
+
+    assigned, centroids = ivf_index(corpus, dim, n_lists, id_col, vec_col, seed)
+
+    # driver-side probe selection per query would break distribution for
+    # large query sets; instead compute each query's probe lists with the
+    # same expression pattern, then explode
+    qv = F.col(vec_col).cast("array<double>")
+    dists = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(qv, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(i).alias("list_id"),
+        )
+        for i, c in centroids
+    ])
+    probes = F.slice(F.array_sort(dists), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(F.transform(probes, lambda s: s["list_id"])).alias("__ivf_list"),
+    )
+    cand = assigned.join(F.broadcast(q), "__ivf_list").filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id", id_col, cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1714,6 +1714,21 @@ def window_rank_ties(spark, sf_dir):
     )
 
 
+
+
+@query("similarity_ivf", oracle=None)  # approximate (k-means lists): rows-only
+def similarity_ivf(spark, sf_dir):
+    """L3 IVF ANN: k-means coarse quantizer (trained on a sample),
+    map-only list assignment, n_probe nearest lists per query, exact
+    rerank within probed lists (operators.similarity.ivf_topk). The
+    data-adaptive alternative to hyperplane LSH: scanned fraction is
+    bounded by n_probe/n_lists."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = dbl.filter(F.col("vec_id").isin(0, 1, 2))
+    return similarity.ivf_topk(dbl, queries, dim=64, k=5, n_lists=8, n_probe=4)
+
+
 # =====================================================================
 # entry point
 # =====================================================================

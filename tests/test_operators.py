@@ -191,3 +191,19 @@ def test_streaming_tumbling_matches_batch(spark):
     batch_events = __import__("hustle_spark").connect(spark, "/root/testdata/sf0.001").table("events").df
     batch = S.tumbling_window_agg(batch_events)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_ivf_topk_recall(spark):
+    from hustle_spark.operators.similarity import ivf_topk
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((999, [x + rng.gauss(0, 0.01) for x in rows[0][1]]))  # planted
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = ivf_topk(df, q, dim=16, k=1, n_lists=4, n_probe=2)
+    got = [r.vec_id for r in out.collect()]
+    # the planted near-dup lands in the same k-means list as its twin
+    assert got == [999]

@@ -11,6 +11,7 @@ from hustle_spark.plans import explain_str
 ALLOWED_NESTED_LOOP = {
     "similarity_topk_exact",   # broadcast tiny query set, by design
     "similarity_ann_lsh",      # broadcast bucketed query set
+    "similarity_ivf",          # broadcast probed query set
     "cross_join_pairs",        # the cartesian operator itself
 }
 ALLOWED_PYTHON = {
