@@ -62,3 +62,32 @@ def test_foreach_batch_sink_idempotent(spark, tmp_path):
     q2 = foreach_batch_parquet(agg, out, tmp_path / "ckpt")
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == first
+
+
+def test_hourly_rollup_matches_raw(spark, tmp_path):
+    from hustle_spark import streaming as S
+    from hustle_spark.operators.rollup_view import (
+        hourly_partials,
+        maintain_rollup,
+        read_rollup,
+    )
+
+    events = S.read_events_stream(spark, "/root/testdata/sf0.001")
+    q = maintain_rollup(events, tmp_path / "rollup", tmp_path / "ckpt")
+    q.awaitTermination(120)
+    rolled = read_rollup(spark, tmp_path / "rollup")
+
+    raw = h.connect(spark, "/root/testdata/sf0.001").table("events").df
+    expected = hourly_partials(raw).select(
+        "hour", "event_type", "n",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    )
+    assert sorted(map(tuple, rolled.collect())) == sorted(map(tuple, expected.collect()))
+
+    # idempotence: a second maintenance run with the same checkpoint
+    # sees no new data and changes nothing
+    q2 = maintain_rollup(events, tmp_path / "rollup", tmp_path / "ckpt")
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_rollup(spark, tmp_path / "rollup").collect())) == sorted(
+        map(tuple, expected.collect())
+    )
