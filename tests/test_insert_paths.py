@@ -60,3 +60,25 @@ def test_insert_requires_source(spark, tmp_path):
     make_table(cat)
     with pytest.raises(ValueError, match="phile= or streams="):
         h.insert(cat, "ev")
+
+
+def test_external_connectors_gate_cleanly(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from hustle_spark.sources.external import (
+        ConnectorUnavailable,
+        connector_status,
+        read_kafka_events,
+        write_delta,
+    )
+
+    status = connector_status(spark)
+    assert set(status) == {"kafka", "delta", "iceberg"}
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    if not status["kafka"]:
+        with pytest.raises(ConnectorUnavailable, match="Kafka"):
+            read_kafka_events(spark, "localhost:9092", "events", schema)
+    if not status["delta"]:
+        with pytest.raises(ConnectorUnavailable, match="Delta"):
+            write_delta(spark.range(1), "/root/repo/.scratch/never_written")
