@@ -1318,7 +1318,7 @@ def range_join_purchase_errors(spark, sf_dir):
     "udf_token_count",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tokens
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens
     FROM documents
     """,
 )
@@ -1359,7 +1359,7 @@ def udaf_regression_slope(spark, sf_dir):
     "udtf_shingle_stats",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(text, '\s+') AS t
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t
       FROM documents WHERE doc_id < 50),
     grams AS (
       SELECT doc_id,
@@ -1563,7 +1563,7 @@ def embedding_centroids(spark, sf_dir):
     "vocab_top_tokens",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS token
+      SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS token
       FROM documents)
     SELECT token, COUNT(*) AS doc_freq
     FROM tok GROUP BY token
@@ -1589,12 +1589,12 @@ def vocab_top_tokens(spark, sf_dir):
     "curation_filter",
     oracle="""
     SELECT source, COUNT(*) AS n_kept,
-           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS kept_tokens
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS kept_tokens
     FROM documents
     WHERE lang = 'en'
       AND n_chars BETWEEN 100 AND 500
-      AND CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
-            / len(string_split_regex(text, '\s+')) >= 0.3
+      AND CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+            / len(string_split_regex(text, '\\s+')) >= 0.3
     GROUP BY source
     """,
 )
