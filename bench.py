@@ -42,6 +42,9 @@ HEADLINE = [
     "text_stats_by_lang",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customer",
     "curation_filter",
 ]
 

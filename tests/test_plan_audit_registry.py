@@ -13,6 +13,7 @@ ALLOWED_NESTED_LOOP = {
     "similarity_ann_lsh",      # broadcast bucketed query set
     "similarity_ivf",          # broadcast probed query set
     "cross_join_pairs",        # the cartesian operator itself
+    "q22_global_sales_opportunity",  # 1-row scalar-average broadcast (scalar subquery)
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
