@@ -52,25 +52,41 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, vec_id, cosine, rank). The query side is
     broadcast — the corpus is never shuffled, only scanned. Ties broken
     by corpus id for determinism.
+
+    ``quantize=N`` ranks on ``floor(cosine * 10^N)`` (emitted as a
+    BIGINT ``cosine_u`` column) instead of the raw double. Cross-engine
+    differential testing needs this: ranking raw doubles and comparing
+    rounded output lets two engines disagree at round-boundary ties,
+    while floor-quantizing BEFORE the rank makes both the ordering and
+    the emitted value identical everywhere (floor has no rounding-mode
+    hazard on binary doubles).
     """
     query_id_col = query_id_col or id_col
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    score = cosine(F.col("__cv"), F.col("__qv"))
+    if quantize is not None:
+        score_col = F.floor(score * F.lit(float(10 ** quantize))).cast("bigint")
+        score_name = "cosine_u"
+    else:
+        score_col = score
+        score_name = "cosine"
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         id_col,
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        score_col.alias(score_name),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        F.col(score_name).desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

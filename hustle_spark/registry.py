@@ -928,11 +928,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
          scored AS (
            SELECT q.qid AS query_id, e.vec_id,
-                  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+                  CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000) AS BIGINT) AS cosine_u
            FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid)
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine_u, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, vec_id) AS rank
+                                   ORDER BY cosine_u DESC, vec_id) AS rank
       FROM scored)
     WHERE rank <= 5
     """,
@@ -940,12 +940,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def similarity_topk_exact(spark, sf_dir):
     """L3 exact brute-force cosine top-k for a small query set:
     broadcast the queries, stream the corpus once, per-query top-k
-    window (operators.similarity.cosine_topk)."""
+    window (operators.similarity.cosine_topk). Scores are
+    floor-quantized to 1e-6 BEFORE ranking so the order and the emitted
+    value are engine-independent (see cosine_topk quantize doc)."""
     e = _cat(spark, sf_dir).table("embeddings").df
     dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = dbl.filter(F.col("vec_id").isin(0, 1, 2))
-    out = similarity.cosine_topk(dbl, queries, k=5)
-    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    out = similarity.cosine_topk(dbl, queries, k=5, quantize=6)
+    return out.select("query_id", "vec_id", "cosine_u", "rank")
 
 
 @query("similarity_ann_lsh", oracle=None)  # approximate: rows-only
@@ -1162,19 +1164,22 @@ def sql_api_exists(spark, sf_dir):
     "percentile_exact",
     oracle="""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+           CAST(floor(quantile_cont(o_totalprice, 0.5) * 10000) AS BIGINT) AS median_price_u,
+           CAST(floor(quantile_cont(o_totalprice, 0.9) * 10000) AS BIGINT) AS p90_price_u
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def percentile_exact(spark, sf_dir):
     """Exact interpolated percentiles (Spark F.percentile == DuckDB
-    quantile_cont: both sort + linear interpolation — deterministic,
-    unlike percentile_approx)."""
+    quantile_cont: both sort + linear interpolation). Emitted
+    floor-scaled x1e4 as BIGINT: the interpolation arithmetic can
+    differ in the last ulp across engines, and round() would amplify
+    that at .5 boundaries while floor never introduces its own
+    rounding-mode hazard."""
     o = _cat(spark, sf_dir).table("orders").df
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.floor(F.percentile("o_totalprice", F.lit(0.5)) * 10000).cast("bigint").alias("median_price_u"),
+        F.floor(F.percentile("o_totalprice", F.lit(0.9)) * 10000).cast("bigint").alias("p90_price_u"),
     )
 
 
