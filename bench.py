@@ -78,6 +78,11 @@ def main() -> None:
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+        finally:
+            # dedup queries cache signature frames; keep storage flat
+            from hustle_spark.operators.dedup import release_cached
+
+            release_cached()
 
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
     print(

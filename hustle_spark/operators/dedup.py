@@ -28,6 +28,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Cached intermediates (minhash/simhash signature frames). Caching is
+# the right call at scale — signatures are ~300 B/doc vs re-scanning
+# the full text corpus 3x — but a long-lived session that runs many
+# dedup queries would otherwise accumulate storage until LRU eviction.
+# Callers (benchmarks, services) can call release_cached() between
+# queries to drop them eagerly. Strong refs on purpose: the JVM-side
+# cache outlives the Python wrapper, so a weak registry would lose the
+# only handle that can unpersist it.
+_CACHED: list[DataFrame] = []
+
+
+def _tracked_cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every signature frame cached by this module; returns
+    how many were released. Safe to call at any time — Spark recomputes
+    on next use."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(df: DataFrame, cols: list[str], keep_by: str | None = None) -> DataFrame:
     """Drop exact duplicates over ``cols``. With ``keep_by``, keeps the
@@ -107,7 +138,7 @@ def minhash_lsh_pairs(
     and the band-bucket self-join — no cross product anywhere.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text, id_col, n_hashes, shingle_n).cache()
+    sigs = _tracked_cache(minhash_signatures(df, text, id_col, n_hashes, shingle_n))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -231,7 +262,7 @@ def simhash_near_pairs(
     ~6e-5 of pairs; chunks=8 (8-bit) would admit ~1.4% — quadratic."""
     if chunks <= max_hamming:
         raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
-    fps = simhash(df, text, id_col).cache()
+    fps = _tracked_cache(simhash(df, text, id_col))
     width = 64 // chunks
     chunk_cols = F.array(
         *[

@@ -153,6 +153,38 @@ def test_ann_topk_recall(spark):
     assert got == [999]  # the planted near-dup is found
 
 
+def test_lsh_signature_methods_agree(spark):
+    """The Arrow-matmul signature path must produce the exact same
+    bucket signatures as the codegen-expression path on real vectors."""
+    from hustle_spark.operators.similarity import lsh_signatures
+    from hustle_spark.catalog import Catalog
+
+    e = (
+        Catalog(spark, "/root/testdata/sf0.001", scratch="/root/repo/.scratch/testcat")
+        .table("embeddings")
+        .df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .limit(200)
+    )
+    kw = dict(dim=64, n_tables=4, bits_per_table=8, seed=42)
+    cols = ["vec_id"] + [f"__sig_{t}" for t in range(4)]
+    a = {r[0]: tuple(r[1:]) for r in lsh_signatures(e, **kw, method="expr").select(*cols).collect()}
+    b = {r[0]: tuple(r[1:]) for r in lsh_signatures(e, **kw, method="numpy").select(*cols).collect()}
+    assert a == b
+
+
+def test_dedup_release_cached(spark):
+    from hustle_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.minhash_lsh_pairs(df, n_hashes=8, bands=4).count()
+    dedup.simhash_near_pairs(df).count()
+    assert dedup.release_cached() >= 2
+    assert dedup.release_cached() == 0  # idempotent
+
+
 def test_text_functions(spark):
     from hustle_spark.functions import text as TX
 
