@@ -1895,6 +1895,452 @@ def q22_global_sales_opportunity(spark, sf_dir):
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cand AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+      FROM part
+      JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) shipped
+        ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size < 10 AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey
+    FROM cand
+    WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = cand.p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (testdata has no partsupp/supplycost, so the
+    correlated minimum is over s_acctbal among suppliers that actually
+    shipped the part): per-part correlated-min subquery over a
+    5-table join. The correlated min is a single window pass over the
+    candidate set (one shuffle on p_partkey) instead of a self-join;
+    dims (nation, region) broadcast."""
+    c = _cat(spark, sf_dir)
+    p, li = c.table("part").df, c.table("lineitem").df
+    s, n, r = c.table("supplier").df, c.table("nation").df, c.table("region").df
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        p.filter(F.col("p_size") < 10)
+        .join(shipped, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("__minbal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__minbal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q8_national_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nat = 'NATION_7'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             n2.n_name AS nat, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional volume by order
+    year — a 7-table join with nation joined twice (customer side
+    restricts the market, supplier side labels the competitor). All
+    dims broadcast; the only shuffles are fact-fact (lineitem-orders)
+    and the final tiny group-by. Exact decimal sums feed one double
+    division (deterministic across engines and partitionings)."""
+    c = _cat(spark, sf_dir)
+    li, p, o = c.table("lineitem").df, c.table("part").df, c.table("orders").df
+    cu, s, n, r = c.table("customer").df, c.table("supplier").df, c.table("nation").df, c.table("region").df
+    n1 = n.alias("n1")
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nat"))
+    j = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "STANDARD")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nat_vol = F.when(F.col("nat") == "NATION_7", vol).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg((F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")).cast("double").alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%gear%') profit
+    GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp: supply cost stands in as
+    p_retailprice * quantity): profit by supplier nation and order
+    year over a 5-table join with a substring part filter. The
+    p_name filter prunes part before the broadcast; profit arithmetic
+    stays in exact decimal until the final cast."""
+    c = _cat(spark, sf_dir)
+    li, p, s = c.table("lineitem").df, c.table("part").df, c.table("supplier").df
+    o, n = c.table("orders").df, c.table("nation").df
+    j = (
+        li.join(F.broadcast(p.filter(F.col("p_name").contains("gear"))), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        j.groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM value_by_part)
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp: a part's "stock value" for a
+    nation is the lineitem value shipped by that nation's suppliers):
+    grouped values filtered against a scalar fraction-of-total
+    subquery. The per-part aggregate is computed once and reused for
+    both the rows and the total (self-referencing CTE -> cached
+    DataFrame + 1-row broadcast), not recomputed."""
+    c = _cat(spark, sf_dir)
+    li, s, n = c.table("lineitem").df, c.table("supplier").df, c.table("nation").df
+    nat_sup = s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")), F.col("s_nationkey") == F.col("n_nationkey")).select("s_suppkey")
+    vals = (
+        li.join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    thresh = vals.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("t"))
+    return (
+        vals.join(F.broadcast(thresh))
+        .filter(F.col("val").cast("double") > F.col("t"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (testdata has no shipmode/commit/receipt dates:
+    "late" is shipped >90 days after order, classed by l_linestatus):
+    join with an inter-column date predicate and two conditional
+    counts. The shipdate range is pushed to the scan; the cross-table
+    lateness predicate evaluates post-join in codegen."""
+    c = _cat(spark, sf_dir)
+    o, li = c.table("orders").df, c.table("lineitem").df
+    j = o.join(
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    max-revenue supplier(s) — view + scalar-max subquery. The max is
+    compared on the exact decimal sum (never the double projection),
+    so the equality cannot be split by float formatting; the 1-row
+    max broadcasts into the filter."""
+    c = _cat(spark, sf_dir)
+    li, s = c.table("lineitem").df, c.table("supplier").df
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) shipped
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier-complaint NOT IN stands in as
+    negative account balance; part-supplier pairs come from lineitem
+    since there is no partsupp): distinct-supplier counts per part
+    attribute triple with a NOT-IN exclusion (left-anti join)."""
+    c = _cat(spark, sf_dir)
+    li, p, s = c.table("lineitem").df, c.table("part").df, c.table("supplier").df
+    bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        shipped.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("s_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND l_quantity <
+          (SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of
+    one brand/type — a correlated per-part average. The correlated
+    subquery decorrelates to a per-part aggregate joined back
+    (broadcast: the filtered brand is a handful of parts). The
+    threshold (0.2 * exact-sum/count) is the same IEEE expression in
+    both engines, so the strict < cut is deterministic."""
+    c = _cat(spark, sf_dir)
+    li, p = c.table("lineitem").df, c.table("part").df
+    pf = p.filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")).select("p_partkey")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias("qthresh"))
+    )
+    return (
+        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_q, F.col("ap_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qthresh"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q20_excess_quantity_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+    ORDER BY s_name, s_acctbal
+    """,
+)
+def q20_excess_quantity_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (availqty threshold becomes shipped-quantity
+    threshold — no partsupp): suppliers moving significant volume of a
+    part-name prefix in a year, restricted to a nation set — an
+    IN-subquery with grouped HAVING, executed as a broadcast semi
+    join of the tiny qualifying-supplier set."""
+    c = _cat(spark, sf_dir)
+    li, p = c.table("lineitem").df, c.table("part").df
+    s, n = c.table("supplier").df, c.table("nation").df
+    qual = (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(p.filter(F.col("p_name").startswith("small")).select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    nf = n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"))
+    return (
+        s.join(F.broadcast(nf), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey, o_orderstatus,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    ostat AS (
+      SELECT l_orderkey AS ok,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM lo GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lo
+    JOIN ostat ON lo.l_orderkey = ok
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE o_orderstatus = 'F' AND is_late = 1
+      AND n_supp > 1 AND n_late_supp = 1
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape ("late" adapted to shipped >60 days after order
+    date — no commit/receipt dates): suppliers solely responsible for
+    delaying multi-supplier finished orders. The EXISTS / NOT-EXISTS
+    pair decorrelates into one per-order aggregate (supplier count,
+    late-supplier count) joined back on the same l_orderkey shuffle
+    key — two scans of lineitem, no correlated per-row subqueries."""
+    c = _cat(spark, sf_dir)
+    li, o, s = c.table("lineitem").df, c.table("orders").df, c.table("supplier").df
+    lo = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "o_orderstatus",
+            F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1).otherwise(0).alias("is_late"),
+        )
+    )
+    ostat = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lo.filter((F.col("o_orderstatus") == "F") & (F.col("is_late") == 1))
+        .join(ostat, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 # =====================================================================
 # EXT wave 4: deeper LLM-pipeline corpus operators
 # =====================================================================
