@@ -40,11 +40,21 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_exact",
     "text_stats_by_lang",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customer",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_orders",
     "curation_filter",
 ]
 

@@ -2192,13 +2192,20 @@ def q16_supplier_part_counts(spark, sf_dir):
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
     )
-    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    # filter/broadcast-join BEFORE the distinct so the dedup shuffle
+    # moves only qualifying rows (~13% here, and shrinking with
+    # selectivity at scale), and dedup directly at output granularity
+    # (brand, type, size, suppkey) so the count is a plain count
+    pairs = (
+        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s.select("s_suppkey")), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
     return (
-        shipped.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("bad_key"), "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("s_suppkey").cast("bigint").alias("supplier_cnt"))
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
 
@@ -2316,23 +2323,27 @@ def q21_waiting_orders(spark, sf_dir):
     key — two scans of lineitem, no correlated per-row subqueries."""
     c = _cat(spark, sf_dir)
     li, o, s = c.table("lineitem").df, c.table("orders").df, c.table("supplier").df
-    lo = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            "o_orderstatus",
-            F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1).otherwise(0).alias("is_late"),
-        )
+    # one lineitem-orders join; the per-order supplier stats come from
+    # a window over the same l_orderkey the join shuffled on (no
+    # second scan/join-back). Status filter pushes to orders because
+    # it is order-level, so it cannot change per-order stats.
+    lo = li.join(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1).otherwise(0).alias("is_late"),
     )
-    ostat = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    stat = lo.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)).alias("n_late_supp"),
     )
     return (
-        lo.filter((F.col("o_orderstatus") == "F") & (F.col("is_late") == 1))
-        .join(ostat, F.col("l_orderkey") == F.col("ok"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        stat.filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
