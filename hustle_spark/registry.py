@@ -1924,13 +1924,24 @@ def q2_min_cost_supplier(spark, sf_dir):
     c = _cat(spark, sf_dir)
     p, li = c.table("part").df, c.table("lineitem").df
     s, n, r = c.table("supplier").df, c.table("nation").df, c.table("region").df
-    shipped = li.select("l_partkey", "l_suppkey").distinct()
+    # resolve region/nation onto the supplier dim first (all broadcast),
+    # then semi-filter lineitem by the surviving suppliers BEFORE the
+    # pair-distinct: the dedup shuffle moves only European-supplier
+    # pairs (~1/5 here) and the nation/region joins leave the big path
+    s_eur = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    shipped = (
+        li.join(F.broadcast(s_eur.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     cand = (
         p.filter(F.col("p_size") < 10)
         .join(shipped, F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s_eur), F.col("s_suppkey") == F.col("l_suppkey"))
     )
     w = Window.partitionBy("p_partkey")
     return (
