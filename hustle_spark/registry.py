@@ -1786,26 +1786,34 @@ def q14_promo_revenue(spark, sf_dir):
     """,
 )
 def q18_large_volume_customer(spark, sf_dir):
-    """TPC-H Q18 shape: large-volume orders via a grouped-HAVING
-    semi-join. The qty-sum subquery reuses the same shuffle key
-    (l_orderkey) as the main join, so AQE plans one exchange per side;
-    the big-order key set is tiny and broadcast into the semi join."""
+    """TPC-H Q18 shape: large-volume orders via a grouped HAVING
+    subquery whose per-order sum doubles as the output sum_qty —
+    lineitem is scanned and shuffled exactly once, and the filtered
+    (tiny) big-order aggregate broadcasts into orders; AQE then sees a
+    tiny probe side for the customer join."""
     c = _cat(spark, sf_dir)
     cu, o, li = c.table("customer").df, c.table("orders").df, c.table("lineitem").df
+    # the HAVING subquery's per-order sum IS the output sum_qty, so
+    # lineitem is scanned+shuffled exactly once: aggregate, filter to
+    # the tiny big-order set, broadcast it into orders, join customer
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("q"))
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
     j = (
-        o.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bigkey")), F.col("o_orderkey") == F.col("bigkey"), "left_semi")
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cu, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     )
     return (
-        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .select(
             "c_name",
             "c_custkey",
