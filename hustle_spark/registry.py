@@ -1507,15 +1507,22 @@ def q5_local_supplier_volume(spark, sf_dir):
     cu, o, li = c.table("customer").df, c.table("orders").df, c.table("lineitem").df
     s, n, r = c.table("supplier").df, c.table("nation").df, c.table("region").df
     dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    # the region filter reaches customer through c_nationkey =
+    # s_nationkey, so resolve region onto nation once (broadcast) and
+    # semi-filter customer up front: the custkey and orderkey shuffles
+    # then move only ASIA-customer rows (~1/5)
+    asia = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
     j = (
-        cu.join(o.filter(F.col("o_orderdate") >= "1994-01-01"), F.col("c_custkey") == F.col("o_custkey"))
+        cu.join(F.broadcast(asia.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(o.filter(F.col("o_orderdate") >= "1994-01-01"), F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return j.groupBy("n_name").agg(
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue")
