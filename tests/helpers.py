@@ -7,15 +7,20 @@ import math
 
 
 def normalize(rows, colnames):
-    """Rows -> sorted list of tuples with column order sorted by name and
-    floats rounded, so comparisons are order- and float-noise-insensitive."""
+    """Rows -> sorted list of tuples with column order sorted by name.
+
+    Values are compared EXACTLY (repr for floats, so int 3 != float 3.0),
+    mirroring the driver's exact value hash. Any query needing tolerance
+    must build it into the query itself (decimal funnel / floor-scaling),
+    not into this harness — round(v, 4) here is how scalar_math_funcs
+    passed pytest yet failed the driver in round 1."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm_val(v):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, 4)
+            return repr(v)  # exact, and type-distinguishing vs int
         if isinstance(v, list):
             return tuple(norm_val(x) for x in v)
         return v
