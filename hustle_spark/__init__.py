@@ -18,6 +18,7 @@ from .expr import Aggregate, Column, Expr
 from .functions.aggregates import (
     agg_expr,
     h_avg,
+    h_avg_exact,
     h_cardinality,
     h_collect_set,
     h_count,
@@ -29,6 +30,7 @@ from .functions.aggregates import (
     h_percentile,
     h_stddev,
     h_sum,
+    h_sum_exact,
     h_variance,
 )
 from .insert import insert
@@ -42,7 +44,7 @@ __all__ = [
     "TableSchema", "agg_expr", "connect", "get_session", "h_avg",
     "h_cardinality", "h_collect_set", "h_count", "h_count_distinct",
     "h_first", "h_last", "h_max", "h_min", "h_percentile", "h_stddev",
-    "h_sum", "h_variance", "insert", "parse_column_spec", "select",
+    "h_sum", "h_sum_exact", "h_avg_exact", "h_variance", "insert", "parse_column_spec", "select",
     "star", "tune_existing", "Settings", "connect_from_settings", "load_settings",
 ]
 

@@ -113,19 +113,17 @@ class Catalog:
         ns_cols = _nanos_timestamp_columns(path)
         if not ns_cols:
             return self.spark.read.parquet(str(path))
-        prev = None
-        try:
-            prev = self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        except Exception:
-            pass
+        # nanosAsLong is pinned session-wide (session.DEFAULT_CONFIGS /
+        # tune_existing); set it here too for foreign sessions that
+        # bypassed both, and deliberately do NOT restore it — the scan
+        # is lazy, so toggling the conf back before the action runs
+        # would make the read fail or misread at execution time.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(str(path))
         for c in ns_cols:
             # integer division keeps full int64 precision (a float path
             # would lose it: 1.7e18 ns exceeds double's 53-bit mantissa)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        if prev is not None:
-            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df
 
     def _resolve(self, name: str) -> tuple[Path, TableSchema | None]:

@@ -102,14 +102,25 @@ def fingerprint(text, length: int = 16) -> Column:
     return F.substring(F.md5(normalized), 1, length)
 
 
-def rolling_hash_fingerprint(text, window: int = 8) -> Column:
-    """Winnowing-style fingerprint: min xxhash64 over word n-gram
-    windows — robust to local edits (near-dup friendly), still pure
-    codegen. Rows-only checkable (no SQL oracle equivalent)."""
+def rolling_hash_fingerprint(text, window: int = 8, hash: str = "xxhash64") -> Column:
+    """Winnowing-style fingerprint: min hash over word n-gram windows —
+    robust to local edits (near-dup friendly), still pure codegen.
+
+    ``hash="xxhash64"`` (default) is the fast scale path (8-byte long).
+    ``hash="md5"`` takes the min over hex md5 strings instead — slower,
+    but md5 is implemented identically in DuckDB, which makes the
+    operator cross-engine oracle-checkable (used by the registry's
+    doc_rolling_fingerprint differential query)."""
     toks = tokens(F.lower(text))
     count = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
     idx = F.sequence(F.lit(0), count - F.lit(1))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    if hash == "md5":
+        h = lambda c: F.md5(c)  # noqa: E731
+    elif hash == "xxhash64":
+        h = lambda c: F.xxhash64(c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash {hash!r}; use 'xxhash64' or 'md5'")
+    grams = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window))))
     return F.array_min(grams)
 
 

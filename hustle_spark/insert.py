@@ -49,12 +49,21 @@ def insert(
     struct = schema.to_struct()
 
     if streams is not None:
-        df = streams
-        # coerce to declared schema: drop unknown columns, cast the rest
-        df = df.select(*[c for c in df.columns if c in struct.fieldNames()])
-        for f in struct.fields:
-            if f.name in df.columns:
-                df = df.withColumn(f.name, df[f.name].cast(f.dataType))
+        # coerce to declared schema: drop unknown columns, cast declared
+        # ones, and fill declared-but-absent columns with typed NULLs so
+        # every appended file carries the complete table schema in a
+        # consistent order (directory reads infer from one footer —
+        # a narrower file would silently lose columns)
+        from pyspark.sql import functions as F
+
+        present = set(streams.columns)
+        df = streams.select(
+            *[
+                (streams[f.name].cast(f.dataType) if f.name in present
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in struct.fields
+            ]
+        )
     elif phile is not None:
         if decoder == "json":
             df = catalog.spark.read.schema(struct).json(phile)

@@ -6,13 +6,12 @@ struct. The decode/feature-extract stage runs as an Arrow-batched
 batches — the driver never sees them, and batch size (not row count)
 bounds memory.
 
-The actual media decoding libraries (PIL/ffmpeg/torchaudio) are NOT in
-this container, so ``decode_image_batch`` is a clearly-marked STUB: it
-computes deterministic pseudo-features (byte length, a checksum, fake
-width/height parsed from the header bytes) with the exact Spark-side
-plumbing — schema, partitioning, Arrow batch shape — that a real
-decoder would use. Swap ``_decode_one`` for a real decoder on a
-cluster with the libs installed.
+Header parsing (PNG / JPEG / GIF dimensions from magic bytes) is REAL —
+pure Python over the leading bytes, no media libraries needed. Full
+pixel decoding (PIL/ffmpeg/torchaudio) is not possible in this
+container; ``_decode_one`` falls back to deterministic pseudo-features
+for payloads that are not a recognized image format, and documents the
+swap point for a real decoder.
 """
 
 from __future__ import annotations
@@ -33,6 +32,44 @@ FEATURE_SCHEMA = (
     "width int, height int, ok boolean"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Parse (format, width, height) from the leading bytes of a PNG,
+    JPEG, or GIF payload — pure Python, no imaging libraries.
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian u32 at offsets 16 and 20.
+    - JPEG: SOI marker then a segment walk to the first SOF0-SOF3 frame
+      header (height u16 at segment offset +5, width at +7).
+    - GIF: 'GIF87a'/'GIF89a', then little-endian u16 width/height.
+
+    Returns None when the payload is not a recognized image.
+    """
+    p = payload
+    if len(p) >= 24 and p[:8] == _PNG_SIG and p[12:16] == b"IHDR":
+        return "png", int.from_bytes(p[16:20], "big"), int.from_bytes(p[20:24], "big")
+    if len(p) >= 10 and p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                return None
+            marker = p[i + 1]
+            if 0xC0 <= marker <= 0xC3:  # SOF0-SOF3 frame header
+                h = int.from_bytes(p[i + 5 : i + 7], "big")
+                w = int.from_bytes(p[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
+        return None
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    return None
+
 
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from any source column by treating its bytes
@@ -50,24 +87,74 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _decode_one(payload: bytes) -> tuple[int, int, int, int, bool]:
-    """STUB decoder. A real implementation would do e.g.::
+def synthesize_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are REAL image headers
+    (valid PNG signature+IHDR, or JPEG SOI+SOF0), constructed entirely
+    in codegen (hex-string concat -> to_binary). Dimensions are a fixed
+    function of the id, so a decode round-trip is independently
+    verifiable by any engine:
 
-        img = PIL.Image.open(io.BytesIO(payload))   # not in container
-        return img.width, img.height, ...
+        width  = id % 512 + 16
+        height = (id * 7) % 512 + 16
+        format = jpeg when id % 3 = 0 else png
+    """
+    mid = F.col(id_col).cast("long")
+    w = (mid % 512 + 16).cast("int")
+    h = ((mid * 7) % 512 + 16).cast("int")
+    hx = lambda c, n: F.lpad(F.hex(c), n, "0")  # noqa: E731
+    # 33-byte PNG prelude: signature, IHDR length/type, w, h,
+    # bitdepth 8 / truecolor / deflate / adaptive / no-interlace, CRC
+    # placeholder (header parsers don't verify the CRC)
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        hx(w, 8), hx(h, 8),
+        F.lit("0802000000" "00000000"),
+    )
+    # 21-byte JPEG: SOI, SOF0 segment (len 17): precision 8, h, w,
+    # 3 components with default sampling/quant ids
+    jpeg_hex = F.concat(
+        F.lit("FFD8" "FFC0" "0011" "08"),
+        hx(h, 4), hx(w, 4),
+        F.lit("03" "011100" "021100" "031100"),
+    )
+    payload_hex = F.when(mid % 3 == 0, jpeg_hex).otherwise(png_hex)
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.when(mid % 3 == 0, "image/jpeg").otherwise("image/png").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("img_"), mid.cast("string")).alias("filename"),
+            w.alias("declared_w"),
+            h.alias("declared_h"),
+        ).alias("meta"),
+    )
 
-    Instead: deterministic pseudo-decode (length, additive checksum,
-    fake dims from leading bytes) so tests exercise real plumbing.
+
+def _decode_one(payload: bytes) -> tuple[str, int, int, int, int, bool]:
+    """Decode (media_type, n_bytes, checksum, width, height, ok).
+
+    Recognized image headers are parsed for real (parse_image_header).
+    Unrecognized payloads get deterministic pseudo-features with
+    ok=False — the swap point for a full decoder is here::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # lib not in container
+        return fmt, n, checksum, img.width, img.height, True
     """
     n = len(payload)
     checksum = sum(payload[:256]) + n * 31
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        fmt, w, hgt = parsed
+        return fmt, n, checksum, w, hgt, True
     width = (payload[0] % 64 + 1) if n > 0 else 0
     height = (payload[1] % 64 + 1) if n > 1 else 0
-    return n, checksum, width, height, n > 0
+    return "unknown", n, checksum, width, height, False
 
 
 def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column."""
+    """Arrow-batched feature extraction over the payload column.
+    ``media_type`` in the output is DETECTED from the bytes, not copied
+    from the input column."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -75,12 +162,12 @@ def decode_features(media: DataFrame, batch_hint: int | None = None) -> DataFram
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [f[0] for f in feats],
-                    "checksum": [f[1] for f in feats],
-                    "width": [f[2] for f in feats],
-                    "height": [f[3] for f in feats],
-                    "ok": [f[4] for f in feats],
+                    "media_type": [f[0] for f in feats],
+                    "n_bytes": [f[1] for f in feats],
+                    "checksum": [f[2] for f in feats],
+                    "width": [f[3] for f in feats],
+                    "height": [f[4] for f in feats],
+                    "ok": [f[5] for f in feats],
                 }
             )
 

@@ -94,6 +94,24 @@ def cosine_topk(
     )
 
 
+def _rank_topk(scored: DataFrame, k: int, id_col: str, quantize: int | None) -> DataFrame:
+    """Per-query top-k over a (query_id, id, cosine) frame. With
+    ``quantize=N`` the rank is computed on ``floor(cosine * 10^N)``
+    (emitted as BIGINT ``cosine_u``) — same cross-engine-determinism
+    contract as cosine_topk."""
+    if quantize is not None:
+        scored = scored.withColumn(
+            "cosine_u", F.floor(F.col("cosine") * F.lit(float(10 ** quantize))).cast("bigint")
+        ).drop("cosine")
+        score_name = "cosine_u"
+    else:
+        score_name = "cosine"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_name).desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-normal hyperplanes for signed random projection."""
     rng = random.Random(seed)
@@ -180,12 +198,14 @@ def ann_topk(
     bits_per_table: int = 8,
     seed: int = 42,
     signature_method: str = "expr",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing any hash
     table signature with the query, then exact cosine rank among
     candidates. All joins are equi-joins on (table, signature).
     ``signature_method="numpy"`` switches signature computation to the
-    Arrow matmul path (see lsh_signatures) — use for high-dim vectors."""
+    Arrow matmul path (see lsh_signatures) — use for high-dim vectors.
+    ``quantize=N`` ranks on floor-quantized cosine (see _rank_topk)."""
     csig = lsh_signatures(corpus, dim, vec_col, n_tables, bits_per_table, seed, signature_method)
     qsig = lsh_signatures(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
@@ -219,8 +239,7 @@ def ann_topk(
     scored = cand.select(
         "query_id", id_col, cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k, id_col, quantize)
 
 
 def embedding_near_dup_pairs(
@@ -317,6 +336,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest
     centroid lists per query, exact cosine rerank within them.
@@ -354,5 +374,4 @@ def ivf_topk(
     scored = cand.select(
         "query_id", id_col, cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k, id_col, quantize)

@@ -33,6 +33,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # columnar fast path the whole engine design assumes.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Pinned session-wide: TIMESTAMP(NANOS) parquet columns read as
+    # int64 instead of throwing in the vectorized reader; the catalog
+    # converts them to TimestampType (micros) on read. Without the
+    # engine, reading a nanos file is an error anyway, so the only
+    # visible semantic change is error -> long column.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -83,6 +89,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
     ):
         try:
             spark.conf.set(k, DEFAULT_CONFIGS.get(k, "true"))

@@ -209,10 +209,35 @@ def test_multimodal_decode(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
     media = attach_payload(df, text_col="text", id_col="doc_id")
     feats = {r.media_id: r for r in decode_features(media).collect()}
-    assert feats[1].n_bytes == 3 and feats[1].ok
+    # text bytes are not a recognized image: pseudo-features, ok=False
+    assert feats[1].n_bytes == 3 and not feats[1].ok
+    assert feats[1].media_type == "unknown"
     assert feats[2].n_bytes == 0 and not feats[2].ok
-    # checksum is the documented stub formula: sum(first 256 bytes) + n*31
+    # checksum is the documented fallback formula: sum(first 256 bytes) + n*31
     assert feats[1].checksum == sum(b"abc") + 3 * 31
+
+
+def test_image_header_parser():
+    from hustle_spark.operators.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    # JPEG with a COM segment before SOF0 (exercises the segment walk)
+    com = b"\xff\xfe" + (4).to_bytes(2, "big") + b"hi"
+    sof = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    assert parse_image_header(b"\xff\xd8" + com + sof) == ("jpeg", 640, 480)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    assert parse_image_header(b"plain text") is None
+    assert parse_image_header(b"") is None
 
 
 def test_streaming_tumbling_matches_batch(spark):

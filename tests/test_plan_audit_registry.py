@@ -12,6 +12,9 @@ ALLOWED_NESTED_LOOP = {
     "similarity_topk_exact",   # broadcast tiny query set, by design
     "similarity_ann_lsh",      # broadcast bucketed query set
     "similarity_ivf",          # broadcast probed query set
+    "embedding_near_dup",      # bounded 200-row audit sample (constant
+                               # cost at any corpus size); the operator
+                               # itself is bucketed equi-joins only
     "cross_join_pairs",        # the cartesian operator itself
     "q22_global_sales_opportunity",  # 1-row scalar-average broadcast (scalar subquery)
     "q11_important_stock",     # 1-row fraction-of-total broadcast (scalar subquery)
