@@ -120,7 +120,14 @@ class Catalog:
         # would make the read fail or misread at execution time.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(str(path))
+        dtypes = dict(df.dtypes)
         for c in ns_cols:
+            # Spark-written files carry row metadata declaring the
+            # column TimestampType, which overrides nanosAsLong and
+            # yields a ready timestamp — only convert when the scan
+            # actually surfaced the raw int64
+            if dtypes.get(c) != "bigint":
+                continue
             # integer division keeps full int64 precision (a float path
             # would lose it: 1.7e18 ns exceeds double's 53-bit mantissa)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -1251,9 +1251,30 @@ def streaming_tumbling_hour(spark, sf_dir):
     return stream_mod.run_streaming_batch(agg, output_mode="complete")
 
 
-@query("streaming_session_windows", oracle=None)  # rows-only
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH o AS (SELECT user_id, ts,
+                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+               FROM events),
+         s AS (SELECT user_id, ts,
+                      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS sess_id
+               FROM o)
+    SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
 def streaming_session_windows(spark, sf_dir):
-    """Streaming session windows (F.session_window + watermark)."""
+    """Streaming session windows (F.session_window + watermark), REAL
+    micro-batch execution. Bounded input + availableNow runs in one
+    batch with the initial watermark, so no rows are late-dropped and
+    the final state is deterministic; the oracle replays the session
+    merge as SQL gaps-and-islands (chain while gap < 30 min — Spark
+    session windows are [start, last+gap), so an event at exactly
+    last+gap opens a new session)."""
     events = stream_mod.read_events_stream(spark, sf_dir)
     agg = stream_mod.session_window_agg(events, gap="30 minutes", watermark="2 hours")
     return stream_mod.run_streaming_batch(agg, output_mode="complete")
@@ -1314,24 +1335,27 @@ def percentile_exact(spark, sf_dir):
     "variance_manual",
     oracle="""
     SELECT l_returnflag,
-           round((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(floor(((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-             / (COUNT(*) - 1), 6) AS var_qty
+             / (COUNT(*) - 1)) * 1000000) AS BIGINT) AS var_qty_micro
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def variance_manual(spark, sf_dir):
     """Sample variance from exact decimal sums (sum, sum-of-squares):
     deterministic across engines, unlike builtin stddev/var whose
-    streaming accumulation (Welford) is engine- and order-dependent."""
+    streaming accumulation (Welford) is engine- and order-dependent.
+    Emitted floor-scaled x1e6 as BIGINT — round(x, 6) implementations
+    differ between Java BigDecimal and DuckDB at representability
+    boundaries, floor of the identical double product never does."""
     li = _cat(spark, sf_dir).table("lineitem").df
     d = F.col("l_quantity").cast("decimal(18,2)")
     s = F.sum(d).cast("double")
     ss = F.sum(d * d).cast("double")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag").agg(
-        F.round((ss - s * s / n) / (n - F.lit(1)), 6).alias("var_qty")
+        F.floor(((ss - s * s / n) / (n - F.lit(1))) * 1000000).alias("var_qty_micro")
     )
 
 
@@ -1394,10 +1418,17 @@ def union_all_counts(spark, sf_dir):
     return cu.unionByName(su).groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("streaming_dedupe_count", oracle=None)  # stateful streaming: rows-only
+@query(
+    "streaming_dedupe_count",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+)
 def streaming_dedupe_count(spark, sf_dir):
     """dropDuplicatesWithinWatermark: a doubled stream (self-union)
-    dedupes back to one row per event_id — bounded state via watermark."""
+    dedupes back to one row per event_id — bounded state via watermark.
+    event_id is unique in events, so the deduped count per type must
+    equal the plain per-type count, which the oracle checks; bounded
+    input + availableNow runs one batch at the initial watermark, so
+    neither copy is late-dropped and the result is deterministic."""
     s1 = stream_mod.read_events_stream(spark, sf_dir)
     s2 = stream_mod.read_events_stream(spark, sf_dir)
     doubled = s1.unionByName(s2)
@@ -2638,14 +2669,15 @@ def contamination_scan(spark, sf_dir):
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+           CAST(floor(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000) AS BIGINT) AS corr_micro
     FROM s
     """,
 )
 def correlation_manual(spark, sf_dir):
     """Pearson correlation from exact decimal sums — engine-invariant
     (builtin corr() uses streaming co-moments whose float order differs
-    per engine/partitioning, like stddev)."""
+    per engine/partitioning, like stddev). Floor-scaled x1e6 (see
+    variance_manual for why not round)."""
     li = _cat(spark, sf_dir).table("lineitem").df
     dx = F.col("l_quantity").cast("decimal(18,2)")
     dy = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -2660,9 +2692,9 @@ def correlation_manual(spark, sf_dir):
     n, sx, sy, sxx, syy, sxy = [F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
     return s.select(
         "l_returnflag",
-        F.round((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).alias(
-            "corr_qty_price"
-        ),
+        F.floor(
+            ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1000000
+        ).alias("corr_micro"),
     )
 
 

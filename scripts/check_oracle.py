@@ -23,22 +23,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_rows(rows, colnames):
+    """EXACT value normalization (repr for floats — type-distinguishing,
+    like the driver's hash; see tests/helpers.py). Any tolerance must
+    live in the query (decimal funnel / floor-scaling), never here."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def nv(v):
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return round(v, 6)
+            return repr(v)
         if isinstance(v, list):
             return tuple(nv(x) for x in v)
-        try:  # Decimal -> float for cross-engine compare
-            import decimal
-
-            if isinstance(v, decimal.Decimal):
-                return round(float(v), 6)
-        except Exception:
-            pass
         return v
 
     return sorted(

@@ -1,0 +1,144 @@
+"""sf1-equivalent scaling bench: synthesize a 10x copy of the sf0.1
+testdata (key-shifted unions, join-consistent), run the headline bench
+at both scales in fresh JVMs, and print the per-query scaling table for
+BASELINE.md.
+
+At sf0.1 every headline query is overhead-dominated (~0.15 s Spark job
+floor), so the bench alone cannot distinguish a good plan from a lucky
+one; the 10x run exposes super-linear behavior (candidate-pair
+explosions, unpruned scans, accidental sorts). Data is 10x, so a
+healthy ratio is <= ~10 for scan-bound queries and ~1-3 for
+overhead-bound ones; anything well above 10 gets a plan audit.
+
+    python scripts/sf1_bench.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SRC = "/root/testdata/sf0.1"
+DST = Path("/root/repo/.scratch/sf1")
+FACTOR = 10
+
+# per-table key columns to shift per replica; strides come from the
+# key's home table so foreign keys stay join-consistent
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+HOME_KEY = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+COPY = ["region", "nation"]
+
+
+def gen(regen: bool = False) -> None:
+    from pyspark.sql import functions as F
+
+    from hustle_spark.catalog import Catalog
+    from hustle_spark.session import get_session
+
+    if DST.exists() and not regen:
+        print(f"scaled data already at {DST} (use --regen to rebuild)")
+        return
+    spark = get_session(
+        app_name="sf1-gen",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # write plain micros so readers don't hit the nanos path
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        },
+    )
+    cat = Catalog(spark, SRC, scratch="/root/repo/.scratch/sf1_gen")
+    DST.mkdir(parents=True, exist_ok=True)
+
+    strides: dict[tuple[str, str], int] = {}
+    for tbl, col in set(HOME_KEY.values()):
+        strides[(tbl, col)] = (
+            cat.table(tbl).df.agg(F.max(col)).collect()[0][0] + 1
+        )
+
+    for tbl in COPY:
+        cat.table(tbl).df.write.mode("overwrite").parquet(str(DST / f"{tbl}.parquet"))
+        print(f"  {tbl}: copied")
+    for tbl, cols in SHIFT.items():
+        df = cat.table(tbl).df
+        parts = []
+        for i in range(FACTOR):
+            rep = df
+            for c in cols:
+                stride = strides[HOME_KEY[c]]
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * stride))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(str(DST / f"{tbl}.parquet"))
+        print(f"  {tbl}: x{FACTOR}")
+    spark.stop()
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench at {sf_dir} produced no JSON:\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    gen(regen="--regen" in sys.argv)
+    base = run_bench(SRC)
+    print(f"sf0.1 total: {base['value']}s")
+    scaled = run_bench(str(DST))
+    print(f"sf1 total: {scaled['value']}s")
+
+    print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    flagged = []
+    for name, t0 in base["queries"].items():
+        t1 = scaled["queries"].get(name, -1.0)
+        ratio = round(t1 / t0, 1) if t0 > 0 and t1 > 0 else float("nan")
+        mark = " **super-linear**" if ratio == ratio and ratio > 12 else ""
+        if mark:
+            flagged.append(name)
+        print(f"| {name} | {t0} | {t1} | {ratio}{mark} |")
+    print(
+        f"\ntotal ratio: {round(scaled['value'] / base['value'], 2)}"
+        f" (10x data; <=10 is at-most-linear)"
+    )
+    if flagged:
+        print(f"plan-audit these (ratio > 12): {', '.join(flagged)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,28 @@ def test_audit_plan_catches_cartesian(spark, catalog):
     assert any("cartesian" in v for v in violations)
 
 
+def test_signature_stages_shuffle_free(spark, catalog):
+    """The sketch/signature map stages are the proven shuffle-free hot
+    paths of the dedup/similarity operators — at 100 TB a single
+    Exchange here shuffles the whole corpus. Pin zero Exchange nodes so
+    a rewrite (e.g. back to explode+groupBy) can't silently regress."""
+    from hustle_spark.operators.dedup import minhash_signatures, simhash
+    from hustle_spark.operators.similarity import lsh_signatures
+    from hustle_spark.plans import explain_str
+
+    docs = catalog.table("documents").df
+    emb = catalog.table("embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    for label, frame in [
+        ("minhash_signatures", minhash_signatures(docs, n_hashes=8)),
+        ("simhash", simhash(docs)),
+        ("lsh_signatures", lsh_signatures(emb, dim=64, n_tables=2, bits_per_table=4)),
+    ]:
+        plan = explain_str(frame)
+        assert "Exchange" not in plan, f"{label} gained a shuffle:\n{plan[:800]}"
+
+
 def test_salted_join_matches_plain_join(spark, catalog):
     li = catalog.table("lineitem").df.select("l_orderkey", "l_quantity")
     o = catalog.table("orders").df.select("o_orderkey", "o_orderpriority").withColumnRenamed(
