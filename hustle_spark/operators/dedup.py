@@ -289,3 +289,74 @@ def simhash_near_pairs(
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the cluster
+    step that follows candidate-pair dedup (LSH/SimHash emit PAIRS; a
+    training pipeline needs one keeper per duplicate CLUSTER, and pair
+    chains a~b~c must collapse into one cluster even when a~c was never
+    emitted).
+
+    Returns (id, cluster_id) for every node appearing in ``edges``,
+    where cluster_id is the minimum node id in the component.
+
+    Algorithm: min-label propagation with pointer jumping, the standard
+    shuffle-based CC for Spark (same family as the large-star/small-star
+    map-reduce algorithm — Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Each iteration is two equi-joins + a
+    groupBy-min (all shuffles on the node id); pointer jumping
+    (label <- label[label]) doubles propagation distance per iteration,
+    so convergence is O(log diameter) iterations, not O(diameter).
+    Iteration is driver-controlled with a convergence check — this is
+    the declared iterative-algorithm class, not a hot-path collect.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+    )
+    nodes = und.select("x").distinct()
+    # initial label: min(self, min neighbor)
+    labels = (
+        und.groupBy("x").agg(F.min("y").alias("nbr_min"))
+        .select("x", F.least(F.col("x"), F.col("nbr_min")).alias("label"))
+    ).cache()
+    for _ in range(max_iterations):
+        # propagate: candidate label = min over neighbors' labels
+        nbr = (
+            und.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x").agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr, "x", "left")
+            .select("x", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        # pointer jump: label <- label[label]
+        jumped = (
+            prop.alias("P")
+            .join(
+                prop.select(F.col("x").alias("label"), F.col("label").alias("ll")).alias("L"),
+                "label",
+                "left",
+            )
+            .select(F.col("x"), F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
+        ).cache()
+        changed = (
+            jumped.alias("N")
+            .join(labels.alias("O"), "x")
+            .filter(F.col("N.label") != F.col("O.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    # final labels stay cached (downstream actions would otherwise
+    # replay the whole iterative lineage); released via release_cached()
+    _CACHED.append(labels)
+    return labels.select(F.col("x").alias("id"), F.col("label").alias("cluster_id"))

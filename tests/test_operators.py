@@ -264,3 +264,28 @@ def test_ivf_topk_recall(spark):
     got = [r.vec_id for r in out.collect()]
     # the planted near-dup lands in the same k-means list as its twin
     assert got == [999]
+
+
+def test_connected_components_chain_merge(spark):
+    from hustle_spark.operators.dedup import connected_components, release_cached
+
+    # two components: a chain 1-2-3-4 (no direct 1~4 edge) and pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    out = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    release_cached()
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from hustle_spark.operators.dedup import connected_components, release_cached
+
+    # 40-node path graph: pointer jumping must converge in O(log n)
+    # iterations, far below the max_iterations guard
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "a long, b long"
+    )
+    out = {r.id: r.cluster_id for r in connected_components(edges, max_iterations=12).collect()}
+    release_cached()
+    assert set(out.values()) == {0} and len(out) == 41

@@ -15,6 +15,8 @@ ALLOWED_NESTED_LOOP = {
     "embedding_near_dup",      # bounded 200-row audit sample (constant
                                # cost at any corpus size); the operator
                                # itself is bucketed equi-joins only
+    "dedup_cluster_cc",        # same bounded audit sample as its edge
+                               # source; the CC iteration is equi-joins
     "cross_join_pairs",        # the cartesian operator itself
     "q22_global_sales_opportunity",  # 1-row scalar-average broadcast (scalar subquery)
     "q11_important_stock",     # 1-row fraction-of-total broadcast (scalar subquery)
