@@ -30,34 +30,11 @@ from pyspark.sql import functions as F
 
 # Cached intermediates (minhash/simhash signature frames). Caching is
 # the right call at scale — signatures are ~300 B/doc vs re-scanning
-# the full text corpus 3x — but a long-lived session that runs many
-# dedup queries would otherwise accumulate storage until LRU eviction.
-# Callers (benchmarks, services) can call release_cached() between
-# queries to drop them eagerly. Strong refs on purpose: the JVM-side
-# cache outlives the Python wrapper, so a weak registry would lose the
-# only handle that can unpersist it.
-_CACHED: list[DataFrame] = []
-
-
-def _tracked_cache(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _CACHED.append(df)
-    return df
-
-
-def release_cached() -> int:
-    """Unpersist every signature frame cached by this module; returns
-    how many were released. Safe to call at any time — Spark recomputes
-    on next use."""
-    n = 0
-    while _CACHED:
-        df = _CACHED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass
-    return n
+# the full text corpus 3x. Tracking/release now lives in util so other
+# reuse sites (e.g. q15's revenue view) share one registry; this
+# module's release_cached() remains the public entry point callers
+# (bench, services) already use.
+from ..util import release_cached, tracked_cache as _tracked_cache  # noqa: F401
 
 
 def exact_dedup(df: DataFrame, cols: list[str], keep_by: str | None = None) -> DataFrame:
@@ -358,5 +335,5 @@ def connected_components(
             break
     # final labels stay cached (downstream actions would otherwise
     # replay the whole iterative lineage); released via release_cached()
-    _CACHED.append(labels)
+    _tracked_cache(labels)
     return labels.select(F.col("x").alias("id"), F.col("label").alias("cluster_id"))

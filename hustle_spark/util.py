@@ -28,3 +28,34 @@ def interval_seconds(spec: str) -> float:
             raise ValueError(f"unsupported interval unit {unit!r} in {spec!r}")
         total += float(qty) * _UNIT_SECONDS[unit.lower()]
     return total
+
+
+# --- tracked caching ------------------------------------------------------
+#
+# Operators that reuse an intermediate frame in two plan branches (dedup
+# signatures, q15's revenue view) cache it so one action computes it
+# once. The JVM-side cache outlives the Python wrapper, so frames are
+# tracked here and released explicitly (benchmarks call release_cached()
+# between queries to keep storage flat). Strong refs on purpose.
+
+_CACHED: list = []
+
+
+def tracked_cache(df):
+    df = df.cache()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+    Safe any time — Spark recomputes on next use."""
+    n = 0
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
