@@ -140,3 +140,41 @@ def text_stats(df: DataFrame, text: str = "text", group_by: str | None = None) -
         (F.sum("__tc").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         (F.sum("__nc").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+def contaminated_doc_ids(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-decontamination core: ids of ``docs`` sharing any
+    word n-gram with ``eval_docs`` (the eval/benchmark set).
+
+    Scale shape: the corpus side is map-only — explode each document's
+    DISTINCT n-grams (bounded per doc), broadcast-hash-join against the
+    eval gram set (eval sets are small relative to the corpus by
+    definition, and the join key is the gram string). The corpus is
+    never shuffled; only MATCHED (candidate) rows reach the final
+    per-doc distinct. For probe sets too big to broadcast, swap the
+    broadcast for a shuffle join on the gram — same plan shape.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df):
+        toks = tokens(F.lower(F.col(text)))
+        count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), count - F.lit(1))
+        g = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+        return df.select(F.col(id_col), F.explode(g).alias("__gram"))
+
+    eval_grams = grams(eval_docs).select("__gram").distinct()
+    return (
+        grams(docs)
+        .join(broadcast(eval_grams), "__gram")
+        .select(id_col)
+        .distinct()
+    )
