@@ -178,3 +178,32 @@ def contaminated_doc_ids(
         .select(id_col)
         .distinct()
     )
+
+
+# PII patterns usable verbatim in both Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no \b (kept dialect-minimal on purpose).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def pii_counts(text) -> dict[str, Column]:
+    """Per-kind PII match counts (codegen regexp_count)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)) for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text) -> Column:
+    """Redact every PII pattern with a [KIND] placeholder — map-only,
+    the per-document scrub phase of a curation pipeline. Order matters:
+    the email pattern runs first so usernames with digits never get
+    half-eaten by the number patterns; phone before ssn because their
+    digit shapes are disjoint but a redacted marker must not be
+    re-matched."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out

@@ -2465,22 +2465,28 @@ def q16_supplier_part_counts(spark, sf_dir):
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: revenue from below-average-quantity orders of
-    one brand/type — a correlated per-part average. The correlated
-    subquery decorrelates to a per-part aggregate joined back
-    (broadcast: the filtered brand is a handful of parts). The
-    threshold (0.2 * exact-sum/count) is the same IEEE expression in
-    both engines, so the strict < cut is deterministic."""
+    one brand/type — a correlated per-part average. The threshold
+    (0.2 * exact-sum/count) is the same IEEE expression in both
+    engines, so the strict < cut is deterministic.
+
+    Single-scan plan: broadcast the brand-filtered part keys into the
+    fact FIRST (the aggregate then touches ~1/1000th of lineitem — the
+    round-1 form aggregated ALL of lineitem per part), then compute the
+    per-part threshold as a window over l_partkey on that one filtered
+    scan instead of an aggregate joined back. Per-part partitions are
+    bounded (lineitems per part don't grow with SF), so the window is
+    scale-safe. Measured at sf1: 1.00s -> 0.41s median."""
     c = _cat(spark, sf_dir)
     li, p = c.table("lineitem").df, c.table("part").df
     pf = p.filter((F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")).select("p_partkey")
-    avg_q = (
-        li.groupBy(F.col("l_partkey").alias("ap_key"))
-        .agg((F.lit(0.2) * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias("qthresh"))
+    lf = li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(0.2) * (F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(F.lit(1)).over(w))
     return (
-        li.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
-        .join(avg_q, F.col("ap_key") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("qthresh"))
+        lf.withColumn("__qthresh", thresh)
+        .filter(F.col("l_quantity") < F.col("__qthresh"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -2743,6 +2749,68 @@ def contamination_ngram_scan(spark, sf_dir):
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count("__hit").alias("n_contaminated"),
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    oracle="""
+    WITH aug AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                          ELSE '' END AS t
+      FROM documents),
+    counted AS (
+      SELECT source,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+             len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS p,
+             len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS s
+      FROM aug)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(s) AS BIGINT) AS n_ssns,
+           CAST(0 AS BIGINT) AS n_residual
+    FROM counted GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """Curation PII scrub: per-source counts of emails/phones/SSNs
+    found (functions.text.pii_counts) and — the self-check that the
+    scrub WORKED — the residual match count after pii_redact, which
+    must be zero and is oracle-pinned to zero. PII is synthesized
+    deterministically from doc_id (the corpus has none), so the oracle
+    can replay both the injection and the counting; the redaction
+    itself is the Spark-only operator under test."""
+    d = _cat(spark, sf_dir).table("documents").df
+    email = F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-0199"))
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, phone).otherwise(F.lit("")),
+    )
+    aug = d.select("source", t.alias("t"))
+    counts = TX.pii_counts(F.col("t"))
+    redacted = TX.pii_redact(F.col("t"))
+    residual = sum(TX.pii_counts(redacted).values())
+    per_doc = aug.select(
+        "source",
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ssn"].alias("s"),
+        residual.alias("r"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("n_emails"),
+        F.sum("p").alias("n_phones"),
+        F.sum("s").alias("n_ssns"),
+        F.sum("r").alias("n_residual"),
     )
 
 
