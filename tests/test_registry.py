@@ -30,3 +30,29 @@ def test_query_vs_oracle(name, spark, duck, catalog):
         rows = df.collect()
         assert rows is not None  # rows-only contract: runs, stable schema
         assert len(df.columns) > 0
+
+
+def test_window_priority_ordering():
+    """The driver verifies exactly the first 50 entries of queries();
+    pin the rotation invariants so a registry edit can't silently
+    shrink coverage (docs/CHECKED.md is the per-round manifest)."""
+    from hustle_spark import registry
+
+    names = list(registry.queries())
+    assert len(names) == len(set(names)), "duplicate query names"
+    assert set(registry._WINDOW_PRIORITY) <= set(registry.QUERIES)
+    assert len(registry._WINDOW_PRIORITY) == len(set(registry._WINDOW_PRIORITY))
+    window = names[:50]
+    # every query changed or added in round 2 that still needs its first
+    # driver row must sit inside the window
+    must_check = {
+        "scalar_math_funcs", "approx_cardinality", "text_lang_id",
+        "similarity_ann_lsh", "dedup_cluster_cc", "contamination_ngram_scan",
+        "streaming_session_windows", "streaming_dedupe_count",
+        "multimodal_decode", "similarity_ivf",
+    }
+    missing = must_check - set(window)
+    assert not missing, f"round-2 must-check queries outside window: {missing}"
+    # oracle_sql keys must be a subset of queries and aligned by name
+    osql = registry.oracle_sql()
+    assert set(osql) <= set(names)
