@@ -207,3 +207,18 @@ def pii_redact(text) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
     return out
+
+
+def split_assign(id_col, salt: str = "split", test_hex: str = "1a", val_hex: str = "34") -> Column:
+    """Deterministic train/val/test assignment: the first two hex chars
+    of md5(id || ':' || salt) are uniform over '00'..'ff', so string
+    thresholds give fixed fractions (default ~10.2% test, ~10.2% val,
+    rest train) that are stable across runs, engines, partitionings,
+    and cluster sizes — the property a reproducible corpus split needs
+    (seeded sample() is partitioning-dependent; this is content-
+    addressed). Map-only, no shuffle."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    p = F.substring(h, 1, 2)
+    return (
+        F.when(p < test_hex, "test").when(p < val_hex, "val").otherwise("train")
+    )

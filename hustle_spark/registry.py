@@ -2753,6 +2753,39 @@ def contamination_ngram_scan(spark, sf_dir):
 
 
 @query(
+    "dataset_split_stats",
+    oracle="""
+    WITH a AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '1a' THEN 'test'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < '34' THEN 'val'
+                  ELSE 'train' END AS split,
+             len(string_split_regex(text, '\\s+')) AS tc
+      FROM documents)
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(tc) AS BIGINT) AS total_tokens
+    FROM a GROUP BY source, split
+    """,
+)
+def dataset_split_stats(spark, sf_dir):
+    """Reproducible corpus splitting: content-addressed train/val/test
+    assignment from an md5 prefix (functions.text.split_assign) —
+    stable across runs, engines, partitionings, and cluster sizes,
+    unlike seeded sample(). Reports per-(source, split) doc and token
+    counts; the oracle replays the hash thresholds exactly."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return (
+        d.select(
+            "source",
+            TX.split_assign("doc_id").alias("split"),
+            TX.token_count(F.col("text")).alias("tc"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tc").alias("total_tokens"))
+    )
+
+
+@query(
     "pii_redaction_stats",
     oracle="""
     WITH aug AS (

@@ -76,3 +76,76 @@ def test_random_aggregates_match_duckdb(group, fn, cutoff, spark, catalog, duck)
         ).fetchall()
     }
     assert got == exp
+
+
+# ---- text-function properties: Spark implementation vs a pure-Python
+# reference on random strings (cheap one-row frames, broad input space)
+
+import hashlib
+import re
+
+# ASCII space only: Spark trim / Java \s (and DuckDB RE2 \s) do NOT
+# treat U+00A0 etc. as whitespace, while Python's str.strip and re \s
+# do — hypothesis found that divergence immediately. Engine-vs-engine
+# agreement on Unicode spaces is covered by the DuckDB oracle; this
+# reference deliberately stays in the engines' common ASCII semantics.
+text_strat = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=".-@_ "
+    ),
+    min_size=0, max_size=120,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(s=text_strat)
+def test_fingerprint_matches_python_reference(s, spark):
+    from pyspark.sql import functions as F
+    from hustle_spark.functions import text as TX
+
+    got = (
+        spark.createDataFrame([(s,)], "t string")
+        .select(TX.fingerprint(F.col("t"), 16).alias("fp"))
+        .collect()[0].fp
+    )
+    norm = re.sub(r"\s+", " ", s.strip().lower())
+    exp = hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(s=text_strat)
+def test_pii_redact_leaves_no_matches(s, spark):
+    from pyspark.sql import functions as F
+    from hustle_spark.functions import text as TX
+
+    # inject one of each PII kind at a random-ish position (prefix)
+    loaded = f"{s} a.b-c_9@mail-host.example.org 555-867-5309 078-05-1120 {s}"
+    row = (
+        spark.createDataFrame([(loaded,)], "t string")
+        .select(
+            TX.pii_redact(F.col("t")).alias("red"),
+            sum(TX.pii_counts(TX.pii_redact(F.col("t"))).values()).alias("resid"),
+        )
+        .collect()[0]
+    )
+    assert row.resid == 0
+    for pat in TX.PII_PATTERNS.values():
+        assert not re.search(pat, row.red)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=8, unique=True))
+def test_split_assign_matches_python_reference(ids, spark):
+    from pyspark.sql import functions as F
+    from hustle_spark.functions import text as TX
+
+    rows = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id", TX.split_assign("doc_id").alias("split")
+    ).collect()
+
+    def ref(i):
+        p = hashlib.md5(f"{i}:split".encode()).hexdigest()[:2]
+        return "test" if p < "1a" else ("val" if p < "34" else "train")
+
+    assert {r.doc_id: r.split for r in rows} == {i: ref(i) for i in ids}
