@@ -1884,7 +1884,15 @@ def q7_volume_shipping(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: who returned the most revenue last quarter.
     Fact-side filters push to both scans; nation broadcast; top-20 via
-    TakeOrderedAndProject (no full sort)."""
+    TakeOrderedAndProject (no full sort).
+
+    Shuffle shape: returned lineitems join the quarter's orders on
+    orderkey and aggregate revenue to CUSTKEY GRANULARITY first, so the
+    customer join moves one small aggregate row per buying customer —
+    the round-1 form shuffled customer name/acctbal strings through the
+    orderkey join. The orders side is deliberately NOT hint-broadcast
+    (a calendar quarter of orders grows with SF); AQE broadcasts it
+    when it is genuinely small."""
     c = _cat(spark, sf_dir)
     cu, o, li, n = (
         c.table("customer").df,
@@ -1892,17 +1900,18 @@ def q10_returned_items(spark, sf_dir):
         c.table("lineitem").df,
         c.table("nation").df,
     )
-    j = (
-        cu.join(
-            o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    of = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_disc_price().alias("revenue"))
     )
     return (
-        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_disc_price().alias("revenue"))
+        cu.join(rev_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
