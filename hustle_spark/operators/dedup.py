@@ -293,11 +293,14 @@ def connected_components(
     Iteration is driver-controlled with a convergence check — this is
     the declared iterative-algorithm class, not a hot-path collect.
     """
+    # cache the undirected edge list once: it is re-joined every
+    # iteration, and for real pair graphs the edge-producing join
+    # (LSH candidates / cosine verify) is the dominant cost — without
+    # the cache each iteration would replay it
     und = (
         edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-    )
-    nodes = und.select("x").distinct()
+    ).cache()
     # initial label: min(self, min neighbor)
     labels = (
         und.groupBy("x").agg(F.min("y").alias("nbr_min"))
@@ -309,11 +312,23 @@ def connected_components(
             und.join(labels.withColumnRenamed("x", "y"), "y")
             .groupBy("x").agg(F.min("label").alias("nbr_label"))
         )
+        # cached: referenced twice by the pointer-jump self-join below
         prop = (
             labels.join(nbr, "x", "left")
             .select("x", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
-        )
+        ).cache()
         # pointer jump: label <- label[label]
+        #
+        # localCheckpoint, not cache: each iteration's plan references the
+        # previous one ~4x (jumped -> prop twice, prop -> labels + nbr), so
+        # without lineage TRUNCATION the logical plan grows exponentially
+        # and the DRIVER dies building plan trees long before any executor
+        # works — cache materializes data but keeps the full plan. Eager
+        # local checkpoint cuts the plan to a leaf each iteration. Blocks
+        # live on executors and are freed by the ContextCleaner when the
+        # superseded iteration's RDD is GC'd; on a real cluster with
+        # dynamic allocation use spark.sparkContext.setCheckpointDir +
+        # .checkpoint() instead (executor loss would drop local blocks).
         jumped = (
             prop.alias("P")
             .join(
@@ -322,7 +337,7 @@ def connected_components(
                 "left",
             )
             .select(F.col("x"), F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             jumped.alias("N")
             .join(labels.alias("O"), "x")
@@ -330,9 +345,11 @@ def connected_components(
             .count()
         )
         labels.unpersist()
+        prop.unpersist()
         labels = jumped
         if changed == 0:
             break
+    und.unpersist()
     # final labels stay cached (downstream actions would otherwise
     # replay the whole iterative lineage); released via release_cached()
     _tracked_cache(labels)

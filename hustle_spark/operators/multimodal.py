@@ -55,11 +55,19 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
         while i + 9 <= len(p):
             if p[i] != 0xFF:
                 return None
+            # 0xFF fill bytes before a marker are legal (ITU T.81 B.1.1.2)
+            while i + 1 < len(p) and p[i + 1] == 0xFF:
+                i += 1
             marker = p[i + 1]
             if 0xC0 <= marker <= 0xC3:  # SOF0-SOF3 frame header
                 h = int.from_bytes(p[i + 5 : i + 7], "big")
                 w = int.from_bytes(p[i + 7 : i + 9], "big")
                 return "jpeg", w, h
+            if marker in (0xDA, 0xD9):  # SOS/EOI: entropy data or end —
+                return None            # no SOF seen, stop walking
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2                 # TEM/RSTn carry no length field
+                continue
             i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
         return None
     if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):

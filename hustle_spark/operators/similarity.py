@@ -73,25 +73,12 @@ def cosine_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    score = cosine(F.col("__cv"), F.col("__qv"))
-    if quantize is not None:
-        score_col = F.floor(score * F.lit(float(10 ** quantize))).cast("bigint")
-        score_name = "cosine_u"
-    else:
-        score_col = score
-        score_name = "cosine"
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
         "query_id",
         id_col,
-        score_col.alias(score_name),
+        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col(score_name).desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k, id_col, quantize)
 
 
 def _rank_topk(scored: DataFrame, k: int, id_col: str, quantize: int | None) -> DataFrame:

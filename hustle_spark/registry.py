@@ -1035,12 +1035,17 @@ def embedding_near_dup(spark, sf_dir):
     both = exact.withColumn("__ex", F.lit(1)).join(
         sample_found.withColumn("__fd", F.lit(1)), ["a", "b"], "full_outer"
     )
+    # coalesce: with ZERO exact pairs in the sample the sums are NULL,
+    # but the oracle's COUNT-based scalar is 0 with true flags
     audit = both.agg(
-        F.sum("__ex").alias("__n_exact"),
-        F.sum(
-            F.when(F.col("__ex").isNotNull() & F.col("__fd").isNotNull(), 1).otherwise(0)
+        F.coalesce(F.sum("__ex"), F.lit(0)).alias("__n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ex").isNotNull() & F.col("__fd").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
         ).alias("__n_found"),
-        F.sum(F.when(F.col("__ex").isNull(), 1).otherwise(0)).alias("__n_extra"),
+        F.coalesce(
+            F.sum(F.when(F.col("__ex").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("__n_extra"),
     )
     return audit.select(
         F.col("__n_exact").cast("bigint").alias("n_exact_pairs"),

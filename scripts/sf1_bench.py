@@ -122,16 +122,26 @@ def main() -> None:
     scaled = run_bench(str(DST))
     print(f"sf1 total: {scaled['value']}s")
 
+    # pair-output dedup queries are excluded from the super-linear flag:
+    # the key-shifted replication makes every doc a FACTOR-copy identical
+    # clique, so their true pair OUTPUT grows quadratically by
+    # construction (measured 102x pairs on 10x input — BASELINE.md);
+    # flagging them every run would bury a real plan regression
+    PAIR_OUTPUT = {"dedup_simhash", "dedup_minhash_lsh"}
+
     print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
     print("|---|---|---|---|")
     flagged = []
     for name, t0 in base["queries"].items():
         t1 = scaled["queries"].get(name, -1.0)
         ratio = round(t1 / t0, 1) if t0 > 0 and t1 > 0 else float("nan")
-        mark = " **super-linear**" if ratio == ratio and ratio > 12 else ""
-        if mark:
+        hot = ratio == ratio and ratio > 12 and name not in PAIR_OUTPUT
+        if hot:
             flagged.append(name)
-        print(f"| {name} | {t0} | {t1} | {ratio}{mark} |")
+        note = " **super-linear**" if hot else (
+            " (pair-output: quadratic by construction)" if name in PAIR_OUTPUT and ratio == ratio and ratio > 12 else ""
+        )
+        print(f"| {name} | {t0} | {t1} | {ratio}{note} |")
     print(
         f"\ntotal ratio: {round(scaled['value'] / base['value'], 2)}"
         f" (10x data; <=10 is at-most-linear)"

@@ -238,6 +238,12 @@ def test_image_header_parser():
     assert parse_image_header(gif) == ("gif", 320, 200)
     assert parse_image_header(b"plain text") is None
     assert parse_image_header(b"") is None
+    # SOS before any SOF: must stop, not walk into entropy-coded data
+    sos = b"\xff\xda" + (4).to_bytes(2, "big") + b"\x01\x00" + b"\xff\xc0\x00\x11\x08"
+    assert parse_image_header(b"\xff\xd8" + sos) is None
+    # standalone RST marker (no length field) and fill bytes before SOF
+    rst_fill = b"\xff\xd0" + b"\xff\xff" + sof
+    assert parse_image_header(b"\xff\xd8" + rst_fill) == ("jpeg", 640, 480)
 
 
 def test_streaming_tumbling_matches_batch(spark):
