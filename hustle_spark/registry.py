@@ -32,6 +32,7 @@ import hustle_spark as h
 from . import util as _util
 from .functions.aggregates import h_avg_exact, h_sum_exact
 from .functions import text as TX
+from . import sources as SRC
 from .operators import asof, dedup, multimodal, similarity
 from .operators.sessionize import session_stats
 from . import streaming as stream_mod
@@ -2867,6 +2868,140 @@ def pii_redaction_stats(spark, sf_dir):
         F.sum("p").alias("n_phones"),
         F.sum("s").alias("n_ssns"),
         F.sum("r").alias("n_residual"),
+    )
+
+
+@query(
+    "repetition_top_bigram",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+      FROM t WHERE len(toks) >= 2),
+    e AS (SELECT doc_id, lang, len(bg) AS nbg, unnest(bg) AS g FROM b),
+    c AS (SELECT doc_id, lang, nbg, g, COUNT(*) AS cnt FROM e GROUP BY ALL),
+    m AS (SELECT doc_id, lang, nbg, MAX(cnt) AS maxcnt
+          FROM c GROUP BY doc_id, lang, nbg)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM((maxcnt * 1000000) // nbg) AS BIGINT) AS sum_top_frac_u,
+           COUNT(*) FILTER (WHERE 16 * maxcnt >= nbg) AS n_repetitive
+    FROM m GROUP BY lang
+    """,
+)
+def repetition_top_bigram(spark, sf_dir):
+    """Intra-document repetition filter (the Gopher/MassiveText
+    "fraction of characters in most common 2-gram" rule, word-level):
+    per-lang mean top-bigram fraction and the count of docs a real
+    pipeline would drop as repetitive (top bigram >= 1/16 of all
+    bigrams).
+
+    Scale shape: the per-doc max-bigram count is computed entirely
+    map-side with nested higher-order functions (transform ->
+    array_distinct -> aggregate/filter), so the corpus is NEVER
+    shuffled — only the tiny (lang) rollup moves. The O(u*n) per-doc
+    HOF cost is right for page-sized documents; for book-length docs
+    switch to the explode + groupBy(doc_id, gram) shape, which trades
+    a corpus-wide shuffle for linear per-doc work.
+
+    Determinism: fractions never leave integer math — floor-scaling is
+    (maxcnt * 1000000) div nbg and the threshold compares
+    16*maxcnt >= nbg, so no float boundary exists between engines.
+    """
+    d = _cat(spark, sf_dir).table("documents").df
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    with_bg = (
+        d.select("lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            ).alias("bg"),
+        )
+    )
+    stats = with_bg.select(
+        "lang",
+        F.size("bg").cast("long").alias("nbg"),
+        F.expr(
+            "aggregate(array_distinct(bg), 0L,"
+            " (acc, g) -> greatest(acc, bigint(size(filter(bg, x -> x = g)))))"
+        ).alias("maxcnt"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("(maxcnt * 1000000) div nbg")).cast("bigint").alias("sum_top_frac_u"),
+        F.count_if(F.col("maxcnt") * 16 >= F.col("nbg")).alias("n_repetitive"),
+    )
+
+
+@query(
+    "source_quota_cap",
+    oracle=r"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars, text,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS kept_tokens,
+           MIN(n_chars) AS min_kept_chars
+    FROM r WHERE rn <= 10 GROUP BY source
+    """,
+)
+def source_quota_cap(spark, sf_dir):
+    """Per-source quota capping: keep the top-10 docs per source by
+    length (doc_id tiebreak makes the cut total-ordered), report
+    kept doc/token totals per source. This is the domain-mixing
+    rebalance every corpus build runs so one crawl source can't
+    dominate the token budget.
+
+    Scale shape: one shuffle on source, then rank-filter; AQE skew
+    handling splits a hot source's partition. For very small quotas
+    over huge sources a pre-filter on an approximate per-source
+    length threshold (computed from a sample) would cut the shuffle
+    input first — not needed at this quota/corpus ratio.
+    """
+    d = _cat(spark, sf_dir).table("documents").df
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("kept_tokens"),
+        F.min("n_chars").alias("min_kept_chars"),
+    )
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def orc_roundtrip_agg(spark, sf_dir):
+    """Source/sink parity in a second columnar format: dump orders to
+    ORC partitioned by o_orderstatus (sources.write_orc), read it back
+    (sources.read_orc) and aggregate one status. The status filter
+    prunes at directory-listing time on the hive-partitioned layout —
+    the read-back plan never opens the other partitions' files
+    (asserted in tests/test_operators.py::test_orc_roundtrip_prunes).
+    The oracle runs the same aggregate on the original parquet: the
+    roundtrip is lossless, so any mismatch is a sink/reader bug.
+    """
+    cat = _cat(spark, sf_dir)
+    o = cat.table("orders").df
+    dst = str(cat.scratch / "orc_orders")
+    SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
+    back = SRC.read_orc(spark, dst).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 

@@ -61,3 +61,34 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — the second columnar format besides parquet. Spark's
+    native vectorized ORC reader gives the same pushdown/pruning
+    behavior as parquet (PushedFilters + ReadSchema in the scan node),
+    so ORC-resident tables are first-class engine inputs. Schema stays
+    optional: ORC footers carry exact types, and unlike CSV/JSON there
+    is no inference risk."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink with zstd (matches the parquet sink's codec choice) and
+    optional hive-style partitioning, so an ORC export remains
+    partition-prunable when read back."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

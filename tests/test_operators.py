@@ -217,6 +217,30 @@ def test_multimodal_decode(spark):
     assert feats[1].checksum == sum(b"abc") + 3 * 31
 
 
+def test_orc_roundtrip_prunes(spark):
+    from hustle_spark.plans import explain_str
+    from hustle_spark.registry import QUERIES
+
+    df = QUERIES["orc_roundtrip_agg"].fn(spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    # the status filter must land as a PartitionFilters entry on the
+    # hive-partitioned ORC scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    assert df.count() > 0
+
+
+def test_orc_writer_reader_schema_stable(spark, tmp_path):
+    from hustle_spark.sources import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "id long, name string, score double"
+    )
+    write_orc(src, str(tmp_path / "t"))
+    back = read_orc(spark, str(tmp_path / "t"))
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_image_header_parser():
     from hustle_spark.operators.multimodal import parse_image_header
 
