@@ -3006,6 +3006,157 @@ def orc_roundtrip_agg(spark, sf_dir):
 
 
 @query(
+    "streaming_join_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT purchase_id) AS n_purchases,
+           COUNT(DISTINCT click_id) AS n_clicks
+    FROM c JOIN p ON c.user_id = p.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 30 MINUTE AND p.p_ts
+    GROUP BY p.user_id
+    """,
+)
+def streaming_join_attribution(spark, sf_dir):
+    """Stream-stream join, REAL micro-batch execution: clicks x
+    purchases per user within a 30-minute lookback (append-mode
+    memory sink), then a batch rollup of the joined pairs per user.
+    The SQL oracle replays the identical range join statically —
+    proving the streaming join drops nothing on bounded input.
+
+    Scale shape: watermarks on BOTH sides plus the two-sided time
+    bound in the join condition let Spark evict join state as event
+    time advances — the state store holds only the lookback window
+    per key, not the whole stream (see
+    streaming.stream_stream_attribution_join)."""
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"), "user_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user_id"),
+    )
+    joined = stream_mod.stream_stream_attribution_join(
+        clicks, purchases, lookback="30 minutes", watermark="2 hours"
+    )
+    pairs = stream_mod.run_streaming_batch(joined, output_mode="append")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.countDistinct("click_id").alias("n_clicks"),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=r"""
+    WITH t AS (SELECT lang, doc_id,
+                      len(string_split_regex(text, '\s+')) AS tok
+               FROM documents),
+         c AS (SELECT lang, tok,
+                      SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(tok) + 511) // 512 AS BIGINT) AS n_sequences,
+           COUNT(*) FILTER (WHERE (cum - 1) // 512 > (cum - tok) // 512)
+             AS n_straddlers,
+           CAST(((SUM(tok) + 511) // 512) * 512 - SUM(tok) AS BIGINT)
+             AS pad_tokens
+    FROM c GROUP BY lang
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Training-sequence packing audit: concatenate each language's
+    docs in doc_id order and chop into fixed 512-token sequences (the
+    GPT-style pack-and-split loader). Reports sequences produced,
+    docs straddling a sequence boundary, and pad waste in the final
+    partial sequence — the numbers that decide packing strategy.
+
+    Scale shape: the running total is ONE window over (lang, doc_id);
+    with few languages the partition is corpus-sized, so at 100 TB
+    the real layout keys the window by (lang, shard) — shard bounds
+    are computed from per-shard token totals (a tiny two-pass
+    prefix-sum) and the per-shard cumsum stays embarrassingly
+    parallel. The audit numbers here need only the single-key form.
+
+    Determinism: token counts, cumulative sums, and boundary indices
+    are all integer; `div` vs `//` floor identically on non-negative
+    ints, so no float crosses the engine boundary.
+    """
+    d = _cat(spark, sf_dir).table("documents").df
+    t = d.select(
+        "lang", "doc_id", TX.token_count(F.col("text")).cast("long").alias("tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.expr("(sum(tok) + 511) div 512").cast("bigint").alias("n_sequences"),
+        F.count_if(F.expr("(cum - 1) div 512 > (cum - tok) div 512")).alias(
+            "n_straddlers"
+        ),
+        F.expr("((sum(tok) + 511) div 512) * 512 - sum(tok)")
+        .cast("bigint")
+        .alias("pad_tokens"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH e AS (SELECT doc_id, lang,
+                      unnest(string_split_regex(lower(text), '\s+')) AS term
+               FROM documents),
+         s AS (SELECT lang, term, COUNT(*) AS tf,
+                      COUNT(DISTINCT doc_id) AS df
+               FROM e GROUP BY lang, term),
+         r AS (SELECT lang, term, tf, df,
+                      (tf * 1000000) // df AS score_u,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY (tf * 1000000) // df DESC,
+                                                  term) AS rnk
+               FROM s)
+    SELECT lang, term, tf, df, score_u, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF-style term salience, integer form: per language, rank
+    terms by total frequency weighted by inverse document frequency
+    (score_u = tf * 1e6 div df — idf as 1/df keeps the score in
+    integer math; the log-idf variant would put a float ulp on the
+    ranking boundary). Top-5 per language with a term tiebreak.
+
+    Scale shape: explode -> partial-aggregated groupBy(lang, term) is
+    the canonical inverted-index build; the per-lang top-k window
+    runs over the already-aggregated term table (vocabulary-sized,
+    orders of magnitude smaller than the corpus). Skewed stopword
+    terms are absorbed by the map-side partial aggregation."""
+    d = _cat(spark, sf_dir).table("documents").df
+    e = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    s = e.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    scored = s.withColumn("score_u", F.expr("(tf * 1000000) div df"))
+    w = Window.partitionBy("lang").orderBy(F.col("score_u").desc(), F.col("term").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+@query(
     "correlation_manual",
     oracle="""
     WITH s AS (

@@ -92,6 +92,38 @@ def streaming_dedupe(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    purchase is matched to the same user's clicks in the preceding
+    ``lookback`` window (inclusive both ends) — the classic streaming
+    attribution join.
+
+    State bounding at scale: BOTH sides carry a watermark and the join
+    condition bounds event time on both sides, so Spark can evict join
+    state as the watermark advances — without the range bound the click
+    buffer would grow forever. Output mode must be append (stream-stream
+    joins emit no retractions).
+
+    Inputs must already be projected to (click_id, c_ts, user_id) and
+    (purchase_id, p_ts, p_user_id) — distinct names keep the join
+    output unambiguous.
+    """
+    c = clicks.withWatermark("c_ts", watermark) if clicks.isStreaming else clicks
+    p = purchases.withWatermark("p_ts", watermark) if purchases.isStreaming else purchases
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND "
+            f"c_ts BETWEEN p_ts - INTERVAL {lookback} AND p_ts"
+        ),
+    )
+
+
 def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink and return the result as a static DataFrame. This is how
