@@ -1,3 +1,4 @@
+from .observe import audit_retention, observed  # noqa: F401
 from .scale import (  # noqa: F401
     audit_plan,
     bucketize_table,

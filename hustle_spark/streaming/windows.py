@@ -34,16 +34,41 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (file source). The nanos
-    timestamp is read as long and converted exactly like the batch
-    catalog path, so batch and stream agree to the microsecond."""
+    """``events.parquet`` as a bounded stream (file source), whether it
+    is a single file (the testdata layout) or a directory of part files
+    (any Spark-written copy). The timestamp physical type is probed
+    from the parquet footer via the batch reader: TIMESTAMP(NANOS)
+    files are read as long and converted exactly like the batch catalog
+    path, plain TIMESTAMP(MICROS) files are read natively — either way
+    batch and stream agree to the microsecond."""
+    from pathlib import Path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    path = f"{sf_dir}/events.parquet"
+    ts_type = dict(spark.read.parquet(path).dtypes)["ts"]
+
+    def _source(schema: T.StructType) -> DataFrame:
+        # the file stream source rejects a bare file path ("basePath
+        # must be a directory"), so a single-file layout streams via
+        # parent dir + glob filter; a directory streams directly
+        if Path(path).is_file():
+            return (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        return spark.readStream.schema(schema).parquet(path)
+
+    if ts_type == "bigint":  # nanos-as-long footer
+        raw = _source(EVENTS_RAW_SCHEMA)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    micros_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _source(micros_schema)
 
 
 def tumbling_window_agg(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -176,3 +176,25 @@ def test_dsl_broadcast_hint(spark, catalog):
         assert sorted(map(tuple, no_hint.collect())) == sorted(map(tuple, hinted.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_audit_retention_single_action(spark, catalog):
+    """observe-based stage accounting: counts come back correct and the
+    whole chain runs as ONE job (no per-stage count() pass)."""
+    from hustle_spark.plans import audit_retention
+
+    docs = catalog.table("documents").df
+    n_total = docs.count()
+    n_en = docs.filter(docs.lang == "en").count()
+
+    _, metrics = audit_retention(
+        docs,
+        [
+            ("all", lambda d: d),
+            ("en_only", lambda d: d.filter(d.lang == "en")),
+            ("long_en", lambda d: d.filter(d.n_chars > 200)),
+        ],
+    )
+    assert metrics["all"]["n_rows"] == n_total
+    assert metrics["en_only"]["n_rows"] == n_en
+    assert 0 < metrics["long_en"]["n_rows"] <= n_en
