@@ -112,7 +112,7 @@ class Catalog:
         change per batch, no row-at-a-time work."""
         ns_cols = _nanos_timestamp_columns(path)
         if not ns_cols:
-            return self.spark.read.parquet(str(path))
+            return self._ltz(self.spark.read.parquet(str(path)))
         # nanosAsLong is pinned session-wide (session.DEFAULT_CONFIGS /
         # tune_existing); set it here too for foreign sessions that
         # bypassed both, and deliberately do NOT restore it — the scan
@@ -131,6 +131,23 @@ class Catalog:
             # integer division keeps full int64 precision (a float path
             # would lose it: 1.7e18 ns exceeds double's 53-bit mantissa)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return self._ltz(df)
+
+    def _ltz(self, df: DataFrame) -> DataFrame:
+        """Normalize TIMESTAMP_NTZ columns to session-TZ TimestampType.
+
+        Plain pyarrow/pandas-written micros files (isAdjustedToUTC=
+        false, e.g. the driver testdata) surface as NTZ under Spark 4's
+        default inferTimestampNTZ; the engine convention is LTZ with a
+        UTC session (session.DEFAULT_CONFIGS), where this cast is a
+        metadata-only reinterpretation of the same micros value. It
+        keeps every downstream epoch/interval expression valid — ANSI
+        Spark refuses NTZ→numeric casts — and matches the declared-
+        schema streaming source, so batch and stream reads of the same
+        file agree bit-for-bit."""
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        for c in ntz:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
 
     def _resolve(self, name: str) -> tuple[Path, TableSchema | None]:
