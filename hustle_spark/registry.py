@@ -3257,6 +3257,236 @@ def similarity_ivf(spark, sf_dir):
     return ivf.select("query_id", "vec_id", "cosine_u", "rank")
 
 
+@query(
+    "doc_chunking",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, doc_id, string_split_regex(text, '\s+') AS toks
+      FROM documents),
+    n AS (
+      SELECT lang, doc_id, toks,
+             1 + CAST(floor((greatest(len(toks) - 128, 0) + 95) / 96) AS INT) AS nc
+      FROM t),
+    c AS (
+      SELECT lang, doc_id,
+             len(list_slice(toks, s * 96 + 1, s * 96 + 128)) AS chunk_tokens,
+             substring(md5(array_to_string(list_slice(toks, s * 96 + 1, s * 96 + 128), ' ')), 1, 16) AS chunk_fp
+      FROM n, unnest(generate_series(0, nc - 1)) AS u(s))
+    SELECT lang, COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+           COUNT(DISTINCT chunk_fp) AS distinct_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM c GROUP BY lang
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Sliding-window chunking audit (functions.text.chunk_documents):
+    128-token chunks, stride 96 (32-token overlap), per-language chunk
+    counts, token totals, and distinct chunk fingerprints — the
+    chunk-level dedup key a RAG/pretrain loader consumes.
+
+    Scale shape: chunking is map-only codegen (split -> sequence ->
+    explode -> slice -> md5); the corpus is never shuffled and chunk
+    text is never materialized (only fingerprint + length), so the
+    exploded stream stays narrow. The single shuffle is the final
+    per-lang aggregate. The oracle replays the identical slicing in
+    DuckDB list functions."""
+    d = _cat(spark, sf_dir).table("documents").df
+    chunks = TX.chunk_documents(
+        d.select("lang", "doc_id", "text"), chunk=128, stride=96
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+        F.countDistinct("chunk_fp").alias("distinct_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT label, vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings),
+    q AS (
+      SELECT label, vec_id, maxabs, u.x AS x,
+             CASE WHEN maxabs = 0 THEN 0
+                  ELSE CAST(floor(u.x * 127.0 / maxabs) AS INT) END AS qv
+      FROM v, unnest(emb) AS u(x))
+    SELECT label, COUNT(DISTINCT vec_id) AS n_vectors, COUNT(*) AS n_vals,
+           CAST(SUM(abs(qv)) AS BIGINT) AS sum_abs_q,
+           CAST(MAX(floor(abs(qv * (maxabs / 127.0) - x) * 1000000)) AS BIGINT) AS max_err_micro
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization audit (operators.similarity.
+    quantize_int8): symmetric per-vector floor quantization (4x
+    memory/IO cut for ANN indexes), validated by per-label
+    reconstruction-error bounds. max_err_micro is the worst
+    dequantization error in 1e-6 units — bounded by scale = max|x|/127
+    per construction, which the oracle re-derives independently.
+
+    Determinism: quantized values are integers; the error metric is a
+    chain of IEEE double ops written in the same order in both engines,
+    floor-scaled to micro-units before comparison (registry idiom).
+    Scale shape: map-only (transform/aggregate HOFs), one aggregate
+    shuffle on label."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    qd = similarity.quantize_int8(e)
+    pair = qd.select(
+        "label",
+        "vec_id",
+        "q8_scale",
+        F.explode(
+            F.arrays_zip(
+                F.col("q8"),
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            )
+        ).alias("z"),
+    ).select(
+        "label",
+        "vec_id",
+        F.col("z.q8").alias("qv"),
+        (F.col("z.1")).alias("x"),
+        "q8_scale",
+    )
+    err = F.abs(F.col("qv").cast("double") * F.col("q8_scale") - F.col("x"))
+    return pair.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum(F.abs(F.col("qv"))).cast("bigint").alias("sum_abs_q"),
+        F.max(F.floor(err * F.lit(1000000.0))).cast("bigint").alias("max_err_micro"),
+    )
+
+
+@query(
+    "mixture_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split_regex(text, '\s+')) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, COUNT(*) FILTER (WHERE cum - tok < 600) AS n_kept,
+           CAST(SUM(tok) FILTER (WHERE cum - tok < 600) AS BIGINT) AS kept_tokens,
+           COUNT(*) AS n_total, CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source
+    """,
+)
+def mixture_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling: every source contributes docs —
+    in content-addressed md5(doc_id) order, so the sample is stable
+    across runs, engines, and partitionings — until its 600-token
+    budget is crossed (greedy: the straddling doc is kept). This is
+    the per-source token-budget draw a training-mixture builder runs
+    once per source weight.
+
+    Scale shape: ONE shuffle (window on source); the hash rank makes
+    any prefix of a source a uniform sample, so re-weighting a mixture
+    never re-shuffles the corpus — only the cumsum threshold moves.
+    Per-source skew is AQE-split; for quotas far smaller than a hot
+    source, a sampled hash-threshold pre-filter would bound the window
+    input first (same pattern as source_quota_cap)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    t = d.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    kept = F.col("cum") - F.col("tok") < 600
+    return c.groupBy("source").agg(
+        F.count_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("tok"))).cast("bigint").alias("kept_tokens"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+      FROM documents),
+    idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+    batch AS (
+      SELECT doc_id, source, fp FROM fp WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 10000, source, fp FROM fp WHERE doc_id < 21
+      UNION ALL
+      SELECT doc_id + 20000, source, fp FROM fp WHERE doc_id >= 250 AND doc_id < 260),
+    flagged AS (
+      SELECT b.source, b.doc_id, (i.fp IS NOT NULL) AS hit_index,
+             ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      FROM batch b LEFT JOIN idx i ON b.fp = i.fp)
+    SELECT source, COUNT(*) AS n_batch,
+           COUNT(*) FILTER (WHERE hit_index) AS n_index_dup,
+           COUNT(*) FILTER (WHERE NOT hit_index AND rn > 1) AS n_intra_dup,
+           COUNT(*) FILTER (WHERE NOT hit_index AND rn = 1) AS n_new_unique
+    FROM flagged GROUP BY source
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup of a new crawl batch against an existing
+    corpus digest index — the steady-state shape of corpus dedup (the
+    full corpus is deduped ONCE; every later batch joins digests only).
+    Docs with id < 250 stand in for the indexed corpus; the batch is
+    the rest plus simulated re-crawls (21 index docs re-fetched under
+    new ids) and an intra-batch double-fetch (10 docs twice). Reports,
+    per source: batch size, drops against the index, intra-batch
+    drops (keep-min-id), and net-new unique docs.
+
+    Scale shape: the index is digests only (~32 B/doc — 100 TB of text
+    becomes ~3 TB of index, itself shardable); the batch is typically
+    much smaller than the corpus, so the left join runs batch-sized,
+    shuffling on digest, and the intra-batch window shuffles the batch
+    once more on the same key (AQE coalesces the two). The corpus text
+    is never re-read."""
+    d = _cat(spark, sf_dir).table("documents").df
+    docs = d.select("doc_id", "source", TX.fingerprint(F.col("text")).alias("fp"))
+    idx = docs.filter(F.col("doc_id") < 250).select("fp").distinct()
+    batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 21).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10000)
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 260)).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(20000)
+            )
+        )
+    )
+    j = batch.join(
+        F.broadcast(idx.withColumn("__hit", F.lit(True))), "fp", "left"
+    ).withColumn("hit", F.coalesce(F.col("__hit"), F.lit(False)))
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    flagged = j.withColumn("rn", rn)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count_if(F.col("hit")).alias("n_index_dup"),
+        F.count_if(~F.col("hit") & (F.col("rn") > 1)).alias("n_intra_dup"),
+        F.count_if(~F.col("hit") & (F.col("rn") == 1)).alias("n_new_unique"),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
