@@ -39,6 +39,14 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # engine, reading a nanos file is an error anyway, so the only
     # visible semantic change is error -> long column.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Engine convention is session-TZ TimestampType (with the UTC pin
+    # above). Naive parquet micros (isAdjustedToUTC=false, the common
+    # pyarrow/pandas output) would otherwise surface as TIMESTAMP_NTZ
+    # under Spark 4 inference; reading them as LTZ directly avoids a
+    # per-row NTZ->LTZ cast projection over every scan (the catalog
+    # still normalizes via _ltz for foreign sessions missing this pin,
+    # where the cast is value-identity at UTC).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
@@ -90,6 +98,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     ):
         try:
             spark.conf.set(k, DEFAULT_CONFIGS.get(k, "true"))
