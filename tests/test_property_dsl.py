@@ -82,7 +82,10 @@ def test_random_aggregates_match_duckdb(group, fn, cutoff, spark, catalog, duck)
 # reference on random strings (cheap one-row frames, broad input space)
 
 import hashlib
+import math
 import re
+
+import numpy as np
 
 # ASCII space only: Spark trim / Java \s (and DuckDB RE2 \s) do NOT
 # treat U+00A0 etc. as whitespace, while Python's str.strip and re \s
@@ -149,3 +152,70 @@ def test_split_assign_matches_python_reference(ids, spark):
         return "test" if p < "1a" else ("val" if p < "34" else "train")
 
     assert {r.doc_id: r.split for r in rows} == {i: ref(i) for i in ids}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n_toks=st.integers(min_value=0, max_value=600),
+    chunk=st.integers(min_value=2, max_value=64),
+    stride=st.integers(min_value=1, max_value=64),
+)
+def test_chunk_documents_matches_python_reference(n_toks, chunk, stride, spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from hustle_spark.functions import text as TX
+
+    toks = [f"w{i}" for i in range(n_toks)]
+    doc = " ".join(toks)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = (
+        TX.chunk_documents(df, chunk=chunk, stride=stride)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # python reference: chunks cover [s*stride, s*stride+chunk)
+    ref_toks = doc.split(" ") if doc else [""]  # split('') == [''] in Spark
+    n = len(ref_toks)
+    extra = max(n - chunk, 0)
+    n_chunks = 1 + (extra + stride - 1) // stride
+    assert len(rows) == n_chunks
+    for r in rows:
+        s = r.chunk_idx * stride
+        piece = ref_toks[s : s + chunk]
+        assert r.chunk_tokens == len(piece)
+        exp = hashlib.md5(" ".join(piece).encode()).hexdigest()[:16]
+        assert r.chunk_fp == exp
+    # every token is covered by at least one chunk when stride <= chunk
+    if stride <= chunk:
+        covered = set()
+        for r in rows:
+            s = r.chunk_idx * stride
+            covered.update(range(s, min(s + chunk, n)))
+        assert covered == set(range(n))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1, max_size=32,
+    )
+)
+def test_quantize_int8_error_bound(vec, spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from hustle_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = quantize_int8(df).collect()[0]
+    maxabs = max(abs(float(np.float32(x))) for x in vec)
+    scale = maxabs / 127.0
+    assert row.q8_scale == scale
+    assert len(row.q8) == len(vec)
+    for q, x in zip(row.q8, vec):
+        xd = float(np.float32(x))
+        assert -128 <= q <= 127 or maxabs == 0
+        # floor quantization: error within one LSB (= scale)
+        if maxabs > 0:
+            assert abs(q * scale - xd) <= scale * (1 + 1e-9)
+            assert q == math.floor(xd * 127.0 / maxabs)
+        else:
+            assert q == 0
