@@ -250,6 +250,66 @@ class Catalog:
         writer.parquet(str(path))
         self._cache.pop(name, None)
 
+    def compact(self, name: str, target_file_mb: int = 128) -> int:
+        """Small-file compaction: rewrite a managed table so data files
+        approach ``target_file_mb`` each. Micro-batch appends accumulate
+        tiny files; at scale, file count drives scan task count and
+        listing pressure, so periodic compaction is a core operational
+        task (the 100 TB analogue of the reference's marble GC).
+        Returns the number of data files after compaction.
+
+        Partitioned tables keep their hive layout (files coalesce
+        within each partition). Index options are preserved: indexed
+        columns are re-sorted within partitions and bloom filters are
+        re-written, so compaction also repairs sort/bloom locality lost
+        to many small appends.
+
+        Single-writer semantics (the engine's append-only model has no
+        concurrent writers): the rewrite lands in a sibling staging dir
+        and is swapped in with two renames; parquet files are immutable
+        so readers that already resolved the old file list keep a
+        consistent snapshot. On a multi-writer lake this swap is where
+        a transactional table format's commit protocol would slot in.
+        """
+        path, schema = self._resolve(name)
+        if not path.is_dir():
+            raise ValueError(f"table {name!r} is not a managed directory table")
+        data_files = [p for p in path.rglob("*.parquet")]
+        if not data_files:
+            return 0
+        total_bytes = sum(p.stat().st_size for p in data_files)
+        n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+        df = self.table(name).df
+        staging = path.parent / f"_{name}.compact.{uuid.uuid4().hex[:8]}"
+        indexed = (
+            [c for c in schema.indexed_columns if c != schema.partition]
+            if schema is not None
+            else []
+        )
+        if schema is not None and schema.partition:
+            # coalesce within partitions: cluster rows by partition value
+            out = df.repartition(int(n_out), schema.partition)
+        else:
+            out = df.repartition(int(n_out))
+        if indexed:
+            out = out.sortWithinPartitions(*indexed)
+        writer = out.write.mode("overwrite")
+        for c in indexed:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if schema is not None and schema.partition:
+            writer = writer.partitionBy(schema.partition)
+        writer.parquet(str(staging))
+        # carry the schema sidecar, then swap dirs
+        sidecar = path / SCHEMA_FILE
+        if sidecar.exists():
+            shutil.copy2(sidecar, staging / SCHEMA_FILE)
+        trash = path.parent / f"_{name}.trash.{uuid.uuid4().hex[:8]}"
+        path.rename(trash)
+        staging.rename(path)
+        shutil.rmtree(trash)
+        self._cache.pop(name, None)
+        return len(list(path.rglob("*.parquet")))
+
     def materialize(self, df: DataFrame, name: str | None = None) -> Table:
         """``nest=True`` support: persist a result as a queryable Table
         (reference wrote marbles to a fresh DDFS tag)."""

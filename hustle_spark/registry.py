@@ -3487,6 +3487,85 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+@query(
+    "skew_profile",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT user_id, cnt, CAST(floor(cnt * 1000000.0 / total) AS BIGINT) AS share_ppm
+    FROM c, t
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def skew_profile(spark, sf_dir):
+    """Heavy-hitter diagnostic: top-10 keys by row count with their
+    corpus share in ppm — the query you run BEFORE choosing a salt
+    factor or trusting AQE's skew split on a 100 TB join key.
+
+    Scale shape: one shuffle to per-key counts; the grand total is
+    RE-aggregated from those counts (tree aggregate over ndv rows, not
+    a second corpus scan, and no single-partition window), broadcast
+    back as one row, then top-10 via TakeOrderedAndProject."""
+    ev = _cat(spark, sf_dir).table("events").df
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            F.floor(F.col("cnt") * F.lit(1000000.0) / F.col("total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def table_profile(spark, sf_dir):
+    """ANALYZE-style column statistics via plans.observe.profile_table:
+    ONE scan + ONE aggregate for all columns (multi-distinct lowers to
+    a single Expand), vs the oracle's deliberately naive four-scan
+    UNION ALL — same numbers, 4x the reads. Typed min/max rendered to
+    portable strings; timestamps pinned to a fixed second-resolution
+    format in both engines."""
+    from .plans.observe import profile_table
+
+    o = _cat(spark, sf_dir).table("orders").df
+    return profile_table(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================

@@ -82,3 +82,38 @@ def test_external_connectors_gate_cleanly(spark):
     if not status["delta"]:
         with pytest.raises(ConnectorUnavailable, match="Delta"):
             write_delta(spark.range(1), "/root/repo/.scratch/never_written")
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    cat.create("logs", ["index uint32 n", "string tag"])
+    for i in range(6):
+        cat.append("logs", spark.createDataFrame([(i, f"t{i}")], "n long, tag string"))
+    files_before = list((tmp_path / "logs").rglob("*.parquet"))
+    assert len(files_before) >= 6
+    before = sorted((r.n, r.tag) for r in cat.table("logs").df.collect())
+
+    n_after = cat.compact("logs", target_file_mb=128)
+    assert n_after < len(files_before)
+    files_after = list((tmp_path / "logs").rglob("*.parquet"))
+    assert len(files_after) == n_after
+    # data identical, schema sidecar preserved, table still declared
+    assert sorted((r.n, r.tag) for r in cat.table("logs").df.collect()) == before
+    assert cat.schema("logs")  # sidecar survived the swap
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    cat = h.connect(spark, tmp_path)
+    cat.create("ev2", ["index string date", "uint32 n"], partition="date")
+    for i in range(4):
+        cat.append(
+            "ev2",
+            spark.createDataFrame(
+                [(f"2014-01-2{i % 2}", i)], "date string, n long"
+            ),
+        )
+    before = sorted((r.date, r.n) for r in cat.table("ev2").df.collect())
+    cat.compact("ev2", target_file_mb=128)
+    # hive layout kept: partition dirs still present, values intact
+    assert cat.partitions("ev2") == ["2014-01-20", "2014-01-21"]
+    assert sorted((r.date, r.n) for r in cat.table("ev2").df.collect()) == before

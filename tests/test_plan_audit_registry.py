@@ -21,6 +21,7 @@ ALLOWED_NESTED_LOOP = {
     "q22_global_sales_opportunity",  # 1-row scalar-average broadcast (scalar subquery)
     "q11_important_stock",     # 1-row fraction-of-total broadcast (scalar subquery)
     "q15_top_supplier",        # 1-row max-revenue broadcast (scalar subquery)
+    "skew_profile",            # 1-row grand-total broadcast (scalar subquery)
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
