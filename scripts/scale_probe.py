@@ -1,0 +1,53 @@
+"""Scaling probe for individual registry queries: run each named query
+at sf0.1 and at the 10x key-shifted copy (built by scripts/sf1_bench.py
+gen()), warm (2nd of two runs) in one JVM per scale, print the ratio
+table for BASELINE.md.
+
+    python scripts/scale_probe.py q1 q2 ...
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from scripts.sf1_bench import DST, SRC, gen  # noqa: E402
+
+
+def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
+    # fresh session per scale, matching bench.py's config path
+    from hustle_spark.session import get_session
+    from hustle_spark import registry
+    from hustle_spark.util import release_cached
+
+    spark = get_session(app_name=f"scale-probe", extra_conf={"spark.ui.enabled": "false"})
+    out: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            best = min(best, time.monotonic() - t0)
+            release_cached()
+        out[name] = round(best, 3)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    gen(regen=False)
+    base = time_queries(SRC, names)
+    scaled = time_queries(str(DST), names)
+    print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    for n in names:
+        r = scaled[n] / base[n] if base[n] else float("nan")
+        print(f"{n:32s} {base[n]:8.3f} {scaled[n]:8.3f} {r:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
