@@ -3566,6 +3566,131 @@ def table_profile(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    w2 AS (
+      SELECT user_id, event_type, ts, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1
+                       AND ts <= t1 + INTERVAL 3 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w1),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+             MAX(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                       AND ts > t2 AND ts <= t2 + INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END) AS r3
+      FROM w2 GROUP BY user_id)
+    SELECT CAST(SUM(r1) AS BIGINT) AS n_view,
+           CAST(SUM(r2) AS BIGINT) AS n_view_click,
+           CAST(SUM(r3) AS BIGINT) AS n_full_funnel,
+           CAST(floor(SUM(r3) * 1000000.0 / SUM(r1)) AS BIGINT) AS conv_ppm
+    FROM u
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Conversion-funnel analysis: users whose first view is followed
+    by a click within 3 days, then a purchase within 3 days of that
+    click — the anchored multi-stage sequence every product-analytics
+    stack computes.
+
+    Scale shape: ONE shuffle on user_id; the two stage anchors (first
+    view, first qualifying click) are whole-partition window MINs that
+    reuse the same exchange, then the per-user flags collapse in the
+    same partitioning before a 1-row global rollup. No self-joins —
+    the naive per-stage formulation joins events to itself once per
+    stage and re-shuffles the full stream each time."""
+    ev = _cat(spark, sf_dir).table("events").df
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 3 DAY")),
+            F.col("ts"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    u = s2.groupBy("user_id").agg(
+        F.max(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("r1"),
+        F.max(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("r2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("t2").isNotNull()
+                & (F.col("ts") > F.col("t2"))
+                & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY")),
+                1,
+            ).otherwise(0)
+        ).alias("r3"),
+    )
+    return u.agg(
+        F.sum("r1").cast("bigint").alias("n_view"),
+        F.sum("r2").cast("bigint").alias("n_view_click"),
+        F.sum("r3").cast("bigint").alias("n_full_funnel"),
+        F.floor(F.sum("r3") * F.lit(1000000.0) / F.sum("r1"))
+        .cast("bigint")
+        .alias("conv_ppm"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(floor(epoch(e.ts) / 86400) AS BIGINT) - f.cohort_day AS day_off
+      FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT cohort_day, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN day_off = 1 THEN user_id END) AS n_day1,
+           COUNT(DISTINCT CASE WHEN day_off >= 7 THEN user_id END) AS n_day7plus
+    FROM a GROUP BY cohort_day
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen epoch day, with
+    day-1 and day-7+ return counts — the standard retention triangle,
+    collapsed to two checkpoints.
+
+    Scale shape: first-seen day is a groupBy on user_id; the activity
+    join is on the same key, so AQE reuses the partitioning (and the
+    cohort side is per-user — far smaller than the event stream). Day
+    arithmetic is integer epoch-day (floor of IEEE-identical double
+    division), so the oracle's value stream matches bit-for-bit."""
+    ev = _cat(spark, sf_dir).table("events").df
+    day = lambda c: F.floor(c.cast("double") / F.lit(86400)).cast("bigint")  # noqa: E731
+    f = ev.groupBy("user_id").agg(F.min(day(F.col("ts"))).alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (day(F.col("ts")) - F.col("cohort_day")).alias("day_off"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("day_off") == 1, F.col("user_id"))).alias("n_day1"),
+        F.countDistinct(F.when(F.col("day_off") >= 7, F.col("user_id"))).alias(
+            "n_day7plus"
+        ),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
