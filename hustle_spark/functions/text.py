@@ -235,7 +235,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")
-    toks = tokens(F.col(text))
+    # NULL text must not silently drop the document (explode(NULL)
+    # emits zero rows): treat it as empty, which yields the same single
+    # empty chunk an empty string does
+    toks = tokens(F.coalesce(F.col(text), F.lit("")))
     n = F.size(toks)
     extra = F.greatest(n - F.lit(chunk), F.lit(0))
     n_chunks = F.lit(1) + (extra + F.lit(stride - 1)).cast("long") / F.lit(stride)

@@ -319,3 +319,22 @@ def test_connected_components_long_chain_converges(spark):
     out = {r.id: r.cluster_id for r in connected_components(edges, max_iterations=12).collect()}
     release_cached()
     assert set(out.values()) == {0} and len(out) == 41
+
+
+def test_chunk_documents_null_and_empty_text(spark):
+    """A NULL-text or empty-text document still emits exactly one chunk
+    (nothing silently lost to explode(NULL))."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from hustle_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk=2, stride=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_tokens == 1  # [''] token
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 1
+    assert len(by_doc[3]) == 2  # 3 tokens, chunk=2/stride=1 -> 2 chunks
+    assert by_doc[1][0].chunk_fp == by_doc[2][0].chunk_fp  # same empty content
