@@ -264,12 +264,15 @@ class Catalog:
         re-written, so compaction also repairs sort/bloom locality lost
         to many small appends.
 
-        Single-writer semantics (the engine's append-only model has no
-        concurrent writers): the rewrite lands in a sibling staging dir
-        and is swapped in with two renames; parquet files are immutable
-        so readers that already resolved the old file list keep a
-        consistent snapshot. On a multi-writer lake this swap is where
-        a transactional table format's commit protocol would slot in.
+        Single-writer, single-process semantics (the engine's
+        append-only model has no concurrent writers): the rewrite lands
+        in a sibling staging dir and is swapped in with two renames,
+        then the old files are removed — so DataFrames resolved BEFORE
+        the compaction must be re-acquired afterwards (``catalog.table``
+        re-resolves; the internal cache is invalidated here). On a
+        multi-writer lake this swap is where a transactional table
+        format's commit protocol — and its snapshot retention — would
+        slot in.
         """
         path, schema = self._resolve(name)
         if not path.is_dir():
@@ -277,28 +280,43 @@ class Catalog:
         data_files = [p for p in path.rglob("*.parquet")]
         if not data_files:
             return 0
-        total_bytes = sum(p.stat().st_size for p in data_files)
-        n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-        df = self.table(name).df
+        target_bytes = target_file_mb * 1024 * 1024
         staging = path.parent / f"_{name}.compact.{uuid.uuid4().hex[:8]}"
         indexed = (
             [c for c in schema.indexed_columns if c != schema.partition]
             if schema is not None
             else []
         )
-        if schema is not None and schema.partition:
-            # coalesce within partitions: cluster rows by partition value
-            out = df.repartition(int(n_out), schema.partition)
-        else:
+
+        def write_coalesced(df: DataFrame, nbytes: int, dst: Path) -> None:
+            n_out = max(1, -(-nbytes // target_bytes))
             out = df.repartition(int(n_out))
-        if indexed:
-            out = out.sortWithinPartitions(*indexed)
-        writer = out.write.mode("overwrite")
-        for c in indexed:
-            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if indexed:
+                out = out.sortWithinPartitions(*indexed)
+            writer = out.write.mode("overwrite")
+            for c in indexed:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            writer.parquet(str(dst))
+
         if schema is not None and schema.partition:
-            writer = writer.partitionBy(schema.partition)
-        writer.parquet(str(staging))
+            # size each hive partition independently: a hot partition
+            # larger than the target still splits into multiple files
+            # (a single repartition(n, part_col) would collapse every
+            # value into one task = one arbitrarily large file), and at
+            # cluster scale each partition is its own bounded job
+            staging.mkdir(parents=True)
+            for pdir in sorted(path.iterdir()):
+                if not pdir.is_dir() or "=" not in pdir.name:
+                    continue
+                pbytes = sum(p.stat().st_size for p in pdir.rglob("*.parquet"))
+                if pbytes == 0:
+                    continue
+                write_coalesced(
+                    self.spark.read.parquet(str(pdir)), pbytes, staging / pdir.name
+                )
+        else:
+            total_bytes = sum(p.stat().st_size for p in data_files)
+            write_coalesced(self.table(name).df, total_bytes, staging)
         # carry the schema sidecar, then swap dirs
         sidecar = path / SCHEMA_FILE
         if sidecar.exists():

@@ -57,6 +57,15 @@ def insert(
         from pyspark.sql import functions as F
 
         present = set(streams.columns)
+        if schema.partition and schema.partition not in present:
+            # NULL-filling the partition column would silently route
+            # every row to __HIVE_DEFAULT_PARTITION__, corrupting the
+            # partition-lifecycle (delete-by-partition) model — fail
+            # loudly instead, like the pre-fill behavior did
+            raise ValueError(
+                f"insert into {table!r}: partition column "
+                f"{schema.partition!r} missing from input"
+            )
         df = streams.select(
             *[
                 (streams[f.name].cast(f.dataType) if f.name in present

@@ -991,6 +991,22 @@ def similarity_ann_lsh(spark, sf_dir):
     return ann.select("query_id", "vec_id", "cosine_u", "rank")
 
 
+def _audit_sample_pairs(dbl: DataFrame) -> DataFrame:
+    """Exact >=0.38-cosine pairs within the bounded 200-vector audit
+    sample (a < b). Shared by embedding_near_dup (recall audit) and
+    dedup_cluster_cc (CC edge source) — and mirrored by both queries'
+    DuckDB oracles, so the sample size / threshold must only ever
+    change here and in those two SQL strings together."""
+    samp = dbl.filter(F.col("vec_id") < 200)
+    l = samp.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = samp.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .filter(F.floor(similarity.cosine(F.col("va"), F.col("vb")) * 1e6) >= 380000)
+        .select("a", "b")
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle="""
@@ -1024,14 +1040,7 @@ def embedding_near_dup(spark, sf_dir):
         dbl, dim=64, threshold=0.38, n_tables=12, bits_per_table=4
     ).select("a", "b")
 
-    samp = dbl.filter(F.col("vec_id") < 200)
-    l = samp.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    r = samp.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    exact = (
-        l.join(r, F.col("a") < F.col("b"))
-        .filter(F.floor(similarity.cosine(F.col("va"), F.col("vb")) * 1e6) >= 380000)
-        .select("a", "b")
-    )
+    exact = _audit_sample_pairs(dbl)
     sample_found = found.filter((F.col("a") < 200) & (F.col("b") < 200))
     both = exact.withColumn("__ex", F.lit(1)).join(
         sample_found.withColumn("__fd", F.lit(1)), ["a", "b"], "full_outer"
@@ -1086,14 +1095,7 @@ def dedup_cluster_cc(spark, sf_dir):
     full hash-checked oracle for the iterative algorithm."""
     e = _cat(spark, sf_dir).table("embeddings").df
     dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    samp = dbl.filter(F.col("vec_id") < 200)
-    l = samp.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    r = samp.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    edges = (
-        l.join(r, F.col("a") < F.col("b"))
-        .filter(F.floor(similarity.cosine(F.col("va"), F.col("vb")) * 1e6) >= 380000)
-        .select("a", "b")
-    )
+    edges = _audit_sample_pairs(dbl)
     labels = dedup.connected_components(edges)
     w = Window.partitionBy("cluster_id")
     return labels.select(
@@ -2994,10 +2996,16 @@ def orc_roundtrip_agg(spark, sf_dir):
     The oracle runs the same aggregate on the original parquet: the
     roundtrip is lossless, so any mismatch is a sink/reader bug.
     """
+    from pathlib import Path
+
     cat = _cat(spark, sf_dir)
     o = cat.table("orders").df
     dst = str(cat.scratch / "orc_orders")
-    SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
+    # the dump is deterministic per sf_dir, so plan-only consumers
+    # (plan audit, explain report) don't re-pay the write every time
+    # the query function is constructed
+    if not Path(dst).is_dir():
+        SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
     back = SRC.read_orc(spark, dst).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -3,7 +3,7 @@ at sf0.1 and at the 10x key-shifted copy (built by scripts/sf1_bench.py
 gen()), warm (2nd of two runs) in one JVM per scale, print the ratio
 table for BASELINE.md.
 
-    python scripts/scale_probe.py q1 q2 ...
+    python scripts/scale_probe.py doc_chunking skew_profile ...
 """
 
 from __future__ import annotations
@@ -39,7 +39,15 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    from hustle_spark import registry
+
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
+    unknown = [n for n in names if n not in registry.QUERIES]
+    if unknown or not names:
+        sys.exit(
+            f"unknown queries: {unknown or '(none given)'}\n"
+            f"valid names: {', '.join(registry.QUERIES)}"
+        )
     gen(regen=False)
     base = time_queries(SRC, names)
     scaled = time_queries(str(DST), names)

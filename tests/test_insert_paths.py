@@ -117,3 +117,13 @@ def test_compact_partitioned_keeps_layout(spark, tmp_path):
     # hive layout kept: partition dirs still present, values intact
     assert cat.partitions("ev2") == ["2014-01-20", "2014-01-21"]
     assert sorted((r.date, r.n) for r in cat.table("ev2").df.collect()) == before
+
+
+def test_insert_streams_missing_partition_column_fails(spark, tmp_path):
+    import pytest
+
+    cat = h.connect(spark, tmp_path)
+    make_table(cat)
+    src = spark.createDataFrame([(1, "x")], "n long, tag string")  # no date
+    with pytest.raises(ValueError, match="partition column"):
+        h.insert(cat, "ev", streams=src)
