@@ -72,9 +72,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_n: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
-    """(id, minhash array<long>) — n_hashes independent min-hashes of
-    the shingle set, computed with seeded xxhash64 (JVM-side).
+    """(id, minhash array) — n_hashes independent min-hashes of the
+    shingle set.
+
+    ``hash="xxhash64"`` (default) is the fast scale path: seeded
+    JVM-side 8-byte longs. ``hash="md5"`` takes the min over
+    ``md5(shingle || ':' || seed)`` hex strings instead — slower, but
+    md5 is implemented identically in DuckDB, which makes the full
+    signature→band→bucket-join machinery cross-engine replayable (the
+    registry's dedup_minhash_md5 differential query; same idiom as
+    functions.text.rolling_hash_fingerprint). Lexicographic min over
+    lowercase hex equals numeric min over the 128-bit values, so the
+    two variants have identical MinHash semantics.
 
     Computed entirely per-row (``array_min`` over a transformed shingle
     array per seed): ZERO shuffle — an earlier explode+groupBy
@@ -84,10 +95,16 @@ def minhash_signatures(
     sh = F.array_distinct(shingles(F.col(text), shingle_n))
     tmp = df.select(F.col(id_col), sh.alias("__sh"))
 
-    def hasher(seed: int):
-        # single-arg lambda: F.transform passes the array INDEX to a
-        # two-arg lambda, which would silently replace the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    if hash == "xxhash64":
+        def hasher(seed: int):
+            # single-arg lambda: F.transform passes the array INDEX to a
+            # two-arg lambda, which would silently replace the seed
+            return lambda s: F.xxhash64(s, F.lit(seed))
+    elif hash == "md5":
+        def hasher(seed: int):
+            return lambda s: F.md5(F.concat(s, F.lit(f":{seed}")))
+    else:
+        raise ValueError(f"unknown hash {hash!r}; use 'xxhash64' or 'md5'")
 
     mins = [
         F.array_min(F.transform("__sh", hasher(seed))).alias(f"h{seed}")
@@ -106,6 +123,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, then exact
     estimated-Jaccard filter on the signatures.
@@ -113,9 +131,13 @@ def minhash_lsh_pairs(
     Returns (a, b, est_jaccard) with a < b. Deterministic: seeded
     hashes, no sampling. The only shuffles are the signature groupBy
     and the band-bucket self-join — no cross product anywhere.
+    ``hash="md5"`` selects the cross-engine-replayable signature
+    variant (see minhash_signatures).
     """
     rows_per_band = n_hashes // bands
-    sigs = _tracked_cache(minhash_signatures(df, text, id_col, n_hashes, shingle_n))
+    sigs = _tracked_cache(
+        minhash_signatures(df, text, id_col, n_hashes, shingle_n, hash=hash)
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

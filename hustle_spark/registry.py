@@ -3699,6 +3699,52 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_minhash_md5",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sig AS (SELECT doc_id,
+              list_transform(generate_series(0, 11), seed ->
+                list_min(list_transform(sh, g -> md5(g || ':' || CAST(seed AS VARCHAR))))) AS m
+            FROM s),
+    bands AS (SELECT doc_id, u.b AS b, list_slice(m, u.b * 3 + 1, u.b * 3 + 3) AS bsig
+              FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+    est AS (SELECT a, b,
+              len(list_filter(generate_series(1, 12), i -> sa.m[i] = sb.m[i])) AS match_cnt
+            FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                      JOIN sig sb ON sb.doc_id = cand.b)
+    SELECT a, b, CAST(match_cnt AS BIGINT) AS match_cnt
+    FROM est WHERE match_cnt >= 6
+    """,
+)
+def dedup_minhash_md5(spark, sf_dir):
+    """MinHash LSH, cross-engine-replayable variant: md5-string min
+    hashes (operators.dedup hash="md5") make the ENTIRE machinery —
+    shingle → per-seed min-hash → band slice → bucket equi-join →
+    signature-match estimate — an exact DuckDB replay, upgrading the
+    sketch path from rows-only to hash-checked (the production
+    dedup_minhash_lsh keeps seeded xxhash64, whose exact signatures
+    only the JVM can produce; MinHash semantics are identical, see
+    minhash_signatures). 12 hashes / 4 bands; pairs with >=6/12
+    matching signature slots (est Jaccard >= 0.5)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    pairs = dedup.minhash_lsh_pairs(
+        d, n_hashes=12, bands=4, threshold=0.5, hash="md5"
+    )
+    return pairs.select(
+        "a", "b", F.round(F.col("est_jaccard") * 12).cast("bigint").alias("match_cnt")
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
