@@ -376,3 +376,93 @@ def connected_components(
     # replay the whole iterative lineage); released via release_cached()
     _tracked_cache(labels)
     return labels.select(F.col("x").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def simhash_md5_bits(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, bits) — 64-bit SimHash as a '0'/'1' string, votes drawn
+    from the first 16 hex chars of md5(token).
+
+    VERIFICATION build of ``simhash``: md5 is implemented identically
+    in DuckDB, so the whole vote-fold is cross-engine replayable (the
+    registry's dedup_simhash_md5 differential query — same idiom as the
+    md5 MinHash twin). The production ``simhash`` stays on xxhash64
+    (one 8-byte hash + bitwiseAND per token vs 64 substring/ascii
+    extractions per token here); identical SimHash semantics, ~10x the
+    per-token expression cost — use this variant for oracles, not
+    pipelines."""
+    toks = F.array_distinct(F.split(F.col(text), r"\s+"))
+    pos = F.array(*[F.lit(b) for b in range(64)])
+
+    def vote(t):
+        m = F.md5(t)
+        def bit(b):
+            ch = m.substr(F.floor(b / 4).cast("int") + F.lit(1), F.lit(1))
+            nib = F.when(ch <= "9", F.ascii(ch) - 48).otherwise(F.ascii(ch) - 87)
+            return (F.floor(nib / F.pow(F.lit(2.0), F.lit(3) - b % 4)).cast("int")) % 2
+        return bit
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc, pos, lambda a, b: a + F.when(vote(t)(b) == 1, 1).otherwise(-1)
+        ),
+    )
+    bits = F.concat_ws(
+        "", F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0"))
+    )
+    return df.select(F.col(id_col), bits.alias("bits"))
+
+
+def simhash_md5_near_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """simhash_near_pairs on the md5 bitstring variant: identical
+    pigeonhole banding (a pair within max_hamming bits shares at least
+    one exact 64/chunks-bit chunk), candidates from a (chunk_index,
+    chunk_value) equi-join, exact hamming filter. Fully replayable in
+    SQL — see registry.dedup_simhash_md5."""
+    if chunks <= max_hamming:
+        raise ValueError("need chunks > max_hamming for the pigeonhole guarantee")
+    width = 64 // chunks
+    fps = _tracked_cache(simhash_md5_bits(df, text, id_col))
+    chunk_cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.substring("bits", c * width + 1, width).alias("cv"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = fps.select(
+        F.col(id_col).alias("id"), F.col("bits"), F.explode(chunk_cols).alias("ch")
+    )
+    left, right = buckets.alias("L"), buckets.alias("R")
+    cand = (
+        left.join(right, (F.col("L.ch") == F.col("R.ch")) & (F.col("L.id") < F.col("R.id")))
+        .select(
+            F.col("L.id").alias("a"),
+            F.col("R.id").alias("b"),
+            F.col("L.bits").alias("ba"),
+            F.col("R.bits").alias("bb"),
+        )
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.split("ba", ""), F.split("bb", ""), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

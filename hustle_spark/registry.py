@@ -3745,6 +3745,50 @@ def dedup_minhash_md5(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_simhash_md5",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS toks
+               FROM documents),
+    v AS (SELECT doc_id,
+            list_transform(generate_series(0, 63), b ->
+              2 * len(list_filter(toks, tok ->
+                (CASE WHEN substring(md5(tok), b // 4 + 1, 1) BETWEEN '0' AND '9'
+                      THEN ascii(substring(md5(tok), b // 4 + 1, 1)) - 48
+                      ELSE ascii(substring(md5(tok), b // 4 + 1, 1)) - 87 END
+                 // CAST(pow(2, 3 - b % 4) AS INT)) % 2 = 1)) - len(toks)) AS votes
+          FROM t),
+    sig AS (SELECT doc_id,
+              list_aggregate(list_transform(votes, x ->
+                CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+            FROM v),
+    bands AS (SELECT doc_id, bits, u.c AS c, substring(bits, u.c * 16 + 1, 16) AS cv
+              FROM sig, unnest(generate_series(0, 3)) AS u(c)),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                    l.bits AS ba, r.bits AS bb
+             FROM bands l JOIN bands r
+               ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id)
+    SELECT a, b,
+           CAST(len(list_filter(generate_series(1, 64),
+                i -> substring(ba, i, 1) <> substring(bb, i, 1))) AS BIGINT) AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+          i -> substring(ba, i, 1) <> substring(bb, i, 1))) <= 3
+    """,
+)
+def dedup_simhash_md5(spark, sf_dir):
+    """SimHash near-pairs, cross-engine-replayable variant
+    (operators.dedup.simhash_md5_near_pairs): votes drawn from md5
+    hex nibbles so DuckDB replays the ENTIRE vote-fold → pigeonhole
+    chunk banding → bucket equi-join → exact hamming filter pipeline —
+    upgrading the simhash machinery from rows-only to hash-checked
+    (bit-identical fingerprints verified for all docs at sf0.001 and
+    sf0.01). Production dedup_simhash keeps xxhash64 (one hash +
+    bitwiseAND per token vs 64 nibble extractions here)."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return dedup.simhash_md5_near_pairs(d, max_hamming=3, chunks=4)
+
+
 # =====================================================================
 # entry point
 # =====================================================================
