@@ -3789,6 +3789,50 @@ def dedup_simhash_md5(spark, sf_dir):
     return dedup.simhash_md5_near_pairs(d, max_hamming=3, chunks=4)
 
 
+@query(
+    "jsonl_roundtrip_agg",
+    oracle=r"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def jsonl_roundtrip_agg(spark, sf_dir):
+    """Source/sink parity in the interchange format: dump documents to
+    gzip newline-JSON partitioned by lang (sources.write_jsonl), read
+    it back with an EXPLICIT schema (no inference pass — read_jsonl
+    docstring explains why that matters at scale) and aggregate one
+    language. The lang filter prunes partition directories at listing
+    time, same as the ORC roundtrip. The oracle runs the identical
+    aggregate on the original parquet: the roundtrip is lossless for
+    the string/long document schema, so any mismatch is a sink/reader
+    bug."""
+    from pathlib import Path
+    from pyspark.sql import types as T
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df
+    dst = str(cat.scratch / "jsonl_documents")
+    if not Path(dst).is_dir():
+        SRC.write_jsonl(d, dst, partition_by=["lang"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = SRC.read_jsonl(spark, dst, schema=schema).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
