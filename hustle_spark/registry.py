@@ -3833,6 +3833,50 @@ def jsonl_roundtrip_agg(spark, sf_dir):
     )
 
 
+@query(
+    "window_range_rolling_7d",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+    r AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS roll
+      FROM e)
+    SELECT user_id, CAST(MAX(roll) AS BIGINT) AS max_7d,
+           CAST(MIN(roll) AS BIGINT) AS min_7d, COUNT(*) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def window_range_rolling_7d(spark, sf_dir):
+    """RANGE-frame window (§2.7 EXT — every other window query uses
+    ROWS frames): per event, the count of that user's events in the
+    trailing 7 days, rolled up to per-user peak/trough — the rolling
+    feature-engineering shape (burst detection, rate limits, activity
+    features for training data).
+
+    The frame is a VALUE range over integer epoch seconds
+    (``rangeBetween(-604800, 0)``), so ties (same-second events) enter
+    the frame together regardless of row order — deterministic where a
+    ROWS frame would not be. ONE shuffle on user_id; the rollup
+    reuses the window's partitioning."""
+    ev = _cat(spark, sf_dir).table("events").df
+    e = ev.select(
+        "user_id", F.floor(F.col("ts").cast("double")).cast("bigint").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    r = e.withColumn("roll", F.count(F.lit(1)).over(w))
+    return r.groupBy("user_id").agg(
+        F.max("roll").cast("bigint").alias("max_7d"),
+        F.min("roll").cast("bigint").alias("min_7d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
