@@ -3877,6 +3877,41 @@ def window_range_rolling_7d(spark, sf_dir):
     )
 
 
+@query(
+    "percentile_approx_audit",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(floor(quantile_cont(o_totalprice, 0.5) * 10000) AS BIGINT) AS exact_median_u,
+           TRUE AS approx_within_rank_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_approx_audit(spark, sf_dir):
+    """Sketch-accuracy audit for approx_percentile (the t-digest/GK
+    class every 100 TB pipeline actually runs — exact percentile sorts
+    the column): the approximate median must land between the exact
+    p49 and p51 values (rank error 1/accuracy = 1e-4, audited with
+    100x slack). Spark computes BOTH estimates and emits the bound
+    check as a boolean; the oracle asserts TRUE plus the exact median
+    — if the sketch ever drifts outside the bound the flag flips and
+    the hash gate catches it (same pattern as approx_cardinality's
+    rel-err flag)."""
+    o = _cat(spark, sf_dir).table("orders").df
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("__exact"),
+        F.percentile("o_totalprice", F.lit(0.49)).alias("__lo"),
+        F.percentile("o_totalprice", F.lit(0.51)).alias("__hi"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("__apx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.floor(F.col("__exact") * 10000).cast("bigint").alias("exact_median_u"),
+        ((F.col("__apx") >= F.col("__lo")) & (F.col("__apx") <= F.col("__hi"))).alias(
+            "approx_within_rank_bound"
+        ),
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================

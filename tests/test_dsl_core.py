@@ -237,3 +237,22 @@ def test_uint64_strict_mode():
 
     strict = parse_column_spec("uint64 big", strict_uint64=True)
     assert strict.dtype.simpleString() == "decimal(20,0)"
+
+
+def test_unknown_column_raises_attribute_error(catalog):
+    t = catalog.table("region")
+    import pytest
+
+    with pytest.raises(AttributeError):
+        t.no_such_column
+
+
+def test_two_tables_without_join_raises(catalog):
+    import pytest
+
+    n = catalog.table("nation")
+    r = catalog.table("region")
+    with pytest.raises(ValueError, match="join"):
+        import hustle_spark as h2
+
+        h2.select(n.n_name, r.r_name)
