@@ -1,0 +1,73 @@
+"""Window-sort invariant (VERDICT.md r2, "Next round" #3).
+
+The correctness driver verifies only the FIRST 50 entries of
+``queries()``.  Round 2 edited two queries but left them at positions
+51-52, so the changed code was never driver-re-verified.  This test
+makes that class of mistake a pytest failure:
+
+* docs/query_hashes.json records md5(source + oracle) per query as of
+  the last deliberate window rotation (scripts/update_query_hashes.py).
+* Any query whose CURRENT hash differs from the manifest — or which is
+  absent from the manifest (i.e. new) — must sit inside the first-50
+  driver window.
+
+Re-running scripts/update_query_hashes.py is the deliberate act of
+declaring the window rotation complete; doing so without promoting a
+changed query still trips the segment checks below.
+"""
+
+import json
+from pathlib import Path
+
+from hustle_spark import registry
+
+MANIFEST = Path(__file__).resolve().parents[1] / "docs" / "query_hashes.json"
+WINDOW = 50
+
+
+def test_manifest_exists_and_covers_registry():
+    stored = json.loads(MANIFEST.read_text())
+    current = registry.query_content_hashes()
+    # Every stored name must still exist (no silent deletions leaving a
+    # stale manifest), modulo deliberate removals which must regenerate.
+    gone = set(stored) - set(current)
+    assert not gone, f"manifest names no longer registered: {sorted(gone)}"
+
+
+def test_changed_or_new_queries_sit_in_driver_window():
+    stored = json.loads(MANIFEST.read_text())
+    current = registry.query_content_hashes()
+    window = set(registry._ordered()[:WINDOW])
+    out_of_window = [
+        name
+        for name, h in current.items()
+        if stored.get(name) != h and name not in window
+    ]
+    assert not out_of_window, (
+        "queries changed (or added) since docs/query_hashes.json was "
+        f"regenerated but NOT promoted into the first-{WINDOW} driver "
+        f"window: {sorted(out_of_window)} — add them to _NEW_R3 / "
+        "_CHANGED in hustle_spark/registry.py, then re-run "
+        "scripts/update_query_hashes.py"
+    )
+
+
+def test_window_is_exactly_fifty_and_all_priority_present():
+    ordered = registry._ordered()
+    assert len(ordered) == len(set(ordered)), "duplicate names in ordering"
+    window = ordered[:WINDOW]
+    head = registry._CHANGED + registry._NEW_R3 + registry._NEVER_CHECKED
+    assert len(head) <= WINDOW
+    assert window[: len(head)] == head, (
+        "priority segments must occupy the window head in order"
+    )
+    # Window must be full as long as enough queries exist.
+    assert len(ordered) >= WINDOW
+    assert len(set(window)) == WINDOW
+
+
+def test_priority_segments_disjoint():
+    segs = [registry._CHANGED, registry._NEW_R3, registry._NEVER_CHECKED,
+            registry._BACKFILL]
+    flat = [n for s in segs for n in s]
+    assert len(flat) == len(set(flat)), "a query appears in two segments"
