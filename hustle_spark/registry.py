@@ -3797,6 +3797,157 @@ def dedup_simhash_md5(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_audit",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    hi AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_high_pairs,
+           TRUE AS all_high_captured,
+           TRUE AS precision_floor_ok
+    FROM hi
+    """,
+)
+def dedup_minhash_audit(spark, sf_dir):
+    """Containment audit for the rows-only xxhash64 MinHash sketch
+    (VERDICT r2 #6) — the percentile_approx_audit idiom: the oracle
+    anchors what DuckDB CAN compute (the exact source-blocked n-gram
+    Jaccard >= 0.8 pair count) and asserts TRUE for the two claims
+    only the JVM sketch can witness; Spark computes the claims for
+    real, so a sketch regression flips a boolean and the driver's
+    hash-compare goes red.
+
+    Claims over the PRODUCTION config (32 hashes / 8 bands, seeded
+    xxhash64, est-Jaccard threshold 0.35):
+    - all_high_captured: recall — every exact-Jaccard >= 0.8 pair
+      (source-blocked, DuckDB-enumerable) appears among LSH pairs.
+    - precision_floor_ok: every emitted pair's EXACT shingle Jaccard
+      (recomputed from the text, independent of the sketch) clears
+      0.5 — the est threshold with margin; measured min at
+      sf0.001/sf0.01 is 0.89, so the floor bounds false positives
+      without tracking sketch noise."""
+    d = _cat(spark, sf_dir).table("documents").df
+    lsh = dedup.minhash_lsh_pairs(d, threshold=0.35)
+    hi = dedup.ngram_jaccard_pairs(d, blocking_key="source", threshold=0.8).select(
+        "a", "b"
+    )
+    sh = d.select(
+        "doc_id", F.array_distinct(dedup.shingles(F.col("text"), 3)).alias("sh")
+    )
+    exact_j = (
+        lsh.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sa")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sb")), "b")
+        .select(
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("exact_j")
+        )
+    )
+    n_hi = hi.agg(F.count(F.lit(1)).cast("bigint").alias("n_high_pairs"))
+    recall = hi.join(lsh.select("a", "b"), ["a", "b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("all_high_captured")
+    )
+    prec = exact_j.agg(
+        F.coalesce(F.min(F.col("exact_j") >= 0.5), F.lit(True)).alias(
+            "precision_floor_ok"
+        )
+    )
+    return (
+        n_hi.crossJoin(recall)
+        .crossJoin(prec)
+        .select("n_high_pairs", "all_high_captured", "precision_floor_ok")
+    )
+
+
+@query(
+    "dedup_simhash_audit",
+    oracle=r"""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*)
+                 FROM documents a JOIN documents b
+                   ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+                AS BIGINT) AS n_exact_dup_pairs,
+           TRUE AS exact_dups_captured_zero_hamming,
+           TRUE AS banding_complete_within_source
+    """,
+)
+def dedup_simhash_audit(spark, sf_dir):
+    """Containment audit for the rows-only xxhash64 SimHash sketch
+    (VERDICT r2 #6). Jaccard floors do NOT hold for simhash (short
+    docs legitimately collide at hamming <= 3 with zero shingle
+    overlap — measured at both SFs), so the claims audit the hamming
+    contract itself:
+
+    - exact_dups_captured_zero_hamming: every exact-duplicate pair
+      (same md5(text) — DuckDB-countable anchor) MUST appear in the
+      banded output with hamming = 0: identical text => identical
+      fingerprint => pigeonhole guarantees capture. A miss means the
+      fingerprint fold or the banding broke.
+    - banding_complete_within_source: ground-truth completeness on
+      real fingerprints — all same-source pairs within hamming <= 3
+      (recomputed directly from simhash() fingerprints via a source
+      equi-join, bypassing the chunk-banding path) are present in the
+      banded output. Exercises the pigeonhole guarantee end-to-end.
+
+    The fingerprint function itself is hash-checked by the md5 twin
+    (dedup_simhash_md5); this audit pins the xxhash64 production path
+    the twin cannot replay."""
+    d = _cat(spark, sf_dir).table("documents").df
+    sim = dedup.simhash_near_pairs(d, max_hamming=3, chunks=4)
+    fps = dedup.simhash(d).join(d.select("doc_id", "source"), "doc_id")
+    fa = fps.select(
+        F.col("doc_id").alias("a"), "source", F.col("simhash").alias("fa")
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("b"), "source", F.col("simhash").alias("fb")
+    )
+    truth = (
+        fa.join(fb, "source")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= 3)
+        .select("a", "b")
+    )
+    complete = truth.join(sim.select("a", "b"), ["a", "b"], "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("banding_complete_within_source")
+    )
+    dig = d.select(F.md5("text").alias("h"), "doc_id")
+    dup_pairs = (
+        dig.select(F.col("h"), F.col("doc_id").alias("a"))
+        .join(dig.select(F.col("h"), F.col("doc_id").alias("b")), "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    n_dup = dup_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_dup_pairs")
+    )
+    captured = dup_pairs.join(
+        sim.filter(F.col("hamming") == 0).select("a", "b"), ["a", "b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_captured_zero_hamming"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        n_docs.crossJoin(n_dup)
+        .crossJoin(captured)
+        .crossJoin(complete)
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            "exact_dups_captured_zero_hamming",
+            "banding_complete_within_source",
+        )
+    )
+
+
+@query(
     "jsonl_roundtrip_agg",
     oracle=r"""
     SELECT source, COUNT(*) AS n_docs,
@@ -3951,7 +4102,9 @@ _CHANGED = [
 ]
 
 # New queries registered in round 3 — every addition goes here.
-_NEW_R3 = []
+_NEW_R3 = [
+    "dedup_minhash_audit", "dedup_simhash_audit",
+]
 
 # Registered in round 2 but never yet inside a driver window; all 21
 # passed the driver-exact local harness (scripts/check_oracle.py) at

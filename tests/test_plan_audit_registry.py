@@ -22,6 +22,8 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",     # 1-row fraction-of-total broadcast (scalar subquery)
     "q15_top_supplier",        # 1-row max-revenue broadcast (scalar subquery)
     "skew_profile",            # 1-row grand-total broadcast (scalar subquery)
+    "dedup_minhash_audit",     # 1-row claim aggregates cross-joined
+    "dedup_simhash_audit",     # 1-row claim aggregates cross-joined
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
