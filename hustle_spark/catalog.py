@@ -150,9 +150,34 @@ class Catalog:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
 
+    def _recover_orphans(self, name: str, path: Path | None = None) -> None:
+        """Crash-recovery sweep for ``compact``'s non-atomic dir swap.
+
+        The swap is ``path.rename(trash); staging.rename(path);
+        rmtree(trash)`` — a crash between the renames leaves the table
+        dir missing with the data intact in ``_<name>.trash.*``. This
+        sweep (run on table resolution when the dir is absent, and at
+        the start of every ``compact``) restores the newest stranded
+        trash dir and deletes dead trash/staging siblings once the
+        table dir is in place, so no manual recovery is ever needed.
+        """
+        path = path or (self.root / name)
+        parent = path.parent
+        trash = list(parent.glob(f"_{name}.trash.*"))
+        staging = list(parent.glob(f"_{name}.compact.*"))
+        if not path.exists() and trash:
+            newest = max(trash, key=lambda p: p.stat().st_mtime)
+            newest.rename(path)
+            trash.remove(newest)
+        if path.exists():
+            for d in trash + staging:
+                shutil.rmtree(d)
+
     def _resolve(self, name: str) -> tuple[Path, TableSchema | None]:
         file_path = self.root / f"{name}.parquet"
         dir_path = self.root / name
+        if not dir_path.is_dir() and not file_path.exists():
+            self._recover_orphans(name, dir_path)
         if dir_path.is_dir():
             schema = None
             sf = dir_path / SCHEMA_FILE
@@ -266,15 +291,21 @@ class Catalog:
 
         Single-writer, single-process semantics (the engine's
         append-only model has no concurrent writers): the rewrite lands
-        in a sibling staging dir and is swapped in with two renames,
-        then the old files are removed — so DataFrames resolved BEFORE
-        the compaction must be re-acquired afterwards (``catalog.table``
-        re-resolves; the internal cache is invalidated here). On a
-        multi-writer lake this swap is where a transactional table
-        format's commit protocol — and its snapshot retention — would
-        slot in.
+        in a sibling staging dir and is swapped in with two renames.
+        The swap is NOT atomic — a crash between the two renames leaves
+        the table dir absent with the data intact in a
+        ``_<name>.trash.*`` sibling; ``compact`` (and ``table``
+        resolution) therefore starts with an orphan sweep that restores
+        a stranded trash dir and clears dead staging dirs, so the
+        recovery path is automatic on next contact. DataFrames resolved
+        BEFORE the compaction must be re-acquired afterwards
+        (``catalog.table`` re-resolves; the internal cache is
+        invalidated here). On a multi-writer lake this swap is where a
+        transactional table format's commit protocol — and its snapshot
+        retention — would slot in.
         """
         path, schema = self._resolve(name)
+        self._recover_orphans(name, path)
         if not path.is_dir():
             raise ValueError(f"table {name!r} is not a managed directory table")
         data_files = [p for p in path.rglob("*.parquet")]
@@ -299,6 +330,17 @@ class Catalog:
             writer.parquet(str(dst))
 
         if schema is not None and schema.partition:
+            stray = sorted(p.name for p in path.glob("*.parquet"))
+            if stray:
+                # a foreign/manual write left data files at the table
+                # root; the per-partition copy below would silently
+                # drop them and the trash removal would destroy them
+                raise ValueError(
+                    f"partitioned table {name!r} has non-hive data files "
+                    f"at its root ({stray[:3]}{'...' if len(stray) > 3 else ''}); "
+                    "refusing to compact — move them into a "
+                    f"{schema.partition}=<value>/ directory first"
+                )
             # size each hive partition independently: a hot partition
             # larger than the target still splits into multiple files
             # (a single repartition(n, part_col) would collapse every

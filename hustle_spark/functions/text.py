@@ -235,6 +235,15 @@ def chunk_documents(
     """
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")
+    reserved = {"chunk_idx", "chunk_tokens", "chunk_fp", "__toks"}
+    clash = sorted(reserved & {c for c in df.columns if c != text})
+    if clash:
+        # pass-through columns would silently duplicate/shadow the
+        # output columns below (ADVICE r2): refuse up front
+        raise ValueError(
+            f"chunk_documents reserves column names {sorted(reserved)}; "
+            f"rename input columns {clash} first"
+        )
     # NULL text must not silently drop the document (explode(NULL)
     # emits zero rows): treat it as empty, which yields the same single
     # empty chunk an empty string does

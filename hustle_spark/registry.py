@@ -3010,8 +3010,11 @@ def orc_roundtrip_agg(spark, sf_dir):
     dst = str(cat.scratch / "orc_orders")
     # the dump is deterministic per sf_dir, so plan-only consumers
     # (plan audit, explain report) don't re-pay the write every time
-    # the query function is constructed
-    if not Path(dst).is_dir():
+    # the query function is constructed; gate on _SUCCESS, not the bare
+    # dir — a crashed partial write leaves a dir without the marker and
+    # must be rewritten, not silently aggregated (overwrite mode
+    # replaces the partial output)
+    if not (Path(dst) / "_SUCCESS").is_file():
         SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
     back = SRC.read_orc(spark, dst).filter(F.col("o_orderstatus") == "F")
     return back.groupBy("o_orderpriority").agg(
@@ -3973,7 +3976,9 @@ def jsonl_roundtrip_agg(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     d = cat.table("documents").df
     dst = str(cat.scratch / "jsonl_documents")
-    if not Path(dst).is_dir():
+    # _SUCCESS gate, same rationale as orc_roundtrip_agg: never
+    # aggregate a crashed partial export
+    if not (Path(dst) / "_SUCCESS").is_file():
         SRC.write_jsonl(d, dst, partition_by=["lang"])
     schema = T.StructType(
         [

@@ -19,6 +19,7 @@ from scripts.sf1_bench import DST, SRC, gen  # noqa: E402
 
 def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
     # fresh session per scale, matching bench.py's config path
+    from pyspark.sql import functions as F
     from hustle_spark.session import get_session
     from hustle_spark import registry
     from hustle_spark.util import release_cached
@@ -30,7 +31,18 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
-            fn(spark, sf_dir).count()
+            # force FULL evaluation of every output column — .count()
+            # lets Catalyst prune aggregate expressions the count never
+            # reads (e.g. countDistinct in a final groupBy), which
+            # under-measures the real query cost (ADVICE r2); hashing
+            # all columns matches what check_oracle.py/the driver pay
+            df = fn(spark, sf_dir)
+            try:
+                action = df.agg(F.sum(F.xxhash64(*df.columns)))
+                action.schema  # analysis check before timing the run
+            except Exception:  # un-hashable output type: collect instead
+                action = None
+            (action.collect() if action is not None else df.collect())
             best = min(best, time.monotonic() - t0)
             release_cached()
         out[name] = round(best, 3)

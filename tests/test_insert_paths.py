@@ -127,3 +127,45 @@ def test_insert_streams_missing_partition_column_fails(spark, tmp_path):
     src = spark.createDataFrame([(1, "x")], "n long, tag string")  # no date
     with pytest.raises(ValueError, match="partition column"):
         h.insert(cat, "ev", streams=src)
+
+
+def test_compact_crash_recovery_restores_trash(spark, tmp_path):
+    """A crash between compact()'s two swap renames leaves the table dir
+    missing with data in _<name>.trash.*; the orphan sweep restores it
+    on next resolution (ADVICE r2)."""
+    cat = h.connect(spark, tmp_path)
+    cat.create("logs3", ["uint32 n"])
+    cat.append("logs3", spark.createDataFrame([(1,), (2,)], "n long"))
+    before = sorted(r.n for r in cat.table("logs3").df.collect())
+    # simulate the mid-swap crash state
+    (tmp_path / "logs3").rename(tmp_path / "_logs3.trash.deadbeef")
+    (tmp_path / "_logs3.compact.cafef00d").mkdir()  # dead staging dir
+    cat2 = h.connect(spark, tmp_path)
+    assert sorted(r.n for r in cat2.table("logs3").df.collect()) == before
+    assert not list(tmp_path.glob("_logs3.trash.*"))
+    assert not list(tmp_path.glob("_logs3.compact.*"))
+
+
+def test_compact_refuses_stray_root_files_in_partitioned_table(spark, tmp_path):
+    """Root-level parquet in a partitioned table would be silently
+    dropped by the per-partition copy; compact must refuse (ADVICE r2)."""
+    import pytest as _pytest
+
+    cat = h.connect(spark, tmp_path)
+    cat.create("ev3", ["index string date", "uint32 n"], partition="date")
+    cat.append("ev3", spark.createDataFrame([("2014-01-20", 1)], "date string, n long"))
+    stray = tmp_path / "ev3" / "manual.parquet"
+    spark.createDataFrame([("2014-01-21", 9)], "date string, n long").toPandas().to_parquet(stray)
+    with _pytest.raises(ValueError, match="non-hive data files"):
+        cat.compact("ev3")
+    assert stray.exists()  # nothing was destroyed
+
+
+def test_chunk_documents_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from hustle_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c", 5)], "doc_id long, text string, chunk_idx long")
+    with _pytest.raises(ValueError, match="chunk_documents reserves"):
+        chunk_documents(df)
