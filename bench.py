@@ -4,8 +4,13 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): per query, one cold run discarded, then 3 warm
-runs fully materialized via a noop-style sink; median reported.
+Protocol (BASELINE.md): a JVM warmup query runs first (so the first
+headline query stops absorbing codegen/JIT warmup — q1 swung
+0.66-1.05s round-over-round from this alone); then per query, one cold
+run discarded, then 3 warm runs fully materialized via a noop-style
+sink — queries whose median lands under 0.3s get 2 extra runs
+(median-of-5), since the ~0.15s job floor makes short queries the
+noisiest. Median reported.
 """
 
 from __future__ import annotations
@@ -59,6 +64,8 @@ HEADLINE = [
 ]
 
 WARM_RUNS = 3
+EXTRA_RUNS_UNDER = 0.3  # sub-0.3s medians re-run to median-of-5
+EXTRA_RUNS = 2
 
 
 def materialize(df) -> int:
@@ -73,6 +80,14 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     qs = registry.queries()
+
+    # JVM/codegen warmup outside any measured query: a representative
+    # scan+shuffle over the biggest table, twice, fully materialized
+    for _ in range(2):
+        qs["agg_stats_by_status"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -84,6 +99,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
+            if statistics.median(times) < EXTRA_RUNS_UNDER:
+                for _ in range(EXTRA_RUNS):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    times.append(time.perf_counter() - t0)
             per_query[name] = round(statistics.median(times), 4)
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)

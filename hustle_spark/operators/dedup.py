@@ -295,6 +295,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the cluster
     step that follows candidate-pair dedup (LSH/SimHash emit PAIRS; a
@@ -303,7 +304,10 @@ def connected_components(
     emitted).
 
     Returns (id, cluster_id) for every node appearing in ``edges``,
-    where cluster_id is the minimum node id in the component.
+    where cluster_id is the minimum node id in the component. Pass a
+    dict as ``stats`` to receive {"iterations": n, "converged": bool}
+    — the instrument behind the O(log diameter) claim (stress.py times
+    convergence on long-chain graphs).
 
     Algorithm: min-label propagation with pointer jumping, the standard
     shuffle-based CC for Spark (same family as the large-star/small-star
@@ -328,7 +332,12 @@ def connected_components(
         und.groupBy("x").agg(F.min("y").alias("nbr_min"))
         .select("x", F.least(F.col("x"), F.col("nbr_min")).alias("label"))
     ).cache()
+    if stats is not None:
+        stats["iterations"] = 0
+        stats["converged"] = False
     for _ in range(max_iterations):
+        if stats is not None:
+            stats["iterations"] += 1
         # propagate: candidate label = min over neighbors' labels
         nbr = (
             und.join(labels.withColumnRenamed("x", "y"), "y")
@@ -370,6 +379,8 @@ def connected_components(
         prop.unpersist()
         labels = jumped
         if changed == 0:
+            if stats is not None:
+                stats["converged"] = True
             break
     und.unpersist()
     # final labels stay cached (downstream actions would otherwise

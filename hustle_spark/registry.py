@@ -3951,6 +3951,260 @@ def dedup_simhash_audit(spark, sf_dir):
 
 
 @query(
+    "ntile_customer_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS q
+      FROM customer)
+    SELECT c_mktsegment, CAST(q AS BIGINT) AS quartile,
+           COUNT(*) AS n_customers,
+           CAST(floor(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 100)
+                AS BIGINT) AS sum_acctbal_c
+    FROM t GROUP BY c_mktsegment, q
+    """,
+)
+def ntile_customer_quartiles(spark, sf_dir):
+    """Quantile bucketing via NTILE: account-balance quartiles per
+    market segment (both engines size buckets n/k with the first n%k
+    buckets one larger, so NTILE is cross-engine exact given a total
+    order — c_custkey breaks balance ties). One shuffle on the window
+    key, then the aggregate reuses the same partitioning."""
+    c = _cat(spark, sf_dir).table("customer").df
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.floor(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") * 100
+            )
+            .cast("bigint")
+            .alias("sum_acctbal_c"),
+        )
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 100)
+                AS BIGINT) AS sum_price_c
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram (width_bucket analogue): integer bucket ids
+    from floor-division — map-side computable, single aggregate
+    shuffle, bucket count bounded by the value range regardless of
+    row count."""
+    o = _cat(spark, sf_dir).table("orders").df
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") * 100
+            )
+            .cast("bigint")
+            .alias("sum_price_c"),
+        )
+    )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type, COUNT(*) AS n_transitions
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def markov_transitions(spark, sf_dir):
+    """First-order event-sequence transition counts (the Markov-matrix
+    input for behavioral models): lag over (user, time) then a
+    5x5-bounded aggregate. One shuffle on user_id; (ts, event_id) is a
+    total order so the lag is engine-independent."""
+    e = _cat(spark, sf_dir).table("events").df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@query(
+    "stratified_sample_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':sample'), 1, 2)
+          < '20'
+    GROUP BY source
+    """,
+)
+def stratified_sample_stats(spark, sf_dir):
+    """Content-addressed stratified sampling (~12.5% per source): the
+    keep decision is md5(doc_id:source:salt) < threshold — identical
+    in any engine, stable across partitionings/cluster sizes, and
+    per-stratum by construction (split_assign's idiom generalized to
+    sampling). Map-only filter + one aggregate; seeded sample() would
+    be partitioning-dependent and irreproducible."""
+    d = _cat(spark, sf_dir).table("documents").df
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("source"),
+                    F.lit(":sample"),
+                )
+            ),
+            1,
+            2,
+        )
+        < "20"
+    )
+    return (
+        d.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        )
+    )
+
+
+@query(
+    "bigram_vocab_stats",
+    oracle=r"""
+    WITH t AS (SELECT lang, string_split_regex(text, '\s+') AS toks FROM documents),
+    s AS (SELECT lang,
+            unnest(CASE WHEN len(toks) >= 2
+                        THEN list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+                        ELSE [array_to_string(toks, ' ')] END) AS bigram
+          FROM t)
+    SELECT lang, COUNT(*) AS n_bigrams,
+           COUNT(DISTINCT bigram) AS distinct_bigrams
+    FROM s GROUP BY lang
+    """,
+)
+def bigram_vocab_stats(spark, sf_dir):
+    """Bigram vocabulary profile per language (LM corpus statistics):
+    per-doc distinct word bigrams from the shingle machinery
+    (operators.dedup.shingles n=2 — same CASE fallback for one-token
+    docs), exploded once, then doc-frequency and distinct-vocabulary
+    counts. The explode is map-side; the only shuffle is the
+    aggregate."""
+    d = _cat(spark, sf_dir).table("documents").df
+    bi = F.explode(F.array_distinct(dedup.shingles(F.col("text"), 2)))
+    return (
+        d.select("lang", bi.alias("bigram"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("distinct_bigrams"),
+        )
+    )
+
+
+@query(
+    "length_profile_by_source",
+    oracle="""
+    SELECT source,
+           CAST(floor(quantile_cont(n_chars, 0.5) * 100) AS BIGINT) AS p50_chars_c,
+           CAST(floor(quantile_cont(n_chars, 0.9) * 100) AS BIGINT) AS p90_chars_c,
+           CAST(floor(quantile_cont(n_chars, 0.99) * 100) AS BIGINT) AS p99_chars_c
+    FROM documents GROUP BY source
+    """,
+)
+def length_profile_by_source(spark, sf_dir):
+    """Document-length percentile profile per source (curation
+    dashboards key off p50/p90/p99 length drift). Exact interpolated
+    percentiles (F.percentile == quantile_cont), floor-scaled x100 —
+    same last-ulp rationale as percentile_exact."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return d.groupBy("source").agg(
+        *[
+            F.floor(F.percentile("n_chars", F.lit(p)) * 100)
+            .cast("bigint")
+            .alias(f"p{int(p * 100)}_chars_c")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+@query(
+    "top_customer_share",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey),
+    j AS (SELECT c_nationkey, c_custkey, spend
+          FROM customer JOIN spend ON c_custkey = o_custkey),
+    t AS (SELECT c_nationkey, c_custkey, spend,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY spend DESC, c_custkey) AS rn,
+            SUM(spend) OVER (PARTITION BY c_nationkey) AS nat_total
+          FROM j)
+    SELECT c_nationkey, c_custkey AS top_custkey,
+           CAST(floor(CAST(spend AS DOUBLE) / CAST(nat_total AS DOUBLE) * 1000000)
+                AS BIGINT) AS share_ppm
+    FROM t WHERE rn = 1
+    """,
+)
+def top_customer_share(spark, sf_dir):
+    """Top spender per nation with their share of national revenue:
+    spend pre-aggregated to custkey BEFORE the customer join (the q10
+    rewrite's shape — the fact table never joins at order grain), then
+    one window partitioning serves both the rank and the national
+    total."""
+    o = _cat(spark, sf_dir).table("orders").df
+    c = _cat(spark, sf_dir).table("customer").df
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey).select(
+        "c_nationkey", "c_custkey", "spend"
+    )
+    wn = Window.partitionBy("c_nationkey")
+    wr = wn.orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(wr))
+        .withColumn("nat_total", F.sum("spend").over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            F.floor(
+                F.col("spend").cast("double")
+                / F.col("nat_total").cast("double")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+@query(
     "jsonl_roundtrip_agg",
     oracle=r"""
     SELECT source, COUNT(*) AS n_docs,
@@ -4109,6 +4363,10 @@ _CHANGED = [
 # New queries registered in round 3 — every addition goes here.
 _NEW_R3 = [
     "dedup_minhash_audit", "dedup_simhash_audit",
+    "ntile_customer_quartiles", "histogram_totalprice",
+    "markov_transitions", "stratified_sample_stats",
+    "bigram_vocab_stats", "length_profile_by_source",
+    "top_customer_share",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21

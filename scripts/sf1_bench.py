@@ -10,7 +10,12 @@ explosions, unpruned scans, accidental sorts). Data is 10x, so a
 healthy ratio is <= ~10 for scan-bound queries and ~1-3 for
 overhead-bound ones; anything well above 10 gets a plan audit.
 
-    python scripts/sf1_bench.py [--regen]
+    python scripts/sf1_bench.py [--regen] [--out BENCH_sf1_rNN.json]
+
+With --out, the run is recorded as a per-round artifact (VERDICT r2
+#5): both scales' per-query medians plus the ratio table, so plan
+regressions show up round-over-round as ratio changes rather than
+sf0.1 noise.
 """
 
 from __future__ import annotations
@@ -132,9 +137,12 @@ def main() -> None:
     print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
     print("|---|---|---|---|")
     flagged = []
+    ratios: dict[str, float] = {}
     for name, t0 in base["queries"].items():
         t1 = scaled["queries"].get(name, -1.0)
         ratio = round(t1 / t0, 1) if t0 > 0 and t1 > 0 else float("nan")
+        if ratio == ratio:
+            ratios[name] = ratio
         hot = ratio == ratio and ratio > 12 and name not in PAIR_OUTPUT
         if hot:
             flagged.append(name)
@@ -142,12 +150,29 @@ def main() -> None:
             " (pair-output: quadratic by construction)" if name in PAIR_OUTPUT and ratio == ratio and ratio > 12 else ""
         )
         print(f"| {name} | {t0} | {t1} | {ratio}{note} |")
-    print(
-        f"\ntotal ratio: {round(scaled['value'] / base['value'], 2)}"
-        f" (10x data; <=10 is at-most-linear)"
-    )
+    total_ratio = round(scaled["value"] / base["value"], 2)
+    print(f"\ntotal ratio: {total_ratio} (10x data; <=10 is at-most-linear)")
     if flagged:
         print(f"plan-audit these (ratio > 12): {', '.join(flagged)}")
+
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if out_path:
+        artifact = {
+            "metric": "sf1_scaling_study",
+            "factor": FACTOR,
+            "sf01_total_sec": base["value"],
+            "sf1_total_sec": scaled["value"],
+            "total_ratio": total_ratio,
+            "sf01_queries": base["queries"],
+            "sf1_queries": scaled["queries"],
+            "ratios": ratios,
+            "pair_output_excluded": sorted(PAIR_OUTPUT),
+            "flagged_super_linear": flagged,
+        }
+        Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

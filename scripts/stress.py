@@ -124,6 +124,36 @@ def main():
     timed("cosine topk exact (10 q x 200k)", lambda: similarity.cosine_topk(emb, q10, k=5).count())
     timed("ann topk LSH (10 q x 200k)", lambda: similarity.ann_topk(emb, q10, dim=64, k=5).count())
 
+    # connected components at 10M edges with LONG chains: pointer
+    # jumping must converge in O(log diameter) iterations, not
+    # O(diameter) — a chain of length 1000 in ~10-12 iterations, where
+    # naive propagation needs ~1000. (VERDICT r2 #7)
+    chain_len = 1000
+    n_chain_nodes = n_events  # one edge per node (minus chain ends)
+    chain_edges = (
+        spark.range(n_chain_nodes)
+        .filter((F.col("id") % chain_len) != chain_len - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    cc_stats: dict = {}
+    t0 = time.time()
+    n_clusters = (
+        dedup.connected_components(chain_edges, max_iterations=30, stats=cc_stats)
+        .select("cluster_id").distinct().count()
+    )
+    dt = time.time() - t0
+    expect = n_chain_nodes // chain_len
+    import math
+    log_bound = math.ceil(math.log2(chain_len)) + 3
+    ok = cc_stats["converged"] and cc_stats["iterations"] <= log_bound and n_clusters == expect
+    print(
+        f"  CC 10M-edge long chains: {n_clusters} clusters (expect {expect}), "
+        f"{cc_stats['iterations']} iterations (log2({chain_len})+3 bound={log_bound}), "
+        f"{dt:.1f}s  {'OK' if ok else '** FAILED O(log n) convergence **'}"
+    )
+    from hustle_spark.util import release_cached
+    release_cached()
+
     # pathological skew: 30% of events on ONE user joined to a per-user dim
     from hustle_spark.plans import salted_join
 

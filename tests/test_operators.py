@@ -316,9 +316,15 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "a long, b long"
     )
-    out = {r.id: r.cluster_id for r in connected_components(edges, max_iterations=12).collect()}
+    stats = {}
+    out = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, max_iterations=12, stats=stats).collect()
+    }
     release_cached()
     assert set(out.values()) == {0} and len(out) == 41
+    # pointer jumping: 41-node path converges within ceil(log2(41))+3
+    assert stats["converged"] and stats["iterations"] <= 9, stats
 
 
 def test_chunk_documents_null_and_empty_text(spark):

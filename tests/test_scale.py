@@ -44,7 +44,7 @@ def test_signature_stages_shuffle_free(spark, catalog):
     Exchange here shuffles the whole corpus. Pin zero Exchange nodes so
     a rewrite (e.g. back to explode+groupBy) can't silently regress."""
     from hustle_spark.operators.dedup import minhash_signatures, simhash
-    from hustle_spark.operators.similarity import lsh_signatures
+    from hustle_spark.operators.similarity import lsh_signatures, quantize_int8
     from hustle_spark.plans import explain_str
 
     docs = catalog.table("documents").df
@@ -55,9 +55,30 @@ def test_signature_stages_shuffle_free(spark, catalog):
         ("minhash_signatures", minhash_signatures(docs, n_hashes=8)),
         ("simhash", simhash(docs)),
         ("lsh_signatures", lsh_signatures(emb, dim=64, n_tables=2, bits_per_table=4)),
+        ("quantize_int8", quantize_int8(emb)),
     ]:
         plan = explain_str(frame)
         assert "Exchange" not in plan, f"{label} gained a shuffle:\n{plan[:800]}"
+        assert "EvalPython" not in plan, f"{label} fell off codegen:\n{plan[:800]}"
+
+
+def test_ivf_assignment_stage_shuffle_free(spark, catalog):
+    """IVF corpus assignment must stay a map-only argmin over broadcast
+    centroid literals — model.transform (Vector conversion) or a join
+    against a centroid frame would put an Exchange or Python stage in
+    the 100 TB corpus path. The k-means FIT may shuffle (it runs on a
+    sample); the pin is on the assignment frame only."""
+    from hustle_spark.operators.similarity import ivf_index
+    from hustle_spark.plans import explain_str
+
+    emb = catalog.table("embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assigned, centroids = ivf_index(emb, dim=8, n_lists=4)
+    assert len(centroids) == 4
+    plan = explain_str(assigned)
+    assert "Exchange" not in plan, f"IVF assignment gained a shuffle:\n{plan[:800]}"
+    assert "EvalPython" not in plan, f"IVF assignment left codegen:\n{plan[:800]}"
 
 
 def test_salted_join_matches_plain_join(spark, catalog):
