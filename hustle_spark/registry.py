@@ -3951,6 +3951,83 @@ def dedup_simhash_audit(spark, sf_dir):
 
 
 @query(
+    "window_cume_dist",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment, c_custkey,
+             PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS pr,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS cd
+      FROM customer)
+    SELECT c_mktsegment, c_custkey,
+           CAST(floor(pr * 1000000) AS BIGINT) AS pr_ppm,
+           CAST(floor(cd * 1000000) AS BIGINT) AS cd_ppm
+    FROM t WHERE pr >= 0.98
+    """,
+)
+def window_cume_dist(spark, sf_dir):
+    """Distribution-rank window functions (percent_rank / cume_dist)
+    over a total order — both engines compute (rank-1)/(n-1) and
+    rows<=current/n identically once c_custkey breaks balance ties.
+    Top-2% slice keeps the output bounded at any scale; the window is
+    the only shuffle."""
+    c = _cat(spark, sf_dir).table("customer").df
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.98)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.floor(F.col("pr") * 1000000).cast("bigint").alias("pr_ppm"),
+            F.floor(F.col("cd") * 1000000).cast("bigint").alias("cd_ppm"),
+        )
+    )
+
+
+@query(
+    "nullsafe_join_probe",
+    oracle="""
+    WITH e AS (
+      SELECT NULLIF(CAST(floor(value / 100) AS BIGINT), 3) AS nb FROM events),
+    dim AS (SELECT DISTINCT nb FROM e)
+    SELECT COALESCE(CAST(dim.nb AS VARCHAR), 'null') AS bucket_label,
+           COUNT(*) AS n_events
+    FROM e JOIN dim ON e.nb IS NOT DISTINCT FROM dim.nb
+    GROUP BY 1
+    """,
+)
+def nullsafe_join_probe(spark, sf_dir):
+    """NULL-semantics parity probe: a NULLIF-derived nullable key joined
+    null-safely (Spark ``eqNullSafe`` == SQL IS NOT DISTINCT FROM) —
+    a plain equi-join would silently drop the NULL group, which is
+    exactly the class of bug this differential query exists to catch.
+    The distinct dim is value-bounded (a handful of buckets), so the
+    join broadcasts at any corpus size."""
+    e = _cat(spark, sf_dir).table("events").df.select(
+        F.nullif(F.floor(F.col("value") / 100).cast("bigint"), F.lit(3)).alias("nb")
+    )
+    dim = e.distinct().withColumnRenamed("nb", "dim_nb")
+    return (
+        e.join(dim, F.col("nb").eqNullSafe(F.col("dim_nb")))
+        .groupBy(
+            F.coalesce(F.col("dim_nb").cast("string"), F.lit("null")).alias(
+                "bucket_label"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
     "ntile_customer_quartiles",
     oracle="""
     WITH t AS (
@@ -4366,7 +4443,7 @@ _NEW_R3 = [
     "ntile_customer_quartiles", "histogram_totalprice",
     "markov_transitions", "stratified_sample_stats",
     "bigram_vocab_stats", "length_profile_by_source",
-    "top_customer_share",
+    "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21
