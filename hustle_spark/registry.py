@@ -3951,6 +3951,39 @@ def dedup_simhash_audit(spark, sf_dir):
 
 
 @query(
+    "time_rollup_hierarchy",
+    oracle="""
+    SELECT CAST(year(ts) AS BIGINT) AS yr,
+           CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS dy,
+           COUNT(*) AS n_events,
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100)
+                AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY ROLLUP (CAST(year(ts) AS BIGINT), CAST(month(ts) AS BIGINT),
+                     CAST(day(ts) AS BIGINT))
+    """,
+)
+def time_rollup_hierarchy(spark, sf_dir):
+    """Calendar-hierarchy rollup (the hypertable year→month→day
+    pre-aggregation shape): one pass over events produces all four
+    granularities via GROUP BY ROLLUP — at warehouse scale this is the
+    materialization feeding time-series dashboards, and Spark's Expand
+    keeps it a single scan + single shuffle instead of four."""
+    e = _cat(spark, sf_dir).table("events").df
+    return e.rollup(
+        F.year("ts").cast("bigint").alias("yr"),
+        F.month("ts").cast("bigint").alias("mo"),
+        F.dayofmonth("ts").cast("bigint").alias("dy"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * 100)
+        .cast("bigint")
+        .alias("sum_value_c"),
+    )
+
+
+@query(
     "window_cume_dist",
     oracle="""
     WITH t AS (
@@ -4444,6 +4477,7 @@ _NEW_R3 = [
     "markov_transitions", "stratified_sample_stats",
     "bigram_vocab_stats", "length_profile_by_source",
     "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
+    "time_rollup_hierarchy",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21

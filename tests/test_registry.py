@@ -35,24 +35,28 @@ def test_query_vs_oracle(name, spark, duck, catalog):
 def test_window_priority_ordering():
     """The driver verifies exactly the first 50 entries of queries();
     pin the rotation invariants so a registry edit can't silently
-    shrink coverage (docs/CHECKED.md is the per-round manifest)."""
+    shrink coverage (docs/CHECKED.md is the per-round manifest; the
+    content-hash invariant lives in tests/test_window_invariant.py)."""
     from hustle_spark import registry
 
     names = list(registry.queries())
     assert len(names) == len(set(names)), "duplicate query names"
-    assert set(registry._WINDOW_PRIORITY) <= set(registry.QUERIES)
-    assert len(registry._WINDOW_PRIORITY) == len(set(registry._WINDOW_PRIORITY))
     window = names[:50]
-    # every query changed or added in round 2 that still needs its first
-    # driver row must sit inside the window
-    must_check = {
-        "scalar_math_funcs", "approx_cardinality", "text_lang_id",
-        "similarity_ann_lsh", "dedup_cluster_cc", "contamination_ngram_scan",
-        "streaming_session_windows", "streaming_dedupe_count",
-        "multimodal_decode", "similarity_ivf",
-    }
+    # round 3: everything without a driver row — changed since its last
+    # row, registered this round, or never yet checked — must sit
+    # inside the window
+    must_check = set(registry._CHANGED) | set(registry._NEW_R3) | set(
+        registry._NEVER_CHECKED
+    )
+    assert must_check <= set(registry.QUERIES)
     missing = must_check - set(window)
-    assert not missing, f"round-2 must-check queries outside window: {missing}"
+    assert not missing, f"must-check queries outside window: {missing}"
+    # every window entry is oracle-bound (no rows-only checks burn a slot)
+    import __spark_entry__ as entry
+
+    osql = entry.oracle_sql()
+    no_oracle = [n for n in window if n not in osql]
+    assert not no_oracle, f"window entries without oracle: {no_oracle}"
     # oracle_sql keys must be a subset of queries and aligned by name
     osql = registry.oracle_sql()
     assert set(osql) <= set(names)
