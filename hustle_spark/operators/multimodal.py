@@ -32,6 +32,11 @@ FEATURE_SCHEMA = (
     "width int, height int, ok boolean"
 )
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, channels int, "
+    "sample_rate int, bits int, n_frames long, ok boolean"
+)
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -77,6 +82,30 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(p[8:10], "little"),
         )
     return None
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse (channels, sample_rate, bits, n_frames) from a canonical
+    44-byte PCM WAV header (RIFF/WAVE + 16-byte fmt chunk + data chunk)
+    — pure Python, no audio libraries. All multi-byte fields are
+    little-endian per RIFF. Returns None for non-WAV or non-PCM
+    payloads; n_frames = data_size / block_align (the exact frame
+    count, engine-independent — duration in seconds would be a float)."""
+    p = payload
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE" or p[12:16] != b"fmt ":
+        return None
+    if int.from_bytes(p[16:20], "little") != 16:  # fmt chunk size (PCM)
+        return None
+    if int.from_bytes(p[20:22], "little") != 1:  # audio format 1 = PCM
+        return None
+    channels = int.from_bytes(p[22:24], "little")
+    sample_rate = int.from_bytes(p[24:28], "little")
+    block_align = int.from_bytes(p[32:34], "little")
+    bits = int.from_bytes(p[34:36], "little")
+    if p[36:40] != b"data" or channels == 0 or block_align == 0:
+        return None
+    data_size = int.from_bytes(p[40:44], "little")
+    return channels, sample_rate, bits, data_size // block_align
 
 
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -136,6 +165,101 @@ def synthesize_image_payloads(df: DataFrame, id_col: str) -> DataFrame:
             h.alias("declared_h"),
         ).alias("meta"),
     )
+
+
+def synthesize_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are REAL 44-byte PCM WAV
+    headers, constructed entirely in codegen (hex concat ->
+    to_binary). Acoustic parameters are a fixed function of the id so
+    the decode round-trip is independently verifiable by any engine:
+
+        channels    = id % 2 + 1
+        sample_rate = [8000, 16000, 44100][id % 3]
+        bits        = 16
+        n_frames    = id % 1000 + 1
+    """
+    mid = F.col(id_col).cast("long")
+    channels = (mid % 2 + 1).cast("int")
+    sample_rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)), (mid % 3 + 1).cast("int")
+    )
+    bits = F.lit(16)
+    n_frames = (mid % 1000 + 1).cast("long")
+    block_align = (channels * bits / 8).cast("long")
+    byte_rate = (sample_rate * block_align).cast("long")
+    data_size = (n_frames * block_align).cast("long")
+
+    def le(col, nbytes: int):
+        # little-endian hex of an integer column: byte-reverse the
+        # zero-padded big-endian hex string
+        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    payload_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        le(data_size + 36, 4),        # riff size
+        F.lit("57415645" "666D7420"), # 'WAVE' 'fmt '
+        F.lit("10000000" "0100"),     # fmt size 16 (le), PCM format 1 (le)
+        le(channels, 2),
+        le(sample_rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(bits, 2),
+        F.lit("64617461"),            # 'data'
+        le(data_size, 4),             # header only: no sample bytes
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("clip_"), mid.cast("string")).alias("filename"),
+            F.lit(0).alias("declared_w"),
+            F.lit(0).alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_audio_one(payload: bytes) -> tuple[str, int, int, int, int, int, bool]:
+    """Decode (media_type, n_bytes, channels, sample_rate, bits,
+    n_frames, ok). WAV headers parse for real; unrecognized payloads
+    get zeros with ok=False — the swap point for a full decoder
+    (torchaudio/ffmpeg, not in this container) is here."""
+    n = len(payload)
+    parsed = parse_wav_header(payload)
+    if parsed is not None:
+        ch, sr, bits, frames = parsed
+        return "wav", n, ch, sr, bits, frames, True
+    return "unknown", n, 0, 0, 0, 0, False
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction (same shape as
+    decode_features: payload bytes stay executor-side in columnar
+    batches; media_type is detected from the bytes, never copied)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_audio_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "n_bytes": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "sample_rate": [f[3] for f in feats],
+                    "bits": [f[4] for f in feats],
+                    "n_frames": [f[5] for f in feats],
+                    "ok": [f[6] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def _decode_one(payload: bytes) -> tuple[str, int, int, int, int, bool]:

@@ -1284,6 +1284,39 @@ def multimodal_decode(spark, sf_dir):
     return feats.select("media_id", "media_type", "n_bytes", "width", "height", "ok")
 
 
+@query(
+    "multimodal_audio_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'wav' AS media_type,
+           CAST(44 AS BIGINT) AS n_bytes,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(doc_id % 1000 + 1 AS BIGINT) AS n_frames,
+           true AS ok
+    FROM documents
+    """,
+)
+def multimodal_audio_probe(spark, sf_dir):
+    """L5 multimodal, audio modality: REAL 44-byte PCM WAV headers
+    synthesized in codegen (little-endian RIFF fields via hex
+    byte-reversal) with acoustic parameters derived from doc_id, then
+    parsed back by the pure-Python RIFF parser inside an Arrow-batched
+    mapInPandas (operators.multimodal.decode_audio_features). The
+    oracle independently recomputes channels/sample-rate/frame-count
+    from the id, verifying the binary round-trip end-to-end — the same
+    contract multimodal_decode proves for images."""
+    d = _cat(spark, sf_dir).table("documents").df
+    media = multimodal.synthesize_wav_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_audio_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "channels", "sample_rate",
+        "bits", "n_frames", "ok",
+    )
+
+
 # =====================================================================
 # EXT: Structured Streaming (SURVEY 2.8) — real micro-batch execution
 # =====================================================================
@@ -4477,7 +4510,7 @@ _NEW_R3 = [
     "markov_transitions", "stratified_sample_stats",
     "bigram_vocab_stats", "length_profile_by_source",
     "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
-    "time_rollup_hierarchy",
+    "time_rollup_hierarchy", "multimodal_audio_probe",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21

@@ -344,3 +344,26 @@ def test_chunk_documents_null_and_empty_text(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 1
     assert len(by_doc[3]) == 2  # 3 tokens, chunk=2/stride=1 -> 2 chunks
     assert by_doc[1][0].chunk_fp == by_doc[2][0].chunk_fp  # same empty content
+
+
+def test_parse_wav_header_roundtrip():
+    import struct
+
+    from hustle_spark.operators.multimodal import parse_wav_header
+
+    def wav(ch, sr, bits, frames):
+        ba = ch * bits // 8
+        ds = frames * ba
+        return (
+            b"RIFF" + struct.pack("<I", ds + 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+            + b"data" + struct.pack("<I", ds)
+        )
+
+    assert parse_wav_header(wav(2, 44100, 16, 1000)) == (2, 44100, 16, 1000)
+    assert parse_wav_header(wav(1, 8000, 16, 7)) == (1, 8000, 16, 7)
+    assert parse_wav_header(b"RIFFxxxx") is None            # truncated
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\n" + b"\0" * 40) is None
+    # non-PCM format code refused
+    bad = bytearray(wav(1, 8000, 16, 7)); bad[20] = 3
+    assert parse_wav_header(bytes(bad)) is None

@@ -30,6 +30,7 @@ ALLOWED_PYTHON = {
     "udaf_regression_slope",   # U3 demo: applyInPandas
     "udtf_shingle_stats",      # U4 demo: mapInPandas
     "multimodal_decode",       # media decode is inherently Python
+    "multimodal_audio_probe",  # audio header decode, same mapInPandas path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
