@@ -1322,6 +1322,34 @@ def multimodal_audio_probe(spark, sf_dir):
 # =====================================================================
 
 @query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,2))
+                 * CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                   WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3 ELSE 4 END)
+               AS DOUBLE) * 100) AS BIGINT) AS weighted_value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-STATIC dimension join (SURVEY 2.8): the events stream is
+    enriched against a small static weight dimension (broadcast per
+    micro-batch, zero join state) then aggregated in watermarked
+    tumbling windows — real micro-batch execution via availableNow,
+    checked against the batch-semantics SQL oracle like every other
+    streaming row."""
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 5), ("signup", 3), ("error", 4)],
+        "event_type string, weight int",
+    )
+    agg = stream_mod.stream_static_enrich(events, dim)
+    return stream_mod.run_streaming_batch(agg, output_mode="complete")
+
+
+@query(
     "streaming_tumbling_hour",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
@@ -4511,6 +4539,7 @@ _NEW_R3 = [
     "bigram_vocab_stats", "length_profile_by_source",
     "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
     "time_rollup_hierarchy", "multimodal_audio_probe",
+    "streaming_static_enrich",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21

@@ -149,6 +149,42 @@ def stream_stream_attribution_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC join + watermarked tumbling aggregate: the classic
+    dimension-enrichment shape. The static side is re-planned as a
+    broadcast lookup each micro-batch — no join state accumulates (only
+    stream-stream joins buffer state), so the dimension can be swapped
+    between batches and the stream side stays the only unbounded input.
+    ``dim`` must carry (event_type, weight)."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    j = e.join(F.broadcast(dim), "event_type")
+    return (
+        j.groupBy(F.window("ts", size).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("weight")).cast(
+                    "double"
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("weighted_value_c"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "weighted_value_c",
+        )
+    )
+
+
 def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a (bounded) streaming DataFrame to completion through a
     memory sink and return the result as a static DataFrame. This is how
