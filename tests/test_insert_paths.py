@@ -169,3 +169,25 @@ def test_chunk_documents_rejects_reserved_columns(spark):
     df = spark.createDataFrame([(1, "a b c", 5)], "doc_id long, text string, chunk_idx long")
     with _pytest.raises(ValueError, match="chunk_documents reserves"):
         chunk_documents(df)
+
+
+def test_roundtrip_export_gate_rewrites_partial_dir(spark):
+    """orc_roundtrip_agg gates its cached export on _SUCCESS: a dir
+    left by a crashed partial write (no marker) must be rewritten, not
+    silently aggregated (ADVICE r2)."""
+    import shutil
+    from pathlib import Path
+
+    from hustle_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    cat = registry._cat(spark, sf_dir)
+    dst = Path(str(cat.scratch / "orc_orders"))
+    # run once to build the export, then simulate a crashed write
+    first = registry.QUERIES["orc_roundtrip_agg"].fn(spark, sf_dir).collect()
+    assert (dst / "_SUCCESS").is_file()
+    shutil.rmtree(dst)
+    dst.mkdir(parents=True)  # bare dir, no _SUCCESS, no data
+    again = registry.QUERIES["orc_roundtrip_agg"].fn(spark, sf_dir).collect()
+    assert (dst / "_SUCCESS").is_file()  # rewritten, not trusted
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
