@@ -1285,6 +1285,102 @@ def multimodal_decode(spark, sf_dir):
 
 
 @query(
+    "delete_partition_requery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS min_key
+    FROM orders WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def delete_partition_requery(spark, sf_dir):
+    """S6 partition-deletion lifecycle as a driver-checked query (it
+    was unit-only before round 3): create a managed partitioned table
+    in scratch with the reference column grammar, bulk-append orders,
+    delete the 'F' partition by predicate (whole-partition deletion —
+    the append-only model's only delete), and re-query. The oracle is
+    the equivalent anti-filter on the source table, so partition-prune
+    deletion semantics are value-checked end-to-end."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    root = Path(str(cat.scratch)) / "lifecycle_del"
+    shutil.rmtree(root, ignore_errors=True)  # idempotent rebuild
+    root.mkdir(parents=True)
+    lc = h.connect(spark, root, scratch=Path(str(cat.scratch)) / "lifecycle_del_s")
+    name = "orders_by_status"
+    lc.create(
+        name,
+        ["string o_orderstatus", "string o_orderpriority", "index uint64 o_orderkey"],
+        partition="o_orderstatus",
+    )
+    o = cat.table("orders").df.select("o_orderstatus", "o_orderpriority", "o_orderkey")
+    lc.append(name, o)
+    deleted = lc.delete(name, where=lambda v: v == "F")
+    assert deleted == ["F"], deleted
+    return (
+        lc.table(name)
+        .df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+    )
+
+
+@query(
+    "insert_jsonl_requery",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def insert_jsonl_requery(spark, sf_dir):
+    """S3 bulk-insert lifecycle as a driver-checked query (unit-only
+    before round 3): export documents to newline-JSON, ``insert`` it
+    into a created table whose declared schema OMITS the text column
+    (exercising the reference's unknown-field-drop decode) through a
+    preprocess hook filtering lang='en', then aggregate the managed
+    table. The oracle aggregates the source parquet directly, closing
+    the decode → coerce → drop → hook → append loop."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df
+    dump = str(Path(str(cat.scratch)) / "jsonl_flat_documents")
+    if not (Path(dump) / "_SUCCESS").is_file():
+        SRC.write_jsonl(d, dump)  # no partitioning: records carry all fields
+    root = Path(str(cat.scratch)) / "lifecycle_ins"
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    lc = h.connect(spark, root, scratch=Path(str(cat.scratch)) / "lifecycle_ins_s")
+    name = "docs_ingest"
+    lc.create(
+        name,
+        ["uint64 doc_id", "string lang", "trie source", "uint32 n_chars"],
+        partition="lang",
+    )
+    h.insert(
+        lc,
+        name,
+        phile=dump,
+        preprocess=lambda df: df.filter(F.col("lang") == "en"),
+    )
+    return (
+        lc.table(name)
+        .df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
     "multimodal_audio_probe",
     oracle="""
     SELECT doc_id AS media_id,
@@ -4539,7 +4635,8 @@ _NEW_R3 = [
     "bigram_vocab_stats", "length_profile_by_source",
     "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
     "time_rollup_hierarchy", "multimodal_audio_probe",
-    "streaming_static_enrich",
+    "streaming_static_enrich", "delete_partition_requery",
+    "insert_jsonl_requery",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21
