@@ -219,3 +219,37 @@ def test_quantize_int8_error_bound(vec, spark):
             assert q == math.floor(xd * 127.0 / maxabs)
         else:
             assert q == 0
+
+
+@given(
+    ch=st.integers(1, 8),
+    sr=st.sampled_from([8000, 16000, 22050, 44100, 48000, 96000]),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    frames=st.integers(0, 10**8),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_synth_parse_roundtrip(ch, sr, bits, frames):
+    """parse_wav_header inverts a canonical PCM header for ANY valid
+    parameter combination — the pure-Python mirror of what
+    synthesize_wav_payloads builds in codegen."""
+    import struct
+
+    from hustle_spark.operators.multimodal import parse_wav_header
+
+    ba = ch * bits // 8
+    ds = frames * ba
+    payload = (
+        b"RIFF" + struct.pack("<I", (ds + 36) & 0xFFFFFFFF) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+        + b"data" + struct.pack("<I", ds & 0xFFFFFFFF)
+    )
+    assert parse_wav_header(payload) == (ch, sr, bits, (ds & 0xFFFFFFFF) // ba)
+
+
+@given(data=st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_wav_header_never_crashes_on_junk(data):
+    from hustle_spark.operators.multimodal import parse_wav_header
+
+    r = parse_wav_header(data)
+    assert r is None or (isinstance(r, tuple) and len(r) == 4)
