@@ -253,3 +253,28 @@ def test_wav_header_never_crashes_on_junk(data):
 
     r = parse_wav_header(data)
     assert r is None or (isinstance(r, tuple) and len(r) == 4)
+
+
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       fmt=st.sampled_from(["png", "jpeg", "gif"]))
+@settings(max_examples=150, deadline=None)
+def test_image_header_synth_parse_roundtrip(w, h, fmt):
+    """parse_image_header inverts hand-built PNG/JPEG/GIF headers for
+    any dimensions — property twin of the example-based tests."""
+    from hustle_spark.operators.multimodal import parse_image_header
+
+    if fmt == "png":
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+    elif fmt == "jpeg":
+        payload = (
+            b"\xff\xd8\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + b"\x03\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        )
+    else:
+        payload = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    assert parse_image_header(payload) == (fmt, w, h)
