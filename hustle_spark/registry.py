@@ -3994,7 +3994,15 @@ def dedup_minhash_audit(spark, sf_dir):
       (recomputed from the text, independent of the sketch) clears
       0.5 — the est threshold with margin; measured min at
       sf0.001/sf0.01 is 0.89, so the floor bounds false positives
-      without tracking sketch noise."""
+      without tracking sketch noise.
+
+    Deployment note: this is a VERIFICATION query — both claims
+    enumerate every emitted pair, which is exact and cheap at audit SF
+    but output-bound on corpora with dense duplicate cliques (the 10x
+    key-shifted replica makes it quadratic by construction, same as
+    the raw sketches). On production data, md5-threshold-sample the
+    pair set before the exact-Jaccard recompute; the claims become
+    statistical with the same failure signal."""
     d = _cat(spark, sf_dir).table("documents").df
     lsh = dedup.minhash_lsh_pairs(d, threshold=0.35)
     hi = dedup.ngram_jaccard_pairs(d, blocking_key="source", threshold=0.8).select(

@@ -38,7 +38,11 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
             # all columns matches what check_oracle.py/the driver pay
             df = fn(spark, sf_dir)
             try:
-                action = df.agg(F.sum(F.xxhash64(*df.columns)))
+                # decimal accumulation: a raw long sum of xxhash64
+                # values overflows under ANSI mode within ~1e10 rows
+                action = df.agg(
+                    F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+                )
                 action.schema  # analysis check before timing the run
             except Exception:  # un-hashable output type: collect instead
                 action = None
