@@ -191,3 +191,23 @@ def test_roundtrip_export_gate_rewrites_partial_dir(spark):
     again = registry.QUERIES["orc_roundtrip_agg"].fn(spark, sf_dir).collect()
     assert (dst / "_SUCCESS").is_file()  # rewritten, not trusted
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+
+
+def test_compact_recovery_prefers_newest_trash(spark, tmp_path):
+    """Repeated crashes can strand several trash dirs; the sweep must
+    restore the NEWEST (latest data) and clear the rest."""
+    import os
+    import time
+
+    cat = h.connect(spark, tmp_path)
+    cat.create("logs4", ["uint32 n"])
+    cat.append("logs4", spark.createDataFrame([(1,)], "n long"))
+    old = tmp_path / "_logs4.trash.00000001"
+    old.mkdir()
+    (old / "stale.txt").write_text("older crash remnant")
+    past = time.time() - 3600
+    os.utime(old, (past, past))
+    (tmp_path / "logs4").rename(tmp_path / "_logs4.trash.00000002")
+    cat2 = h.connect(spark, tmp_path)
+    assert [r.n for r in cat2.table("logs4").df.collect()] == [1]
+    assert not list(tmp_path.glob("_logs4.trash.*"))
