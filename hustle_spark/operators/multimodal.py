@@ -108,6 +108,43 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return channels, sample_rate, bits, data_size // block_align
 
 
+def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
+    """Parse (timescale, duration) from an ISO-BMFF (MP4) payload's
+    ``moov/mvhd`` box — pure Python box walk, no media libraries.
+    Handles version-0 and version-1 mvhd. Returns None when the
+    payload is not MP4-shaped (no ftyp leading box, no mvhd found)."""
+    p = payload
+    if len(p) < 16 or p[4:8] != b"ftyp":
+        return None
+
+    def walk(start: int, end: int, depth: int = 0):
+        i = start
+        while i + 8 <= end and depth < 4:
+            size = int.from_bytes(p[i : i + 4], "big")
+            box = p[i + 4 : i + 8]
+            if size < 8 or i + size > end:
+                return None
+            if box == b"mvhd":
+                version = p[i + 8]
+                if version == 1 and i + 40 <= end:
+                    ts = int.from_bytes(p[i + 28 : i + 32], "big")
+                    dur = int.from_bytes(p[i + 32 : i + 40], "big")
+                    return ts, dur
+                if version == 0 and i + 28 <= end:
+                    ts = int.from_bytes(p[i + 20 : i + 24], "big")
+                    dur = int.from_bytes(p[i + 24 : i + 28], "big")
+                    return ts, dur
+                return None
+            if box == b"moov":
+                found = walk(i + 8, i + size, depth + 1)
+                if found is not None:
+                    return found
+            i += size
+        return None
+
+    return walk(0, len(p))
+
+
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from any source column by treating its bytes
     as the payload (deterministic fake for tests; real pipelines read
@@ -220,6 +257,93 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
             F.lit(0).alias("declared_h"),
         ).alias("meta"),
     )
+
+
+def synthesize_mp4_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are REAL minimal MP4 headers
+    (ftyp box + moov/mvhd version-0 box), constructed in codegen —
+    all ISO-BMFF fields are big-endian, so plain ``hex()`` zero-padded
+    is the wire encoding. Timing parameters derive from the id:
+
+        timescale = [600, 1000, 30000][id % 3]
+        duration  = (id % 9000 + 600) timescale units
+    """
+    mid = F.col(id_col).cast("long")
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(30000)), (mid % 3 + 1).cast("int")
+    )
+    duration = (mid % 9000 + 600).cast("long")
+    be = lambda c, n: F.lpad(F.hex(c.cast("long")), n * 2, "0")  # noqa: E731
+    # ftyp: size 20, brand isom, minor 0, compatible isom
+    ftyp_hex = F.lit("00000014" "66747970" "69736F6D" "00000000" "69736F6D")
+    # mvhd v0: size 108, version/flags 0, ctime/mtime 0, timescale,
+    # duration, rate 1.0, volume 1.0, 10 reserved bytes, unity matrix,
+    # 6x4 predefined zeros, next_track 2
+    mvhd_hex = F.concat(
+        F.lit("0000006C" "6D766864" "00000000" "00000000" "00000000"),
+        be(timescale, 4), be(duration, 4),
+        F.lit(
+            "00010000"          # rate 1.0 (16.16 fixed)
+            "0100" "0000"       # volume 1.0 (8.8 fixed) + reserved u16
+            "0000000000000000"  # reserved u32[2]
+            "000100000000000000000000"   # unity matrix row 1
+            "000000000001000000000000"   # unity matrix row 2
+            "000000000000000040000000"   # unity matrix row 3
+            "000000000000000000000000"
+            "000000000000000000000000"   # pre_defined u32[6]
+            "00000002"          # next_track_id
+        ),
+    )
+    # moov wraps mvhd: size 8 + 108 = 116 (0x74)
+    payload_hex = F.concat(ftyp_hex, F.lit("00000074" "6D6F6F76"), mvhd_hex)
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("video/mp4").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("clip_"), mid.cast("string")).alias("filename"),
+            F.lit(0).alias("declared_w"),
+            F.lit(0).alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, timescale int, "
+    "duration long, duration_ms long, ok boolean"
+)
+
+
+def decode_video_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched video metadata extraction: real mvhd box walk per
+    payload; duration_ms is integer floor(duration * 1000 / timescale)
+    so every engine reproduces it exactly. Frame/pixel decode (ffmpeg)
+    is the documented swap point, as with images and audio."""
+
+    def one(payload: bytes):
+        n = len(payload)
+        parsed = parse_mp4_header(payload)
+        if parsed is None:
+            return "unknown", n, 0, 0, 0, False
+        ts, dur = parsed
+        return "mp4", n, ts, dur, (dur * 1000) // ts if ts else 0, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "n_bytes": [f[1] for f in feats],
+                    "timescale": [f[2] for f in feats],
+                    "duration": [f[3] for f in feats],
+                    "duration_ms": [f[4] for f in feats],
+                    "ok": [f[5] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FEATURE_SCHEMA)
 
 
 def _decode_audio_one(payload: bytes) -> tuple[str, int, int, int, int, int, bool]:

@@ -1413,6 +1413,38 @@ def multimodal_audio_probe(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_video_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'mp4' AS media_type,
+           CAST(136 AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 30000 END AS INT) AS timescale,
+           CAST(doc_id % 9000 + 600 AS BIGINT) AS duration,
+           CAST((doc_id % 9000 + 600) * 1000
+                // CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                   ELSE 30000 END AS BIGINT) AS duration_ms,
+           true AS ok
+    FROM documents
+    """,
+)
+def multimodal_video_probe(spark, sf_dir):
+    """L5 multimodal, video modality — completes the image/audio/video
+    trio: REAL minimal ISO-BMFF payloads (ftyp + moov/mvhd boxes,
+    big-endian, built in codegen) parsed back by a pure-Python box
+    walk inside Arrow-batched mapInPandas
+    (operators.multimodal.decode_video_features). duration_ms is
+    integer floor arithmetic so the oracle reproduces it exactly."""
+    d = _cat(spark, sf_dir).table("documents").df
+    media = multimodal.synthesize_mp4_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_video_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "timescale", "duration",
+        "duration_ms", "ok",
+    )
+
+
 # =====================================================================
 # EXT: Structured Streaming (SURVEY 2.8) — real micro-batch execution
 # =====================================================================
@@ -4644,7 +4676,7 @@ _NEW_R3 = [
     "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
     "time_rollup_hierarchy", "multimodal_audio_probe",
     "streaming_static_enrich", "delete_partition_requery",
-    "insert_jsonl_requery",
+    "insert_jsonl_requery", "multimodal_video_probe",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21

@@ -31,6 +31,7 @@ ALLOWED_PYTHON = {
     "udtf_shingle_stats",      # U4 demo: mapInPandas
     "multimodal_decode",       # media decode is inherently Python
     "multimodal_audio_probe",  # audio header decode, same mapInPandas path
+    "multimodal_video_probe",  # mp4 box walk, same mapInPandas path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 

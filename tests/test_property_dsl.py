@@ -278,3 +278,35 @@ def test_image_header_synth_parse_roundtrip(w, h, fmt):
     else:
         payload = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
     assert parse_image_header(payload) == (fmt, w, h)
+
+
+@given(ts=st.sampled_from([600, 1000, 30000, 90000]),
+       dur=st.integers(0, 2**32 - 1), version=st.sampled_from([0, 1]))
+@settings(max_examples=150, deadline=None)
+def test_mp4_mvhd_parse_roundtrip(ts, dur, version):
+    from hustle_spark.operators.multimodal import parse_mp4_header
+
+    ftyp = bytes.fromhex("00000014" "66747970" "69736F6D" "00000000" "69736F6D")
+    tail = bytes.fromhex(
+        "00010000" "0100" "0000" "0000000000000000"
+        "000100000000000000000000" "000000000001000000000000"
+        "000000000000000040000000"
+        "000000000000000000000000" "000000000000000000000000"
+        "00000002"
+    )
+    if version == 0:
+        body = b"\x00\x00\x00\x00" * 3 + ts.to_bytes(4, "big") + dur.to_bytes(4, "big")
+    else:  # v1: 64-bit ctime/mtime/duration
+        body = b"\x01\x00\x00\x00" + b"\x00" * 16 + ts.to_bytes(4, "big") + dur.to_bytes(8, "big")
+    mvhd = (len(body) + len(tail) + 8).to_bytes(4, "big") + b"mvhd" + body + tail
+    moov = (len(mvhd) + 8).to_bytes(4, "big") + b"moov" + mvhd
+    assert parse_mp4_header(ftyp + moov) == (ts, dur)
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_mp4_parse_never_crashes_on_junk(data):
+    from hustle_spark.operators.multimodal import parse_mp4_header
+
+    r = parse_mp4_header(data)
+    assert r is None or (isinstance(r, tuple) and len(r) == 2)
