@@ -290,6 +290,16 @@ def ivf_index(
 
     train = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed=seed)
     train_vec = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if train_vec.isEmpty():
+        # KMeans.fit on zero rows dies with an opaque JVM error; an
+        # index over an empty corpus is a caller bug — say so. (The
+        # isEmpty probe short-circuits on the first non-empty
+        # partition, negligible next to the fit itself.)
+        raise ValueError(
+            "ivf_index: training set is empty — cannot build an IVF "
+            "index over an empty corpus (check the corpus path / "
+            "sample_fraction)"
+        )
     km = KMeans(k=n_lists, seed=seed, maxIter=20)
     model = km.fit(train_vec)
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

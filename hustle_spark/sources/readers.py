@@ -11,7 +11,21 @@ handling; column-pruning-friendly layouts).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _ensure_declared_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Add declared-but-absent columns as typed NULLs. The case this
+    covers: a hive-partitioned export whose partition VALUES live in
+    directory names — an EMPTY export has no part dirs, so the loaded
+    frame silently lacks the partition column and downstream filters
+    fail to resolve. Declared schema wins over what listing found."""
+    present = set(df.columns)
+    for f in schema.fields:
+        if f.name not in present:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
@@ -75,6 +89,7 @@ def read_orc(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+        return _ensure_declared_columns(reader.orc(path), schema)
     return reader.orc(path)
 
 
@@ -104,6 +119,7 @@ def read_jsonl(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+        return _ensure_declared_columns(reader.json(path), schema)
     return reader.json(path)
 
 

@@ -1,0 +1,49 @@
+"""Degenerate-input sweep: every registry query must behave on EMPTY
+tables (schema-only parquet) — return an empty/zero-row result or
+raise a clearly-typed ValueError, never an opaque engine error. At
+100 TB, empty partitions, empty date ranges, and empty exports are
+routine, not exotic; a query that dies on them dies in production.
+
+Found-and-fixed by this sweep (round 3): partitioned ORC/JSONL
+exports lose their partition COLUMN when empty (no part dirs) —
+readers now re-add declared columns as typed NULLs; IVF k-means died
+with an opaque Py4J error on zero rows — now a ValueError.
+"""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from hustle_spark import registry
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+EMPTY_DIR = Path("/root/repo/.scratch/sf_empty_test")
+
+# queries that legitimately REFUSE empty input with a typed error
+EXPECTED_ERROR = {
+    "similarity_ivf": ValueError,  # IVF index over an empty corpus
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark):
+    shutil.rmtree(EMPTY_DIR, ignore_errors=True)
+    EMPTY_DIR.mkdir(parents=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(str(EMPTY_DIR / f"{t}.parquet"))
+    # fresh catalog + no stale scratch exports for this dir
+    registry._catalogs.pop((id(spark), str(EMPTY_DIR)), None)
+    yield str(EMPTY_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_handles_empty_input(name, spark, empty_dir):
+    q = registry.QUERIES[name]
+    if name in EXPECTED_ERROR:
+        with pytest.raises(EXPECTED_ERROR[name]):
+            q.fn(spark, empty_dir).count()
+        return
+    n = q.fn(spark, empty_dir).count()
+    assert n >= 0  # executed; most queries yield 0 rows, audits yield claims
