@@ -4186,6 +4186,29 @@ def time_rollup_hierarchy(spark, sf_dir):
 
 
 @query(
+    "grouping_marker_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_marker_rollup(spark, sf_dir):
+    """GROUPING() markers on a rollup — the only way to tell a subtotal
+    row's NULL from a data NULL (A8 depth: rollup_status_priority
+    covers the shape, this covers the disambiguation semantics both
+    engines define identically: 1 = column aggregated away)."""
+    o = _cat(spark, sf_dir).table("orders").df
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "window_cume_dist",
     oracle="""
     WITH t AS (
@@ -4687,6 +4710,7 @@ _NEW_R3 = [
     "time_rollup_hierarchy", "multimodal_audio_probe",
     "streaming_static_enrich", "delete_partition_requery",
     "insert_jsonl_requery", "multimodal_video_probe",
+    "grouping_marker_rollup",
 ]
 
 # Registered in round 2 but never yet inside a driver window; all 21
