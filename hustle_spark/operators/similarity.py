@@ -217,14 +217,21 @@ def ann_topk(
             F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"__sig_{t}").alias("s")) for t in range(n_tables)])
         ).alias("bucket"),
     )
-    cand = (
-        c_buckets.join(F.broadcast(q_buckets), "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, vec_col, "__qv")
-        .distinct()
+    cand = c_buckets.join(F.broadcast(q_buckets), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
     )
-    scored = cand.select(
-        "query_id", id_col, cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
+    # Score BEFORE the dedup shuffle: a (query, corpus) pair colliding in
+    # several tables yields identical cosines, so max() dedups exactly —
+    # and the one shuffle then carries (query_id, id, cosine) scalars
+    # (~24 B/row) instead of two full vectors (~12 KB/row at 768-dim).
+    # The broadcast join keeps candidates map-side, so the <= n_tables
+    # redundant cosine evals collapse in the partial aggregate anyway.
+    scored = (
+        cand.select(
+            "query_id", id_col, cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     return _rank_topk(scored, k, id_col, quantize)
 
@@ -241,7 +248,28 @@ def embedding_near_dup_pairs(
     signature_method: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold)
-    via LSH bucketing — the embedding analogue of MinHash dedup."""
+    via LSH bucketing — the embedding analogue of MinHash dedup.
+
+    Scale shape: the bucket self-join's co-location shuffle (n_tables
+    exploded copies of each row, both sides) is irreducible unless
+    ``df`` is pre-partitioned by signature — but everything AFTER it
+    need not carry vectors. Cosine is computed AT the join output
+    (same stage, before any further exchange), the threshold filter
+    kills non-dups immediately, and the dedup of multi-table collisions
+    is a ``distinct()`` over (a, b, cosine) SCALARS — ~24 B/row, never
+    over rows carrying both embeddings (~12 KB/row at 768-dim), and
+    never dependent on Catalyst's filter-below-aggregate pushdown to
+    stay that way. Duplicate candidates re-compute cosine (bounded by
+    n_tables, map-side, vectorized) — CPU is the cheap currency,
+    shuffle bytes the expensive one. The tempting alternative (dedup
+    bare id pairs first, re-join vectors after) measures strictly
+    WORSE: the re-join shuffles one vector per candidate row, which
+    exceeds the bucket-join bytes whenever candidates/row > n_tables.
+    Measured (scripts/stress.py emb768, 30k x 768-dim): this shape and
+    the old fat-distinct shape both shuffle 357 MB — the bucket
+    co-location, computed once and read twice via ReusedExchange, with
+    the old shape's fat distinct saved only by the filter pushdown —
+    while the id/re-join shape shuffles 1225 MB."""
     sig = lsh_signatures(df, dim, vec_col, n_tables, bits_per_table, seed, signature_method)
     buckets = sig.select(
         F.col(id_col).alias("id"),
@@ -251,19 +279,15 @@ def embedding_near_dup_pairs(
         ).alias("bucket"),
     )
     l, r = buckets.alias("L"), buckets.alias("R")
-    cand = (
+    return (
         l.join(r, (F.col("L.bucket") == F.col("R.bucket")) & (F.col("L.id") < F.col("R.id")))
         .select(
             F.col("L.id").alias("a"),
             F.col("R.id").alias("b"),
-            F.col("L.v").alias("va"),
-            F.col("R.v").alias("vb"),
+            cosine(F.col("L.v"), F.col("R.v")).alias("cosine"),
         )
-        .distinct()
-    )
-    return (
-        cand.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

@@ -73,7 +73,129 @@ def timed(label, thunk):
     return dt
 
 
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across completed stages (UI REST API)."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def _near_dup_buckets(df, dim, n_tables, bits_per_table, with_vec):
+    from hustle_spark.operators.similarity import lsh_signatures
+
+    sig = lsh_signatures(df, dim, "embedding", n_tables, bits_per_table, 42, "numpy")
+    cols = [F.col("vec_id").alias("id")] + ([F.col("embedding").alias("v")] if with_vec else [])
+    return sig.select(
+        *cols,
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"__sig_{t}").alias("s")) for t in range(n_tables)])
+        ).alias("bucket"),
+    )
+
+
+def _near_dup_pairs_fat(df, dim, threshold, n_tables, bits_per_table):
+    """Pre-round-4 shape: fat distinct over rows carrying BOTH embeddings
+    (the A/B control for the shuffle-bytes measurement below)."""
+    from hustle_spark.operators.similarity import cosine
+
+    buckets = _near_dup_buckets(df, dim, n_tables, bits_per_table, with_vec=True)
+    l, r = buckets.alias("L"), buckets.alias("R")
+    cand = (
+        l.join(r, (F.col("L.bucket") == F.col("R.bucket")) & (F.col("L.id") < F.col("R.id")))
+        .select(
+            F.col("L.id").alias("a"),
+            F.col("R.id").alias("b"),
+            F.col("L.v").alias("va"),
+            F.col("R.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return cand.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def _near_dup_pairs_rejoin(df, dim, threshold, n_tables, bits_per_table):
+    """The REJECTED round-4 alternative: id-only bucket join, distinct
+    bare (a, b) pairs, then re-join both vector columns. Looks skinny
+    but the re-join shuffles one vector per CANDIDATE row — worse than
+    the bucket join whenever candidates/row > n_tables (which this
+    measurement demonstrates)."""
+    from hustle_spark.operators.similarity import cosine
+
+    buckets = _near_dup_buckets(df, dim, n_tables, bits_per_table, with_vec=False)
+    l, r = buckets.alias("L"), buckets.alias("R")
+    pairs = (
+        l.join(r, (F.col("L.bucket") == F.col("R.bucket")) & (F.col("L.id") < F.col("R.id")))
+        .select(F.col("L.id").alias("a"), F.col("R.id").alias("b"))
+        .distinct()
+    )
+    va = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def emb768():
+    """A/B the round-4 ids-first near-dup candidate shape against the old
+    fat-shuffle shape at production vector width (768-dim): the claim is
+    the candidate-generation shuffle drops from O(n_tables x vector
+    bytes) to O(id bytes).  python scripts/stress.py emb768 [n_vec]"""
+    from hustle_spark.operators import similarity
+
+    n_vec = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    spark = get_session(app_name="stress-emb768", extra_conf={"spark.ui.enabled": "true"})
+    # force the candidate self-join through a real exchange (the thing
+    # being measured); AQE would otherwise broadcast one side at this SF
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    emb_path = SCRATCH / f"emb768_{n_vec}"
+    if not emb_path.exists():
+        (
+            spark.range(n_vec)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(767)),
+                    lambda i: (F.abs(F.xxhash64(F.col("id"), i)) % 2000 - 1000) / 1000.0,
+                ).alias("embedding"),
+            )
+            .write.mode("overwrite").parquet(str(emb_path))
+        )
+    emb = spark.read.parquet(str(emb_path))
+    kw = dict(dim=768, threshold=0.8, n_tables=4, bits_per_table=12)
+    print(f"emb768 near-dup shuffle A/B: {n_vec:,} vectors x 768 dims, {kw}")
+    # untimed warmup so the first measured variant doesn't eat JVM/codegen
+    # warmup + page-cache priming (order bias)
+    similarity.embedding_near_dup_pairs(emb, signature_method="numpy", **kw).count()
+    for label, thunk in [
+        ("fat distinct (pre-round-4)", lambda: _near_dup_pairs_fat(emb, **kw).count()),
+        ("ids-first + vector re-join (rejected)", lambda: _near_dup_pairs_rejoin(emb, **kw).count()),
+        ("score-at-join, scalar distinct (SHIPPED)", lambda: similarity.embedding_near_dup_pairs(
+            emb, signature_method="numpy", **kw).count()),
+    ]:
+        b0 = _shuffle_write_bytes(spark)
+        t0 = time.time()
+        n = thunk()
+        dt = time.time() - t0
+        db = _shuffle_write_bytes(spark) - b0
+        print(f"  {label:42s} {dt:6.1f}s  shuffle-write {db / 1e6:10.1f} MB  ({n} pairs)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "emb768":
+        emb768()
+        return
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     spark = get_session(app_name="stress", extra_conf={"spark.ui.enabled": "false"})
