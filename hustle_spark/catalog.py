@@ -68,6 +68,27 @@ class Catalog:
         self.root = Path(root)
         self.scratch = Path(scratch) if scratch else self.root / "_scratch"
         self._cache: dict[str, Table] = {}
+        self._sweep_stale_compaction_dirs()
+
+    def _sweep_stale_compaction_dirs(self) -> None:
+        """Connect-time orphan sweep. ``_recover_orphans`` (below) runs
+        only when a table DIR is missing — so a crash after
+        ``staging.rename(path)`` but before ``rmtree(trash)`` leaves a
+        stale ``_<name>.trash.*`` that is hidden from tables() yet
+        silently holds disk equal to the table size (ADVICE r3). One
+        pass at connect time reclaims every trash/staging sibling whose
+        table dir is present; missing-dir cases still go through the
+        restore path in _recover_orphans."""
+        if not self.root.is_dir():
+            return
+        for d in self.root.glob("_*.trash.*"):
+            name = d.name[1:].split(".trash.")[0]
+            if (self.root / name).is_dir():
+                shutil.rmtree(d, ignore_errors=True)
+        for d in self.root.glob("_*.compact.*"):
+            name = d.name[1:].split(".compact.")[0]
+            if (self.root / name).is_dir():
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---- discovery ----
 

@@ -4670,6 +4670,108 @@ def percentile_approx_audit(spark, sf_dir):
 
 
 # =====================================================================
+# Round 4: the scale helpers (plans/scale.py) driven under the
+# correctness gate — the skew and co-location tools a 1000-executor
+# deployment leans on, proven result-identical to the plain plans.
+# =====================================================================
+
+@query(
+    "skew_salted_join_requery",
+    oracle="""
+    WITH skewed AS (
+        SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS uid,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    dim AS (SELECT DISTINCT uid, uid % 7 AS w FROM skewed)
+    SELECT w, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM skewed JOIN dim USING (uid)
+    GROUP BY w
+    """,
+)
+def skew_salted_join_requery(spark, sf_dir):
+    """plans.scale.salted_join under the correctness gate: ~30% of event
+    rows are remapped onto ONE hot key (the null-user/bot-traffic shape
+    AQE skew-split cannot fix when a single key exceeds a partition),
+    then salted-joined to a per-key dim. The oracle is the PLAIN
+    un-salted join in DuckDB — proving the salt+explode rewrite is
+    result-identical, which is the whole contract: salting must change
+    the physical distribution and nothing else. Values funnel through
+    floor-cents BIGINT so the sums are exact across engines."""
+    from .plans import salted_join
+
+    ev = _cat(spark, sf_dir).table("events").df
+    skewed = ev.select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = skewed.select("uid").distinct().withColumn("w", F.col("uid") % 7)
+    joined = salted_join(skewed, dim, key="uid", salt=8)
+    return joined.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@query(
+    "bucketed_join_requery",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           TRUE AS bucketed_exchange_free
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_requery(spark, sf_dir):
+    """plans.scale.bucketize_table under the correctness gate: write
+    orders and customer bucketed by their join key (8 buckets, external
+    tables in scratch), join the bucketed reads, and aggregate per
+    market segment. Two claims, both oracle-checked in one row set:
+
+    - correctness: the bucketed join equals the plain parquet join
+      (DuckDB recomputes it from the raw tables);
+    - the scale property itself: ``bucketed_exchange_free`` is computed
+      from the join's physical plan — TRUE iff the SortMergeJoin has NO
+      Exchange on either side (the bucket co-location did its job), and
+      the oracle pins it TRUE. ``hint("merge")`` forces the SMJ path in
+      the plan itself (a session-conf toggle would not survive until the
+      driver's deferred collect).
+
+    This is Spark's analogue of the reference keeping marbles
+    pre-partitioned per insert batch (public repo hustle/core/marble.py)
+    — but keyed, so co-location survives arbitrary joins on the key."""
+    from .plans.scale import bucketize_table, explain_str
+
+    cat = _cat(spark, sf_dir)
+    orders = cat.table("orders").df.select("o_custkey", "o_totalprice")
+    cust = cat.table("customer").df.select("c_custkey", "c_mktsegment")
+    base = cat.scratch / "bucketed_r4"
+    for name, df, key in [
+        ("r4_bucketed_orders", orders, "o_custkey"),
+        ("r4_bucketed_customer", cust, "c_custkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bucketize_table(df, name, key, buckets=8, path=str(base / name))
+    bo = spark.table("r4_bucketed_orders")
+    bc = spark.table("r4_bucketed_customer").hint("merge")
+    joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+    plan = explain_str(joined)
+    exchange_free = "SortMergeJoin" in plan and "Exchange" not in plan
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .withColumn("bucketed_exchange_free", F.lit(exchange_free))
+    )
+
+
+# =====================================================================
 # entry point
 # =====================================================================
 
@@ -4684,56 +4786,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r01.json keys == list(queries())[:50]).  Windows rotate
 # per round; docs/CHECKED.md is the manifest of which round proved what.
 #
-# Round-3 sort invariant (VERDICT.md r2, "Next round" #1/#3): queries
-# CHANGED since their last driver row out-rank never-checked ones, which
+# Sort invariant (VERDICT.md r2, "Next round" #1/#3): queries CHANGED
+# since their last driver row out-rank new-this-round ones, which
 # out-rank already-proven backfill.  The window is composed from the
-# explicit segments below so that adding a round-3 query automatically
-# squeezes a backfill slot out instead of silently landing at 51+ (the
-# round-2 process bug).  tests/test_window_invariant.py enforces that
-# any query whose content hash differs from docs/query_hashes.json sits
-# inside the first 50.
+# explicit segments below so that adding a query automatically squeezes
+# a backfill slot out instead of silently landing at 51+ (the round-2
+# process bug).  tests/test_window_invariant.py enforces that any query
+# whose content hash differs from docs/query_hashes.json sits inside
+# the first 50.
+#
+# Round-4 rotation (VERDICT.md r3, "Next round" #1): every r3-window
+# query passed 50/50, so _CHANGED/_NEW drained into the proven pool and
+# the backfill re-proves the STALEST green rows first — all 34
+# hash-checkable r1-proven queries (everything from the r1 window except
+# the two by-design rows-only sketches dedup_minhash_lsh/dedup_simhash,
+# whose machinery is hash-checked via their md5 twins, driver-green r3),
+# then the oldest r2-proven rows in their CORRECTNESS_r02 order.
 _WINDOW_SIZE = 50
 
-# Changed since their last driver row (r2 edits at former positions
-# 51-52, plus the collect_set_sorted hashability fix this round).
+# Changed since their last driver row: round 4 rewrote the LSH candidate
+# dedup in operators/similarity.py (scalar-only dedup shuffles) under
+# both of these. Helper-level edits do not move the registry function's
+# content hash, so they are promoted here MANUALLY — the hash invariant
+# only catches registry-source edits.
 _CHANGED = [
-    "doc_rolling_fingerprint", "embedding_near_dup", "collect_set_sorted",
+    "similarity_ann_lsh", "embedding_near_dup",
 ]
 
-# New queries registered in round 3 — every addition goes here.
-_NEW_R3 = [
-    "dedup_minhash_audit", "dedup_simhash_audit",
-    "ntile_customer_quartiles", "histogram_totalprice",
-    "markov_transitions", "stratified_sample_stats",
-    "bigram_vocab_stats", "length_profile_by_source",
-    "top_customer_share", "window_cume_dist", "nullsafe_join_probe",
-    "time_rollup_hierarchy", "multimodal_audio_probe",
-    "streaming_static_enrich", "delete_partition_requery",
-    "insert_jsonl_requery", "multimodal_video_probe",
-    "grouping_marker_rollup",
+# New queries registered this round — every addition goes here.
+_NEW_THIS_ROUND = [
+    "skew_salted_join_requery", "bucketed_join_requery",
 ]
 
-# Registered in round 2 but never yet inside a driver window; all 21
-# passed the driver-exact local harness (scripts/check_oracle.py) at
-# sf0.01 in round 2 (see docs/CHECKED.md).
-_NEVER_CHECKED = [
-    "dataset_split_stats", "pii_redaction_stats", "repetition_top_bigram",
-    "source_quota_cap", "orc_roundtrip_agg", "streaming_join_attribution",
-    "sequence_packing", "tfidf_top_terms", "doc_chunking",
-    "embedding_quantize_int8", "mixture_token_budget", "dedup_incremental",
-    "skew_profile", "table_profile", "funnel_stages", "cohort_retention",
-    "dedup_minhash_md5", "dedup_simhash_md5", "jsonl_roundtrip_agg",
-    "window_range_rolling_7d", "percentile_approx_audit",
-]
-
-# Oldest driver-proven entries (r1 window, unchanged since), used to fill
-# the window back up to 50 — freshest re-confirmation of the oldest rows.
+# Already-proven entries, oldest driver row first, used to fill the
+# window back up to 50 — freshest re-confirmation of the stalest rows.
 _BACKFILL = [
-    "q1_pricing_summary", "restrict_groupby_sum", "filter_bool_combinators",
-    "filter_isin", "filter_comparisons", "join_equi_revenue",
-    "join_multiway", "agg_stats_by_status", "distinct_order_limit",
-    "star_scan_region", "topk_orders", "nest_requery",
-    "semi_join_customers", "anti_join_customers",
+    # r1-proven (CORRECTNESS_r01), unchanged since
+    "distinct_order_limit", "star_scan_region", "topk_orders",
+    "nest_requery", "semi_join_customers", "anti_join_customers",
     "left_join_nation_suppliers", "full_outer_nation_activity",
     "cross_join_pairs", "set_except", "set_intersect", "set_union",
     "window_topk_per_group", "window_running_total", "window_lag_delta",
@@ -4741,12 +4831,22 @@ _BACKFILL = [
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
     "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
     "sessionize_users", "asof_join_signup", "dedup_exact_stats",
-    "dedup_exact_keep_min",
+    "dedup_exact_keep_min", "dedup_ngram_jaccard", "similarity_topk_exact",
+    "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
+    "doc_fingerprint_prefix",
+    # r2-proven (CORRECTNESS_r02 order)
+    "approx_cardinality", "scalar_math_funcs", "text_lang_id",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_national_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock",
+    "q12_late_shipment_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
 ]
 
 
 def _window() -> list[str]:
-    head = _CHANGED + _NEW_R3 + _NEVER_CHECKED
+    head = _CHANGED + _NEW_THIS_ROUND
     assert len(head) <= _WINDOW_SIZE, (
         f"{len(head)} priority queries exceed the {_WINDOW_SIZE}-slot "
         "driver window; the driver will never check the overflow"

@@ -20,12 +20,15 @@ def _ensure_declared_columns(df: DataFrame, schema: T.StructType) -> DataFrame:
     covers: a hive-partitioned export whose partition VALUES live in
     directory names — an EMPTY export has no part dirs, so the loaded
     frame silently lacks the partition column and downstream filters
-    fail to resolve. Declared schema wins over what listing found."""
+    fail to resolve. Declared schema wins over what listing found —
+    including COLUMN ORDER, so positional consumers see the same layout
+    for empty and non-empty exports (partition discovery would otherwise
+    place the column per Spark's rules)."""
     present = set(df.columns)
     for f in schema.fields:
         if f.name not in present:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return df
+    return df.select(*[f.name for f in schema.fields])
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

@@ -160,7 +160,14 @@ def stream_static_enrich(
     broadcast lookup each micro-batch — no join state accumulates (only
     stream-stream joins buffer state), so the dimension can be swapped
     between batches and the stream side stays the only unbounded input.
-    ``dim`` must carry (event_type, weight)."""
+    ``dim`` must carry (event_type, weight).
+
+    Output-mode caveat (ADVICE r3): in ``complete`` mode Spark retains
+    EVERY window group forever — the watermark is ignored for state
+    eviction, which is fine for the bounded availableNow test runs this
+    repo drives but wrong guidance for production. An unbounded
+    deployment must run ``append`` (or ``update``) mode, where the
+    watermark actually evicts closed windows."""
     e = events.withWatermark("ts", watermark) if events.isStreaming else events
     j = e.join(F.broadcast(dim), "event_type")
     return (

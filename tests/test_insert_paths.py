@@ -146,6 +146,25 @@ def test_compact_crash_recovery_restores_trash(spark, tmp_path):
     assert not list(tmp_path.glob("_logs3.compact.*"))
 
 
+def test_connect_sweeps_stale_trash_next_to_live_table(spark, tmp_path):
+    """A crash AFTER staging.rename(path) but BEFORE rmtree(trash)
+    leaves the table dir PRESENT plus a stale _<name>.trash.* sibling —
+    invisible to tables(), holding disk equal to the table. connect()
+    must reclaim it without touching the live table (ADVICE r3)."""
+    cat = h.connect(spark, tmp_path)
+    cat.create("logs5", ["uint32 n"])
+    cat.append("logs5", spark.createDataFrame([(7,)], "n long"))
+    # simulate the post-swap crash state: live dir + stale trash/staging
+    stale_t = tmp_path / "_logs5.trash.0badc0de"
+    stale_t.mkdir()
+    (stale_t / "junk.parquet").write_bytes(b"x" * 128)
+    (tmp_path / "_logs5.compact.feedbeef").mkdir()
+    cat2 = h.connect(spark, tmp_path)
+    assert not list(tmp_path.glob("_logs5.trash.*"))
+    assert not list(tmp_path.glob("_logs5.compact.*"))
+    assert [r.n for r in cat2.table("logs5").df.collect()] == [7]
+
+
 def test_compact_refuses_stray_root_files_in_partitioned_table(spark, tmp_path):
     """Root-level parquet in a partitioned table would be silently
     dropped by the per-partition copy; compact must refuse (ADVICE r2)."""

@@ -42,12 +42,9 @@ def test_window_priority_ordering():
     names = list(registry.queries())
     assert len(names) == len(set(names)), "duplicate query names"
     window = names[:50]
-    # round 3: everything without a driver row — changed since its last
-    # row, registered this round, or never yet checked — must sit
-    # inside the window
-    must_check = set(registry._CHANGED) | set(registry._NEW_R3) | set(
-        registry._NEVER_CHECKED
-    )
+    # everything without a driver row — changed since its last row or
+    # registered this round — must sit inside the window
+    must_check = set(registry._CHANGED) | set(registry._NEW_THIS_ROUND)
     assert must_check <= set(registry.QUERIES)
     missing = must_check - set(window)
     assert not missing, f"must-check queries outside window: {missing}"

@@ -46,8 +46,8 @@ def test_changed_or_new_queries_sit_in_driver_window():
     assert not out_of_window, (
         "queries changed (or added) since docs/query_hashes.json was "
         f"regenerated but NOT promoted into the first-{WINDOW} driver "
-        f"window: {sorted(out_of_window)} — add them to _NEW_R3 / "
-        "_CHANGED in hustle_spark/registry.py, then re-run "
+        f"window: {sorted(out_of_window)} — add them to _NEW_THIS_ROUND "
+        "/ _CHANGED in hustle_spark/registry.py, then re-run "
         "scripts/update_query_hashes.py"
     )
 
@@ -56,7 +56,7 @@ def test_window_is_exactly_fifty_and_all_priority_present():
     ordered = registry._ordered()
     assert len(ordered) == len(set(ordered)), "duplicate names in ordering"
     window = ordered[:WINDOW]
-    head = registry._CHANGED + registry._NEW_R3 + registry._NEVER_CHECKED
+    head = registry._CHANGED + registry._NEW_THIS_ROUND
     assert len(head) <= WINDOW
     assert window[: len(head)] == head, (
         "priority segments must occupy the window head in order"
@@ -67,7 +67,6 @@ def test_window_is_exactly_fifty_and_all_priority_present():
 
 
 def test_priority_segments_disjoint():
-    segs = [registry._CHANGED, registry._NEW_R3, registry._NEVER_CHECKED,
-            registry._BACKFILL]
+    segs = [registry._CHANGED, registry._NEW_THIS_ROUND, registry._BACKFILL]
     flat = [n for s in segs for n in s]
     assert len(flat) == len(set(flat)), "a query appears in two segments"
