@@ -145,6 +145,114 @@ def parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
     return walk(0, len(p))
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def parse_bmp_pixels(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """FULL pixel decode of an uncompressed 24-bit BMP — pure Python.
+    Returns (width, height, rows) with rows TOP-DOWN and each pixel as
+    3 bytes in (B, G, R) order, or None for non-BMP / unsupported
+    variants. Handles the spec's bottom-up row storage and 4-byte row
+    padding; rejects compressed (biCompression != 0), non-24bpp, and
+    top-down (negative height) payloads to stay within the synthesized
+    corpus contract."""
+    p = payload
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    offset = int.from_bytes(p[10:14], "little")
+    if int.from_bytes(p[14:18], "little") != 40:  # BITMAPINFOHEADER only
+        return None
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    bpp = int.from_bytes(p[28:30], "little")
+    compression = int.from_bytes(p[30:34], "little")
+    if w <= 0 or h <= 0 or bpp != 24 or compression != 0:
+        return None
+    row_size = ((w * 3 + 3) // 4) * 4
+    if offset + row_size * h > len(p):
+        return None
+    rows: list[bytes] = []
+    for y in range(h):  # stored bottom-up: image row y = stored h-1-y
+        r = offset + (h - 1 - y) * row_size
+        rows.append(p[r : r + w * 3])
+    return w, h, rows
+
+
+def parse_png_pixels(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """FULL pixel decode of an 8-bit truecolor non-interlaced PNG —
+    pure Python + stdlib zlib (the VERDICT r3 swap point, closed
+    without PIL): chunk walk, IDAT concat, zlib inflate, and scanline
+    un-filtering for ALL five PNG filter types (None/Sub/Up/Average/
+    Paeth). Returns (width, height, rows) with each pixel as 3 bytes
+    (R, G, B), or None for other color types/bit depths/interlacing."""
+    import zlib
+
+    p = payload
+    if len(p) < 8 or p[:8] != _PNG_SIG:
+        return None
+    i, w, h, idat = 8, 0, 0, b""
+    while i + 8 <= len(p):
+        ln = int.from_bytes(p[i : i + 4], "big")
+        typ = p[i + 4 : i + 8]
+        data = p[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            # bit depth 8, color type 2 (truecolor), interlace 0 only
+            if data[8] != 8 or data[9] != 2 or data[12] != 0:
+                return None
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if not (w and h and idat):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * 3
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    rows: list[bytes] = []
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for k in range(3, stride):
+                line[k] = (line[k] + line[k - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = line[k - 3] if k >= 3 else 0
+                line[k] = (line[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                a = line[k - 3] if k >= 3 else 0
+                c = prev[k - 3] if k >= 3 else 0
+                line[k] = (line[k] + _paeth(a, prev[k], c)) & 0xFF
+        elif ft != 0:
+            return None
+        rows.append(bytes(line))
+        prev = line
+    return w, h, rows
+
+
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a media table from any source column by treating its bytes
     as the payload (deterministic fake for tests; real pipelines read
@@ -306,6 +414,137 @@ def synthesize_mp4_payloads(df: DataFrame, id_col: str) -> DataFrame:
             F.lit(0).alias("declared_h"),
         ).alias("meta"),
     )
+
+
+def synthesize_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are COMPLETE uncompressed
+    24-bit BMP files — headers AND every pixel byte — constructed
+    entirely in codegen (nested transform HOFs over hex strings ->
+    to_binary). Unlike the PNG/JPEG prelude synthesizer above, these
+    payloads are fully decodable, so a real pixel decoder can be
+    differentially verified end-to-end. Geometry and pixels are a fixed
+    function of the id (image coordinates, y=0 at the TOP; the writer
+    stores rows bottom-up per the BMP spec, so a decoder that skips the
+    flip fails the position-weighted checksum):
+
+        width  = (id % 4 + 1) * 4     (multiple of 4: no row padding)
+        height = id % 6 + 1
+        B(x,y) = (id + x + y) % 256
+        G(x,y) = (id*3 + x*7) % 256
+        R(x,y) = (id*5 + y*11) % 256
+    """
+    mid = F.col(id_col).cast("long")
+    w = (mid % 4 + 1) * 4
+    h = mid % 6 + 1
+
+    def le(col, nbytes: int):
+        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    hx2 = lambda c: F.lpad(F.hex(c % 256), 2, "0")  # noqa: E731
+
+    def pix_hex(x, y):
+        return F.concat(
+            hx2(mid + x + y),  # B
+            hx2(mid * 3 + x * 7),  # G
+            hx2(mid * 5 + y * 11),  # R
+        )
+
+    # stored row r holds image row y = h-1-r (bottom-up)
+    rows_hex = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.array_join(
+            F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, h - 1 - r)),
+            "",
+        ),
+    )
+    header_hex = F.concat(
+        F.lit("424D"),  # 'BM'
+        le(F.lit(54) + w * h * 3, 4),  # file size
+        F.lit("00000000" "36000000"),  # reserved, pixel offset 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size 40
+        le(w, 4), le(h, 4),
+        F.lit("0100" "1800" "00000000"),  # planes 1, 24 bpp, BI_RGB
+        le(w * h * 3, 4),  # image size
+        F.lit("00000000" "00000000" "00000000" "00000000"),  # ppm/colors
+    )
+    payload_hex = F.concat(header_hex, F.array_join(rows_hex, ""))
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("bmp_"), mid.cast("string")).alias("filename"),
+            w.cast("int").alias("declared_w"),
+            h.cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+PIXEL_FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_pixels long, sum_b long, sum_g long, sum_r long, wsum_b long, "
+    "ok boolean"
+)
+
+
+def _pixel_features_one(payload: bytes):
+    """(fmt, w, h, n_pixels, sum_b, sum_g, sum_r, wsum_b, ok) from a
+    full pixel decode. BMP rows carry (B,G,R), PNG rows (R,G,B) —
+    normalized here. wsum_b = sum of (x + y*w + 1) * B(x,y) over IMAGE
+    coordinates: position-sensitive, so a decoder that mishandles
+    BMP's bottom-up storage (or PNG filters) cannot pass by luck."""
+    decoded = parse_bmp_pixels(payload)
+    if decoded is not None:
+        fmt, (b_off, g_off, r_off) = "bmp", (0, 1, 2)
+    else:
+        decoded = parse_png_pixels(payload)
+        if decoded is None:
+            return "unknown", 0, 0, 0, 0, 0, 0, 0, False
+        fmt, (b_off, g_off, r_off) = "png", (2, 1, 0)
+    w, h, rows = decoded
+    sb = sg = sr = wb = 0
+    for y, row in enumerate(rows):
+        for x in range(w):
+            px = row[x * 3 : x * 3 + 3]
+            b, g, r = px[b_off], px[g_off], px[r_off]
+            sb += b
+            sg += g
+            sr += r
+            wb += (x + y * w + 1) * b
+    return fmt, w, h, w * h, sb, sg, sr, wb, True
+
+
+def decode_pixel_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched FULL pixel decode over the payload column (BMP
+    uncompressed / PNG truecolor-8). Same plumbing contract as
+    decode_features: payloads stay executor-side in columnar batches,
+    media_type is detected from bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _pixel_features_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_pixels": [f[3] for f in feats],
+                    "sum_b": [f[4] for f in feats],
+                    "sum_g": [f[5] for f in feats],
+                    "sum_r": [f[6] for f in feats],
+                    "wsum_b": [f[7] for f in feats],
+                    "ok": [f[8] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_FEATURE_SCHEMA)
 
 
 VIDEO_FEATURE_SCHEMA = (

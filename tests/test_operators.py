@@ -270,6 +270,148 @@ def test_image_header_parser():
     assert parse_image_header(b"\xff\xd8" + rst_fill) == ("jpeg", 640, 480)
 
 
+def _make_png(width, height, pixels, filters):
+    """Build a REAL truecolor-8 PNG: per-row filter bytes applied
+    forward (the inverse of what the decoder undoes), zlib-compressed
+    IDAT, correct chunk CRCs. pixels[y][x] = (r, g, b)."""
+    import struct
+    import zlib
+
+    from hustle_spark.operators.multimodal import _paeth
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytearray(width * 3)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(pixels[y][x])
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        filt = bytearray(line)
+        for k in range(width * 3):
+            a = line[k - 3] if k >= 3 else 0
+            b = prev[k]
+            c = prev[k - 3] if k >= 3 else 0
+            if ft == 1:
+                filt[k] = (line[k] - a) & 0xFF
+            elif ft == 2:
+                filt[k] = (line[k] - b) & 0xFF
+            elif ft == 3:
+                filt[k] = (line[k] - ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                filt[k] = (line[k] - _paeth(a, b, c)) & 0xFF
+        raw += filt
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decoder_all_filters():
+    """parse_png_pixels must invert every PNG scanline filter type
+    (None/Sub/Up/Average/Paeth) through a real zlib IDAT stream."""
+    from hustle_spark.operators.multimodal import parse_png_pixels
+
+    w, h = 5, 7
+    pixels = [
+        [((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 91 + 3) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _make_png(w, h, pixels, filters)
+        decoded = parse_png_pixels(payload)
+        assert decoded is not None, f"filters={filters}"
+        dw, dh, rows = decoded
+        assert (dw, dh) == (w, h)
+        got = [
+            [(rows[y][x * 3], rows[y][x * 3 + 1], rows[y][x * 3 + 2]) for x in range(w)]
+            for y in range(h)
+        ]
+        assert got == pixels, f"filters={filters}"
+    # non-truecolor / corrupt payloads refuse cleanly
+    assert parse_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
+    assert parse_png_pixels(b"not a png") is None
+
+
+def test_bmp_pixel_decoder_bottom_up_and_padding():
+    """parse_bmp_pixels must un-flip bottom-up row storage and skip
+    4-byte row padding (width NOT a multiple of 4 here)."""
+    import struct
+
+    from hustle_spark.operators.multimodal import parse_bmp_pixels
+
+    w, h = 3, 2  # row stride 9 -> padded to 12
+    # image rows top-down, pixel = (B, G, R)
+    img = [
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        [(10, 11, 12), (13, 14, 15), (16, 17, 18)],
+    ]
+    row_size = 12
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + row_size * h)
+        + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIIIII", 40, w, h, 1, 24, 0, row_size * h, 0, 0, 0, 0)
+    )
+    body = b""
+    for y in reversed(range(h)):  # stored bottom-up
+        row = b"".join(bytes(p) for p in img[y])
+        body += row + b"\x00" * (row_size - len(row))
+    decoded = parse_bmp_pixels(header + body)
+    assert decoded is not None
+    dw, dh, rows = decoded
+    assert (dw, dh) == (w, h)
+    got = [
+        [(rows[y][x * 3], rows[y][x * 3 + 1], rows[y][x * 3 + 2]) for x in range(w)]
+        for y in range(h)
+    ]
+    assert got == img
+    assert parse_bmp_pixels(b"BMtooshort") is None
+
+
+def test_pixel_features_format_agnostic():
+    """The same image must yield identical features whether decoded
+    from BMP (BGR bottom-up) or PNG (RGB top-down, zlib) bytes."""
+    import struct
+
+    from hustle_spark.operators.multimodal import _pixel_features_one
+
+    w, h = 4, 3
+    rgb = [
+        [((x * 31 + y * 7) % 256, (x * 3 + 1) % 256, (y * 53 + x) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    png = _make_png(w, h, rgb, filters=[4])
+    row_size = w * 3  # multiple of 4: no padding
+    header = (
+        b"BM"
+        + struct.pack("<I", 54 + row_size * h)
+        + b"\x00" * 4
+        + struct.pack("<I", 54)
+        + struct.pack("<IiiHHIIIIII", 40, w, h, 1, 24, 0, row_size * h, 0, 0, 0, 0)
+    )
+    body = b""
+    for y in reversed(range(h)):
+        body += b"".join(bytes((b_, g, r)) for (r, g, b_) in rgb[y])
+    bmp = header + body
+    fb = _pixel_features_one(bmp)
+    fp = _pixel_features_one(png)
+    assert fb[0] == "bmp" and fp[0] == "png"
+    assert fb[1:] == fp[1:], (fb, fp)
+    assert fb[-1] is True
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from hustle_spark import streaming as S
 

@@ -32,6 +32,7 @@ ALLOWED_PYTHON = {
     "multimodal_decode",       # media decode is inherently Python
     "multimodal_audio_probe",  # audio header decode, same mapInPandas path
     "multimodal_video_probe",  # mp4 box walk, same mapInPandas path
+    "multimodal_pixel_probe",  # full BMP/PNG pixel decode, same path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
