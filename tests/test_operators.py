@@ -380,6 +380,42 @@ def test_bmp_pixel_decoder_bottom_up_and_padding():
     assert parse_bmp_pixels(b"BMtooshort") is None
 
 
+def test_png_pixel_decoder_property():
+    """Property: any truecolor-8 image under any per-row filter choice
+    survives the PNG encode(test)/decode(engine) round trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.operators.multimodal import parse_png_pixels
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def check(w, h, seed, data):
+        import random
+
+        rng = random.Random(seed)
+        pixels = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=h))
+        decoded = parse_png_pixels(_make_png(w, h, pixels, filters))
+        assert decoded is not None
+        dw, dh, rows = decoded
+        assert (dw, dh) == (w, h)
+        got = [
+            [(rows[y][x * 3], rows[y][x * 3 + 1], rows[y][x * 3 + 2]) for x in range(w)]
+            for y in range(h)
+        ]
+        assert got == pixels
+
+    check()
+
+
 def test_pixel_features_format_agnostic():
     """The same image must yield identical features whether decoded
     from BMP (BGR bottom-up) or PNG (RGB top-down, zlib) bytes."""
