@@ -284,3 +284,74 @@ def split_assign(id_col, salt: str = "split", test_hex: str = "1a", val_hex: str
     return (
         F.when(p < test_hex, "test").when(p < val_hex, "val").otherwise("train")
     )
+
+
+def unigram_fppm_vocab(
+    df: DataFrame, text: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus unigram frequency model: (token, cnt, fppm) where fppm =
+    cnt * 1e6 DIV total_tokens — INTEGER division over longs, so the
+    model is bit-identical across engines, partitionings, and retries
+    (float log-probs would differ in last-ulp between JVM and any
+    oracle; see the repo's deterministic-floats design rule). Tokens
+    under ``min_count`` are dropped from the model (they carry no
+    signal and at web scale the singleton tail dominates vocabulary
+    size); ``total`` still counts every token.
+
+    Scale: one explode + one groupBy (map-side combined) emitting a
+    vocabulary-sized table; the 1-row total is a scalar broadcast
+    (same pattern as q11's fraction-of-total). Long arithmetic bounds:
+    cnt * 1e6 must stay under 2^63 — safe while the most frequent
+    token is below ~9.2e12 occurrences (a ~100 TB English corpus has
+    ~2e13 tokens, top token ~5% = 1e12); beyond that, scale the ppm
+    numerator down.
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.filter(F.col("cnt") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select("token", "cnt", F.expr("cnt * 1000000 DIV __total").alias("fppm"))
+    )
+
+
+def unigram_quality_scores(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document frequency-based quality score (the CCNet-style
+    LM-perplexity proxy, exactly replayable): mean_fppm = sum of each
+    token's corpus fppm (out-of-vocabulary tokens contribute 0) DIV the
+    doc's token count. Natural text built from common tokens scores
+    high; gibberish, boilerplate-free random strings, and
+    wrong-language documents score near zero — the standard
+    quality-filter signal, here in pure integer arithmetic so the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Scale: tokens explode map-side, the vocabulary joins as a
+    broadcast (vocab is output-bounded, not corpus-bounded), and the
+    per-doc aggregate combines partially before its one shuffle —
+    ~1 row per doc moves. Pass a precomputed ``vocab`` (from
+    unigram_fppm_vocab, possibly built on a SAMPLE at production
+    scale) to reuse the model across batches; default builds it from
+    ``df`` itself.
+    """
+    if vocab is None:
+        vocab = unigram_fppm_vocab(df, text, min_count)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("token"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "fppm")), "token", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("SUM(COALESCE(fppm, 0)) DIV COUNT(*)").alias("mean_fppm"),
+    )

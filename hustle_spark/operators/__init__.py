@@ -1,5 +1,6 @@
 from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -7,6 +8,7 @@ from .dedup import (  # noqa: F401
     shingles,
     simhash,
     simhash_near_pairs,
+    winnowing_fingerprints,
 )
 from .multimodal import attach_payload, decode_features, frame_sample_plan  # noqa: F401
 from .rangejoin import range_join  # noqa: F401

@@ -477,3 +477,111 @@ def simhash_md5_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, fingerprints) — winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003; the MOSS local fingerprinting algorithm): hash every
+    k-token gram, slide a window over ``window`` consecutive gram
+    hashes, keep the MINIMUM hash per window, dedupe.
+
+    The winnowing guarantee: any substring shared by two documents that
+    spans at least ``k + window - 1`` tokens contributes at least one
+    IDENTICAL fingerprint to both — so containment detection via
+    fingerprint equi-join has no false negatives above that span, at an
+    expected fingerprint density of only 2/(window+1) per gram. That
+    density bound is what makes this the scale path: fingerprints per
+    doc grow linearly with doc length divided by ~(window/2), and
+    extraction is entirely per-row HOFs — ZERO shuffle, same contract
+    as minhash_signatures.
+
+    Documents with fewer than ``window`` grams emit the single minimum
+    gram hash (deterministic boundary, replayable by any engine).
+    ``hash="md5"`` selects lexicographic-min over md5 hex strings —
+    identical semantics in DuckDB for differential replay, same idiom
+    as minhash_signatures.
+    """
+    grams = shingles(F.col(text), k)
+    if hash == "xxhash64":
+        gh = F.transform(grams, lambda g: F.xxhash64(g))
+    elif hash == "md5":
+        gh = F.transform(grams, lambda g: F.md5(g))
+    else:
+        raise ValueError(f"unknown hash {hash!r}; use 'xxhash64' or 'md5'")
+    tmp = df.select(F.col(id_col), gh.alias("__gh"))
+    n = F.size(F.col("__gh"))
+    wins = F.transform(
+        F.sequence(F.lit(0), n - window),
+        lambda i: F.array_min(F.slice(F.col("__gh"), i + 1, window)),
+    )
+    fps = F.when(n >= window, F.array_distinct(wins)).otherwise(
+        F.array(F.array_min(F.col("__gh")))
+    )
+    return tmp.select(F.col(id_col), fps.alias("fingerprints"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Document-CONTAINMENT pairs — the dedup case Jaccard misses: a
+    short document copied inside a much longer one has tiny Jaccard
+    (the union is dominated by the long doc) but containment
+    |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|) near 1. Returns
+    (a, b, shared, n_a, n_b, containment) with a < b, shared >=
+    ``min_shared`` and containment >= ``threshold``.
+
+    Scale shape: winnowed fingerprints explode to (id, fp) rows at
+    density 2/(window+1); candidate generation is a self equi-join ON
+    THE FINGERPRINT (never a cross product) followed by a (a, b) count
+    — both shuffles carry 16-byte rows. ``max_df`` drops fingerprints
+    present in more than that many documents BEFORE the join
+    (boilerplate headers/footers are exactly the ubiquitous
+    fingerprints that would otherwise drive a quadratic hot bucket —
+    the same reason TF-IDF down-weights stopwords); the filter is one
+    window count over the fingerprint key. Sizes are re-joined from the
+    per-doc fingerprint counts, so containment uses each doc's FULL
+    fingerprint set even when max_df dropped some from the join.
+    """
+    fps = winnowing_fingerprints(df, text, id_col, k, window, hash)
+    sizes = fps.select(
+        F.col(id_col).alias("id"), F.size("fingerprints").alias("n_fp")
+    )
+    ex = fps.select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    if max_df is not None:
+        w = Window.partitionBy("fp")
+        ex = ex.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+            F.col("__df") <= max_df
+        ).drop("__df")
+    l, r = ex.alias("L"), ex.alias("R")
+    shared = (
+        l.join(r, (F.col("L.fp") == F.col("R.fp")) & (F.col("L.id") < F.col("R.id")))
+        .groupBy(F.col("L.id").alias("a"), F.col("R.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "containment", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "shared", "n_a", "n_b", "containment")
+    )

@@ -545,3 +545,167 @@ def test_parse_wav_header_roundtrip():
     # non-PCM format code refused
     bad = bytearray(wav(1, 8000, 16, 7)); bad[20] = 3
     assert parse_wav_header(bytes(bad)) is None
+
+
+def _py_winnow_md5(text, k=5, window=4):
+    """Independent pure-Python reference of md5 winnowing — same
+    boundary conventions as the operator (shingles' short-text
+    fallback; min over whole doc when grams < window)."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text)
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    gh = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if len(gh) >= window:
+        sel = [min(gh[i : i + window]) for i in range(len(gh) - window + 1)]
+        out = list(dict.fromkeys(sel))
+    else:
+        out = [min(gh)]
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    from hustle_spark.operators.dedup import winnowing_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c",  # fewer tokens than k
+        "one two three four five six seven eight",  # grams < window
+        "x " * 40 + "y",  # heavy repetition
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: sorted(r.fingerprints)
+        for r in winnowing_fingerprints(df, hash="md5").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(_py_winnow_md5(t)), f"doc {i}"
+
+
+def test_containment_guarantee_planted_substring(spark):
+    """Winnowing guarantee: a planted shared span of >= k+window-1
+    tokens must surface the containing pair; near-full containment for
+    a short doc copied verbatim into a long one (where Jaccard-based
+    dedup scores it near zero)."""
+    from hustle_spark.operators.dedup import containment_pairs
+
+    words = [f"w{i}" for i in range(200)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[50:90])  # verbatim 40-token slice
+    unrelated = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc), (2, unrelated)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.a, r.b): r
+        for r in containment_pairs(df, threshold=0.5, min_shared=2).collect()
+    }
+    assert (0, 1) in rows, rows
+    r = rows[(0, 1)]
+    # every fingerprint of the contained doc that isn't window-boundary
+    # clipped appears in the container: containment ~1
+    assert r.containment >= 0.9, r
+    assert (0, 2) not in rows and (1, 2) not in rows
+    # xxhash64 scale path finds the same pair structure
+    rows_xx = {
+        (r.a, r.b)
+        for r in containment_pairs(
+            df, threshold=0.5, min_shared=2, hash="xxhash64"
+        ).collect()
+    }
+    assert rows_xx == set(rows)
+
+
+def test_containment_max_df_drops_boilerplate(spark):
+    """A footer shared by EVERY doc must not connect unrelated pairs
+    when max_df caps fingerprint document frequency."""
+    from hustle_spark.operators.dedup import containment_pairs
+
+    footer = " ".join(f"f{i}" for i in range(12))  # > k+window-1 tokens
+    bodies = [" ".join(f"a{i}_{j}" for j in range(30)) for i in range(4)]
+    df = spark.createDataFrame(
+        [(i, b + " " + footer) for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    # without the cap the ubiquitous footer links every pair
+    uncapped = containment_pairs(df, threshold=0.1, min_shared=1)
+    assert uncapped.count() == 6
+    # max_df=2 drops fingerprints present in >2 of the 4 docs
+    capped = containment_pairs(df, threshold=0.1, min_shared=1, max_df=2)
+    assert capped.count() == 0
+
+
+def test_unigram_quality_matches_duckdb(spark):
+    """Integer-exact differential: the unigram fppm model and per-doc
+    quality scores must reproduce bit-for-bit in DuckDB (the same DIV
+    arithmetic the future registry oracle will run)."""
+    import duckdb
+
+    from hustle_spark.functions.text import unigram_quality_scores
+
+    docs = [
+        (0, "the cat sat on the mat and the dog sat too"),
+        (1, "the dog and the cat and the mat"),
+        (2, "qzx vbn plm wrt qzx"),  # mostly OOV gibberish
+        (3, "THE Cat ON the MAT"),  # case folding
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_fppm)
+        for r in unigram_quality_scores(df, min_count=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+              FROM docs),
+            tot AS (SELECT COUNT(*) AS total FROM tok),
+            vocab AS (
+              SELECT token, COUNT(*) * 1000000 // (SELECT total FROM tot) AS fppm
+              FROM tok GROUP BY token HAVING COUNT(*) >= 2)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(COALESCE(fppm, 0)) // COUNT(*) AS BIGINT) AS mean_fppm
+            FROM tok LEFT JOIN vocab USING (token)
+            GROUP BY doc_id
+        """).fetchall()
+    }
+    assert got == exp, (got, exp)
+    # the quality signal orders as expected: natural text >> gibberish
+    assert got[0][1] > 3 * got[2][1]
+
+
+def test_unigram_quality_external_vocab(spark):
+    """A vocab built on one batch scores another batch (the
+    sample-then-score production shape)."""
+    from hustle_spark.functions.text import (
+        unigram_fppm_vocab,
+        unigram_quality_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta alpha")], "doc_id long, text string"
+    )
+    vocab = unigram_fppm_vocab(train, min_count=1)
+    fppm = {r.token: r.fppm for r in vocab.collect()}
+    assert fppm == {"alpha": 500000, "beta": 333333, "gamma": 166666}
+    batch = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "delta epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.mean_fppm
+        for r in unigram_quality_scores(batch, vocab=vocab).collect()
+    }
+    assert got == {10: (500000 + 333333) // 2, 11: 0}
