@@ -223,6 +223,11 @@ def main():
     timed("simhash near pairs 100k", lambda: dedup.simhash_near_pairs(docs, max_hamming=3, chunks=4).count())
     timed("minhash signatures 100k", lambda: dedup.minhash_signatures(docs).count())
     timed("minhash LSH pairs 100k", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed("winnow fingerprints 100k", lambda: dedup.winnowing_fingerprints(docs).count())
+    # max_df guard on: the synthetic 60-word vocab makes many grams
+    # near-ubiquitous, the exact boilerplate regime the cap exists for
+    timed("containment pairs 100k (max_df=50)", lambda: dedup.containment_pairs(
+        docs, threshold=0.8, min_shared=2, max_df=50).count())
 
     # embedding similarity at 200k x 64-dim
     from hustle_spark.operators import similarity

@@ -47,3 +47,29 @@ def test_query_handles_empty_input(name, spark, empty_dir):
         return
     n = q.fn(spark, empty_dir).count()
     assert n >= 0  # executed; most queries yield 0 rows, audits yield claims
+
+
+def test_round4_operators_empty_inputs(spark):
+    """Winnowing/containment/unigram ops degrade to empty results (or
+    the [''] token convention DuckDB shares) instead of raising."""
+    from hustle_spark.functions.text import (
+        unigram_fppm_vocab,
+        unigram_quality_scores,
+    )
+    from hustle_spark.operators.dedup import (
+        containment_pairs,
+        winnowing_fingerprints,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert winnowing_fingerprints(empty).count() == 0
+    assert containment_pairs(empty).count() == 0
+    assert unigram_fppm_vocab(empty).count() == 0
+    assert unigram_quality_scores(empty).count() == 0
+    # empty STRING is one empty token in both Spark and DuckDB's
+    # regexp split convention — the sole vocab entry, fppm 1e6
+    one = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert winnowing_fingerprints(one).count() == 1
+    assert [tuple(r) for r in unigram_quality_scores(one, min_count=1).collect()] == [
+        (1, 1, 1000000)
+    ]
