@@ -4850,11 +4850,15 @@ _WINDOW_SIZE = 50
 
 # Changed since their last driver row: round 4 rewrote the LSH candidate
 # dedup in operators/similarity.py (scalar-only dedup shuffles) under
-# both of these. Helper-level edits do not move the registry function's
-# content hash, so they are promoted here MANUALLY — the hash invariant
-# only catches registry-source edits.
+# the first two, and reformulated dedup.shingles as shifted-concat
+# passes (2x faster signatures, bit-identical output) under the other
+# three (dedup_ngram_jaccard also consumes shingles and already sits in
+# the r1-stale backfill below). Helper-level edits do not move the
+# registry function's content hash, so they are promoted here MANUALLY
+# — the hash invariant only catches registry-source edits.
 _CHANGED = [
     "similarity_ann_lsh", "embedding_near_dup",
+    "dedup_minhash_md5", "dedup_minhash_audit", "bigram_vocab_stats",
 ]
 
 # New queries registered this round — every addition goes here.
