@@ -20,6 +20,30 @@ def tokens(text) -> Column:
     return F.split(text, WS)
 
 
+def sliding_grams(toks, n: int) -> Column:
+    """Space-joined n-gram windows over a token-array column, built as
+    n-1 element-wise concat passes over shifted copies — one array
+    allocation per PASS, not per gram (the slice-per-gram transform is
+    this repo's documented interpreted-HOF anti-pattern; the shifted
+    formulation measured 2x faster through the MinHash signature stage
+    and 3.5x on winnowing's sliding min, round 4). zip_with pads the
+    shorter side with nulls and concat_ws silently drops them — the
+    final slice cuts back to the size-n+1 true windows. Arrays shorter
+    than ``n`` yield ONE gram: the whole array joined (the boundary
+    convention every consumer and its DuckDB oracle share)."""
+    ntok = F.size(toks)
+    m = toks
+    for s in range(1, n):
+        m = F.zip_with(
+            m,
+            F.slice(toks, s + 1, F.greatest(ntok - s, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(ntok >= n, F.slice(m, 1, ntok - n + 1)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
 def token_count(text) -> Column:
     return F.size(tokens(text))
 
@@ -112,16 +136,13 @@ def rolling_hash_fingerprint(text, window: int = 8, hash: str = "xxhash64") -> C
     operator cross-engine oracle-checkable (used by the registry's
     doc_rolling_fingerprint differential query)."""
     toks = tokens(F.lower(text))
-    count = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), count - F.lit(1))
     if hash == "md5":
         h = lambda c: F.md5(c)  # noqa: E731
     elif hash == "xxhash64":
         h = lambda c: F.xxhash64(c)  # noqa: E731
     else:
         raise ValueError(f"unknown hash {hash!r}; use 'xxhash64' or 'md5'")
-    grams = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    return F.array_min(grams)
+    return F.array_min(F.transform(sliding_grams(toks, window), h))
 
 
 def text_stats(df: DataFrame, text: str = "text", group_by: str | None = None) -> DataFrame:
@@ -163,12 +184,7 @@ def contaminated_doc_ids(
     from pyspark.sql.functions import broadcast
 
     def grams(df):
-        toks = tokens(F.lower(F.col(text)))
-        count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-        idx = F.sequence(F.lit(0), count - F.lit(1))
-        g = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        )
+        g = F.array_distinct(sliding_grams(tokens(F.lower(F.col(text))), n))
         return df.select(F.col(id_col), F.explode(g).alias("__gram"))
 
     eval_grams = grams(eval_docs).select("__gram").distinct()

@@ -54,30 +54,16 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_by: str | None = None) -> D
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles of a text column as an array<string>.
 
-    Whitespace tokenization + sliding window via higher-order array
-    functions — no UDF. The window is built as n-1 element-wise
-    concat passes over shifted copies of the token array rather than a
-    slice-per-gram transform: one array allocation per PASS instead of
-    per gram, measured 2x faster through the 32-seed MinHash signature
-    stage (round 4; same shape as winnowing_fingerprints' sliding
-    min). zip_with pads the shorter side with nulls — concat_ws
-    IGNORES nulls, which would silently yield truncated tail grams, so
-    the result is sliced back to the size(toks) - n + 1 true windows.
-    Output strings are bit-identical to the old formulation (pinned by
-    test_shingles and every minhash/Jaccard oracle).
+    Whitespace tokenization + sliding window via the shared
+    shifted-concat formulation (functions.text.sliding_grams — one
+    array allocation per pass, not per gram; measured 2x faster
+    through the 32-seed MinHash signature stage in round 4). Output
+    strings are bit-identical to the old slice-per-gram transform
+    (pinned by test_shingles and every minhash/Jaccard oracle).
     """
-    toks = F.split(text_col, r"\s+")
-    ntok = F.size(toks)
-    m = toks
-    for s in range(1, n):
-        m = F.zip_with(
-            m,
-            F.slice(toks, s + 1, F.greatest(ntok - s, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    return F.when(ntok >= n, F.slice(m, 1, ntok - n + 1)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    from ..functions.text import sliding_grams
+
+    return sliding_grams(F.split(text_col, r"\s+"), n)
 
 
 def minhash_signatures(

@@ -4859,6 +4859,11 @@ _WINDOW_SIZE = 50
 _CHANGED = [
     "similarity_ann_lsh", "embedding_near_dup",
     "dedup_minhash_md5", "dedup_minhash_audit", "bigram_vocab_stats",
+    # sliding_grams consolidation (functions/text.py): rolling
+    # fingerprints + contamination grams now share the shifted-concat
+    # window, outputs bit-identical
+    "doc_rolling_fingerprint", "contamination_scan",
+    "contamination_ngram_scan",
 ]
 
 # New queries registered this round — every addition goes here.
