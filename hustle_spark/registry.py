@@ -4815,6 +4815,103 @@ def bucketed_join_requery(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 5
+        THEN list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' '))
+        ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    ),
+    h AS (SELECT doc_id, list_transform(grams, x -> md5(x)) AS gh FROM g),
+    w AS (
+      SELECT doc_id, CASE WHEN len(gh) >= 4
+        THEN list_distinct(list_transform(range(1, len(gh) - 2),
+                                          i -> list_min(gh[i:i+3])))
+        ELSE [list_min(gh)] END AS fps
+      FROM h
+    ),
+    ex AS (SELECT doc_id AS id, unnest(fps) AS fp FROM w),
+    sizes AS (SELECT doc_id AS id, len(fps) AS n_fp FROM w),
+    shr AS (
+      SELECT l.id AS a, r.id AS b, COUNT(*) AS shared
+      FROM ex l JOIN ex r ON l.fp = r.fp AND l.id < r.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT s.a, s.b, s.shared,
+           na.n_fp AS n_a, nb.n_fp AS n_b,
+           CAST(s.shared * 1000 // LEAST(na.n_fp, nb.n_fp) AS BIGINT)
+             AS containment_pm
+    FROM shr s JOIN sizes na ON s.a = na.id JOIN sizes nb ON s.b = nb.id
+    WHERE s.shared * 1000 // LEAST(na.n_fp, nb.n_fp) >= 500
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """L21 document-containment dedup (winnowing / MOSS, SIGMOD'03) —
+    the case Jaccard misses: a short doc copied inside a long one.
+    operators.dedup.winnowing_fingerprints hashes every 5-token gram
+    and keeps per-4-window minima (shifted-least passes, map-only,
+    zero shuffle); containment_pairs equi-joins exploded fingerprints
+    (16 B rows, never a cross product) and scores
+    |shared| / min(|FP a|, |FP b|). The md5 signature variant makes
+    the ENTIRE machinery DuckDB-replayable (the oracle recomputes
+    winnowing itself via list HOFs — same twin idiom as
+    dedup_minhash_md5); thresholding and the emitted score use integer
+    permille so no float crosses the engine boundary."""
+    d = _cat(spark, sf_dir).table("documents").df
+    pairs = dedup.containment_pairs(
+        d, threshold=0.0, min_shared=2, hash="md5"
+    )
+    pm = F.expr("shared * 1000 DIV least(n_a, n_b)")
+    return (
+        pairs.withColumn("containment_pm", pm)
+        .filter(F.col("containment_pm") >= 500)
+        .select(
+            "a", "b", "shared",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "containment_pm",
+        )
+    )
+
+
+@query(
+    "text_unigram_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS total FROM tok),
+    vocab AS (
+      SELECT token, COUNT(*) * 1000000 // (SELECT total FROM tot) AS fppm
+      FROM tok GROUP BY token HAVING COUNT(*) >= 5)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(COALESCE(fppm, 0)) // COUNT(*) AS BIGINT) AS mean_fppm
+    FROM tok LEFT JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_quality(spark, sf_dir):
+    """L22 unigram-LM quality scoring (the CCNet-style perplexity
+    proxy): functions.text.unigram_fppm_vocab builds the corpus
+    frequency model (one explode + one map-side-combined groupBy; the
+    1-row total is a scalar broadcast), then unigram_quality_scores
+    scores every document against the BROADCAST vocabulary —
+    mean_fppm = sum of per-token corpus fppm DIV doc token count, all
+    in integer DIV arithmetic so the oracle reproduces it bit-for-bit
+    (float log-probs would differ in last-ulp between engines).
+    Gibberish and wrong-language docs score near zero; the standard
+    pre-training quality-filter signal."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.unigram_quality_scores(d, min_count=5)
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -4869,7 +4966,8 @@ _CHANGED = [
 # New queries registered this round — every addition goes here.
 _NEW_THIS_ROUND = [
     "skew_salted_join_requery", "bucketed_join_requery",
-    "multimodal_pixel_probe",
+    "multimodal_pixel_probe", "dedup_containment_pairs",
+    "text_unigram_quality",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

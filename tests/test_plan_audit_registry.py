@@ -24,6 +24,7 @@ ALLOWED_NESTED_LOOP = {
     "skew_profile",            # 1-row grand-total broadcast (scalar subquery)
     "dedup_minhash_audit",     # 1-row claim aggregates cross-joined
     "dedup_simhash_audit",     # 1-row claim aggregates cross-joined
+    "text_unigram_quality",    # 1-row corpus-total broadcast (vocab fppm)
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
