@@ -284,21 +284,46 @@ def main():
     # pathological skew: 30% of events on ONE user joined to a per-user dim
     from hustle_spark.plans import salted_join
 
-    skewed = ev.withColumn(
-        "user_id", F.when(F.col("event_id") % 10 < 3, F.lit(0)).otherwise(F.col("user_id"))
-    ).select("user_id", "value")
-    dim = ev.select("user_id").distinct().withColumn("w", F.col("user_id") % 7)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
-    t_plain = timed(
-        "skewed join plain (30% one key)",
-        lambda: skewed.join(dim, "user_id").groupBy("w").count().count(),
-    )
-    t_salt = timed(
-        "skewed join salted (salt=16)",
-        lambda: salted_join(skewed, dim, key="user_id", salt=16).groupBy("w").count().count(),
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
-    print(f"  skew speedup: {t_plain / max(t_salt, 1e-9):.2f}x (AQE skew-split also active)")
+    # Warm-repeat protocol (cold first runs absorb codegen/page-cache
+    # and reverse the verdict — round-4 lesson): each leg runs twice,
+    # second timed. Two skew levels: at 30%-hot the single hot task
+    # still fits core throughput and salting is ~neutral; at 90%-hot
+    # salting wins while AQE skew-split barely triggers at these
+    # absolute partition sizes (r4 warm readings: 30% — plain 2.4s,
+    # salt 2.2s, AQE 2.3s; 90% — plain 3.7s, salt 2.2s [1.69x],
+    # AQE 3.6s [1.04x]). That is salted_join's documented contract:
+    # the tool for skew BEYOND what AQE handles.
+    def warm_timed(label, thunk):
+        thunk()
+        return timed(label, thunk)
+
+    for pct in (3, 9):  # 30% / 90% of rows on ONE key
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < pct, F.lit(0)).otherwise(F.col("user_id")),
+        ).select("user_id", "value")
+        dim = ev.select("user_id").distinct().withColumn("w", F.col("user_id") % 7)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_plain = warm_timed(
+            f"{pct*10}%-hot join, no mitigation",
+            lambda: skewed.join(dim, "user_id").groupBy("w").count().count(),
+        )
+        t_salt = warm_timed(
+            f"{pct*10}%-hot salted (salt=16)",
+            lambda: salted_join(skewed, dim, key="user_id", salt=16)
+            .groupBy("w").count().count(),
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        t_aqe = warm_timed(
+            f"{pct*10}%-hot AQE skew-split",
+            lambda: skewed.join(dim, "user_id").groupBy("w").count().count(),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        print(
+            f"  {pct*10}%-hot: salting {t_plain / max(t_salt, 1e-9):.2f}x "
+            f"vs unmitigated; AQE alone {t_plain / max(t_aqe, 1e-9):.2f}x"
+        )
 
 
 if __name__ == "__main__":
