@@ -55,6 +55,8 @@ SHOWCASE = {
     "multimodal_pixel_probe": "complete BMPs synthesized in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage, no shuffle before it",
     "similarity_ann_lsh": "bucket candidates scored map-side; dedup shuffles (query_id, id, cosine) scalars, never vectors",
     "embedding_near_dup": "bucket self-join via ReusedExchange (signatures shuffled once, read twice); scalar distinct after the threshold filter",
+    "dedup_containment_pairs": "winnowed fingerprints map-only (shifted-least passes); 16-byte (id, fp) equi-join; integer-permille scoring",
+    "text_unigram_quality": "vocab fppm broadcast; per-doc explode partial-aggregates before its one shuffle (~1 row/doc moves)",
 }
 
 

@@ -709,3 +709,32 @@ def test_unigram_quality_external_vocab(spark):
         for r in unigram_quality_scores(batch, vocab=vocab).collect()
     }
     assert got == {10: (500000 + 333333) // 2, 11: 0}
+
+
+def test_sliding_grams_property(spark):
+    """Property: sliding_grams equals the Python n-gram reference for
+    random token arrays and every n in 1..5 (incl. the short-array
+    whole-join fallback and n=1 identity)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.functions.text import sliding_grams
+
+    tok = st.text(alphabet="abcXYZ09", min_size=1, max_size=4)
+
+    @settings(max_examples=20, deadline=None)
+    @given(toks=st.lists(tok, min_size=0, max_size=12), n=st.integers(1, 5))
+    def check(toks, n):
+        text = " ".join(toks) if toks else ""
+        # both engines tokenize '' to [''] under \s+ split
+        ref_toks = toks if toks else [""]
+        if len(ref_toks) >= n:
+            expected = [" ".join(ref_toks[i : i + n]) for i in range(len(ref_toks) - n + 1)]
+        else:
+            expected = [" ".join(ref_toks)]
+        df = spark.createDataFrame([(text,)], "t string")
+        got = df.select(
+            sliding_grams(F.split(F.col("t"), r"\s+"), n).alias("g")
+        ).collect()[0].g
+        assert got == expected, (toks, n)
+
+    check()
