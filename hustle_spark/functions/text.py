@@ -371,3 +371,79 @@ def unigram_quality_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.expr("SUM(COALESCE(fppm, 0)) DIV COUNT(*)").alias("mean_fppm"),
     )
+
+
+def drop_boilerplate_paragraphs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4/CCNet-style boilerplate removal at PARAGRAPH granularity: any
+    paragraph whose exact (trimmed) content appears in more than
+    ``max_df`` DISTINCT documents is dropped from every document; the
+    survivors are reassembled in their original order. Returns
+    (id, text, n_paras, n_dropped) — cookie banners, nav bars, and
+    footers vanish corpus-wide while the prose they decorate survives.
+
+    Scale shape: paragraphs explode map-side and the frequency count
+    shuffles ONLY (digest, id) pairs (~48 B/row, countDistinct over
+    docs so within-doc repetition doesn't inflate df). The hot-digest
+    set (df > max_df — the heavy hitters, bounded by corpus/max_df) is
+    the ONLY thing joined back, as a broadcast anti-join, so paragraph
+    TEXT crosses one shuffle total: the per-doc reassembly groupBy.
+    Reassembly order is exact: sort_array over (pos, para) structs —
+    never bare collect_list, whose order is partitioning-dependent.
+
+    Trimmed-empty paragraphs never count toward boilerplate and are
+    dropped from the reassembled text (C4 convention).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), sep)).alias("__pos", "__para"),
+    ).filter(F.trim(F.col("__para")) != "")
+    digest = F.md5(F.trim(F.col("__para")))
+    hot = (
+        paras.select(digest.alias("__d"), F.col(id_col))
+        .groupBy("__d")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__d")
+    )
+    marked = paras.withColumn("__d", digest).join(
+        F.broadcast(hot.withColumn("__hot", F.lit(True))), "__d", "left"
+    )
+    kept = marked.filter(F.col("__hot").isNull())
+    out = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("__hot"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        )
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__para"))),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text)
+        )
+    )
+    # left join: a doc whose every paragraph was boilerplate (or whose
+    # text was all-empty) reassembles to ''
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text), F.lit("")).alias(text),
+            F.coalesce("n_paras", F.lit(0)).cast("bigint").alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )

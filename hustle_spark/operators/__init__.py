@@ -1,6 +1,7 @@
 from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
     containment_pairs,
+    dedup_pipeline,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,

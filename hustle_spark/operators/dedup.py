@@ -601,3 +601,59 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "shared", "n_a", "n_b", "containment")
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    quality=None,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash: str = "xxhash64",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The composed near-dup removal pipeline a curation run actually
+    executes: MinHash-LSH candidate pairs → connected-components
+    duplicate clusters → ONE canonical survivor per cluster. Returns
+    ``df``'s rows plus (cluster_id, is_kept): filter ``is_kept`` for
+    the deduplicated corpus; the full frame is the audit trail
+    (which cluster each casualty belonged to and who won).
+
+    Canonical selection: highest ``quality`` expression wins (default
+    ``functions.text.quality_score``), ties to the LOWEST id —
+    deterministic across partitionings, so re-runs keep the SAME
+    representatives (idempotent curation). Docs in no pair are
+    singleton clusters (cluster_id = own id, kept).
+
+    Scale shape: every stage is a shape this module already proves —
+    map-only signatures, banded equi-join candidates, O(log d)
+    pointer-jump CC over id pairs, and one final window over
+    cluster_id. The document TEXT is never shuffled; only ids, hashes,
+    and the quality scalar move.
+    """
+    from ..functions.text import quality_score
+
+    pairs = minhash_lsh_pairs(
+        df, text, id_col, n_hashes, bands, shingle_n, threshold, hash
+    ).select("a", "b")
+    clusters = connected_components(pairs, max_iterations=max_iterations)
+    q = quality_score(F.col(text)) if quality is None else quality
+    scored = df.select(
+        F.col(id_col), q.alias("__q")
+    ).join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        "__q",
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    keep = scored.withColumn("is_kept", F.row_number().over(w) == 1).select(
+        id_col, "cluster_id", "is_kept"
+    )
+    return df.join(keep, id_col)

@@ -738,3 +738,106 @@ def test_sliding_grams_property(spark):
         assert got == expected, (toks, n)
 
     check()
+
+
+def test_drop_boilerplate_paragraphs(spark):
+    """The C4/CCNet paragraph-dedup shape: a footer shared by >max_df
+    docs vanishes corpus-wide, prose survives in original order,
+    within-doc repetition doesn't inflate document frequency, and an
+    all-boilerplate doc reassembles to ''."""
+    from hustle_spark.functions.text import drop_boilerplate_paragraphs
+
+    footer = "subscribe to our newsletter"
+    docs = [
+        (0, f"alpha body one\n{footer}\nalpha body two"),
+        (1, f"{footer}\nbeta body"),
+        (2, f"gamma body\n{footer}\n{footer}"),  # footer twice: df counts once
+        (3, footer),                              # all boilerplate
+        (4, "delta body only"),
+        (5, ""),                                  # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_paras, r.n_dropped)
+        for r in drop_boilerplate_paragraphs(df, max_df=2).collect()
+    }
+    assert out[0] == ("alpha body one\nalpha body two", 3, 1)
+    assert out[1] == ("beta body", 2, 1)
+    assert out[2] == ("gamma body", 3, 2)
+    assert out[3] == ("", 1, 1)
+    assert out[4] == ("delta body only", 1, 0)
+    assert out[5] == ("", 0, 0)
+    # with a looser cap (footer in 4 docs <= max_df=4) nothing drops
+    loose = {
+        r.doc_id: r.n_dropped
+        for r in drop_boilerplate_paragraphs(df, max_df=4).collect()
+    }
+    assert all(v == 0 for v in loose.values())
+
+
+def test_drop_boilerplate_matches_python_reference(spark):
+    """Differential vs an independent pure-Python replay on a random
+    corpus with planted shared paragraphs."""
+    import random
+
+    from hustle_spark.functions.text import drop_boilerplate_paragraphs
+
+    rng = random.Random(11)
+    shared = [f"shared paragraph {i}" for i in range(4)]
+    docs = []
+    for d in range(30):
+        paras = [f"unique {d} {j}" for j in range(rng.randrange(1, 5))]
+        for s in shared:
+            if rng.random() < 0.4:
+                paras.insert(rng.randrange(len(paras) + 1), s)
+        docs.append((d, "\n".join(paras)))
+    max_df = 3
+    # python reference
+    from collections import Counter
+
+    dfreq = Counter()
+    for _, t in docs:
+        seen = {p.strip() for p in t.split("\n") if p.strip()}
+        dfreq.update(seen)
+    hot = {p for p, c in dfreq.items() if c > max_df}
+    expect = {}
+    for d, t in docs:
+        paras = [p for p in t.split("\n") if p.strip()]
+        kept = [p for p in paras if p.strip() not in hot]
+        expect[d] = ("\n".join(kept), len(paras), len(paras) - len(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paras, r.n_dropped)
+        for r in drop_boilerplate_paragraphs(df, max_df=max_df).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_pipeline_canonical_selection(spark):
+    """Pairs -> clusters -> one survivor: the chain a~b~c collapses to
+    one cluster even without an a~c pair; the highest-quality doc wins,
+    ties to lowest id; singletons are kept."""
+    from hustle_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),      # near-dup of 1
+        (3, base + " plus a longer tail of extra words here"),  # near-dup, highest quality
+        (10, "an entirely different document about database engines"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.is_kept) for r in dedup.dedup_pipeline(
+        df, threshold=0.3).collect()}
+    assert len(out) == 4
+    # 1,2,3 share one cluster; exactly one kept
+    c = {out[1][0], out[2][0], out[3][0]}
+    assert len(c) == 1
+    kept = [d for d in (1, 2, 3) if out[d][1]]
+    assert kept == [3], out  # longest/highest-quality doc wins
+    assert out[10] == (10, True)  # singleton: own cluster, kept
+    # deterministic across re-runs (idempotent curation)
+    again = {r.doc_id: (r.cluster_id, r.is_kept) for r in dedup.dedup_pipeline(
+        df, threshold=0.3).collect()}
+    assert again == out
+    dedup.release_cached()
