@@ -224,6 +224,17 @@ def main():
     timed("minhash signatures 100k", lambda: dedup.minhash_signatures(docs).count())
     timed("minhash LSH pairs 100k", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
     timed("winnow fingerprints 100k", lambda: dedup.winnowing_fingerprints(docs).count())
+    from hustle_spark.functions.text import drop_boilerplate_paragraphs
+
+    # give the single-line synthetic docs paragraph structure first
+    para_docs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n").alias("text"),
+    )
+    timed("boilerplate para dedup 100k (1M paras)", lambda: drop_boilerplate_paragraphs(
+        para_docs, max_df=1000).agg(F.sum("n_paras")).count())
+    timed("dedup_pipeline 100k (LSH+CC+canonical)", lambda: dedup.dedup_pipeline(
+        docs, threshold=0.5).filter("is_kept").count())
     # max_df guard on: the synthetic 60-word vocab makes many grams
     # near-ubiquitous, the exact boilerplate regime the cap exists for
     timed("containment pairs 100k (max_df=50)", lambda: dedup.containment_pairs(

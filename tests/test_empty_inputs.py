@@ -73,3 +73,16 @@ def test_round4_operators_empty_inputs(spark):
     assert [tuple(r) for r in unigram_quality_scores(one, min_count=1).collect()] == [
         (1, 1, 1000000)
     ]
+
+
+def test_pipeline_operators_empty_inputs(spark):
+    from hustle_spark.functions.text import drop_boilerplate_paragraphs
+    from hustle_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert drop_boilerplate_paragraphs(empty).count() == 0
+    assert dedup.dedup_pipeline(empty).count() == 0
+    one = spark.createDataFrame([(1, "solo doc")], "doc_id long, text string")
+    r = dedup.dedup_pipeline(one).collect()
+    assert [(x.doc_id, x.cluster_id, x.is_kept) for x in r] == [(1, 1, True)]
+    dedup.release_cached()
