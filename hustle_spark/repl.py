@@ -57,7 +57,15 @@ def build_namespace(spark, cat) -> dict:
     variable per catalog table."""
     from .table import dump
 
-    ns = {"spark": spark, "catalog": cat, "dump": dump}
+    ns = {
+        "spark": spark,
+        "catalog": cat,
+        "dump": dump,
+        # bin/hustle's introspection trio, preloaded as bare callables
+        "tables": cat.tables,
+        "schema": cat.schema,
+        "partitions": cat.partitions,
+    }
     for fn in _DSL_NAMES:
         ns[fn] = getattr(h, fn)
     for t in cat.tables():

@@ -67,9 +67,12 @@ def test_repl_subprocess_two_queries(tmp_path):
     child.expect("r_regionkey")
     child.expect(">>> ")
 
-    # schema introspection, the tables()/schema() surface
-    child.sendline("print(catalog.schema('region'))")
+    # schema introspection, the tables()/schema()/partitions() surface
+    child.sendline("print(schema('region'))")
     child.expect("r_name")
+    child.expect(">>> ")
+    child.sendline("print(sorted(tables()))")
+    child.expect("lineitem")
     child.expect(">>> ")
 
     child.sendline("exit()")
