@@ -632,7 +632,9 @@ def dedup_pipeline(
     map-only signatures, banded equi-join candidates, O(log d)
     pointer-jump CC over id pairs, and one final window over
     cluster_id. The document TEXT is never shuffled; only ids, hashes,
-    and the quality scalar move.
+    and the quality scalar move. Signature and CC label frames are
+    tracked-cached — call ``release_cached()`` after materializing the
+    result (the module convention bench/services already follow).
     """
     from ..functions.text import quality_score
 
