@@ -4912,6 +4912,176 @@ def text_unigram_quality(spark, sf_dir):
     return TX.unigram_quality_scores(d, min_count=5)
 
 
+@query(
+    "boilerplate_removal",
+    oracle=r"""
+    WITH pd AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){4}\S+) ', '\1' || chr(10), 'g')
+               AS text
+      FROM documents),
+    pl AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM pd),
+    paras AS (
+      SELECT doc_id, g.i - 1 AS pos, lst[g.i] AS para
+      FROM pl, unnest(generate_series(1, len(lst))) AS g(i)
+      WHERE trim(lst[g.i]) <> ''),
+    hot AS (
+      SELECT md5(trim(para)) AS d
+      FROM paras GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) > 2),
+    marked AS (
+      SELECT p.*, (h.d IS NOT NULL) AS is_hot
+      FROM paras p LEFT JOIN hot h ON md5(trim(p.para)) = h.d),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+      FROM marked GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+      FROM marked WHERE NOT is_hot GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5(COALESCE(r.text, '')) AS text_md5,
+           COALESCE(s.n_paras, 0) AS n_paras,
+           COALESCE(s.n_dropped, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def boilerplate_removal(spark, sf_dir):
+    """L23 C4/CCNet-style boilerplate-paragraph removal
+    (functions.text.drop_boilerplate_paragraphs): any paragraph whose
+    exact trimmed content appears in more than max_df DISTINCT
+    documents is dropped corpus-wide and the survivors reassemble in
+    original order (sort_array over (pos, para) structs — never bare
+    collect_list). The documents fixture has no newlines, so both
+    engines first synthesize paragraph breaks with the SAME
+    deterministic regex (one break per 5 tokens; Java and RE2 share
+    left-to-right non-overlapping replace semantics). Output compares
+    md5(rebuilt text) + paragraph/drop counts per doc, so a wrong
+    reassembly order or missed hot paragraph cannot hash-match. Scale
+    shape: paragraph text crosses ONE shuffle (the per-doc reassembly);
+    the hot-digest set is a broadcast anti-join."""
+    d = _cat(spark, sf_dir).table("documents").df
+    parad = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){4}\S+) ", "$1\n").alias("text"),
+    )
+    out = TX.drop_boilerplate_paragraphs(parad, max_df=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_paras", "n_dropped"
+    )
+
+
+@query(
+    "dedup_pipeline_keepers",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sig AS (SELECT doc_id,
+              list_transform(generate_series(0, 11), seed ->
+                list_min(list_transform(sh, g -> md5(g || ':' || CAST(seed AS VARCHAR))))) AS m
+            FROM s),
+    bands AS (SELECT doc_id, u.b AS b, list_slice(m, u.b * 3 + 1, u.b * 3 + 3) AS bsig
+              FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+    est AS (SELECT a, b,
+              len(list_filter(generate_series(1, 12), i -> sa.m[i] = sb.m[i])) AS match_cnt
+            FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                      JOIN sig sb ON sb.doc_id = cand.b),
+    prs AS (SELECT a, b FROM est WHERE match_cnt >= 6),
+    und AS (SELECT a AS x, b AS y FROM prs UNION ALL SELECT b, a FROM prs),
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM und)
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+    lab AS (SELECT x AS id, MIN(y) AS cluster_id FROM reach GROUP BY x)
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY COALESCE(l.cluster_id, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS is_kept
+    FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    """,
+)
+def dedup_pipeline_keepers(spark, sf_dir):
+    """L24 the COMPOSED curation pipeline under the hash gate
+    (operators.dedup.dedup_pipeline): MinHash-LSH candidate pairs →
+    pointer-jump connected-components clusters → one canonical keeper
+    per cluster (highest quality, ties to lowest id), singletons kept.
+    Uses the md5 signature variant (12 hashes / 4 bands, est Jaccard
+    >= 0.5) so the ENTIRE composition — signatures, banding, candidate
+    join, transitive closure, keeper ranking — is one DuckDB replay
+    (minhash CTEs from dedup_minhash_md5 + the recursive-CTE closure
+    from dedup_cluster_cc). Quality = n_chars: an integer column, so
+    no float crosses the keeper-ranking tiebreak. Scale shape: every
+    stage is individually proven (map-only signatures, banded
+    equi-join, O(log d) CC, one window over cluster_id); document text
+    never shuffles — only ids, hashes, and the quality scalar."""
+    d = _cat(spark, sf_dir).table("documents").df
+    out = dedup.dedup_pipeline(
+        d, threshold=0.5, quality=F.col("n_chars"),
+        n_hashes=12, bands=4, hash="md5",
+    )
+    return out.select("doc_id", "cluster_id", "is_kept")
+
+
+@query(
+    "multimodal_resize_probe",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           'bmp' AS media_type,
+           CAST((d.doc_id % 4 + 1) * 4 AS INT) AS width,
+           CAST(d.doc_id % 6 + 1 AS INT) AS height,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(SUM((d.doc_id + (g.x * ((d.doc_id % 4 + 1) * 4)) // 8
+                     + (gy.y * (d.doc_id % 6 + 1)) // 8) % 256) AS BIGINT)
+             AS rsum_b,
+           CAST(SUM((d.doc_id * 3
+                     + ((g.x * ((d.doc_id % 4 + 1) * 4)) // 8) * 7) % 256)
+             AS BIGINT) AS rsum_g,
+           CAST(SUM((d.doc_id * 5
+                     + ((gy.y * (d.doc_id % 6 + 1)) // 8) * 11) % 256)
+             AS BIGINT) AS rsum_r,
+           CAST(SUM((g.x + gy.y * 8 + 1) *
+                    ((d.doc_id + (g.x * ((d.doc_id % 4 + 1) * 4)) // 8
+                      + (gy.y * (d.doc_id % 6 + 1)) // 8) % 256)) AS BIGINT)
+             AS rwsum_b,
+           true AS ok
+    FROM documents d, generate_series(0, 7) g(x), generate_series(0, 7) gy(y)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_resize_probe(spark, sf_dir):
+    """L25 nearest-neighbor image RESIZE over the REAL pixel decode
+    path (operators.multimodal.resize_image_features): full 24-bit BMP
+    payloads synthesized in codegen, decoded pixel-by-pixel in
+    Arrow-batched mapInPandas, then NN-resampled to an 8x8 grid with
+    pure floor arithmetic (src = dst * dim // out_dim) — the
+    fixed-shape-tensor step a multimodal training pipeline runs after
+    decode. The oracle replays the generative pixel model AT THE
+    RESAMPLED COORDINATES with a correlated generate_series lateral;
+    the position-weighted checksum (rwsum_b) makes a transposed or
+    off-by-one sampling grid unable to hash-match."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = multimodal.synthesize_bmp_payloads(d, id_col="doc_id")
+    feats = multimodal.resize_image_features(media, out_w=8, out_h=8)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "out_w", "out_h",
+        "rsum_b", "rsum_g", "rsum_r", "rwsum_b", "ok",
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -4967,7 +5137,8 @@ _CHANGED = [
 _NEW_THIS_ROUND = [
     "skew_salted_join_requery", "bucketed_join_requery",
     "multimodal_pixel_probe", "dedup_containment_pairs",
-    "text_unigram_quality",
+    "text_unigram_quality", "boilerplate_removal",
+    "dedup_pipeline_keepers", "multimodal_resize_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
