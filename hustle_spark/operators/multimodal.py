@@ -756,3 +756,228 @@ def resize_image_features(
             )
 
     return media.mapInPandas(batches, schema=RESIZE_FEATURE_SCHEMA)
+
+
+AUDIO_SAMPLE_SCHEMA = (
+    "media_id long, media_type string, sample_rate int, n_samples long, "
+    "sum_s long, sum_abs long, wsum long, ok boolean"
+)
+
+
+def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are COMPLETE mono 16-bit PCM
+    WAV files — header AND every sample byte — constructed entirely in
+    codegen (per-sample little-endian hex via transform over a
+    sequence, then one to_binary). The sample model is a fixed integer
+    function of (id, i) so any engine replays the decoded waveform:
+
+        n_samples = id % 50 + 8          (mono, 8 kHz, 16-bit)
+        s[i]      = (id*7 + i*13) % 4096 - 2048
+
+    Closes the audio half of the "headers only" media caveat the same
+    way synthesize_bmp_payloads closed the image half: the payload is
+    a spec-complete file a real decoder would accept, and the decode
+    below reads the actual PCM bytes back out of it.
+    """
+    mid = F.col(id_col).cast("long")
+    n_samples = (mid % 50 + 8).cast("long")
+    data_size = n_samples * 2  # mono 16-bit
+
+    def le(col, nbytes: int):
+        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    # signed sample -> unsigned 16-bit two's complement -> LE hex
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_samples - 1).cast("int")),
+            lambda i: le(((mid * 7 + i * 13) % 4096 - 2048 + 65536) % 65536, 2),
+        ),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"),             # 'RIFF'
+        le(data_size + 36, 4),
+        F.lit("57415645" "666D7420"),  # 'WAVE' 'fmt '
+        F.lit("10000000" "0100"),      # fmt size 16, PCM
+        le(F.lit(1), 2),               # mono
+        le(F.lit(8000), 4),            # sample rate
+        le(F.lit(16000), 4),           # byte rate = sr * block_align
+        le(F.lit(2), 2),               # block align
+        le(F.lit(16), 2),              # bits
+        F.lit("64617461"),             # 'data'
+        le(data_size, 4),
+        sample_hex,
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+def _audio_samples_one(payload: bytes):
+    """Parse a PCM WAV payload down to its SAMPLES: header via
+    parse_wav_header, then the 'data' chunk bytes as little-endian
+    signed 16-bit. Returns (media_type, sample_rate, n_samples, sum_s,
+    sum_abs, wsum, ok) with wsum = sum((i+1) * s[i]) — the
+    position-weighted checksum that makes byte-order or offset bugs
+    unable to hash-match."""
+    parsed = parse_wav_header(payload)
+    if parsed is None or parsed[2] != 16:
+        return "unknown", 0, 0, 0, 0, 0, False
+    ch, sr, _bits, _frames = parsed
+    pos = payload.find(b"data", 12)
+    if pos < 0 or pos + 8 > len(payload):
+        return "unknown", 0, 0, 0, 0, 0, False
+    size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+    data = payload[pos + 8 : pos + 8 + size]
+    n = len(data) // 2
+    sum_s = sum_abs = wsum = 0
+    for i in range(n):
+        v = int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+        sum_s += v
+        sum_abs += abs(v)
+        wsum += (i + 1) * v
+    return "wav", sr, n, sum_s, sum_abs, wsum, True
+
+
+def decode_audio_samples(media: DataFrame) -> DataFrame:
+    """Arrow-batched SAMPLE-level audio decode (the content-level
+    sibling of decode_audio_features, which stops at the header):
+    payload bytes stay executor-side in columnar batches; every PCM
+    sample is read back and folded into integer checksums."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _audio_samples_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "n_samples": [f[2] for f in feats],
+                    "sum_s": [f[3] for f in feats],
+                    "sum_abs": [f[4] for f in feats],
+                    "wsum": [f[5] for f in feats],
+                    "ok": [f[6] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SAMPLE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_no long, fsum long, wfsum long"
+)
+
+
+def synthesize_mp4_frames_payloads(
+    df: DataFrame, id_col: str, frame_size: int = 16
+) -> DataFrame:
+    """Build MP4 payloads that carry an ``mdat`` box with REAL frame
+    bytes (ftyp + moov/mvhd header as in synthesize_mp4_payloads, then
+    n_frames fixed-size frames), all in codegen. The frame-byte model
+    is a fixed integer function of (id, frame, offset) so any engine
+    replays every sampled frame:
+
+        n_frames       = id % 24 + 4
+        byte[f][j]     = (id + f*31 + j) % 256
+    """
+    mid = F.col(id_col).cast("long")
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(30000)), (mid % 3 + 1).cast("int")
+    )
+    duration = (mid % 9000 + 600).cast("long")
+    n_frames = (mid % 24 + 4).cast("long")
+    be = lambda c, n: F.lpad(F.hex(c.cast("long")), n * 2, "0")  # noqa: E731
+    ftyp_hex = F.lit("00000014" "66747970" "69736F6D" "00000000" "69736F6D")
+    mvhd_hex = F.concat(
+        F.lit("0000006C" "6D766864" "00000000" "00000000" "00000000"),
+        be(timescale, 4), be(duration, 4),
+        F.lit(
+            "00010000" "0100" "0000" "0000000000000000"
+            "000100000000000000000000"
+            "000000000001000000000000"
+            "000000000000000040000000"
+            "000000000000000000000000"
+            "000000000000000000000000"
+            "00000002"
+        ),
+    )
+    mdat_hex = F.concat(
+        be(n_frames * frame_size + 8, 4),
+        F.lit("6D646174"),  # 'mdat'
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (n_frames * frame_size - 1).cast("int")),
+                lambda b: F.lpad(
+                    F.hex(
+                        (mid + (b.cast("long") / frame_size).cast("long") * 31
+                         + b % frame_size) % 256
+                    ),
+                    2, "0",
+                ),
+            ),
+            "",
+        ),
+    )
+    payload_hex = F.concat(
+        ftyp_hex, F.lit("00000074" "6D6F6F76"), mvhd_hex, mdat_hex
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("video/mp4").alias("media_type"),
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 4, frame_size: int = 16
+) -> DataFrame:
+    """REAL video frame sampling (upgrades frame_sample_plan from a
+    plan to an execution): Arrow-batched walk of the ISO-BMFF box
+    structure to the ``mdat`` payload, slice it into fixed-size
+    frames, keep every ``every_n``-th, and emit one row per SAMPLED
+    frame with integer checksums (fsum = byte sum, wfsum =
+    position-weighted) — the decode-side contract a frame-level
+    training pipeline consumes. Output explodes executor-side inside
+    the same batch; payload bytes never leave the worker."""
+
+    def frames_of(payload: bytes):
+        pos, n = 0, len(payload)
+        while pos + 8 <= n:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            btype = payload[pos + 4 : pos + 8]
+            if size < 8:
+                return
+            if btype == b"mdat":
+                data = payload[pos + 8 : pos + size]
+                for f in range(0, len(data) // frame_size, every_n):
+                    frame = data[f * frame_size : (f + 1) * frame_size]
+                    fsum = sum(frame)
+                    wfsum = sum((j + 1) * b for j, b in enumerate(frame))
+                    yield f, fsum, wfsum
+                return
+            pos += size
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fnos, fsums, wfsums = [], [], [], []
+            for mid_v, p in zip(pdf["media_id"], pdf["payload"]):
+                for f, fsum, wfsum in frames_of(p if p is not None else b""):
+                    ids.append(mid_v)
+                    fnos.append(f)
+                    fsums.append(fsum)
+                    wfsums.append(wfsum)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": fnos, "fsum": fsums,
+                 "wfsum": wfsums}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)

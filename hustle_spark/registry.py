@@ -5082,6 +5082,77 @@ def multimodal_resize_probe(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_audio_samples",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           'wav' AS media_type,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(d.doc_id % 50 + 8 AS BIGINT) AS n_samples,
+           CAST(SUM((d.doc_id * 7 + g.i * 13) % 4096 - 2048) AS BIGINT)
+             AS sum_s,
+           CAST(SUM(ABS((d.doc_id * 7 + g.i * 13) % 4096 - 2048)) AS BIGINT)
+             AS sum_abs,
+           CAST(SUM((g.i + 1) * ((d.doc_id * 7 + g.i * 13) % 4096 - 2048))
+             AS BIGINT) AS wsum,
+           true AS ok
+    FROM documents d, generate_series(0, 56) g(i)
+    WHERE g.i < d.doc_id % 50 + 8
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_audio_samples(spark, sf_dir):
+    """L5 multimodal, audio at SAMPLE level (closes the audio half of
+    the "content level" caveat the way multimodal_pixel_probe closed
+    images): COMPLETE mono 16-bit PCM WAV files — header and every
+    sample byte — synthesized in codegen
+    (operators.multimodal.synthesize_wav_pcm_payloads), then decoded
+    back to the waveform by the Arrow-batched sample reader
+    (decode_audio_samples: finds the data chunk, reads each LE signed
+    16-bit sample). The oracle replays the generative sample model
+    with a correlated generate_series; the position-weighted checksum
+    (wsum) makes endianness or offset mistakes unable to hash-match,
+    and sum_s's sign exercises two's-complement decode."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = multimodal.synthesize_wav_pcm_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_audio_samples(media)
+    return feats.select(
+        "media_id", "media_type", "sample_rate", "n_samples",
+        "sum_s", "sum_abs", "wsum", "ok",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id AS media_id,
+           CAST(g.f AS BIGINT) AS frame_no,
+           CAST(SUM((d.doc_id + g.f * 31 + j.j) % 256) AS BIGINT) AS fsum,
+           CAST(SUM((j.j + 1) * ((d.doc_id + g.f * 31 + j.j) % 256))
+             AS BIGINT) AS wfsum
+    FROM documents d, generate_series(0, 27) g(f), generate_series(0, 15) j(j)
+    WHERE g.f % 4 = 0 AND g.f < d.doc_id % 24 + 4
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """L5 multimodal, video at FRAME level (upgrades frame_sample_plan
+    from a plan to an execution — the last member of the
+    decode / feature-extract / resize / frame-sample quartet now runs
+    on real bytes): MP4 payloads carrying an mdat box with actual
+    frame data are synthesized in codegen
+    (operators.multimodal.synthesize_mp4_frames_payloads), then
+    sample_video_frames box-walks to the mdat, slices fixed-size
+    frames, keeps every 4th, and emits per-sampled-frame integer
+    checksums. One output row per sampled frame (explodes
+    executor-side inside the Arrow batch; payload bytes never leave
+    the worker). The oracle replays the generative frame-byte model at
+    the sampled indices with two correlated generate_series laterals."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = multimodal.synthesize_mp4_frames_payloads(d, id_col="doc_id")
+    return multimodal.sample_video_frames(media, every_n=4)
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -5139,6 +5210,7 @@ _NEW_THIS_ROUND = [
     "multimodal_pixel_probe", "dedup_containment_pairs",
     "text_unigram_quality", "boilerplate_removal",
     "dedup_pipeline_keepers", "multimodal_resize_probe",
+    "multimodal_audio_samples", "multimodal_frame_sample",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

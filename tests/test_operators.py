@@ -882,3 +882,59 @@ def test_resize_image_features_matches_model(spark):
     )
     r = resize_image_features(junk).collect()[0]
     assert (r.media_type, r.ok) == ("unknown", False)
+
+
+def test_audio_sample_decode_roundtrip(spark):
+    from hustle_spark.operators.multimodal import (
+        _audio_samples_one,
+        decode_audio_samples,
+        synthesize_wav_pcm_payloads,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (49,), (196,)], "doc_id long")
+    media = synthesize_wav_pcm_payloads(ids, id_col="doc_id")
+    rows = {r.media_id: r for r in decode_audio_samples(media).collect()}
+    for mid in (0, 1, 49, 196):
+        n = mid % 50 + 8
+        s = [(mid * 7 + i * 13) % 4096 - 2048 for i in range(n)]
+        r = rows[mid]
+        assert r.ok and r.media_type == "wav" and r.sample_rate == 8000
+        assert r.n_samples == n
+        assert r.sum_s == sum(s)
+        assert r.sum_abs == sum(abs(v) for v in s)
+        assert r.wsum == sum((i + 1) * v for i, v in enumerate(s))
+    # malformed payloads refuse cleanly rather than mis-decode
+    assert _audio_samples_one(b"") == ("unknown", 0, 0, 0, 0, 0, False)
+    assert _audio_samples_one(b"RIFFxxxxWAVE")[6] is False
+
+
+def test_video_frame_sampling(spark):
+    from hustle_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_mp4_frames_payloads,
+    )
+
+    ids = spark.createDataFrame([(0,), (3,), (23,)], "doc_id long")
+    media = synthesize_mp4_frames_payloads(ids, id_col="doc_id")
+    got = {}
+    for r in sample_video_frames(media, every_n=4).collect():
+        got.setdefault(r.media_id, {})[r.frame_no] = (r.fsum, r.wfsum)
+    for mid in (0, 3, 23):
+        n_frames = mid % 24 + 4
+        expected_frames = list(range(0, n_frames, 4))
+        assert sorted(got[mid]) == expected_frames
+        for f in expected_frames:
+            frame = [(mid + f * 31 + j) % 256 for j in range(16)]
+            assert got[mid][f] == (
+                sum(frame),
+                sum((j + 1) * b for j, b in enumerate(frame)),
+            )
+    # payload without an mdat box yields no frames
+    import pyspark.sql.functions as F
+
+    nomdat = media.select(
+        "media_id",
+        F.to_binary(F.lit("0000001466747970" + "69736F6D00000000" + "69736F6D"),
+                    F.lit("hex")).alias("payload"),
+    )
+    assert sample_video_frames(nomdat).count() == 0

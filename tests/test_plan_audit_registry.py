@@ -34,6 +34,9 @@ ALLOWED_PYTHON = {
     "multimodal_audio_probe",  # audio header decode, same mapInPandas path
     "multimodal_video_probe",  # mp4 box walk, same mapInPandas path
     "multimodal_pixel_probe",  # full BMP/PNG pixel decode, same path
+    "multimodal_resize_probe",   # NN resize over pixel decode, same path
+    "multimodal_audio_samples",  # PCM sample-level decode, same path
+    "multimodal_frame_sample",   # mdat frame sampling, same path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
