@@ -938,3 +938,32 @@ def test_video_frame_sampling(spark):
                     F.lit("hex")).alias("payload"),
     )
     assert sample_video_frames(nomdat).count() == 0
+
+
+def test_snapshot_diff(spark):
+    from hustle_spark.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (3, "GAMMA"), (4, "delta"), (5, "epsilon")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "removed", 3: "changed",
+        4: "unchanged", 5: "added",
+    }
+    summary = {r.status: r.n for r in snapshot_diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 2, "removed": 1, "changed": 1, "added": 1}
+    # identical corpora: everything unchanged; empty new: everything removed
+    same = {r.status for r in snapshot_diff(old, old).collect()}
+    assert same == {"unchanged"}
+    empty = old.limit(0)
+    gone = {r.status for r in snapshot_diff(old, empty).collect()}
+    assert gone == {"removed"}
