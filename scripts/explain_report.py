@@ -57,6 +57,11 @@ SHOWCASE = {
     "embedding_near_dup": "bucket self-join via ReusedExchange (signatures shuffled once, read twice); scalar distinct after the threshold filter",
     "dedup_containment_pairs": "winnowed fingerprints map-only (shifted-least passes); 16-byte (id, fp) equi-join; integer-permille scoring",
     "text_unigram_quality": "vocab fppm broadcast; per-doc explode partial-aggregates before its one shuffle (~1 row/doc moves)",
+    "boilerplate_removal": "paragraphs explode map-side; hot-digest set is a broadcast anti-join; paragraph TEXT crosses one shuffle total (the reassembly groupBy)",
+    "dedup_pipeline_keepers": "composed pipeline: map-only signatures, banded equi-join, pointer-jump CC, ONE keeper window on cluster_id; document text never shuffles",
+    "multimodal_resize_probe": "BMPs synthesized in codegen; decode + NN resample fused in one Arrow-batched MapInPandas stage, no shuffle",
+    "multimodal_audio_samples": "complete PCM WAVs in codegen (per-sample LE hex via transform); one MapInPandas sample-decode stage, no shuffle",
+    "multimodal_frame_sample": "mdat frame bytes in codegen; frame explode happens executor-side INSIDE the Arrow batch — no Spark-level explode, no shuffle",
 }
 
 
