@@ -937,6 +937,28 @@ def synthesize_mp4_frames_payloads(
     )
 
 
+def _mdat_frames(payload: bytes, every_n: int, frame_size: int):
+    """Walk top-level ISO-BMFF boxes to the first ``mdat``, slice its
+    payload into fixed-size frames, and yield (frame_no, fsum, wfsum)
+    for every ``every_n``-th frame. Module-level so the property tests
+    drive the exact code the executor runs."""
+    pos, n = 0, len(payload)
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8:
+            return
+        if btype == b"mdat":
+            data = payload[pos + 8 : pos + size]
+            for f in range(0, len(data) // frame_size, every_n):
+                frame = data[f * frame_size : (f + 1) * frame_size]
+                fsum = sum(frame)
+                wfsum = sum((j + 1) * b for j, b in enumerate(frame))
+                yield f, fsum, wfsum
+            return
+        pos += size
+
+
 def sample_video_frames(
     media: DataFrame, every_n: int = 4, frame_size: int = 16
 ) -> DataFrame:
@@ -949,28 +971,13 @@ def sample_video_frames(
     training pipeline consumes. Output explodes executor-side inside
     the same batch; payload bytes never leave the worker."""
 
-    def frames_of(payload: bytes):
-        pos, n = 0, len(payload)
-        while pos + 8 <= n:
-            size = int.from_bytes(payload[pos : pos + 4], "big")
-            btype = payload[pos + 4 : pos + 8]
-            if size < 8:
-                return
-            if btype == b"mdat":
-                data = payload[pos + 8 : pos + size]
-                for f in range(0, len(data) // frame_size, every_n):
-                    frame = data[f * frame_size : (f + 1) * frame_size]
-                    fsum = sum(frame)
-                    wfsum = sum((j + 1) * b for j, b in enumerate(frame))
-                    yield f, fsum, wfsum
-                return
-            pos += size
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, fnos, fsums, wfsums = [], [], [], []
             for mid_v, p in zip(pdf["media_id"], pdf["payload"]):
-                for f, fsum, wfsum in frames_of(p if p is not None else b""):
+                for f, fsum, wfsum in _mdat_frames(
+                    p if p is not None else b"", every_n, frame_size
+                ):
                     ids.append(mid_v)
                     fnos.append(f)
                     fsums.append(fsum)

@@ -967,3 +967,78 @@ def test_snapshot_diff(spark):
     empty = old.limit(0)
     gone = {r.status for r in snapshot_diff(old, empty).collect()}
     assert gone == {"removed"}
+
+
+def test_audio_sample_decoder_property():
+    """Property: any mono 16-bit PCM WAV built independently (struct
+    packing, not the codegen synthesizer) decodes to exactly its
+    sample sums — including extreme values at the int16 boundaries."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.operators.multimodal import _audio_samples_one
+
+    @settings(max_examples=50, deadline=None)
+    @given(samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+           sr=st.sampled_from([8000, 16000, 44100]))
+    def check(samples, sr):
+        ds = len(samples) * 2
+        payload = (
+            b"RIFF" + struct.pack("<I", ds + 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", ds)
+            + b"".join(struct.pack("<h", s) for s in samples)
+        )
+        mt, got_sr, n, sum_s, sum_abs, wsum, ok = _audio_samples_one(payload)
+        assert (mt, got_sr, n, ok) == ("wav", sr, len(samples), True)
+        assert sum_s == sum(samples)
+        assert sum_abs == sum(abs(s) for s in samples)
+        assert wsum == sum((i + 1) * s for i, s in enumerate(samples))
+
+    check()
+
+
+def test_frame_sampler_box_walk_property():
+    """Property: the frame sampler finds mdat regardless of how many
+    other boxes precede it, and samples exactly every Nth frame."""
+    import struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.operators.multimodal import _mdat_frames
+
+    def frames_of(payload, every_n, frame_size=16):
+        # the exact code the executor runs; checksums recomputed below
+        out = []
+        for f, fsum, wfsum in _mdat_frames(payload, every_n, frame_size):
+            out.append((f, fsum, wfsum))
+        return out
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n_lead=st.integers(0, 3),
+        n_frames=st.integers(0, 12),
+        every_n=st.integers(1, 5),
+        seed=st.integers(0, 2**31),
+    )
+    def check(n_lead, n_frames, every_n, seed):
+        import random
+
+        rng = random.Random(seed)
+        lead = b""
+        for _ in range(n_lead):
+            body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
+            lead += struct.pack(">I", 8 + len(body)) + b"free" + body
+        frames = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(n_frames)]
+        payload = lead + struct.pack(">I", 8 + 16 * n_frames) + b"mdat" + b"".join(frames)
+        got = frames_of(payload, every_n)
+        expected = [
+            (f, sum(frames[f]), sum((j + 1) * b for j, b in enumerate(frames[f])))
+            for f in range(0, n_frames, every_n)
+        ]
+        assert got == expected
+        # no mdat at all -> nothing
+        assert frames_of(lead, every_n) == []
+
+    check()
