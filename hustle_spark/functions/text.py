@@ -447,3 +447,70 @@ def drop_boilerplate_paragraphs(
             F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def padding_waste_by_bucket(
+    df: DataFrame,
+    text: str = "text",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Length-bucketed batching efficiency: assign every document to
+    one of ``n_buckets`` token-length buckets and report, per bucket,
+    how many pad tokens a fixed-shape batch would waste if the batch
+    were padded to the bucket's max length — the standard pre-training
+    dataloader analysis (bucketing by length is THE fix for padding
+    waste; this measures how much each bucket still wastes).
+
+    Returns (bucket, n_docs, min_tokens, max_tokens, sum_tokens,
+    pad_waste, waste_permille) with pad_waste = max_tokens * n_docs -
+    sum_tokens, all integer arithmetic.
+
+    Scale shape — deliberately NOT a global NTILE (that is a
+    single-partition sort, the classic 100 TB scale-killer): the exact
+    CDF is computed on the token-LENGTH HISTOGRAM, whose row count is
+    bounded by the max document length (thousands, not billions), so
+    its single-partition window is constant-cost; bucket-of-length is
+    then a broadcast join back to the corpus (map-only) and the final
+    per-bucket aggregate is one bounded shuffle. Equal-length docs
+    always share a bucket (what a batching dataloader wants). Bucket
+    id = docs-strictly-shorter * n DIV total + 1, capped at n — pure
+    integer DIV, so a DuckDB oracle replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    tc = token_count(F.col(text))
+    lengths = df.select(tc.alias("__tc"))
+    freq = lengths.groupBy("__tc").agg(F.count(F.lit(1)).alias("__c"))
+    # histogram-sized frames: single-partition windows are constant-cost
+    w_before = Window.orderBy("__tc").rowsBetween(Window.unboundedPreceding, -1)
+    w_total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets = freq.select(
+        "__tc",
+        F.coalesce(F.sum("__c").over(w_before), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(w_total).alias("__total"),
+    ).select(
+        "__tc",
+        F.least(
+            F.lit(n_buckets).cast("long"),
+            F.expr(f"__cb * {n_buckets} DIV __total") + 1,
+        ).alias("bucket"),
+    )
+    assigned = lengths.join(F.broadcast(buckets), "__tc")
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__tc").alias("min_tokens"),
+            F.max("__tc").alias("max_tokens"),
+            F.sum("__tc").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "bucket", "n_docs", "min_tokens", "max_tokens", "sum_tokens",
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+            .cast("bigint").alias("pad_waste"),
+            F.expr(
+                "(max_tokens * n_docs - sum_tokens) * 1000 "
+                "DIV (max_tokens * n_docs)"
+            ).cast("bigint").alias("waste_permille"),
+        )
+    )

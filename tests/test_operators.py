@@ -1042,3 +1042,30 @@ def test_frame_sampler_box_walk_property():
         assert frames_of(lead, every_n) == []
 
     check()
+
+
+def test_padding_waste_by_bucket(spark):
+    from hustle_spark.functions.text import padding_waste_by_bucket
+
+    # 8 docs with token counts 1..8, 2 buckets: lengths 1-4 -> bucket 1,
+    # 5-8 -> bucket 2 (cum_before * 2 DIV 8 + 1)
+    docs = [(i, " ".join(["w"] * i)) for i in range(1, 9)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.bucket: r for r in padding_waste_by_bucket(df, n_buckets=2).collect()}
+    assert set(got) == {1, 2}
+    b1, b2 = got[1], got[2]
+    assert (b1.n_docs, b1.min_tokens, b1.max_tokens, b1.sum_tokens) == (4, 1, 4, 10)
+    assert b1.pad_waste == 4 * 4 - 10 == 6
+    assert b1.waste_permille == 6 * 1000 // 16
+    assert (b2.n_docs, b2.min_tokens, b2.max_tokens, b2.sum_tokens) == (4, 5, 8, 26)
+    assert b2.pad_waste == 8 * 4 - 26 == 6
+    # equal-length docs always share a bucket, even under skew
+    skew = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)] + [(99, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = padding_waste_by_bucket(skew, n_buckets=4).collect()
+    by_len = {r.min_tokens: r.bucket for r in out}
+    assert len(out) == 2 and by_len[3] == 1  # all 3-token docs in one bucket
+    # n_buckets larger than distinct lengths: still capped and total-preserving
+    assert sum(r.n_docs for r in out) == 11
