@@ -424,3 +424,80 @@ def quantize_int8(
         F.transform(v, lambda x: F.floor(x * F.lit(127.0) / maxabs).cast("int"))
     )
     return df.withColumns({out_col: q, scale_col: maxabs / F.lit(127.0)})
+
+
+def rp_coefficients(dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic +-1 random-projection coefficients from md5
+    parity: coef[j][i] = +1 if the first hex nibble of
+    md5("rp:<seed>:<j>:<i>") is even else -1. Unlike the Gaussian
+    hyperplanes above, this matrix is recomputable by ANY engine
+    (DuckDB replays the same md5 strings in SQL), which is what lets a
+    projection query be hash-checked end-to-end."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    method: str = "expr",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Signed random-projection dimensionality reduction (the
+    Achlioptas/JL +-1 construction): project each embedding to
+    ``out_dim`` components, emitted as ``proj_e6`` —
+    floor(y_j * scale) as array<long> — so the float fold is
+    engine-invariant (the module's floor-scaling idiom). The standard
+    pre-ANN shrink: at 768-dim production vectors an 8-64-dim sketch
+    cuts index memory/IO 10-100x while approximately preserving
+    distances (JL lemma); +-1 coefficients make each component one
+    sign-flip sum, no multiplies in spirit.
+
+    Coefficients ship as literal arrays (out_dim * dim doubles — tiny,
+    effectively broadcast, no shuffle); the op is map-only.
+
+    ``method="expr"``: codegen left-fold per component — exact,
+    deterministic, the oracle path. ``method="numpy"``: one
+    Arrow-batched matmul for all components (the lsh_signatures
+    speed-path idiom) — floor-scaled values can differ in the last
+    unit from the expr path where BLAS pairwise summation rounds
+    differently, so it is the production path, not the oracle path.
+    """
+    coefs = rp_coefficients(dim, out_dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    if method == "numpy":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(coefs, dtype=np.float64)  # (out_dim, dim)
+
+        def _proj_fn(col):
+            if len(col) == 0:
+                return pd.Series([], dtype=object)
+            X = np.vstack(col.to_numpy())  # (n, dim)
+            Y = np.floor(X @ C.T * scale).astype(np.int64)
+            return pd.Series(list(Y))
+
+        _proj_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        _proj = pandas_udf(_proj_fn, "array<long>")
+        return df.withColumn("proj_e6", _proj(v))
+    if method != "expr":
+        raise ValueError(f"unknown projection method {method!r}; use 'expr' or 'numpy'")
+    comps = []
+    for j in range(out_dim):
+        carr = F.array(*[F.lit(c) for c in coefs[j]])
+        comps.append(F.floor(_dot(v, carr) * scale).cast("long"))
+    return df.withColumn("proj_e6", F.array(*comps))

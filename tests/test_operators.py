@@ -1069,3 +1069,37 @@ def test_padding_waste_by_bucket(spark):
     assert len(out) == 2 and by_len[3] == 1  # all 3-token docs in one bucket
     # n_buckets larger than distinct lengths: still capped and total-preserving
     assert sum(r.n_docs for r in out) == 11
+
+
+def test_random_projection(spark):
+    import hashlib
+    import math
+
+    from hustle_spark.operators.similarity import random_projection, rp_coefficients
+    from hustle_spark.catalog import Catalog
+
+    e = (
+        Catalog(spark, "/root/testdata/sf0.001", scratch="/root/repo/.scratch/testcat")
+        .table("embeddings")
+        .df.limit(50)
+    )
+    out = {r.vec_id: r.proj_e6 for r in random_projection(e, dim=64, out_dim=4).collect()}
+    # independent pure-Python reference with the same left-fold order
+    coefs = rp_coefficients(64, 4)
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+    for vid, vec in raw.items():
+        for j in range(4):
+            acc = 0.0
+            for x, c in zip(vec, coefs[j]):
+                acc = acc + x * c
+            assert out[vid][j] == math.floor(acc * 1_000_000)
+    # coefficient derivation is the documented md5-parity contract
+    h = hashlib.md5(b"rp:42:0:0").hexdigest()
+    assert coefs[0][0] == (1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+    # numpy path agrees within 1 ulp of the scaled grid (pairwise vs
+    # sequential summation), and exactly on component count
+    np_out = {r.vec_id: r.proj_e6 for r in
+              random_projection(e, dim=64, out_dim=4, method="numpy").collect()}
+    for vid in out:
+        assert len(np_out[vid]) == 4
+        assert all(abs(a - b) <= 1 for a, b in zip(out[vid], np_out[vid]))
