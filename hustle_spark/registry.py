@@ -5153,6 +5153,176 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.sample_video_frames(media, every_n=4)
 
 
+@query(
+    "corpus_diff",
+    oracle="""
+    WITH o AS (SELECT doc_id, md5(text) AS dg FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 5 THEN text || ' mutated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 7),
+    n AS (SELECT doc_id, md5(text) AS dg FROM v2)
+    SELECT doc_id,
+           CASE WHEN o.dg IS NULL THEN 'added'
+                WHEN n.dg IS NULL THEN 'removed'
+                WHEN o.dg = n.dg THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    """,
+)
+def corpus_diff(spark, sf_dir):
+    """L25 corpus snapshot diff (operators.snapshot.snapshot_diff):
+    the dataset-versioning primitive — which documents a corpus
+    rebuild added, removed, changed, or left untouched, decided by
+    content digest so byte-identical rewrites read as unchanged. The
+    v2 corpus is derived deterministically from v1 (drop doc_id%17==3,
+    mutate %13==5, re-add %19==7 under shifted ids) so both engines
+    construct the same pair of versions; all four statuses occur.
+    Scale shape: each side reduces map-side to (id, md5) before the
+    one full-outer shuffle — document text never moves."""
+    from .operators.snapshot import snapshot_diff
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") % 17 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" mutated"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 19 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return snapshot_diff(d, v2)
+
+
+@query(
+    "padding_waste_buckets",
+    oracle=r"""
+    WITH t AS (SELECT len(string_split_regex(text, '\s+')) AS tc FROM documents),
+    f AS (SELECT tc, COUNT(*) AS c FROM t GROUP BY tc),
+    cdf AS (SELECT tc,
+              COALESCE(SUM(c) OVER (ORDER BY tc
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+              SUM(c) OVER () AS total
+            FROM f),
+    b AS (SELECT tc, LEAST(8, cb * 8 // total + 1) AS bucket FROM cdf)
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(t.tc) AS min_tokens, MAX(t.tc) AS max_tokens,
+           CAST(SUM(t.tc) AS BIGINT) AS sum_tokens,
+           CAST(MAX(t.tc) * COUNT(*) - SUM(t.tc) AS BIGINT) AS pad_waste,
+           CAST((MAX(t.tc) * COUNT(*) - SUM(t.tc)) * 1000
+                // (MAX(t.tc) * COUNT(*)) AS BIGINT) AS waste_permille
+    FROM t JOIN b USING (tc) GROUP BY bucket
+    """,
+)
+def padding_waste_buckets(spark, sf_dir):
+    """L26 length-bucketed padding-waste analysis
+    (functions.text.padding_waste_by_bucket): how many pad tokens a
+    fixed-shape batch wastes per token-length bucket — the dataloader
+    bucketing report. Deliberately NOT a global NTILE (single-partition
+    sort, the classic scale-killer): the exact CDF runs on the BOUNDED
+    length histogram, the length→bucket map broadcasts back, and the
+    only corpus-sized shuffle is the final bounded per-bucket
+    aggregate. Bucket id is pure integer DIV so the oracle replays it
+    bit-for-bit; equal-length docs always share a bucket."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.padding_waste_by_bucket(d, n_buckets=8)
+
+
+@query(
+    "embedding_random_projection",
+    oracle="""
+    SELECT e.vec_id, CAST(j.j AS BIGINT) AS component,
+           CAST(floor(list_aggregate(
+             list_transform(generate_series(1, 64), i ->
+               e.embedding[i]::DOUBLE *
+               (CASE WHEN (CASE WHEN substring(md5('rp:42:' || CAST(j.j AS VARCHAR)
+                                 || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                                 BETWEEN '0' AND '9'
+                           THEN ascii(substring(md5('rp:42:' || CAST(j.j AS VARCHAR)
+                                 || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 48
+                           ELSE ascii(substring(md5('rp:42:' || CAST(j.j AS VARCHAR)
+                                 || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)) - 87 END) % 2 = 0
+                THEN 1.0 ELSE -1.0 END)), 'sum') * 1000000) AS BIGINT) AS value_e6
+    FROM embeddings e, generate_series(0, 7) j(j)
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """L27 JL random-projection dim reduction
+    (operators.similarity.random_projection): 64-dim embeddings
+    sketched to 8 signed-sum components — the standard pre-ANN shrink
+    (10-100x index memory at production dim). Coefficients are +-1
+    from md5-nibble parity, so DuckDB recomputes the SAME projection
+    matrix in SQL and replays every component: left-fold float
+    accumulation matches engine-to-engine (the embedding_label_stats
+    precedent) and floor-scaling makes the comparison integer-exact.
+    Components are exploded to scalar rows (driver canonicalizer
+    stays off array columns — the collect_set_sorted lesson).
+    Map-only: coefficients ship as literal arrays, nothing shuffles."""
+    from .operators.similarity import random_projection
+
+    e = _cat(spark, sf_dir).table("embeddings").df
+    p = random_projection(e, dim=64, out_dim=8)
+    return p.select(
+        "vec_id",
+        F.posexplode("proj_e6").alias("component", "value_e6"),
+    ).select(
+        "vec_id", F.col("component").cast("bigint").alias("component"), "value_e6"
+    )
+
+
+@query(
+    "streaming_ingest_dedup_requery",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents),
+    r AS (SELECT doc_id, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM u)
+    SELECT doc_id, md5(text) AS text_md5 FROM r WHERE rn = 1
+    """,
+)
+def streaming_ingest_dedup_requery(spark, sf_dir):
+    """Section 2.8c continuous-ingestion dedup as a driver-checked
+    lifecycle requery (streaming.sinks.foreach_batch_ingest_dedup):
+    the documents corpus plus a full duplicate copy under shifted ids
+    flows through a REAL availableNow file-source stream; each
+    micro-batch dedupes within-batch (keep-min) and anti-joins the
+    persistent parquet digest index, landing survivors in epoch
+    partitions. The final corpus is batching-independent — one batch
+    gives global keep-min directly; split batches give first-batch
+    keep-min plus full anti-join of the duplicate tail (shifted ids
+    are strictly larger, so both orders converge to the same set) —
+    which is exactly the oracle's keep-min-over-digest replay."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "text")
+    base = Path(str(cat.scratch)) / "ingest_dd"
+    shutil.rmtree(base, ignore_errors=True)
+    src = base / "src"
+    d.coalesce(1).write.parquet(str(src / "b1"))
+    d.withColumn("doc_id", F.col("doc_id") + 1000000).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    from .streaming.sinks import foreach_batch_ingest_dedup
+
+    stream = spark.readStream.schema(d.schema).parquet(str(src / "*"))
+    q = foreach_batch_ingest_dedup(
+        stream, base / "out", base / "idx", base / "ckpt"
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(base / "out"))
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -5211,6 +5381,8 @@ _NEW_THIS_ROUND = [
     "text_unigram_quality", "boilerplate_removal",
     "dedup_pipeline_keepers", "multimodal_resize_probe",
     "multimodal_audio_samples", "multimodal_frame_sample",
+    "corpus_diff", "padding_waste_buckets",
+    "embedding_random_projection", "streaming_ingest_dedup_requery",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
