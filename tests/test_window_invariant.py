@@ -70,3 +70,31 @@ def test_priority_segments_disjoint():
     segs = [registry._CHANGED, registry._NEW_THIS_ROUND, registry._BACKFILL]
     flat = [n for s in segs for n in s]
     assert len(flat) == len(set(flat)), "a query appears in two segments"
+
+
+def test_doc_query_counts_match_registry():
+    """Count-drift guard (VERDICT r3 "What's wrong" #2 hit this twice):
+    the registry count stated in README.md and SURVEY.md must equal the
+    actual registry. One number, three places, structurally enforced."""
+    import re
+
+    root = Path(__file__).resolve().parents[1]
+    total = len(registry.QUERIES)
+    oracle_bound = sum(1 for q in registry.QUERIES.values() if q.oracle)
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"registry\.py\s+(\d+) named queries", readme)
+    assert m and int(m.group(1)) == total, (
+        f"README.md says {m and m.group(1)} queries, registry has {total}"
+    )
+    m = re.search(r"\((\d+) oracle-checked", readme)
+    assert m and int(m.group(1)) == oracle_bound, (
+        f"README.md says {m and m.group(1)} oracle-checked, "
+        f"registry has {oracle_bound}"
+    )
+
+    survey = (root / "SURVEY.md").read_text()
+    m = re.search(r"(\d+) registry queries after round", survey)
+    assert m and int(m.group(1)) == total, (
+        f"SURVEY.md says {m and m.group(1)} queries, registry has {total}"
+    )
