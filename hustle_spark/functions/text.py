@@ -514,3 +514,94 @@ def padding_waste_by_bucket(
             ).cast("bigint").alias("waste_permille"),
         )
     )
+
+
+def bpe_apply_merge(toks, a: str, b: str, joined: str) -> Column:
+    """Greedy left-to-right non-overlapping application of ONE BPE
+    merge (a, b) -> joined over a token-array column, as a codegen
+    fold: walk the tokens, and whenever the last emitted token is
+    ``a`` and the next is ``b``, replace the pair with ``joined``.
+    After a merge the last emitted token is ``joined`` (never equal to
+    ``a`` — it is strictly longer), so overlapping candidates like
+    "a a a" with merge (a,a) collapse to ["a_a", "a"] exactly as
+    reference BPE does. try_element_at (NOT element_at, which throws
+    under ANSI semantics) yields NULL on the empty accumulator and the
+    comparison fails — no explicit size guard needed."""
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == a) & (t == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 3,
+    sep: str = "_",
+):
+    """Iterative BPE merge learning at corpus scale — the tokenizer-
+    induction loop (Sennrich et al. 2016 applied to whitespace words):
+    each round counts all adjacent token pairs, picks the most
+    frequent (ties by the 'a b' pair string — a total order both
+    engines share), and greedily merges it corpus-wide. Returns
+    (merges, final_tokens_df) where merges is a list of
+    (round, a, b, pair_count, total_tokens_after).
+
+    Scale shape per round: one explode → map-side-combined pair count
+    (the only corpus shuffle), a LIMIT-1 top pair collected to the
+    driver (one row — the IVF-centroid precedent for bounded driver
+    state), then a map-only fold applies the merge. Production BPE
+    trains on a corpus SAMPLE; the loop here is the honest distributed
+    shape for the counting phase, which is where corpus scale lives.
+    Intermediate token frames are tracked-cached; each round releases
+    its predecessor."""
+    from ..util import tracked_cache
+
+    cur = df.select(tokens(F.col(text)).alias("__toks"))
+    cur = tracked_cache(cur)
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pair_str = F.concat_ws(
+            " ",
+            F.col("__p.a"),
+            F.col("__p.b"),
+        )
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.col("__toks"),
+                        F.slice(
+                            F.col("__toks"), 2,
+                            F.greatest(F.size("__toks") - 1, F.lit(0)),
+                        ),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("__p")
+            )
+            .filter(F.col("__p.b").isNotNull())
+            .select(pair_str.alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), F.col("g").asc()).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].g.split(" ", 1)
+        joined = a + sep + b
+        nxt = tracked_cache(
+            cur.select(bpe_apply_merge(F.col("__toks"), a, b, joined).alias("__toks"))
+        )
+        total_after = nxt.select(
+            F.sum(F.size("__toks")).cast("bigint").alias("n")
+        ).collect()[0].n
+        cur.unpersist()
+        cur = nxt
+        merges.append((rnd, a, b, int(top[0].c), int(total_after or 0)))
+    return merges, cur

