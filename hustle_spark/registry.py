@@ -5388,6 +5388,58 @@ def bpe_merge_rounds(spark, sf_dir):
     )
 
 
+@query(
+    "compact_requery",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def compact_requery(spark, sf_dir):
+    """S6/S9 small-file compaction lifecycle as a driver-checked query
+    (the last unit-only lifecycle op): create a managed partitioned
+    table in scratch, bulk-append the documents metadata in FOUR
+    separate single-partition appends (the small-file pathology
+    compaction exists to fix), compact — which merges files, re-sorts
+    the indexed column, and rewrites blooms through the staged
+    non-atomic dir swap with orphan recovery — then re-query. The
+    compacted table must aggregate identically to the source parquet;
+    the assert pins that compaction actually rewrote files (returns
+    the number of partitions compacted)."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    root = Path(str(cat.scratch)) / "lifecycle_cmp"
+    shutil.rmtree(root, ignore_errors=True)  # idempotent rebuild
+    root.mkdir(parents=True)
+    lc = h.connect(spark, root, scratch=Path(str(cat.scratch)) / "lifecycle_cmp_s")
+    name = "docs_meta"
+    lc.create(
+        name,
+        ["index uint64 doc_id", "string lang", "uint32 n_chars"],
+        partition="lang",
+    )
+    d = cat.table("documents").df.select("doc_id", "lang", "n_chars")
+    for k in range(4):  # four small appends per partition
+        lc.append(name, d.filter(F.col("doc_id") % 4 == k).coalesce(1))
+    n = lc.compact(name, target_file_mb=64)
+    # n == 0 is legitimate ONLY for an empty source (no partitions)
+    assert n >= 1 or d.isEmpty(), f"compact touched no partitions ({n})"
+    return (
+        lc.table(name)
+        .df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -5448,7 +5500,7 @@ _NEW_THIS_ROUND = [
     "multimodal_audio_samples", "multimodal_frame_sample",
     "corpus_diff", "padding_waste_buckets",
     "embedding_random_projection", "streaming_ingest_dedup_requery",
-    "bpe_merge_rounds",
+    "bpe_merge_rounds", "compact_requery",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
