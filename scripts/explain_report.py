@@ -62,6 +62,10 @@ SHOWCASE = {
     "multimodal_resize_probe": "BMPs synthesized in codegen; decode + NN resample fused in one Arrow-batched MapInPandas stage, no shuffle",
     "multimodal_audio_samples": "complete PCM WAVs in codegen (per-sample LE hex via transform); one MapInPandas sample-decode stage, no shuffle",
     "multimodal_frame_sample": "mdat frame bytes in codegen; frame explode happens executor-side INSIDE the Arrow batch — no Spark-level explode, no shuffle",
+    "corpus_diff": "both corpus versions reduce map-side to (id, md5) before the one full-outer shuffle; text never moves",
+    "padding_waste_buckets": "exact CDF on the bounded length histogram (constant-cost single-partition window); bucket map broadcast back; one bounded final shuffle",
+    "embedding_random_projection": "JL +-1 coefficients as literal arrays; 8 codegen folds per row, map-only, zero shuffle",
+    "compact_requery": "four-small-file pathology -> staged-swap compact -> aggregate-identical requery; scan reads the rewritten files",
 }
 
 
