@@ -52,3 +52,53 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Token-distribution drift between two corpus versions: per-token
+    frequency in parts-per-million (integer DIV — engine-exact) in
+    each version, with the absolute drift per token. The distribution
+    check a corpus rebuild runs AFTER snapshot_diff says what changed:
+    did the rebuild shift the token mix (new boilerplate, lost domain,
+    encoding regression) even where doc counts look fine? Summing
+    ``drift_abs`` over all tokens and halving gives total-variation
+    distance in ppm.
+
+    Returns (token, fppm_old, fppm_new, drift_abs), one row per token
+    in either vocabulary (absent → 0 ppm).
+
+    Scale shape: each side is one explode → map-side-combined count
+    (token-vocabulary-sized output, not corpus-sized); the full-outer
+    join runs on the two vocabulary tables. The corpus text crosses no
+    shuffle; the 1-row totals are scalar BROADCASTS (the
+    unigram_fppm_vocab pattern), never driver collects.
+    """
+    def fppm(df: DataFrame, alias: str) -> DataFrame:
+        toks = df.select(
+            F.explode(F.split(F.col(text), r"\s+")).alias("token")
+        )
+        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+        total = toks.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).alias("__total")
+        )
+        return counts.crossJoin(F.broadcast(total)).select(
+            "token",
+            F.expr(f"__c * {scale} DIV __total").alias(alias),
+        )
+
+    o = fppm(old, "fppm_old")
+    n = fppm(new, "fppm_new")
+    j = o.join(n, "token", "full_outer")
+    return j.select(
+        "token",
+        F.coalesce("fppm_old", F.lit(0)).cast("bigint").alias("fppm_old"),
+        F.coalesce("fppm_new", F.lit(0)).cast("bigint").alias("fppm_new"),
+        F.abs(
+            F.coalesce("fppm_old", F.lit(0)) - F.coalesce("fppm_new", F.lit(0))
+        ).cast("bigint").alias("drift_abs"),
+    )

@@ -1158,3 +1158,22 @@ def test_bpe_learn_merges(spark):
     for tl in got:
         assert "a a" not in " ".join(tl) or True  # structural sanity only
     final.unpersist()
+
+
+def test_vocab_drift(spark):
+    from hustle_spark.operators.snapshot import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )  # totals: a=2, b=2, c=1 of 5
+    new = spark.createDataFrame(
+        [(1, "a b"), (2, "b d")], "doc_id long, text string"
+    )  # totals: a=1, b=2, d=1 of 4
+    got = {r.token: (r.fppm_old, r.fppm_new, r.drift_abs)
+           for r in vocab_drift(old, new).collect()}
+    assert got["a"] == (2 * 10**6 // 5, 1 * 10**6 // 4, abs(400000 - 250000))
+    assert got["b"] == (400000, 500000, 100000)
+    assert got["c"] == (200000, 0, 200000)
+    assert got["d"] == (0, 250000, 250000)
+    # identical corpora: zero drift everywhere
+    assert all(r.drift_abs == 0 for r in vocab_drift(old, old).collect())

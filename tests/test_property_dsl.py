@@ -310,3 +310,47 @@ def test_mp4_parse_never_crashes_on_junk(data):
 
     r = parse_mp4_header(data)
     assert r is None or (isinstance(r, tuple) and len(r) == 2)
+
+
+def test_bpe_apply_merge_property(spark):
+    """Property: the Spark greedy merge fold equals the pure-Python
+    greedy left-to-right merge on random token sequences drawn from a
+    tiny alphabet (maximizing overlap cases like 'a a a')."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from hustle_spark.functions.text import bpe_apply_merge
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seqs=st.lists(st.lists(tok, min_size=1, max_size=12), min_size=1, max_size=6),
+        pair=st.tuples(tok, tok),
+    )
+    def check(seqs, pair):
+        a, b = pair
+        joined = a + "_" + b
+
+        def py_merge(tl):
+            acc = []
+            for t in tl:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = joined
+                else:
+                    acc.append(t)
+            return acc
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "i long, toks array<string>"
+        )
+        got = {
+            r.i: list(r.m)
+            for r in df.select(
+                "i", bpe_apply_merge(F.col("toks"), a, b, joined).alias("m")
+            ).collect()
+        }
+        for i, s in enumerate(seqs):
+            assert got[i] == py_merge(s), (s, a, b, got[i])
+
+    check()
