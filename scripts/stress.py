@@ -240,6 +240,29 @@ def main():
     timed("containment pairs 100k (max_df=50)", lambda: dedup.containment_pairs(
         docs, threshold=0.8, min_shared=2, max_df=50).count())
 
+    # round-4 late additions: versioning analytics + BPE loop
+    from hustle_spark.functions.text import bpe_learn_merges, padding_waste_by_bucket
+    from hustle_spark.operators.snapshot import snapshot_diff, vocab_drift
+
+    timed("padding waste buckets 100k", lambda: padding_waste_by_bucket(docs)
+          .agg(F.sum("pad_waste")).count())
+    v2 = docs.filter(F.col("doc_id") % 17 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 5,
+               F.concat(F.col("text"), F.lit(" mutated"))).otherwise(F.col("text")),
+    )
+    timed("snapshot diff 100k", lambda: snapshot_diff(docs, v2)
+          .groupBy("status").count().count())
+    timed("vocab drift 100k", lambda: vocab_drift(docs, v2)
+          .agg(F.sum("drift_abs")).count())
+
+    def bpe3():
+        merges, final = bpe_learn_merges(docs, n_merges=3)
+        final.unpersist()
+        return len(merges)
+
+    timed("BPE 3 merge rounds 100k", bpe3)
+
     # embedding similarity at 200k x 64-dim
     from hustle_spark.operators import similarity
 
@@ -261,6 +284,10 @@ def main():
     q10 = emb.filter(F.col("vec_id") < 10)
     timed("cosine topk exact (10 q x 200k)", lambda: similarity.cosine_topk(emb, q10, k=5).count())
     timed("ann topk LSH (10 q x 200k)", lambda: similarity.ann_topk(emb, q10, dim=64, k=5).count())
+    timed("random projection 200k x 64->8", lambda: similarity.random_projection(
+        emb, dim=64, out_dim=8).select(
+        F.aggregate("proj_e6", F.lit(0).cast("long"), lambda a, x: a + x).alias("s")
+    ).agg(F.sum("s")).count())
 
     # connected components at 10M edges with LONG chains: pointer
     # jumping must converge in O(log diameter) iterations, not
