@@ -605,3 +605,76 @@ def bpe_learn_merges(
         cur = nxt
         merges.append((rnd, a, b, int(top[0].c), int(total_after or 0)))
     return merges, cur
+
+
+def bigram_cppm_vocab(
+    df: DataFrame, text: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus bigram conditional-probability model: (gram, cppm) where
+    gram = 'a b' and cppm = cnt(a b) * 1e6 DIV prefix_cnt(a) — the
+    integer-DIV estimate of P(b | a) in ppm. prefix_cnt(a) sums ALL
+    bigrams starting with a (so conditionals per prefix sum to ~1e6),
+    computed by re-aggregating the bigram counts — no second corpus
+    scan. Bigrams under ``min_count`` are dropped from the model.
+
+    Scale: one explode → map-side-combined bigram count (vocabulary²-
+    bounded, in practice vocabulary-sized); the prefix re-agg and the
+    final join run on that bounded table."""
+    toks = F.split(F.lower(F.col(text)), WS)
+    grams = df.select(
+        F.explode(sliding_grams(toks, 2)).alias("gram")
+    ).filter(F.instr(F.col("gram"), " ") > 0)  # drop short-doc whole-text fallbacks
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix = (
+        counts.select(
+            F.substring_index("gram", " ", 1).alias("__a"), "cnt"
+        )
+        .groupBy("__a")
+        .agg(F.sum("cnt").alias("__pc"))
+    )
+    return (
+        counts.filter(F.col("cnt") >= min_count)
+        .withColumn("__a", F.substring_index("gram", " ", 1))
+        .join(F.broadcast(prefix), "__a")
+        .select("gram", F.expr("cnt * 1000000 DIV __pc").alias("cppm"))
+    )
+
+
+def bigram_quality_scores(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", min_count: int = 2
+) -> DataFrame:
+    """Bigram-LM quality scoring — the ORDER-sensitive upgrade of
+    unigram_quality_scores: a document's score is the mean corpus
+    conditional bigram probability (ppm, integer DIV) over its
+    adjacent token pairs. Shuffled-word gibberish keeps its unigram
+    score but collapses here, because the corpus has never seen those
+    transitions — the fluency signal a real LM-perplexity filter
+    provides, in exactly-replayable integer arithmetic.
+
+    Returns (id_col, n_bigrams, mean_cppm). Docs with fewer than two
+    tokens score 0 over 0 bigrams. Scale: the model is
+    vocabulary-sized and BROADCAST into the per-doc join; the one
+    corpus-sized shuffle is the final per-doc re-aggregation
+    (~1 row/doc after map-side combine)."""
+    toks = F.split(F.lower(F.col(text)), WS)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(sliding_grams(toks, 2)).alias("gram"),
+    ).filter(F.instr(F.col("gram"), " ") > 0)
+    vocab = bigram_cppm_vocab(df, text, min_count)
+    return (
+        pairs.join(F.broadcast(vocab), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("SUM(COALESCE(cppm, 0)) DIV COUNT(*)")
+            .cast("bigint").alias("mean_cppm"),
+        )
+        .unionByName(
+            df.filter(F.size(F.split(F.lower(F.col(text)), WS)) < 2).select(
+                F.col(id_col),
+                F.lit(0).cast("bigint").alias("n_bigrams"),
+                F.lit(0).cast("bigint").alias("mean_cppm"),
+            )
+        )
+    )

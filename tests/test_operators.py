@@ -1177,3 +1177,32 @@ def test_vocab_drift(spark):
     assert got["d"] == (0, 250000, 250000)
     # identical corpora: zero drift everywhere
     assert all(r.drift_abs == 0 for r in vocab_drift(old, old).collect())
+
+
+def test_bigram_quality_scores(spark):
+    from hustle_spark.functions.text import bigram_quality_scores
+
+    # corpus: 'a b' occurs 3x as a bigram; prefix 'a' starts 4 bigrams
+    # (3x 'a b', 1x 'a c') -> P(b|a) = 750000 ppm, P(c|a) = 250000 ppm
+    # (min_count=1 keeps both); 'b a' occurs 2x, prefix 'b' starts 2 -> 1e6
+    docs = [
+        (1, "a b a b"),    # bigrams: a b, b a, a b
+        (2, "a b a c"),    # bigrams: a b, b a, a c
+        (3, "x"),          # single token: 0 bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_cppm)
+           for r in bigram_quality_scores(df, min_count=1).collect()}
+    # doc 1: (750000 + 1000000 + 750000) DIV 3 = 833333
+    assert got[1] == (3, (750000 + 1000000 + 750000) // 3)
+    # doc 2: (750000 + 1000000 + 250000) DIV 3 = 666666
+    assert got[2] == (3, (750000 + 1000000 + 250000) // 3)
+    assert got[3] == (0, 0)
+    # ORDER sensitivity: shuffled tokens with identical unigram profile
+    # score strictly lower than the fluent original
+    fluent = " ".join(["the cat sat on the mat"] * 5)
+    shuffled = " ".join(["mat the on sat cat the"] * 5)
+    corpus = [(i, fluent) for i in range(9)] + [(99, shuffled)]
+    df2 = spark.createDataFrame(corpus, "doc_id long, text string")
+    s = {r.doc_id: r.mean_cppm for r in bigram_quality_scores(df2).collect()}
+    assert s[99] < s[0]
