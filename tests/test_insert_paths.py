@@ -230,3 +230,38 @@ def test_compact_recovery_prefers_newest_trash(spark, tmp_path):
     cat2 = h.connect(spark, tmp_path)
     assert [r.n for r in cat2.table("logs4").df.collect()] == [1]
     assert not list(tmp_path.glob("_logs4.trash.*"))
+
+
+def test_write_sharded_roundtrip(spark, tmp_path):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hustle_spark.sources.sharding import shard_of, write_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = tmp_path / "sharded"
+    manifest = write_sharded(df, out, n_shards=8)
+    rows = {r.shard: (r.n_rows, r.sum_ids) for r in manifest.collect()}
+    # python replay of the assignment: first md5 hex byte mod 8
+    expect: dict = {}
+    for i in range(200):
+        s = int(hashlib.md5(f"{i}:shard".encode()).hexdigest()[:2], 16) % 8
+        n, t = expect.get(s, (0, 0))
+        expect[s] = (n + 1, t + i)
+    assert rows == expect
+    # shard membership is partitioning-independent: a repartitioned
+    # input yields the identical manifest
+    manifest2 = write_sharded(df.repartition(7), tmp_path / "sharded2", n_shards=8)
+    assert {tuple(r) for r in manifest2.collect()} == {tuple(r) for r in manifest.collect()}
+    # every row lands in exactly one shard and survives the roundtrip
+    back = spark.read.parquet(str(out)).filter(F.col("shard").isNotNull())
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    # bounds enforced
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_of(F.col("doc_id"), 1000)
