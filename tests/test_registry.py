@@ -57,3 +57,23 @@ def test_window_priority_ordering():
     # oracle_sql keys must be a subset of queries and aligned by name
     osql = registry.oracle_sql()
     assert set(osql) <= set(names)
+
+
+def test_lifecycle_queries_rerun_stable(spark):
+    """The scratch-writing lifecycle queries must be RE-RUNNABLE in one
+    session with identical results (the driver, check_oracle, and an
+    interactive user may each invoke them; a stale scratch dir or
+    non-idempotent stream checkpoint would make the second run lie)."""
+    from hustle_spark import registry
+
+    for name in (
+        "compact_requery",
+        "streaming_ingest_dedup_requery",
+        "insert_jsonl_requery",
+        "delete_partition_requery",
+    ):
+        fn = registry.QUERIES[name].fn
+        first = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+        second = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+        assert first == second, f"{name} not re-run stable"
+        assert first, f"{name} returned no rows at sf0.001"
