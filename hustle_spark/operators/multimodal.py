@@ -941,15 +941,27 @@ def _mdat_frames(payload: bytes, every_n: int, frame_size: int):
     """Walk top-level ISO-BMFF boxes to the first ``mdat``, slice its
     payload into fixed-size frames, and yield (frame_no, fsum, wfsum)
     for every ``every_n``-th frame. Module-level so the property tests
-    drive the exact code the executor runs."""
+    drive the exact code the executor runs. Handles the spec's two
+    special size encodings a real recording uses: size==0 (box extends
+    to end of file — common for a final streamed mdat) and size==1
+    (64-bit largesize in the following 8 bytes, mdat > 4 GiB);
+    malformed sizes and truncated boxes terminate the walk cleanly."""
     pos, n = 0, len(payload)
     while pos + 8 <= n:
         size = int.from_bytes(payload[pos : pos + 4], "big")
         btype = payload[pos + 4 : pos + 8]
-        if size < 8:
+        header = 8
+        if size == 0:
+            size = n - pos  # to end of file
+        elif size == 1:
+            if pos + 16 > n:
+                return
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            header = 16
+        if size < header or pos + size > n:
             return
         if btype == b"mdat":
-            data = payload[pos + 8 : pos + size]
+            data = payload[pos + header : pos + size]
             for f in range(0, len(data) // frame_size, every_n):
                 frame = data[f * frame_size : (f + 1) * frame_size]
                 fsum = sum(frame)

@@ -79,8 +79,13 @@ def vocab_drift(
     unigram_fppm_vocab pattern), never driver collects.
     """
     def fppm(df: DataFrame, alias: str) -> DataFrame:
+        # shared tokenization (functions.text.tokens + lower) so
+        # vocab_drift counts the SAME tokens every other vocab/quality
+        # op counts — 'The' vs 'the' is casing, not drift
+        from ..functions.text import tokens
+
         toks = df.select(
-            F.explode(F.split(F.col(text), r"\s+")).alias("token")
+            F.explode(tokens(F.lower(F.col(text)))).alias("token")
         )
         counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
         total = toks.agg(

@@ -55,7 +55,11 @@ def write_sharded(
     out = str(out_dir)
     sharded = df.withColumn("shard", shard_of(F.col(id_col), n_shards, salt))
     sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
-    back = df.sparkSession.read.parquet(out)
+    # explicit schemas on both read-backs: an EMPTY export writes only
+    # _SUCCESS (no part files), where schema inference would throw —
+    # the repo's pinned empty-input convention returns an empty
+    # manifest instead
+    back = df.sparkSession.read.schema(sharded.schema).parquet(out)
     manifest = (
         back.groupBy("shard")
         .agg(
@@ -64,4 +68,6 @@ def write_sharded(
         )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{out}/_manifest")
-    return df.sparkSession.read.parquet(f"{out}/_manifest")
+    return df.sparkSession.read.schema(
+        "shard int, n_rows bigint, sum_ids bigint"
+    ).parquet(f"{out}/_manifest")

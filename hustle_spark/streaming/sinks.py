@@ -110,12 +110,19 @@ def foreach_batch_ingest_dedup(
             fresh = batch.join(seen, "__digest", "left_anti")
         else:
             fresh = batch  # first epoch: no index yet
-        fresh.drop("__digest").write.mode("overwrite").parquet(
-            f"{out}/epoch={epoch_id}"
-        )
-        fresh.select("__digest").write.mode("overwrite").parquet(
-            f"{idx}/epoch={epoch_id}"
-        )
+        # two actions follow (output + index): persist so the batch
+        # scan, keep-min window, index read, and anti-join run ONCE per
+        # micro-batch, not twice
+        fresh = fresh.persist()
+        try:
+            fresh.drop("__digest").write.mode("overwrite").parquet(
+                f"{out}/epoch={epoch_id}"
+            )
+            fresh.select("__digest").write.mode("overwrite").parquet(
+                f"{idx}/epoch={epoch_id}"
+            )
+        finally:
+            fresh.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

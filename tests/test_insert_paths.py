@@ -265,3 +265,6 @@ def test_write_sharded_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         shard_of(F.col("doc_id"), 1000)
+    # empty input: empty manifest, no schema-inference crash
+    empty_manifest = write_sharded(df.limit(0), tmp_path / "sharded_empty", n_shards=8)
+    assert empty_manifest.count() == 0

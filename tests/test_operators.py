@@ -1031,7 +1031,15 @@ def test_frame_sampler_box_walk_property():
             body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
             lead += struct.pack(">I", 8 + len(body)) + b"free" + body
         frames = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(n_frames)]
-        payload = lead + struct.pack(">I", 8 + 16 * n_frames) + b"mdat" + b"".join(frames)
+        body = b"mdat" + b"".join(frames)
+        enc = rng.choice(["plain", "to_eof", "largesize"])
+        if enc == "plain":
+            mdat = struct.pack(">I", 8 + 16 * n_frames) + body
+        elif enc == "to_eof":   # spec size==0: box extends to EOF
+            mdat = struct.pack(">I", 0) + body
+        else:                   # spec size==1: 64-bit largesize
+            mdat = struct.pack(">I", 1) + body[:4] + struct.pack(">Q", 16 + 16 * n_frames) + body[4:]
+        payload = lead + mdat
         got = frames_of(payload, every_n)
         expected = [
             (f, sum(frames[f]), sum((j + 1) * b for j, b in enumerate(frames[f])))

@@ -40,7 +40,7 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     spark.createDataFrame(
         [
@@ -132,7 +132,7 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     def run_round(ckpt_dir):
         stream = spark.readStream.schema(schema).parquet(str(src / "*"))
         q = foreach_batch_ingest_dedup(stream, out, idx, ckpt_dir)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
     # batch 1: 'alpha' duplicated within the batch (ids 1 and 2)
     spark.createDataFrame(
