@@ -354,3 +354,36 @@ def test_bpe_apply_merge_property(spark):
             assert got[i] == py_merge(s), (s, a, b, got[i])
 
     check()
+
+
+def test_padding_waste_invariants_property(spark):
+    """Properties on random corpora: every doc lands in exactly one
+    bucket; buckets are contiguous, ordered length ranges (bucket i's
+    max <= bucket i+1's min); waste is exactly max*count - sum; and
+    equal-length docs never split across buckets."""
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.functions.text import padding_waste_by_bucket
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lengths=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+        n_buckets=st.sampled_from([1, 2, 4, 8]),
+    )
+    def check(lengths, n_buckets):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            padding_waste_by_bucket(df, n_buckets=n_buckets).collect(),
+            key=lambda r: r.bucket,
+        )
+        assert sum(r.n_docs for r in rows) == len(lengths)
+        for r in rows:
+            assert r.pad_waste == r.max_tokens * r.n_docs - r.sum_tokens
+            assert r.min_tokens <= r.max_tokens
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo.max_tokens < hi.min_tokens  # contiguous, disjoint ranges
+
+    check()
