@@ -271,7 +271,10 @@ class Catalog:
         if callable(where):
             doomed = [v for v in values if where(v)]
         else:
-            doomed = [v for v in values if v in set(where)]
+            # materialize ONCE: a generator would be consumed by the
+            # first membership test and silently match nothing after
+            wanted = set(where)
+            doomed = [v for v in values if v in wanted]
         self.delete_partitions(name, doomed)
         return doomed
 
@@ -283,10 +286,9 @@ class Catalog:
         writer = df.write.mode("append")
         if schema is not None:
             indexed = [c for c in schema.indexed_columns if c != schema.partition]
-            for c in indexed:
-                # bloom filter per indexed column ~= hustle's per-value bitmap index
-                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
             if indexed:
+                # sort + bloom filter per indexed column ~= hustle's
+                # per-value bitmap index
                 df = df.sortWithinPartitions(*indexed)
                 writer = df.write.mode("append")
                 for c in indexed:
@@ -379,7 +381,16 @@ class Catalog:
                 )
         else:
             total_bytes = sum(p.stat().st_size for p in data_files)
-            write_coalesced(self.table(name).df, total_bytes, staging)
+            # raw read, matching the partitioned branch: compaction must
+            # rewrite BYTES-equivalent data. Going through table(name).df
+            # would bake its read-time conversions (nanos->micros,
+            # NTZ->LTZ) into the files — silently changing on-disk types
+            # of foreign-written tables. Engine-written tables are
+            # already micros; a foreign nanos table now fails loudly
+            # here instead of being lossily rewritten.
+            write_coalesced(
+                self.spark.read.parquet(str(path)), total_bytes, staging
+            )
         # carry the schema sidecar, then swap dirs
         sidecar = path / SCHEMA_FILE
         if sidecar.exists():
@@ -393,8 +404,19 @@ class Catalog:
 
     def materialize(self, df: DataFrame, name: str | None = None) -> Table:
         """``nest=True`` support: persist a result as a queryable Table
-        (reference wrote marbles to a fresh DDFS tag)."""
+        (reference wrote marbles to a fresh DDFS tag). The name must
+        not collide with a managed table: the nested result lives in
+        the session cache + scratch only, so shadowing a root table
+        would silently flip ``table(name)`` between two datasets
+        across cache invalidations."""
         name = name or f"nest_{uuid.uuid4().hex[:8]}"
+        # both managed-table forms: a directory table or a bare
+        # <name>.parquet file (same lookup _resolve performs)
+        if (self.root / name).is_dir() or (self.root / f"{name}.parquet").exists():
+            raise ValueError(
+                f"nest name {name!r} collides with a managed table; "
+                "pick a distinct nest_name"
+            )
         out = self.scratch / name
         if out.exists():
             shutil.rmtree(out)

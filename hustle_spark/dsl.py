@@ -74,8 +74,6 @@ def _proj_scol(item: Any) -> SparkColumn:
     if isinstance(item, Column):
         return item.scol  # bare column keeps its own name
     if isinstance(item, Expr):
-        if item.name:
-            return item.scol
         return item.scol  # Spark auto-names; alias() recommended for oracle parity
     if isinstance(item, str):
         return F.col(item)
@@ -199,14 +197,19 @@ def _build_join(
 
     # per-table restriction (reference: where=(expr_on_t1, expr_on_t2));
     # applying before the join keeps the shuffle input minimal, though
-    # Catalyst would push a conjunctive post-filter down anyway.
+    # Catalyst would push a conjunctive post-filter down anyway. A
+    # tuple element that references MORE than one table cannot be
+    # applied pre-join — it is collected and applied post-join below
+    # (previously it was silently dropped).
     filtered: dict[int, DataFrame] = {}
+    applied: set[int] = set()
     for i, t in enumerate(tables):
         df_t = t.df
         if where_list is not None:
-            for w in where_list:
+            for j, w in enumerate(where_list):
                 if w is not None and _only_touches(w, t):
                     df_t = df_t.filter(w.scol)
+                    applied.add(j)
         if id(t) in bcast:
             df_t = F.broadcast(df_t)
         filtered[id(t)] = df_t
@@ -247,6 +250,11 @@ def _build_join(
     # Catalyst pushes single-table conjuncts below the join automatically.
     if where is not None and where_list is None:
         df = df.filter(where.scol)
+    # cross-table tuple conjuncts (touching 2+ tables) from the loop above
+    if where_list is not None:
+        for j, w in enumerate(where_list):
+            if w is not None and j not in applied:
+                df = df.filter(w.scol)
     return df
 
 

@@ -256,3 +256,34 @@ def test_two_tables_without_join_raises(catalog):
         import hustle_spark as h2
 
         h2.select(n.n_name, r.r_name)
+
+
+def test_cross_table_where_conjunct_applied(spark, catalog):
+    """A where-tuple element touching BOTH tables must be applied
+    post-join (it used to be silently dropped)."""
+    import hustle_spark as h
+
+    n = catalog.table("nation")
+    r = catalog.table("region")
+    out = h.select(
+        n.n_name,
+        where=(r.r_name == "ASIA", n.n_regionkey + r.r_regionkey >= 4),
+        join=(n.n_regionkey, r.r_regionkey),
+    )
+    rows = [x.n_name for x in out.collect()]
+    # ASIA is regionkey 2: conjunct 2+2 >= 4 holds, so ASIA nations stay
+    assert rows  # non-empty
+    strict = h.select(
+        n.n_name,
+        where=(r.r_name == "ASIA", n.n_regionkey + r.r_regionkey >= 5),
+        join=(n.n_regionkey, r.r_regionkey),
+    )
+    assert strict.count() == 0  # 2+2 < 5: the conjunct MUST filter
+
+
+def test_materialize_rejects_managed_name(catalog):
+    import pytest
+
+    df = catalog.table("region").df
+    with pytest.raises(ValueError, match="collides"):
+        catalog.materialize(df, name="region")

@@ -268,3 +268,55 @@ def test_write_sharded_roundtrip(spark, tmp_path):
     # empty input: empty manifest, no schema-inference crash
     empty_manifest = write_sharded(df.limit(0), tmp_path / "sharded_empty", n_shards=8)
     assert empty_manifest.count() == 0
+
+
+def test_delete_accepts_one_shot_iterator(spark, tmp_path):
+    import hustle_spark as h
+
+    cat = h.connect(spark, tmp_path / "dcat", scratch=tmp_path / "dscr")
+    cat.create("t", ["string day", "uint64 k"], partition="day")
+    cat.append("t", spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "day string, k long"))
+    # a GENERATOR (one-shot) must still match every listed partition
+    deleted = cat.delete("t", (d for d in ["a", "c"]))
+    assert sorted(deleted) == ["a", "c"]
+    assert cat.partitions("t") == ["b"]
+
+
+def test_insert_guards_missing_partition_in_phile(spark, tmp_path):
+    import json
+
+    import pytest
+
+    import hustle_spark as h
+
+    cat = h.connect(spark, tmp_path / "icat", scratch=tmp_path / "iscr")
+    cat.create("ev", ["string day", "uint64 k"], partition="day")
+    src = tmp_path / "in.jsonl"
+    # records MISSPELL the partition column ('date' instead of 'day')
+    src.write_text("\n".join(json.dumps({"date": "x", "k": i}) for i in range(5)))
+    with pytest.raises(ValueError, match="partition column"):
+        h.insert(cat, "ev", phile=str(src))
+    # nothing may have landed in the default partition
+    assert "__HIVE_DEFAULT_PARTITION__" not in cat.partitions("ev")
+
+
+def test_insert_recoerce_after_preprocess(spark, tmp_path):
+    import json
+
+    import hustle_spark as h
+    from pyspark.sql import functions as F
+
+    cat = h.connect(spark, tmp_path / "pcat", scratch=tmp_path / "pscr")
+    cat.create("ev", ["string day", "uint64 k"], partition="day")
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(
+        json.dumps({"day": "d1", "k": i}) for i in range(4)))
+    # hook adds an undeclared column and retypes k: both must be undone
+    n = h.insert(cat, "ev", phile=str(src),
+                 preprocess=lambda df: df.withColumn("extra", F.lit("x"))
+                                         .withColumn("k", F.col("k").cast("string")))
+    assert n == 4
+    t = cat.table("ev").df
+    assert sorted(t.columns) == ["day", "k"]
+    assert dict(t.dtypes)["k"] == "bigint"
