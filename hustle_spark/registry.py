@@ -5493,6 +5493,13 @@ _CHANGED = [
     # window, outputs bit-identical
     "doc_rolling_fingerprint", "contamination_scan",
     "contamination_ngram_scan",
+    # core-module hardening (this round's review pass): insert.py was
+    # rewritten (observe-based count, partition guards, post-preprocess
+    # re-coercion), catalog.delete/compact/materialize changed, and
+    # dsl._build_join now applies cross-table where-tuple conjuncts.
+    # The directly-affected proven queries re-enter the window:
+    "insert_jsonl_requery", "delete_partition_requery",
+    "join_equi_revenue",
 ]
 
 # New queries registered this round — every addition goes here.
