@@ -122,7 +122,10 @@ def h_sum_exact(col: Expr | str, scale: int = 2) -> Aggregate:
 
 
 def h_avg_exact(col: Expr | str, scale: int = 2) -> Aggregate:
-    """AVG as exact-decimal SUM divided by COUNT (deterministic double)."""
+    """AVG as exact-decimal SUM divided by the NON-NULL count of the
+    column (SQL AVG semantics — dividing by COUNT(*) would silently
+    skew the mean downward on any NULL input), cast to a deterministic
+    double."""
     scol, tables = _col_and_tables(col)
-    agg = F.sum(scol.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+    agg = F.sum(scol.cast(f"decimal(18,{scale})")).cast("double") / F.count(scol)
     return Aggregate(agg, tables, "avg")

@@ -39,6 +39,11 @@ def asof_join(
     ``right_cols``: right columns to carry (default: all but key/ts).
     ``tolerance``: optional max age like ``'30 minutes'`` — matches
     older than the tolerance become NULL.
+
+    A carried right column whose name collides with a left column is
+    suffixed ``_r`` in the output (the range_join convention) — both
+    copies stay addressable instead of producing an ambiguous
+    duplicate name.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -64,22 +69,16 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    if direction == "backward":
-        # right rows sort before left rows at equal ts => a right row at
-        # exactly left_ts matches (<= semantics, like pandas merge_asof)
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        fill = F.last
-    else:
-        w = (
-            Window.partitionBy("__k")
-            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        fill = F.last
+    # right rows sort before left rows at equal ts => a right row at
+    # exactly left_ts matches (<= / >= semantics, like pandas
+    # merge_asof); only the time direction differs between modes
+    order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fill = F.last
 
     filled = unioned.select(
         "*",
@@ -100,7 +99,9 @@ def asof_join(
 
     selects = [F.col("__k").alias(on), F.col("__ts").alias(left_ts)]
     selects += [F.col(c) for c in left.columns if c not in (on, left_ts)]
+    left_names = set(left.columns)
     for c, rc in zip(right_cols, carried):
-        selects.append(F.when(keep, F.col(f"__f_{rc}")).alias(c))
+        out_name = c + "_r" if c in left_names else c
+        selects.append(F.when(keep, F.col(f"__f_{rc}")).alias(out_name))
     selects.append(F.when(keep, matched_ts).alias(f"{right_ts}_matched"))
     return out.select(*selects)

@@ -48,7 +48,6 @@ def range_join(
     width = max(int(hi - lo), 1)
 
     l_epoch = F.floor(F.col(left_ts).cast("double")).cast("long")
-    r_epoch = F.floor(F.col(right_ts).cast("double")).cast("long")
 
     renames = {
         c: c + suffix for c in right.columns if c in left.columns and c != on

