@@ -326,7 +326,10 @@ def unigram_fppm_vocab(
         F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    # total re-aggregates the BOUNDED counts table (pre-filter, so it
+    # still counts every token) — a second toks.agg would re-explode
+    # the whole corpus for a number the vocabulary already holds
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
         counts.filter(F.col("cnt") >= min_count)
         .crossJoin(F.broadcast(total))
@@ -411,8 +414,15 @@ def drop_boilerplate_paragraphs(
         .filter(F.col("__df") > max_df)
         .select("__d")
     )
-    marked = paras.withColumn("__d", digest).join(
-        F.broadcast(hot.withColumn("__hot", F.lit(True))), "__d", "left"
+    from ..util import tracked_cache
+
+    # marked feeds BOTH the stats aggregate and the reassembly — cache
+    # it (the containment_pairs/minhash convention) or each action
+    # replays the paragraph explode + broadcast join over the corpus
+    marked = tracked_cache(
+        paras.withColumn("__d", digest).join(
+            F.broadcast(hot.withColumn("__hot", F.lit(True))), "__d", "left"
+        )
     )
     kept = marked.filter(F.col("__hot").isNull())
     out = (
@@ -479,7 +489,11 @@ def padding_waste_by_bucket(
     from pyspark.sql import Window
 
     tc = token_count(F.col(text))
-    lengths = df.select(tc.alias("__tc"))
+    # NULL-text docs have no token length: excluded from the report
+    # (a NULL histogram row would sort first and inflate every real
+    # length's cumulative count while the docs themselves vanish at
+    # the assignment join — silently wrong buckets)
+    lengths = df.select(tc.alias("__tc")).filter(F.col("__tc").isNotNull())
     freq = lengths.groupBy("__tc").agg(F.count(F.lit(1)).alias("__c"))
     # histogram-sized frames: single-partition windows are constant-cost
     w_before = Window.orderBy("__tc").rowsBetween(Window.unboundedPreceding, -1)

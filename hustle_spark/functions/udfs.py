@@ -32,7 +32,10 @@ def bpe_ish_token_count_udf(texts: pd.Series) -> pd.Series:
     import re
 
     pat = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
-    return texts.fillna("").map(lambda t: len(pat.findall(t)))
+    # NULL text yields NULL — the built-in expression's behavior; a
+    # fillna('')->0 here would break the stated oracle relationship on
+    # null-containing data
+    return texts.map(lambda t: None if pd.isna(t) else len(pat.findall(t)))
 
 
 REGRESSION_SCHEMA = "user_id long, n long, slope double"
@@ -42,8 +45,11 @@ def _slope_exact(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group OLS slope of value-cents vs epoch-seconds using exact
     Python-int sums (order-invariant)."""
     uid = pdf["user_id"].iloc[0]
-    xs = [int(v) for v in pdf["x"]]
-    ys = [int(v) for v in pdf["y"]]
+    # NULL ts/value arrive as NaN in float64 columns; int(NaN) raises
+    # and kills the whole query — a null pair simply isn't a sample
+    clean = pdf[["x", "y"]].dropna()
+    xs = [int(v) for v in clean["x"]]
+    ys = [int(v) for v in clean["y"]]
     n = len(xs)
     sx, sy = sum(xs), sum(ys)
     sxx = sum(x * x for x in xs)
@@ -80,7 +86,7 @@ def explode_shingles_udtf(df: DataFrame, text_col: str = "text", id_col: str = "
         for pdf in batches:
             ids, shingles = [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = str(t).split()
+                toks = ("" if t is None else str(t)).split()
                 if len(toks) < n:
                     grams = [" ".join(toks)]
                 else:

@@ -134,6 +134,12 @@ def minhash_lsh_pairs(
     ``hash="md5"`` selects the cross-engine-replayable signature
     variant (see minhash_signatures).
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}): "
+            "the trailing hashes would be paid for but never banded, "
+            "silently lowering recall below the configured curve"
+        )
     rows_per_band = n_hashes // bands
     sigs = _tracked_cache(
         minhash_signatures(df, text, id_col, n_hashes, shingle_n, hash=hash)

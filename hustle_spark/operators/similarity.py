@@ -41,8 +41,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity of two array<numeric> columns (codegen only)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<numeric> columns (codegen only).
+    A zero-norm vector yields NULL (try_divide) instead of aborting the
+    job with ANSI DIVIDE_BY_ZERO — NULL similarity fails every
+    threshold and ranks last, the graceful degradation a corpus
+    containing an all-zero embedding needs."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -53,8 +57,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     quantize: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
+
+    ``exclude_self=True`` (default) drops corpus rows whose id equals
+    the query's id — correct ONLY when queries are drawn from the
+    corpus id space (the "find my neighbors" shape every registry
+    consumer uses). Pass False when query ids live in their own
+    namespace, or a corpus row that merely shares a number with an
+    unrelated query would silently vanish from its results.
 
     Returns (query_id, vec_id, cosine, rank). The query side is
     broadcast — the corpus is never shuffled, only scanned. Ties broken
@@ -73,7 +85,8 @@ def cosine_topk(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    scored = c.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+    cond = F.col(id_col) != F.col("query_id") if exclude_self else F.lit(True)
+    scored = c.join(F.broadcast(q), cond).select(
         "query_id",
         id_col,
         cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
@@ -147,10 +160,21 @@ def lsh_signatures(
         def _sigs_fn(v):
             if len(v) == 0:
                 return pd.Series([], dtype=object)
-            X = np.vstack(v.to_numpy())          # (n, dim)
-            bits = (X @ P.T) >= 0.0              # (n, T*B)
-            packed = bits.reshape(len(X), n_t, bpt).astype(np.int64) @ weights
-            return pd.Series(list(packed))       # (n, T) longs
+            # NULL embeddings get NULL signatures (the expr path's
+            # behavior); np.vstack over a None would otherwise throw a
+            # matmul shape error and kill the job
+            mask = v.notna().to_numpy()
+            out = np.empty(len(v), dtype=object)
+            out[~mask] = None
+            if mask.any():
+                X = np.vstack(v[mask].to_numpy())    # (m, dim)
+                bits = (X @ P.T) >= 0.0              # (m, T*B)
+                packed = bits.reshape(len(X), n_t, bpt).astype(np.int64) @ weights
+                # element-wise assignment: numpy would read a bulk
+                # list-of-arrays as a 2-D fill and reject it
+                for idx, row in zip(np.nonzero(mask)[0], packed):
+                    out[idx] = row
+            return pd.Series(out)
 
         # annotations set with the real (locally imported) pandas class:
         # string hints would not resolve from pandas_udf's scope
@@ -186,6 +210,7 @@ def ann_topk(
     seed: int = 42,
     signature_method: str = "expr",
     quantize: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing any hash
     table signature with the query, then exact cosine rank among
@@ -218,7 +243,7 @@ def ann_topk(
         ).alias("bucket"),
     )
     cand = c_buckets.join(F.broadcast(q_buckets), "bucket").filter(
-        F.col(id_col) != F.col("query_id")
+        F.col(id_col) != F.col("query_id") if exclude_self else F.lit(True)
     )
     # Score BEFORE the dedup shuffle: a (query, corpus) pair colliding in
     # several tables yields identical cosines, so max() dedups exactly —
@@ -358,8 +383,10 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     quantize: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest
+    centroid lists per query (``exclude_self``: see cosine_topk).
     centroid lists per query, exact cosine rerank within them.
 
     vs LSH: IVF adapts to the data distribution (centroids follow
@@ -391,7 +418,9 @@ def ivf_topk(
         qv.alias("__qv"),
         F.explode(F.transform(probes, lambda s: s["list_id"])).alias("__ivf_list"),
     )
-    cand = assigned.join(F.broadcast(q), "__ivf_list").filter(F.col(id_col) != F.col("query_id"))
+    cand = assigned.join(F.broadcast(q), "__ivf_list").filter(
+        F.col(id_col) != F.col("query_id") if exclude_self else F.lit(True)
+    )
     scored = cand.select(
         "query_id", id_col, cosine(F.col(vec_col).cast("array<double>"), F.col("__qv")).alias("cosine")
     )

@@ -5510,6 +5510,11 @@ _CHANGED = [
     # representative); the stateful update skips NULL values
     "asof_join_signup", "streaming_tumbling_hour",
     "streaming_stateful_totals",
+    # cosine() now try_divides (zero-norm -> NULL, not a job abort) —
+    # every cosine consumer re-enters; the three UDF demos changed
+    # their NULL handling to match their built-in oracles
+    "similarity_topk_exact", "similarity_ivf", "dedup_cluster_cc",
+    "udf_token_count", "udaf_regression_slope", "udtf_shingle_stats",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -5537,7 +5542,7 @@ _BACKFILL = [
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
     "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
     "sessionize_users", "dedup_exact_stats",
-    "dedup_exact_keep_min", "dedup_ngram_jaccard", "similarity_topk_exact",
+    "dedup_exact_keep_min", "dedup_ngram_jaccard",
     "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
     "doc_fingerprint_prefix",
     # r2-proven (CORRECTNESS_r02 order)
