@@ -194,7 +194,14 @@ def lsh_signatures(
             p = planes[t * bits_per_table + b]
             plane_arr = F.array(*[F.lit(x) for x in p])
             sig = sig + F.when(_dot(F.col(vec_col), plane_arr) >= 0, F.lit(1 << b)).otherwise(0)
-        out = out.withColumn(f"__sig_{t}", sig)
+        # NULL embedding -> NULL signature (it must never equi-join a
+        # bucket; the all-whens-false fallthrough would otherwise give
+        # it signature 0 — a REAL bucket, manufacturing false
+        # candidates against vectors whose dots are all negative)
+        out = out.withColumn(
+            f"__sig_{t}",
+            F.when(F.col(vec_col).isNotNull(), sig),
+        )
     return out
 
 
