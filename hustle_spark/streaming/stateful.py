@@ -54,8 +54,15 @@ def _update(
         vals = pdf["value"].dropna()
         n += len(pdf)
         # per-row round -> exact integer sum: order/batch-invariant
-        # (rounding a float batch-sum would be order-dependent)
-        cents += int(vals.mul(100).round().astype("int64").sum())
+        # (rounding a float batch-sum would be order-dependent).
+        # HALF-AWAY-FROM-ZERO, matching DuckDB/Spark round(): pandas'
+        # .round() is banker's (ties-to-even) and diverges by 1 cent on
+        # exact-half values like 0.125
+        import numpy as np
+
+        scaled = vals.mul(100).to_numpy()
+        cents += int(np.sign(scaled).astype("int64")
+                     @ np.floor(np.abs(scaled) + 0.5).astype("int64"))
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

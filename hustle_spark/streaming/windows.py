@@ -197,11 +197,30 @@ def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> 
     memory sink and return the result as a static DataFrame. This is how
     the oracle checks streaming queries: same expressions, real
     micro-batch execution."""
+    import shutil
+    from pathlib import Path
+
     name = f"hs_stream_{uuid.uuid4().hex[:8]}"
+    # parquet scratch sink, NOT a memory sink: a memory sink holds the
+    # ENTIRE result driver-resident (ruinous for append-mode
+    # stream-stream joins whose raw output is pair-level and unbounded);
+    # foreachBatch-to-parquet keeps every row executor-side and the
+    # returned DataFrame is an ordinary distributed scan
+    out_dir = Path("/root/repo/.scratch/stream_runs") / name
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark = stream_df.sparkSession
+    schema = stream_df.schema
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode(
+            "overwrite" if output_mode == "complete" else "append"
+        ).parquet(str(out_dir / "data") if output_mode == "complete"
+                  else str(out_dir / f"data/epoch={epoch_id}"))
+
     q = (
         stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", str(out_dir / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -211,16 +230,15 @@ def run_streaming_batch(stream_df: DataFrame, output_mode: str = "complete") -> 
         if q.isActive:
             q.stop()
     if not finished:
-        # returning the partially-committed sink table would hand the
-        # caller a silently truncated "result"
+        # returning a partially-committed sink would hand the caller a
+        # silently truncated "result"
         raise TimeoutError(
             f"streaming query {name} did not finish within 300s"
         )
-    spark = stream_df.sparkSession
-    # materialize, then drop the sink table: the memory sink holds the
-    # full result in driver memory for the SESSION lifetime otherwise
-    # (bench re-runs would accumulate one leaked table per invocation)
-    sunk = spark.table(name)
-    out = spark.createDataFrame(sunk.collect(), sunk.schema)
-    spark.catalog.dropTempView(name)
+    data = out_dir / "data"
+    if not data.exists():
+        return spark.createDataFrame([], schema)
+    out = spark.read.schema(schema).parquet(str(data))
+    if "epoch" in out.columns and "epoch" not in schema.fieldNames():
+        out = out.drop("epoch")
     return out
