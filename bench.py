@@ -68,10 +68,6 @@ EXTRA_RUNS_UNDER = 0.3  # sub-0.3s medians re-run to median-of-5
 EXTRA_RUNS = 2
 
 
-def materialize(df) -> int:
-    # full materialization of every column (count() alone would let
-    # Catalyst prune the projection)
-    return df.write.format("noop").mode("overwrite").save() or df.count()
 
 
 def main() -> None:
@@ -88,15 +84,18 @@ def main() -> None:
     # (ADVICE r3). q4_order_priority: lineitem+orders scan, semi-join
     # shuffle, groupBy — same machinery, not in the measured set.
     assert "q4_order_priority" not in HEADLINE
-    for _ in range(2):
-        qs["q4_order_priority"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+    try:
+        for _ in range(2):
+            qs["q4_order_priority"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    except Exception as exc:  # a broken warmup must not kill the bench
+        print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
         try:
+            fn = qs[name]  # inside try: a renamed query must not kill the run
             df = fn(spark, sf_dir)  # cold: plan + run once, discard
             df.write.format("noop").mode("overwrite").save()
             times = []

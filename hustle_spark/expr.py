@@ -81,12 +81,19 @@ class Expr:
 
     # --- IN-list: reference's `column << [v1, v2, ...]` ---
     def __lshift__(self, values: Iterable[Any]):
-        return Expr(self.scol.isin(*list(values)), self.tables)
+        return self.isin(*list(values))
 
     def isin(self, *values: Any) -> "Expr":
         if len(values) == 1 and isinstance(values[0], (list, tuple, set)):
             values = tuple(values[0])
-        return Expr(self.scol.isin(*values), self.tables)
+        # unwrap DSL wrappers: a raw Expr/Column would reach the JVM as
+        # an unsupported-literal py4j error instead of a column ref
+        unwrapped = [v.scol if isinstance(v, Expr) else v for v in values]
+        tables = list(self.tables)
+        for v in values:
+            if isinstance(v, Expr):
+                tables.extend(t for t in v.tables if t not in tables)
+        return Expr(self.scol.isin(*unwrapped), tables)
 
     # --- EXT: arithmetic / computed projections ---
     def __add__(self, other):
@@ -177,7 +184,12 @@ class Column(Expr):
         return f"Column({self.fullname})"
 
     def __hash__(self):
-        return hash(("Column", self.table.name, self.name))
+        # identity, like Expr: a CONTENT hash makes dict/set lookups
+        # with an equal-but-distinct Column (every attribute access
+        # builds a fresh one) collide and call the overloaded __eq__,
+        # whose Expr result cannot be coerced to bool -> TypeError.
+        # Identity hashing degrades that to an honest KeyError.
+        return id(self)
 
 
 class Aggregate:

@@ -7,13 +7,18 @@ TimescaleDB continuous-aggregate / druid-rollup shape, built from the
 engine's own pieces:
 
 - maintenance = streaming ``foreachBatch`` writing each micro-batch's
-  hour-partials into ``hour=<epoch>/`` partitions (dynamic partition
-  overwrite per epoch batch id keeps redelivery idempotent);
+  hour-partials into ``batch=<epoch>/hour=<H>/`` (the batch level
+  keeps redelivery idempotent — a re-run epoch overwrites itself; the
+  hour level makes partition pruning real: a dashboard filter on
+  ``hour`` skips every non-matching hour directory in every batch);
 - the rollup stores *mergeable partials* (count + exact decimal sum as
   cents), so re-aggregation across batches is exact and associative —
   the same partial/final split Spark's own HashAggregate uses;
-- ``read_rollup`` re-merges partials; hour-partition pruning applies to
-  rollup queries automatically.
+- ``read_rollup`` re-merges partials, with an explicit schema so an
+  empty (not-yet-maintained) rollup reads as an empty frame. Batch
+  dirs accumulate one per micro-batch: periodic compaction of old
+  batch dirs into one is the same ``catalog.compact`` pattern used
+  for managed tables.
 
 At 100 TB the rollup is ~5 orders of magnitude smaller than raw events
 (one row per (hour, event_type) per batch), so dashboards and
@@ -37,7 +42,13 @@ def hourly_partials(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            # decimal BEFORE scaling: value*100 in double space rounds
+            # the binary representation (0.615*100 = 61.4999... -> 61;
+            # decimal sees 61.50 -> 62), breaking the exactness claim
+            F.sum(
+                F.round(F.col("value").cast("decimal(18,4)") * 100)
+                .cast("long")
+            ).alias("cents"),
         )
     )
 
@@ -51,7 +62,9 @@ def maintain_rollup(events_stream: DataFrame, path: str | Path, checkpoint: str 
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         partials = hourly_partials(batch_df)
-        partials.write.mode("overwrite").parquet(f"{out}/batch={epoch_id}")
+        partials.write.mode("overwrite").partitionBy("hour").parquet(
+            f"{out}/batch={epoch_id}"
+        )
 
     return (
         events_stream.writeStream.foreachBatch(write_batch)
@@ -61,9 +74,23 @@ def maintain_rollup(events_stream: DataFrame, path: str | Path, checkpoint: str 
     )
 
 
+ROLLUP_SCHEMA = "event_type string, n bigint, cents bigint, batch int, hour bigint"
+
+
 def read_rollup(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Merge the stored partials into final per-(hour, type) totals."""
-    partials = spark.read.option("basePath", str(path)).parquet(str(path))
+    """Merge the stored partials into final per-(hour, type) totals.
+    Explicit schema: an empty rollup (maintenance not yet run, or an
+    empty source) reads as an empty frame instead of a
+    schema-inference error."""
+    if not Path(str(path)).exists():
+        # maintenance never ran (empty source: availableNow terminates
+        # without invoking foreachBatch) — an empty rollup, not an error
+        return spark.createDataFrame(
+            [], "hour bigint, event_type string, n bigint, total_value double"
+        )
+    partials = spark.read.schema(ROLLUP_SCHEMA).option(
+        "basePath", str(path)
+    ).parquet(str(path))
     return (
         partials.groupBy("hour", "event_type")
         .agg(

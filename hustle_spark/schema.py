@@ -31,7 +31,7 @@ Mapping decisions (SURVEY.md section 1):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, replace, field
 
 from pyspark.sql import types as T
 
@@ -153,13 +153,35 @@ class TableSchema:
             "name": self.name,
             "partition": self.partition,
             "columns": [
-                {"spec": c.spec or f"{c.type_name} {c.name}", "name": c.name,
-                 "type": c.type_name, "index": c.index, "wide": c.wide}
+                {
+                    # reconstruct a FULL spec when none was stored: a
+                    # bare 'type name' fallback silently dropped the
+                    # index/wide modifiers of hand-built ColumnSpecs
+                    "spec": c.spec or (
+                        ("wide " if c.wide else "")
+                        + ("index " if c.index else "")
+                        + f"{c.type_name} {c.name}"
+                    ),
+                    "name": c.name,
+                    "type": c.type_name, "index": c.index, "wide": c.wide,
+                    # persist the RESOLVED Spark type so a strict_uint64
+                    # Decimal(20,0) table does not silently reload as
+                    # LongType against Decimal data on disk
+                    "dtype": c.dtype.json(),
+                }
                 for c in self.columns
             ],
         }
 
     @classmethod
     def from_json_dict(cls, d: dict) -> "TableSchema":
-        cols = [parse_column_spec(c["spec"]) for c in d["columns"]]
+        cols = []
+        for c in d["columns"]:
+            spec = parse_column_spec(c["spec"])
+            stored = c.get("dtype")
+            if stored is not None:
+                dtype = T._parse_datatype_json_string(stored)
+                if dtype != spec.dtype:
+                    spec = replace(spec, dtype=dtype)
+            cols.append(spec)
         return cls(name=d["name"], columns=cols, partition=d.get("partition"))

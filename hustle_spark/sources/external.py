@@ -32,12 +32,17 @@ def read_kafka_events(
     value_schema: T.StructType,
     starting_offsets: str = "latest",
     ts_field: str = "ts",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming Kafka source -> parsed event columns.
 
     The production ingress for the events table: JSON values parsed
     with the declared schema (undeclared fields dropped — hustle insert
     semantics), Kafka timestamp kept as ``kafka_ts`` for lag tracking.
+    A watermark is applied on ``ts_field`` when that column exists in
+    the declared schema (``watermark=None`` disables) — without it,
+    append-mode windowed aggregation downstream is rejected outright
+    and update-mode state grows unbounded.
     """
     if not _has_class(spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"):
         raise ConnectorUnavailable(
@@ -56,7 +61,10 @@ def read_kafka_events(
         F.col("timestamp").alias("kafka_ts"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
     )
-    return parsed.select("kafka_ts", "v.*")
+    out = parsed.select("kafka_ts", "v.*")
+    if watermark is not None and ts_field in value_schema.fieldNames():
+        out = out.withWatermark(ts_field, watermark)
+    return out
 
 
 def write_delta(

@@ -55,7 +55,12 @@ class Table:
         raise AttributeError(f"table {self.name!r} has no column {item!r}")
 
     def __getitem__(self, item: str) -> Column:
-        return self.__getattr__(item)
+        # subscription reaches EVERY df column — including names that
+        # start with '_' or that shadow Table attributes (name, df,
+        # columns, ...), which attribute access cannot express
+        if item in self._df.columns:
+            return Column(self, item)
+        raise KeyError(f"table {self.name!r} has no column {item!r}")
 
     def __iter__(self) -> Iterator[Column]:
         return (Column(self, c) for c in self._df.columns)

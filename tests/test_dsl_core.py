@@ -287,3 +287,37 @@ def test_materialize_rejects_managed_name(catalog):
     df = catalog.table("region").df
     with pytest.raises(ValueError, match="collides"):
         catalog.materialize(df, name="region")
+
+
+def test_column_dict_lookup_degrades_cleanly(catalog):
+    """Equal-but-distinct Columns (every attribute access builds a
+    fresh one) must not crash dict lookups with the non-boolean __eq__;
+    identity hashing turns the old TypeError into a clean miss."""
+    t = catalog.table("region")
+    d = {t.r_name: "k"}
+    assert d.get(t.r_name) is None  # distinct object: honest miss
+    k = t.r_name
+    assert {k: 1}[k] == 1           # same object: hit
+
+
+def test_isin_accepts_columns(spark, catalog):
+    import hustle_spark as h
+
+    n = catalog.table("nation")
+    # column-vs-column membership: regionkey in (nationkey, 2)
+    out = h.select(n.n_name, where=n.n_regionkey << [n.n_nationkey, 2])
+    assert out.count() > 0  # no py4j unsupported-literal error
+
+
+def test_table_subscription_reaches_awkward_names(spark):
+    from hustle_spark.table import Table
+
+    df = spark.createDataFrame([(1, "x", "t")], "`_id` long, name string, df string")
+    t = Table("awk", df, catalog=None)
+    assert t["_id"].name == "_id"     # underscore col reachable
+    assert t["name"].name == "name"   # shadows Table.name attribute
+    assert t["df"].name == "df"
+    import pytest
+
+    with pytest.raises(KeyError):
+        t["missing"]

@@ -91,3 +91,37 @@ def test_hourly_rollup_matches_raw(spark, tmp_path):
     assert sorted(map(tuple, read_rollup(spark, tmp_path / "rollup").collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_read_rollup_empty_and_hour_partitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hustle_spark.operators.rollup_view import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    # empty rollup (never maintained): empty frame, not an error
+    assert read_rollup(spark, tmp_path / "nothing").count() == 0
+
+    import datetime as dt
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 5), "click", 0.615),
+         (2, dt.datetime(2024, 1, 1, 11, 5), "view", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src / "*"))
+    q = maintain_rollup(stream, tmp_path / "roll", tmp_path / "roll_ckpt")
+    assert q.awaitTermination(120)
+    out = {(r.hour, r.event_type): (r.n, r.total_value)
+           for r in read_rollup(spark, tmp_path / "roll").collect()}
+    h10 = int(dt.datetime(2024, 1, 1, 10).timestamp())
+    # decimal-exact cents: 0.615 -> 62 cents, not the double-space 61
+    assert out[(h10, "click")] == (1, 0.62)
+    # hour partition dirs exist inside the batch dir (pruning surface)
+    assert list((tmp_path / "roll").glob("batch=*/hour=*"))
