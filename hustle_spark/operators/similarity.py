@@ -537,3 +537,54 @@ def random_projection(
         carr = F.array(*[F.lit(c) for c in coefs[j]])
         comps.append(F.floor(_dot(v, carr) * scale).cast("long"))
     return df.withColumn("proj_e6", F.array(*comps))
+
+
+def embedding_contamination_scan(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic
+    sibling of the n-gram contamination scan (paraphrased benchmark
+    questions share no n-grams but sit at cosine ~0.95+): flag every
+    corpus vector whose max cosine against ANY benchmark vector
+    reaches ``threshold_e6`` (floor-scaled integer micro-units — the
+    module's cross-engine determinism idiom). Returns
+    (id_col, max_cosine_e6, matched_bench_id, contaminated).
+
+    Scale shape: the benchmark set is BROADCAST (eval suites are
+    thousands of rows, never corpus-scale); the corpus is scanned once
+    and never shuffled — the per-corpus-row max collapses map-side in
+    the partial aggregate. Ties on max_cosine_e6 break to the lowest
+    benchmark id so the matched id is deterministic."""
+    bid = bench_id_col or id_col
+    b = benchmark.select(
+        F.col(bid).alias("__bench_id"),
+        F.col(vec_col).cast("array<double>").alias("__bv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        id_col,
+        "__bench_id",
+        F.floor(cosine(F.col("__cv"), F.col("__bv")) * 1_000_000)
+        .cast("bigint").alias("__cos_e6"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(
+                F.col("__cos_e6").alias("c"), (-F.col("__bench_id")).alias("nb")
+            ),
+            F.struct(F.col("__cos_e6").alias("c"), (-F.col("__bench_id")).alias("nb")),
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.c").alias("max_cosine_e6"),
+        (-F.col("__best.nb")).cast("bigint").alias("matched_bench_id"),
+        (F.col("__best.c") >= threshold_e6).alias("contaminated"),
+    )

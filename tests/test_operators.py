@@ -1214,3 +1214,35 @@ def test_bigram_quality_scores(spark):
     df2 = spark.createDataFrame(corpus, "doc_id long, text string")
     s = {r.doc_id: r.mean_cppm for r in bigram_quality_scores(df2).collect()}
     assert s[99] < s[0]
+
+
+def test_embedding_contamination_scan(spark):
+    from hustle_spark.operators.similarity import embedding_contamination_scan
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # identical to bench 10 -> contaminated
+            (1, [0.96, 0.28]),     # cos ~0.96 vs bench 10 -> contaminated
+            (2, [0.0, 1.0]),       # orthogonal to 10, identical to 11
+            (3, [-1.0, 0.0]),      # opposite -> clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.max_cosine_e6, r.matched_bench_id, r.contaminated)
+           for r in embedding_contamination_scan(corpus, bench).collect()}
+    assert got[0] == (1_000_000, 10, True)
+    assert got[1][1] == 10 and got[1][2] is True and got[1][0] >= 950_000
+    assert got[2] == (1_000_000, 11, True)
+    assert got[3][2] is False and got[3][1] == 11  # best of the two, tie-free
+    # every corpus row is reported exactly once
+    assert set(got) == {0, 1, 2, 3}
+    # tie on max cosine: lowest bench id wins
+    tie_bench = spark.createDataFrame(
+        [(20, [1.0, 0.0]), (5, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = embedding_contamination_scan(corpus.filter("vec_id=0"), tie_bench).collect()[0]
+    assert r.matched_bench_id == 5
