@@ -488,12 +488,20 @@ def padding_waste_by_bucket(
     """
     from pyspark.sql import Window
 
+    from ..util import tracked_cache
+
     tc = token_count(F.col(text))
     # NULL-text docs have no token length: excluded from the report
     # (a NULL histogram row would sort first and inflate every real
     # length's cumulative count while the docs themselves vanish at
     # the assignment join — silently wrong buckets)
-    lengths = df.select(tc.alias("__tc")).filter(F.col("__tc").isNotNull())
+    # The skinny (token_count) frame feeds TWO consumers — the length
+    # histogram and the assignment join — so cache it: without the
+    # cache each consumer re-scans the full documents table (a second
+    # full text scan at 100 TB for a report query).
+    lengths = tracked_cache(
+        df.select(tc.alias("__tc")).filter(F.col("__tc").isNotNull())
+    )
     freq = lengths.groupBy("__tc").agg(F.count(F.lit(1)).alias("__c"))
     # histogram-sized frames: single-partition windows are constant-cost
     w_before = Window.orderBy("__tc").rowsBetween(Window.unboundedPreceding, -1)
@@ -519,7 +527,14 @@ def padding_waste_by_bucket(
             F.sum("__tc").cast("bigint").alias("sum_tokens"),
         )
         .select(
-            "bucket", "n_docs", "min_tokens", "max_tokens", "sum_tokens",
+            "bucket",
+            "n_docs",
+            # token_count is int32; the driver's value hash is
+            # dtype-sensitive and DuckDB len() yields BIGINT — emit
+            # bigint on both sides (the round-4 red row)
+            F.col("min_tokens").cast("bigint").alias("min_tokens"),
+            F.col("max_tokens").cast("bigint").alias("max_tokens"),
+            "sum_tokens",
             (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
             .cast("bigint").alias("pad_waste"),
             F.expr(

@@ -5228,7 +5228,8 @@ def corpus_diff(spark, sf_dir):
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
               SUM(c) OVER () AS total
             FROM f),
-    b AS (SELECT tc, LEAST(8, cb * 8 // total + 1) AS bucket FROM cdf)
+    b AS (SELECT tc, CAST(LEAST(8, cb * 8 // total + 1) AS BIGINT) AS bucket
+          FROM cdf)
     SELECT bucket, COUNT(*) AS n_docs,
            MIN(t.tc) AS min_tokens, MAX(t.tc) AS max_tokens,
            CAST(SUM(t.tc) AS BIGINT) AS sum_tokens,
@@ -5463,6 +5464,244 @@ def compact_requery(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_contamination_scan",
+    oracle="""
+    WITH b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+               FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT e.vec_id, b.bench_id,
+             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], b.bv)
+                        * 1000000) AS BIGINT) AS cos_e6
+      FROM embeddings e CROSS JOIN b
+      WHERE e.vec_id % 97 <> 0),
+    best AS (
+      SELECT vec_id, cos_e6, bench_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_e6 DESC, bench_id ASC) AS rn
+      FROM scored)
+    SELECT vec_id, cos_e6 AS max_cosine_e6,
+           CAST(bench_id AS BIGINT) AS matched_bench_id,
+           cos_e6 >= 950000 AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def embedding_contamination_scan(spark, sf_dir):
+    """L29 embedding-level benchmark decontamination
+    (operators.similarity.embedding_contamination_scan) — the semantic
+    sibling of contamination_ngram_scan: a paraphrased benchmark
+    question shares no 8-grams with its source but sits at cosine
+    ~0.95+, so eval decontamination needs an embedding pass too. The
+    benchmark set is the vec_id%97 slice (an external eval suite in
+    spirit: excluded from the scanned corpus), the corpus is everything
+    else; each corpus vector reports its max cosine against ANY
+    benchmark vector (floor-scaled micro-units), the argmax benchmark
+    id (lowest-id tiebreak via the max_by struct), and the >=0.95
+    contamination flag. Scale shape: the benchmark side is BROADCAST
+    (eval suites are thousands of rows, never corpus-scale) and the
+    corpus is scanned once with the per-row max collapsing in the
+    map-side partial aggregate — the corpus never shuffles."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    return similarity.embedding_contamination_scan(
+        corpus, bench, threshold_e6=950_000
+    )
+
+
+@query(
+    "vocab_drift_top",
+    oracle=r"""
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 5 THEN text || ' mutated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 7),
+    ot AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM documents),
+    nt AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+           FROM v2),
+    oc AS (SELECT token,
+                  COUNT(*) * 1000000
+                    // GREATEST((SELECT COUNT(*) FROM ot), 1) AS fppm_old
+           FROM ot GROUP BY token),
+    nc AS (SELECT token,
+                  COUNT(*) * 1000000
+                    // GREATEST((SELECT COUNT(*) FROM nt), 1) AS fppm_new
+           FROM nt GROUP BY token)
+    SELECT token,
+           CAST(COALESCE(fppm_old, 0) AS BIGINT) AS fppm_old,
+           CAST(COALESCE(fppm_new, 0) AS BIGINT) AS fppm_new,
+           CAST(abs(COALESCE(fppm_old, 0) - COALESCE(fppm_new, 0)) AS BIGINT)
+             AS drift_abs
+    FROM oc FULL OUTER JOIN nc USING (token)
+    ORDER BY drift_abs DESC, token ASC
+    LIMIT 50
+    """,
+)
+def vocab_drift_top(spark, sf_dir):
+    """L30 token-distribution drift between two corpus versions
+    (operators.snapshot.vocab_drift): after corpus_diff says WHICH
+    documents a rebuild changed, this says whether the rebuild shifted
+    the token MIX (new boilerplate, lost domain, encoding regression) —
+    per-token frequency in ppm (integer DIV, engine-exact) in each
+    version plus the absolute drift, top-50 by drift (token-asc
+    tiebreak = total order). The v2 corpus is the same deterministic
+    derivation corpus_diff uses, so the two queries read as one
+    versioning workflow. Scale shape: each side is one explode →
+    map-side-combined count (vocabulary-sized output); the full-outer
+    join runs on the two vocabulary tables; the 1-row totals are
+    scalar broadcasts — corpus text crosses no shuffle."""
+    from .operators.snapshot import vocab_drift
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") % 17 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5, F.concat(F.col("text"), F.lit(" mutated"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 19 == 7).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        vocab_drift(d, v2)
+        .orderBy(F.desc("drift_abs"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_bigram_quality",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+                 FROM documents),
+    pairs AS (
+      SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS gram
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    bc AS (SELECT gram, COUNT(*) AS n FROM pairs GROUP BY gram),
+    prefix AS (SELECT string_split(gram, ' ')[1] AS a,
+                      CAST(SUM(n) AS BIGINT) AS pc
+               FROM bc GROUP BY 1),
+    vocab AS (
+      SELECT gram, n * 1000000 // pc AS cppm
+      FROM bc JOIN prefix ON string_split(bc.gram, ' ')[1] = prefix.a
+      WHERE n >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(COALESCE(cppm, 0)) // COUNT(*) AS BIGINT) AS mean_cppm
+    FROM pairs LEFT JOIN vocab USING (gram)
+    GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM tok WHERE len(t) < 2
+    """,
+)
+def text_bigram_quality(spark, sf_dir):
+    """L30 bigram-LM quality scoring
+    (functions.text.bigram_quality_scores) — the ORDER-sensitive
+    upgrade of text_unigram_quality: a document's score is the mean
+    corpus conditional bigram probability P(b|a) in ppm over its
+    adjacent token pairs (integer DIV throughout). Shuffled-word
+    gibberish keeps its unigram score but collapses here because the
+    corpus has never seen those transitions — the fluency signal a
+    real LM-perplexity filter provides, in exactly-replayable
+    arithmetic. Docs with fewer than two tokens score 0 over 0
+    bigrams. Scale shape: the model is vocabulary²-bounded (in
+    practice vocabulary-sized) and BROADCAST into the per-doc join;
+    the one corpus-sized shuffle is the final per-doc re-aggregation
+    after map-side combine."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.bigram_quality_scores(d, min_count=2)
+
+
+@query(
+    "sharded_export_requery",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      md5(CAST(doc_id AS VARCHAR) || ':shard') AS m
+               FROM documents),
+    s AS (SELECT doc_id,
+            ((CASE WHEN substring(m, 1, 1) BETWEEN '0' AND '9'
+                   THEN ascii(substring(m, 1, 1)) - 48
+                   ELSE ascii(substring(m, 1, 1)) - 87 END) * 16
+           + (CASE WHEN substring(m, 2, 1) BETWEEN '0' AND '9'
+                   THEN ascii(substring(m, 2, 1)) - 48
+                   ELSE ascii(substring(m, 2, 1)) - 87 END)) % 16 AS shard
+          FROM h)
+    SELECT CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM s GROUP BY shard
+    """,
+)
+def sharded_export_requery(spark, sf_dir):
+    """L30 content-addressed sharded export
+    (sources.sharding.write_sharded): the delivery format of a
+    training-data build — 16 stable shard=K/ parquet dirs plus a
+    per-shard integrity manifest (n_rows, sum_ids), with shard
+    membership a pure function of the row id (first md5 hex pair mod
+    16), never of partitioning or row order, so a re-export on
+    differently-partitioned input is byte-identically sharded. The
+    returned manifest is RE-READ from disk (what you get is what
+    landed) and the DuckDB oracle recomputes the assignment from
+    scratch via the ascii-CASE nibble decode (the simhash oracle
+    idiom) — disagreement means the export wrote a row to the wrong
+    shard. Scale shape: ONE pass — the shard column is computed
+    map-side and partitionBy splits the write; no forced repartition
+    (compact() merges small files downstream, the catalog's
+    documented policy); the manifest is a 16-row aggregate."""
+    from pathlib import Path
+
+    from .sources.sharding import write_sharded
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "lang", "n_chars")
+    out = Path(str(cat.scratch)) / "sharded_export"
+    return write_sharded(d, out, n_shards=16, id_col="doc_id")
+
+
+@query(
+    "rollup_view_requery",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,4)) * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_view_requery(spark, sf_dir):
+    """Hypertable continuous-rollup lifecycle as a driver-checked
+    query (operators.rollup_view — previously the repo's one
+    unit-only operator surface): maintain_rollup drives a REAL
+    availableNow stream over events through foreachBatch, landing
+    per-micro-batch mergeable partials (count + exact cent sum) under
+    batch=<epoch>/hour=<H>/ — the hour level makes dashboard
+    partition pruning real, the batch level keeps redelivery
+    idempotent; read_rollup then re-merges the partials into final
+    per-(hour, event_type) totals. The oracle aggregates raw events
+    directly, so partial/merge associativity and the
+    decimal-before-scaling cents rule are both pinned cross-engine.
+    Scale shape: the rollup is ~5 orders of magnitude smaller than
+    raw events; dashboards re-aggregate partials, never raw
+    history."""
+    import shutil
+
+    from pathlib import Path
+
+    from .operators.rollup_view import maintain_rollup, read_rollup
+
+    cat = _cat(spark, sf_dir)
+    root = Path(str(cat.scratch)) / "rollup_view"
+    shutil.rmtree(root, ignore_errors=True)  # idempotent rebuild
+    events = stream_mod.read_events_stream(spark, sf_dir)
+    q = maintain_rollup(events, root / "data", root / "ckpt")
+    assert q.awaitTermination(300), "rollup maintenance timed out"
+    return read_rollup(spark, root / "data")
+
+
 # =====================================================================
 # entry point
 # =====================================================================
@@ -5487,83 +5726,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose content hash differs from docs/query_hashes.json sits inside
 # the first 50.
 #
-# Round-4 rotation (VERDICT.md r3, "Next round" #1): every r3-window
-# query passed 50/50, so _CHANGED/_NEW drained into the proven pool and
-# the backfill re-proves the STALEST green rows first — all 34
-# hash-checkable r1-proven queries (everything from the r1 window except
-# the two by-design rows-only sketches dedup_minhash_lsh/dedup_simhash,
-# whose machinery is hash-checked via their md5 twins, driver-green r3),
-# then the oldest r2-proven rows in their CORRECTNESS_r02 order.
+# Round-5 rotation (VERDICT.md r4, "Next round" #2): the promised
+# near-pure rotation paying the r1/r2 staleness debt.  The r4 window
+# (21+16+13 per docs/CHECKED.md) went 49/50 green, so its _CHANGED/_NEW
+# drained into the proven pool; the backfill below re-proves the
+# STALEST green rows first — all 28 queries whose latest green driver
+# row is CORRECTNESS_r01 (computed from the four CORRECTNESS files;
+# the two by-design rows-only sketches dedup_minhash_lsh/dedup_simhash
+# stay out, their machinery is hash-checked via the r4-green md5
+# twins), then the r2-latest rows in CORRECTNESS_r02 key order.
 _WINDOW_SIZE = 50
 
-# Changed since their last driver row: round 4 rewrote the LSH candidate
-# dedup in operators/similarity.py (scalar-only dedup shuffles) under
-# the first two, and reformulated dedup.shingles as shifted-concat
-# passes (2x faster signatures, bit-identical output) under the other
-# three (dedup_ngram_jaccard also consumes shingles and already sits in
-# the r1-stale backfill below). Helper-level edits do not move the
-# registry function's content hash, so they are promoted here MANUALLY
-# — the hash invariant only catches registry-source edits.
+# Changed since their last driver row (manual promotions — helper-level
+# edits do not move a registry function's content hash):
 _CHANGED = [
-    "similarity_ann_lsh", "embedding_near_dup",
-    "dedup_minhash_md5", "dedup_minhash_audit", "bigram_vocab_stats",
-    # sliding_grams consolidation (functions/text.py): rolling
-    # fingerprints + contamination grams now share the shifted-concat
-    # window, outputs bit-identical
-    "doc_rolling_fingerprint", "contamination_scan",
-    "contamination_ngram_scan",
-    # core-module hardening (this round's review pass): insert.py was
-    # rewritten (observe-based count, partition guards, post-preprocess
-    # re-coercion), catalog.delete/compact/materialize changed, and
-    # dsl._build_join now applies cross-table where-tuple conjuncts.
-    # The directly-affected proven queries re-enter the window:
-    "insert_jsonl_requery", "delete_partition_requery",
-    "join_equi_revenue",
-    # h_avg_exact now divides by the non-null column count (AVG
-    # semantics fix); its one registry consumer re-enters the window
-    "agg_stats_by_status",
-    # asof_join now suffixes colliding right columns; run_streaming_batch
-    # materializes + drops the memory sink and raises on timeout (ALL six
-    # streaming queries re-verified hash-green by hand this session —
-    # streaming_tumbling_hour re-enters as the oldest-proven
-    # representative); the stateful update skips NULL values
-    "asof_join_signup", "streaming_tumbling_hour",
-    "streaming_stateful_totals",
-    # cosine() now try_divides (zero-norm -> NULL, not a job abort) —
-    # every cosine consumer re-enters; the three UDF demos changed
-    # their NULL handling to match their built-in oracles
-    "similarity_topk_exact", "similarity_ivf", "dedup_cluster_cc",
-    "udf_token_count", "udaf_regression_slope", "udtf_shingle_stats",
-    # registry-review batch: SF-growing broadcast hints removed
-    # (q5/q7/q8/q9/q14/q19 — AQE still broadcasts at bench SF, plans
-    # verified BHJ-identical), compensating-oracle fixes
-    # (dedup_ngram_jaccard short-doc fallback, streaming_static_enrich
-    # explicit VALUES dim), and the _dec hoist (q3/scalar_math_funcs
-    # source touched, behavior-identical)
-    "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_national_market_share", "q9_product_profit",
-    "q14_promo_revenue", "q19_disjunctive_revenue",
-    "q3_shipping_priority", "scalar_math_funcs",
-    "dedup_ngram_jaccard", "streaming_static_enrich",
+    # the round-4 red row: min/max_tokens now cast bigint (driver's
+    # dtype-sensitive hash vs DuckDB len()'s BIGINT), the oracle's
+    # HUGEINT bucket cast back to BIGINT, and the twice-scanned
+    # documents frame tracked-cached (VERDICT r4 "What's wrong" #1/#3)
+    "padding_waste_buckets",
+    # commit 8782bf5 (post-r4-window isin-unwrap hardening in expr.py)
+    # landed after the r4 driver froze its window list but BEFORE the
+    # 11:41 driver run — promoted anyway per the helper-edit rule since
+    # its consumer was last driver-checked in r3
+    "filter_isin",
 ]
 
 # New queries registered this round — every addition goes here.
+# The four r4-queued L29/L30 rows (oracles hand-proven last round,
+# VERDICT r4 "Next round" #3) plus rollup_view_requery, which closes
+# the one remaining unit-only operator surface (VERDICT asked for the
+# 8782bf5 "rollup consumers" to be driver-checked; rollup_view had no
+# registry consumer, so this round created one).
 _NEW_THIS_ROUND = [
-    "skew_salted_join_requery", "bucketed_join_requery",
-    "multimodal_pixel_probe", "dedup_containment_pairs",
-    "text_unigram_quality", "boilerplate_removal",
-    "dedup_pipeline_keepers", "multimodal_resize_probe",
-    "multimodal_audio_samples", "multimodal_frame_sample",
-    "corpus_diff", "padding_waste_buckets",
-    "embedding_random_projection", "streaming_ingest_dedup_requery",
-    "bpe_merge_rounds", "compact_requery",
+    "embedding_contamination_scan", "vocab_drift_top",
+    "text_bigram_quality", "sharded_export_requery",
+    "rollup_view_requery",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to 50 — freshest re-confirmation of the stalest rows.
+# 43 slots: all 28 r1-latest rows, then the r2-latest block in
+# CORRECTNESS_r02 key order (its tail — grouping_sets_sql onward —
+# rotates in r6).
 _BACKFILL = [
-    # r1-proven (CORRECTNESS_r01), unchanged since
-    "distinct_order_limit", "star_scan_region", "topk_orders",
+    # r1-latest (CORRECTNESS_r01 order)
     "nest_requery", "semi_join_customers", "anti_join_customers",
     "left_join_nation_suppliers", "full_outer_nation_activity",
     "cross_join_pairs", "set_except", "set_intersect", "set_union",
@@ -5571,17 +5778,24 @@ _BACKFILL = [
     "rollup_status_priority", "cube_flags", "scalar_string_funcs",
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
     "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
-    "sessionize_users", "dedup_exact_stats",
-    "dedup_exact_keep_min",
+    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
     "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
     "doc_fingerprint_prefix",
-    # r2-proven (CORRECTNESS_r02 order)
-    "approx_cardinality", "text_lang_id",
-    "q2_min_cost_supplier", "q4_order_priority",
-    "q6_forecast_revenue",
+    # r2-latest (CORRECTNESS_r02 key order)
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
     "q10_returned_items", "q11_important_stock",
     "q12_late_shipment_priority", "q13_customer_distribution",
-    "q15_top_supplier",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q20_excess_quantity_suppliers", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "sql_api_exists",
+    # r6 rotation continues here: grouping_sets_sql, percentile_exact,
+    # variance_manual, correlation_manual, unpivot_measures,
+    # union_all_counts, window_rank_ties, range_join_purchase_errors,
+    # streaming_session_windows, streaming_dedupe_count,
+    # multimodal_decode, embedding_centroids, vocab_top_tokens,
+    # curation_filter, approx_cardinality, text_lang_id, then the
+    # r3-latest block
 ]
 
 

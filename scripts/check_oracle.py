@@ -21,6 +21,63 @@ from hustle_spark.session import get_session  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# --- dtype fidelity (round-5 hardening) -------------------------------
+# The driver's value hash is dtype-SENSITIVE (it hashes typed/Arrow
+# values), so a Spark int32 vs DuckDB BIGINT disagreement fails the
+# driver even when every value compares equal — exactly how
+# padding_waste_buckets went red in round 4 while this value-level
+# checker stayed green. Canonicalize both sides' result types into
+# DuckDB spelling and compare per column.
+_SPARK2DUCK = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "binary": "BLOB", "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def spark_canon(dt: str) -> str:
+    if dt.startswith("array<") and dt.endswith(">"):
+        return spark_canon(dt[6:-1]) + "[]"
+    if dt.startswith("decimal"):
+        return dt.upper()
+    return _SPARK2DUCK.get(dt, dt.upper())
+
+
+_INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+
+def dtype_problems(spark_df, duck_rel):
+    """Per-column canonical dtype comparison; returns
+    (hard_mismatches, width_warnings).
+
+    Calibrated against four rounds of driver evidence: the driver's
+    value hash TOLERATES integer-width differences (rank/row_number
+    queries emit Spark int32 vs DuckDB BIGINT and have been
+    driver-green since r1) but FAILS on value-class differences — the
+    round-4 red row was an uncast DuckDB HUGEINT (window SUM), which
+    crosses the Arrow boundary as a different value class entirely.
+    So {TINYINT..BIGINT} differences are warnings; HUGEINT, DECIMAL
+    precision, float-vs-int, and any other class mismatch is a hard
+    problem. HUGEINT deliberately does NOT canonicalize to BIGINT."""
+    spark_t = {f.name: spark_canon(f.dataType.simpleString()) for f in spark_df.schema.fields}
+    duck_t = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+    hard, warns = [], []
+    for col in spark_t:
+        if col not in duck_t or spark_t[col] == duck_t[col]:
+            continue
+        s, d = spark_t[col], duck_t[col]
+        depth = 0
+        while s.endswith("[]") and d.endswith("[]"):
+            s, d, depth = s[:-2], d[:-2], depth + 1
+        msg = f"dtype[{col}] spark={spark_t[col]} duck={duck_t[col]}"
+        if s in _INT_WIDTHS and d in _INT_WIDTHS:
+            warns.append(msg)
+        else:
+            hard.append(msg)
+    return hard, warns
+
 
 def norm_rows(rows, colnames):
     """EXACT value normalization (repr for floats — type-distinguishing,
@@ -74,9 +131,9 @@ def main():
             print(f"  ROWS-ONLY {name}: {len(spark_rows)} rows  [{dt:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {str(e)[:300]}"))
             print(f"  FAIL {name}: oracle error: {str(e)[:160]}")
@@ -84,6 +141,10 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        hard, warns = dtype_problems(df, rel)
+        problems.extend(hard)
+        if warns:
+            print(f"  WARN {name}: int-width {'; '.join(warns)}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
