@@ -106,6 +106,73 @@ def test_scale_configs_shape():
     assert conf["spark.sql.adaptive.enabled"] == "true"
 
 
+def test_scale_configs_100tb_invariants():
+    """The settings the documented 100 TB story depends on, pinned as
+    relationships (not just presence) so a refactor can't silently
+    break the sizing math the docstrings promise."""
+    mb, cores = 128, 2000
+    conf = scale_configs(target_partition_mb=mb, cores=cores)
+    # AQE family all on: runtime coalescing + skew-join splitting are
+    # the fallback for every skew the explicit helpers don't cover
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        assert conf[k] == "true", k
+    # partition-size targets: scan splits, shuffle advisories, and the
+    # skew threshold all derive from ONE working-set figure so a task
+    # fits executor memory at any SF
+    assert conf["spark.sql.files.maxPartitionBytes"] == f"{mb}m"
+    assert conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == f"{mb}m"
+    assert (
+        conf["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"]
+        == f"{mb * 2}m"
+    )
+    # shuffle parallelism starts at 2x total cores (AQE coalesces down)
+    assert conf["spark.sql.shuffle.partitions"] == str(cores * 2)
+    # broadcast ceiling is bounded (no unbounded auto-broadcast OOM)
+    assert conf["spark.sql.autoBroadcastJoinThreshold"] == "64m"
+    # pushdown must stay on — the plan audits assume it
+    assert conf["spark.sql.parquet.filterPushdown"] == "true"
+
+
+def test_apply_scale_configs_lands_on_session(spark):
+    """apply_scale_configs sets every runtime-settable conf on a LIVE
+    session (static confs are skipped, not fatal) — the path a notebook
+    or job driver actually uses."""
+    from hustle_spark.plans.scale import apply_scale_configs, scale_configs
+
+    # snapshot every conf the helper will touch so later tests keep
+    # the session's documented local[*] shape (notably the broadcast
+    # threshold, which changes join plans)
+    saved = {}
+    for k in scale_configs():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None  # static/unset conf
+    try:
+        apply_scale_configs(spark, target_partition_mb=64, cores=8)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "64m"
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        assert (
+            spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            )
+            == "128m"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                continue
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf, unchanged by the helper anyway
+
+
 def test_catalog_delete_predicate(spark, tmp_path):
     cat = h.connect(spark, tmp_path)
     cat.create("t", ["index string date", "uint32 v"], partition="date")
