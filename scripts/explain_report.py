@@ -66,6 +66,11 @@ SHOWCASE = {
     "padding_waste_buckets": "exact CDF on the bounded length histogram (constant-cost single-partition window); bucket map broadcast back; one bounded final shuffle",
     "embedding_random_projection": "JL +-1 coefficients as literal arrays; 8 codegen folds per row, map-only, zero shuffle",
     "compact_requery": "four-small-file pathology -> staged-swap compact -> aggregate-identical requery; scan reads the rewritten files",
+    "embedding_contamination_scan": "benchmark side broadcast (BroadcastNestedLoop by design: scored filterless); per-row max collapses in the map-side partial aggregate — corpus never shuffles",
+    "vocab_drift_top": "two vocabulary-sized count tables full-outer join; 1-row totals broadcast; corpus text crosses no shuffle",
+    "text_bigram_quality": "bigram model broadcast into the per-doc join; per-doc re-agg map-side-combines before its one shuffle",
+    "sharded_export_requery": "shard id computed map-side; partitionBy splits the write with no forced repartition; manifest is a 16-row aggregate",
+    "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
 }
 
 

@@ -25,6 +25,11 @@ ALLOWED_NESTED_LOOP = {
     "dedup_minhash_audit",     # 1-row claim aggregates cross-joined
     "dedup_simhash_audit",     # 1-row claim aggregates cross-joined
     "text_unigram_quality",    # 1-row corpus-total broadcast (vocab fppm)
+    "embedding_contamination_scan",  # benchmark set broadcast, scored
+                               # filterless by design (eval suites are
+                               # thousands of rows, never corpus-scale)
+    "vocab_drift_top",         # two 1-row corpus-total broadcasts
+                               # (the unigram fppm pattern, per side)
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
