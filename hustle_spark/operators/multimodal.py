@@ -9,11 +9,14 @@ bounds memory.
 Header parsing (PNG / JPEG / GIF / WAV / MP4) is REAL — pure Python
 over the bytes, no media libraries. So is PIXEL-level decoding for the
 formats pure Python can cover: uncompressed 24-bit BMP
-(parse_bmp_pixels) and truecolor-8 PNG via stdlib zlib with all five
-scanline filters (parse_png_pixels), feeding full decode
-(decode_pixel_features) and nearest-neighbor resize
-(resize_image_features). Entropy-coded formats (JPEG bitstreams,
-video frames, compressed audio) remain the documented PIL/ffmpeg/
+(parse_bmp_pixels), truecolor-8 PNG via stdlib zlib with all five
+scanline filters (parse_png_pixels), and — since round 5 — baseline
+GRAYSCALE JPEG with full entropy decode (parse_jpeg_pixels: canonical
+Huffman from the DHT bytes, DC/AC run-length decode, dequant, zigzag,
+float IDCT), feeding full decode (decode_pixel_features /
+decode_jpeg_features) and nearest-neighbor resize
+(resize_image_features). Color/subsampled/progressive JPEG, video
+codecs, and compressed audio remain the documented PIL/ffmpeg/
 torchaudio swap point; ``_decode_one`` falls back to deterministic
 pseudo-features for unrecognized payloads.
 """
@@ -1000,3 +1003,378 @@ def sample_video_frames(
             )
 
     return media.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Baseline JPEG: codegen synthesis + real entropy decode (round 5).
+#
+# The last header-only modality gap behind the PIL swap point, closed
+# without external libs: complete baseline GRAYSCALE JPEGs — real DQT/
+# DHT/SOF0/SOS segments, real Huffman-coded entropy data with 0xFF00
+# byte stuffing — are synthesized in codegen from an integer generative
+# model, then decoded by a REAL baseline decoder (canonical Huffman
+# table construction from the DHT bytes, DC-difference + AC run/length
+# decode, dequantization, zigzag, float 2D IDCT, level shift + clamp).
+# The generative model uses CONSTANT 8x8 blocks with an all-ones quant
+# table, which round-trips bit-exactly through the lossy pipeline
+# (DC-only blocks: FDCT -> DC = 8*(v-128), q=1, IDCT -> v), so a DuckDB
+# oracle can replay the pixel model exactly while the decoder still
+# exercises the full entropy machinery on every byte.
+# ---------------------------------------------------------------------
+
+def _jpeg_static_hex() -> tuple[str, str]:
+    """(pre-SOF static segments, post-SOF static segments) as hex:
+    SOI+DQT+DHTdc+DHTac, and SOS. Tables are the JPEG Annex K
+    defaults (ITU T.81), byte-built here so the decoder's canonical
+    reconstruction is exercised against the genuine tables."""
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    dc_counts = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dht_dc = (
+        b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00"
+        + dc_counts + bytes(range(12))
+    )
+    ac_counts = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+    ac_vals = bytes.fromhex(
+        "010203000411051221314106135161072271143281914108"
+        "2342b1c11552d1f02433627282090a161718191a25262728"
+        "292a3435363738393a434445464748494a53545556575859"
+        "5a636465666768696a737475767778797a83848586878889"
+        "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+        "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+    )
+    assert len(ac_vals) == 162 and sum(ac_counts) == 162
+    dht_ac = (
+        b"\xff\xc4" + (2 + 1 + 16 + 162).to_bytes(2, "big") + b"\x10"
+        + ac_counts + ac_vals
+    )
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    pre = b"\xff\xd8" + dqt + dht_dc + dht_ac
+    return pre.hex().upper(), sos.hex().upper()
+
+
+# canonical DC-luminance codes by category (derives from dc_counts)
+_JPEG_DC_CODES = [
+    "00", "010", "011", "100", "101", "110", "1110", "11110",
+    "111110", "1111110", "11111110", "111111110",
+]
+
+
+def synthesize_jpeg_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of COMPLETE baseline grayscale JPEGs built in
+    codegen — including the Huffman-coded entropy stream, assembled
+    bit-by-bit in SQL (per-block closed-form DC differences ->
+    category + sign-coded value bits + EOB, '1'-padded to a byte
+    boundary, 0xFF00-stuffed). Geometry and pixels are a fixed
+    function of the id:
+
+        blocks_x = id % 2 + 1, blocks_y = id % 3 + 1
+        width = 8*blocks_x, height = 8*blocks_y
+        every 8x8 block is constant V(bx,by) = (id*7 + bx*31 + by*57
+        + 13) % 256
+
+    Constant blocks + an all-ones quant table make the lossy pipeline
+    exact (DC-only blocks survive FDCT->quant->IDCT bit-for-bit), so
+    parse_jpeg_pixels can be differentially verified against a replay
+    of the pixel model while still Huffman-decoding real entropy
+    data."""
+    pre_hex, sos_hex = _jpeg_static_hex()
+    base = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.col(id_col).cast("long") % 2 + 1).alias("cx"),
+        (F.col(id_col).cast("long") % 3 + 1).alias("cy"),
+    )
+
+    def dc(k: str) -> str:
+        # DC coefficient of block k in raster order (closed form)
+        v = f"pmod(media_id*7 + (({k}) % cx)*31 + (({k}) div cx)*57 + 13, 256)"
+        return f"(8*({v} - 128))"
+
+    diff = f"({dc('k')} - if(k = 0, 0, {dc('k-1')}))"
+    cat = f"if({diff} = 0, 0, length(conv(abs({diff}), 10, 2)))"
+    pow2cat = f"cast(pow(2.0d, {cat}) as bigint)"
+    # positive diffs: conv() emits exactly `cat` bits; negative diffs:
+    # encode m = diff + 2^cat - 1 as `cat` zero-padded bits by adding a
+    # 2^cat sentinel bit and dropping it (lpad cannot take a column)
+    valbits = (
+        f"case when {diff} = 0 then '' "
+        f"when {diff} > 0 then conv({diff}, 10, 2) "
+        f"else substring(conv({diff} + 2*{pow2cat} - 1, 10, 2), 2) end"
+    )
+    dc_code_arr = "array(" + ", ".join(f"'{c}'" for c in _JPEG_DC_CODES) + ")"
+    block_bits = (
+        f"concat(element_at({dc_code_arr}, cast({cat} as int) + 1), "
+        f"{valbits}, '1010')"  # '1010' = EOB in the Annex K AC table
+    )
+    with_bits = base.withColumn(
+        "ebits",
+        F.expr(
+            f"array_join(transform(sequence(0, cast(cx*cy - 1 as int)), "
+            f"k -> {block_bits}), '')"
+        ),
+    )
+    chunk = "conv(substring(concat(ebits, '1111111'), i*8 + 1, 8), 2, 10)"
+    scan_hex = (
+        "array_join(transform("
+        "sequence(0, cast((length(ebits) + 7) div 8 as int) - 1), i -> "
+        f"concat(lpad(hex(cast({chunk} as bigint)), 2, '0'), "
+        f"if(cast({chunk} as int) = 255, '00', ''))), '')"
+    )
+    sof_hex = (
+        f"concat('FFC0000B08', lpad(hex(cy*8), 4, '0'), "
+        f"lpad(hex(cx*8), 4, '0'), '01011100')"
+    )
+    payload_hex = F.expr(
+        f"concat('{pre_hex}', {sof_hex}, '{sos_hex}', {scan_hex}, 'FFD9')"
+    )
+    return with_bits.select(
+        "media_id",
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("jpg_"), F.col("media_id").cast("string")).alias(
+                "filename"
+            ),
+            (F.col("cx") * 8).cast("int").alias("declared_w"),
+            (F.col("cy") * 8).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+# zigzag position -> natural (v*8 + u) index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_IDCT_A = None
+
+
+def _jpeg_idct_basis():
+    global _JPEG_IDCT_A
+    if _JPEG_IDCT_A is None:
+        import math
+
+        import numpy as np
+
+        A = np.empty((8, 8))
+        for x in range(8):
+            for u in range(8):
+                c = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+                A[x, u] = c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _JPEG_IDCT_A = A
+    return _JPEG_IDCT_A
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises on a bare marker (truncated scan)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.k = data, pos, 0
+
+    def bit(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF and self.data[self.pos + 1] != 0x00:
+            raise ValueError("marker inside entropy data")
+        v = (b >> (7 - self.k)) & 1
+        self.k += 1
+        if self.k == 8:
+            self.k = 0
+            self.pos += 2 if b == 0xFF else 1  # skip the stuffed 0x00
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(counts: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman reconstruction per T.81 C.2:
+    {(length, code) -> value}."""
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = vals[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def parse_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode for grayscale (single-component,
+    non-progressive, no restart markers): segment walk, canonical
+    Huffman tables from the DHT bytes, DC-difference + AC run/length
+    entropy decode, dequantization, zigzag re-order, float 2D IDCT
+    (numpy), level shift and clamp. Returns (w, h, rows) with rows a
+    list of per-row lists of 0-255 luma values, or None if the payload
+    is not a decodable baseline grayscale JPEG."""
+    import numpy as np
+
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comp_q = 0
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            i += 2
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers
+            L = int.from_bytes(payload[i : i + 2], "big")
+            seg = payload[i + 2 : i + L]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    if pq:
+                        qt[tq] = [
+                            int.from_bytes(seg[j + 2 * z : j + 2 * z + 2], "big")
+                            for z in range(64)
+                        ]
+                        j += 128
+                    else:
+                        qt[tq] = list(seg[j : j + 64])
+                        j += 64
+            elif marker == 0xC0:  # SOF0 baseline
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                if seg[5] != 1:
+                    return None  # grayscale only
+                comp_q = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3):
+                return None  # extended/progressive/lossless unsupported
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    j += 1
+                    counts = list(seg[j : j + 16])
+                    j += 16
+                    nv = sum(counts)
+                    huff[(tc, th)] = _jpeg_huff_table(
+                        counts, list(seg[j : j + nv])
+                    )
+                    j += nv
+            elif marker == 0xDA:  # SOS
+                if w is None or seg[0] != 1:
+                    return None
+                dc_t = huff[(0, seg[2] >> 4)]
+                ac_t = huff[(1, seg[2] & 15)]
+                quant = qt[comp_q]
+                br = _JpegBits(payload, i + L)
+                A = _jpeg_idct_basis()
+                cx, cy = (w + 7) // 8, (h + 7) // 8
+                pixels = [[0] * w for _ in range(h)]
+                pred = 0
+                for by in range(cy):
+                    for bx in range(cx):
+                        coefs = [0] * 64
+                        t = _jpeg_huff_decode(br, dc_t)
+                        pred += _jpeg_extend(br.bits(t), t)
+                        coefs[0] = pred * quant[0]
+                        kz = 1
+                        while kz < 64:
+                            rs = _jpeg_huff_decode(br, ac_t)
+                            if rs == 0x00:
+                                break  # EOB
+                            if rs == 0xF0:
+                                kz += 16  # ZRL
+                                continue
+                            kz += rs >> 4
+                            if kz > 63:
+                                return None
+                            coefs[_JPEG_ZIGZAG[kz]] = (
+                                _jpeg_extend(br.bits(rs & 15), rs & 15)
+                                * quant[kz]
+                            )
+                            kz += 1
+                        Fm = np.array(coefs, dtype=float).reshape(8, 8)
+                        block = (A @ Fm @ A.T) / 4.0
+                        out = np.clip(np.round(block + 128.0), 0, 255)
+                        for yy in range(min(8, h - by * 8)):
+                            row = pixels[by * 8 + yy]
+                            for xx in range(min(8, w - bx * 8)):
+                                row[bx * 8 + xx] = int(out[yy, xx])
+                return w, h, pixels
+            i += L
+        return None
+    except (IndexError, ValueError, KeyError):
+        return None
+
+
+JPEG_FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_pixels long, sum_v long, wsum_v long, ok boolean"
+)
+
+
+def _jpeg_features_one(payload: bytes):
+    decoded = parse_jpeg_pixels(payload)
+    if decoded is None:
+        return "unknown", 0, 0, 0, 0, 0, False
+    w, h, rows = decoded
+    sv = wv = 0
+    for y, row in enumerate(rows):
+        for x in range(w):
+            v = row[x]
+            sv += v
+            wv += (x + y * w + 1) * v
+    return "jpeg", w, h, w * h, sv, wv, True
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched full JPEG decode (baseline grayscale) over the
+    payload column — same plumbing contract as decode_pixel_features:
+    payload bytes stay executor-side in columnar batches; the
+    position-weighted checksum makes a decoder that mis-orders blocks
+    or rows unable to pass by luck."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _jpeg_features_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_pixels": [f[3] for f in feats],
+                    "sum_v": [f[4] for f in feats],
+                    "wsum_v": [f[5] for f in feats],
+                    "ok": [f[6] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)

@@ -5663,6 +5663,51 @@ def sharded_export_requery(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_probe",
+    oracle="""
+    WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS cx,
+                        CAST(doc_id % 3 + 1 AS BIGINT) AS cy
+                 FROM documents),
+    px AS (
+      SELECT g.doc_id, g.cx * 8 AS w, g.cy * 8 AS h, gx.x, gy.y,
+             (g.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 57 + 13) % 256
+               AS v
+      FROM geo g, generate_series(0, 15) gx(x), generate_series(0, 23) gy(y)
+      WHERE gx.x < g.cx * 8 AND gy.y < g.cy * 8)
+    SELECT doc_id AS media_id, 'jpeg' AS media_type,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM((px.x + px.y * w + 1) * v) AS BIGINT) AS wsum_v,
+           true AS ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_probe(spark, sf_dir):
+    """L5 multimodal at ENTROPY-CODED level (VERDICT r4 stretch #8 —
+    the last header-only modality gap): complete baseline grayscale
+    JPEGs — genuine Annex-K DQT/DHT segments and a Huffman-coded,
+    0xFF00-stuffed entropy stream assembled BIT-BY-BIT in codegen
+    (operators.multimodal.synthesize_jpeg_payloads) — are decoded by a
+    REAL baseline decoder inside Arrow-batched mapInPandas
+    (parse_jpeg_pixels: canonical Huffman reconstruction from the DHT
+    bytes, DC-difference + AC run/length decode, dequant, zigzag,
+    float IDCT, clamp). The generative model uses constant 8x8 blocks
+    with an all-ones quant table, which round-trips the lossy pipeline
+    bit-exactly (DC-only: FDCT->8*(v-128), q=1, IDCT->v), so the
+    oracle replays the pixel model with correlated laterals — the
+    position-weighted checksum fails any decoder that mis-orders
+    blocks, rows, or Huffman bits."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = multimodal.synthesize_jpeg_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_jpeg_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_v", "wsum_v", "ok",
+    )
+
+
+@query(
     "rollup_view_requery",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
@@ -5762,6 +5807,9 @@ _NEW_THIS_ROUND = [
     "embedding_contamination_scan", "vocab_drift_top",
     "text_bigram_quality", "sharded_export_requery",
     "rollup_view_requery",
+    # VERDICT r4 stretch #8: baseline-JPEG entropy decode, driver-
+    # checked like multimodal_pixel_probe
+    "multimodal_jpeg_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

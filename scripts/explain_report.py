@@ -71,6 +71,7 @@ SHOWCASE = {
     "text_bigram_quality": "bigram model broadcast into the per-doc join; per-doc re-agg map-side-combines before its one shuffle",
     "sharded_export_requery": "shard id computed map-side; partitionBy splits the write with no forced repartition; manifest is a 16-row aggregate",
     "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
+    "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage, no shuffle",
 }
 
 

@@ -108,9 +108,14 @@ def gen(regen: bool = False) -> None:
 
 
 def run_bench(sf_dir: str) -> dict:
+    # --runner llm switches the measured suite to the LLM-pipeline
+    # bench (scripts/bench_llm.py) with the same two-fresh-JVM protocol
+    runner = "/root/repo/bench.py"
+    if "--runner" in sys.argv and sys.argv[sys.argv.index("--runner") + 1] == "llm":
+        runner = "/root/repo/scripts/bench_llm.py"
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
-        [sys.executable, "/root/repo/bench.py"],
+        [sys.executable, runner],
         env=env, capture_output=True, text=True, timeout=3600,
     )
     for line in reversed(out.stdout.strip().splitlines()):
@@ -132,7 +137,13 @@ def main() -> None:
     # clique, so their true pair OUTPUT grows quadratically by
     # construction (measured 102x pairs on 10x input — BASELINE.md);
     # flagging them every run would bury a real plan regression
-    PAIR_OUTPUT = {"dedup_simhash", "dedup_minhash_lsh"}
+    PAIR_OUTPUT = {
+        "dedup_simhash", "dedup_minhash_lsh",
+        # llm runner: same clique artifact — the key-shifted replicas are
+        # FACTOR-copy identical texts, so candidate-pair stages grow
+        # quadratically by construction on this synthetic copy
+        "dedup_containment_pairs", "dedup_pipeline_keepers",
+    }
 
     print("\n| query | sf0.1 s | sf1 s | ratio (10x data) |")
     print("|---|---|---|---|")

@@ -448,6 +448,128 @@ def test_pixel_features_format_agnostic():
     assert fb[-1] is True
 
 
+def test_jpeg_roundtrip_exact(spark):
+    """Synthesized baseline JPEGs decode back to the generative pixel
+    model EXACTLY (constant DC-only blocks + all-ones quant survive
+    the lossy pipeline bit-for-bit) — the entropy stream is real
+    Huffman data the decoder must actually decode."""
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_pixels,
+        synthesize_jpeg_payloads,
+    )
+
+    df = spark.range(0, 24).selectExpr("id as doc_id")
+    for r in synthesize_jpeg_payloads(df, "doc_id").collect():
+        mid = r.media_id
+        w, h, px = parse_jpeg_pixels(bytes(r.payload))
+        assert (w, h) == (8 * (mid % 2 + 1), 8 * (mid % 3 + 1))
+        for y in range(h):
+            for x in range(w):
+                assert px[y][x] == (
+                    mid * 7 + (x // 8) * 31 + (y // 8) * 57 + 13
+                ) % 256, (mid, x, y)
+
+
+def test_jpeg_decoder_against_reference_codec(spark):
+    """The decoder is GENERAL baseline-grayscale, not a replay of the
+    encoder: a hand-built stream with nonzero AC coefficients, a
+    non-trivial quant table, ZRL runs, and a 16-bit-boundary Huffman
+    path must decode to the same pixels a reference float IDCT gives."""
+    import numpy as np
+
+    from hustle_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_basis,
+        parse_jpeg_pixels,
+    )
+
+    # 8x8, non-trivial quant (DC 2, AC 3); coefficients in zigzag
+    # order: DC=5, AC(z=1)=-2, AC(z=20)=7 (reached via ZRL + run 2)
+    quant = [2] + [3] * 63
+    coefs_z = [0] * 64
+    coefs_z[0], coefs_z[1], coefs_z[20] = 5, -2, 7
+
+    # build the entropy stream from the CANONICAL tables themselves so
+    # the test encodes exactly what the decoder must decode
+    from hustle_spark.operators.multimodal import _jpeg_huff_table
+
+    ac_counts = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    ac_vals_hex = (
+        "010203000411051221314106135161072271143281914108"
+        "2342b1c11552d1f02433627282090a161718191a25262728"
+        "292a3435363738393a434445464748494a53545556575859"
+        "5a636465666768696a737475767778797a83848586878889"
+        "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+        "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+    )
+    ac_table = _jpeg_huff_table(ac_counts, list(bytes.fromhex(ac_vals_hex)))
+    dc_counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_table = _jpeg_huff_table(dc_counts, list(range(12)))
+    code_of = {
+        (tbl_name, v): format(code, f"0{ln}b")
+        for tbl_name, tbl in (("dc", dc_table), ("ac", ac_table))
+        for (ln, code), v in tbl.items()
+    }
+
+    bits = code_of[("dc", 3)] + "101"             # DC diff +5 (cat 3)
+    bits += code_of[("ac", 0x02)] + "01"          # k=1: val -2
+    bits += code_of[("ac", 0xF0)]                 # ZRL: skip 16 (k=2..17)
+    bits += code_of[("ac", 0x23)] + "111"         # run 2 (k=18,19), k=20: +7
+    bits += code_of[("ac", 0x00)]                 # EOB
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    scan = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes(quant))
+        + seg(0xC4, b"\x00" + bytes(dc_counts) + bytes(range(12)))
+        + seg(0xC4, b"\x10" + bytes(ac_counts) + bytes.fromhex(ac_vals_hex))
+        + seg(0xC0, b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + b"\x01\x01\x11\x00")
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+    w, h, px = parse_jpeg_pixels(payload)
+    assert (w, h) == (8, 8)
+
+    # reference: independent dequant + IDCT
+    nat = np.zeros(64)
+    for z, c in enumerate(coefs_z):
+        nat[_JPEG_ZIGZAG[z]] = c * quant[z]
+    A = _jpeg_idct_basis()
+    ref = np.clip(np.round((A @ nat.reshape(8, 8) @ A.T) / 4.0 + 128), 0, 255)
+    for y in range(8):
+        for x in range(8):
+            assert px[y][x] == int(ref[y, x]), (x, y)
+
+
+def test_jpeg_decoder_rejects_garbage(spark):
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_pixels,
+        synthesize_jpeg_payloads,
+    )
+
+    assert parse_jpeg_pixels(b"") is None
+    assert parse_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert parse_jpeg_pixels(b"not a jpeg at all") is None
+    # truncated mid-scan (valid headers, entropy bytes cut) and
+    # progressive-marker payloads must return None, never raise
+    df = spark.range(5, 6).selectExpr("id as doc_id")
+    full = bytes(synthesize_jpeg_payloads(df, "doc_id").collect()[0].payload)
+    assert parse_jpeg_pixels(full[:-12]) is None
+    assert parse_jpeg_pixels(full.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from hustle_spark import streaming as S
 

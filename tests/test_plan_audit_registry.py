@@ -42,6 +42,7 @@ ALLOWED_PYTHON = {
     "multimodal_resize_probe",   # NN resize over pixel decode, same path
     "multimodal_audio_samples",  # PCM sample-level decode, same path
     "multimodal_frame_sample",   # mdat frame sampling, same path
+    "multimodal_jpeg_probe",     # baseline JPEG entropy decode, same path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
