@@ -665,3 +665,118 @@ def dedup_pipeline(
         id_col, "cluster_id", "is_kept"
     )
     return df.join(keep, id_col)
+
+
+def repeated_span_removal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-span removal (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022) at token-window granularity: every ``span``-token window
+    whose exact content occurs in at least ``min_docs`` DISTINCT
+    documents is cut from ALL of them, and overlapping flagged windows
+    merge into maximal removed runs — the substring-level complement
+    of document-level MinHash dedup (a boilerplate sentence pasted
+    into thousands of otherwise-unique pages survives doc-level dedup
+    but not this). Documents shorter than ``span`` tokens contribute
+    their whole text as one window (the sliding_grams boundary
+    convention), so exact short duplicates vanish entirely.
+
+    Returns (id_col, text, n_tokens, n_removed) with the surviving
+    tokens re-joined by single spaces (whitespace-normalized — the
+    same contract a tokenizer-bound pipeline consumes); NULL-text
+    documents reassemble to '' (the module's NULL-doc convention).
+
+    Scale shape: the window table is the ExactSubstr cost — one row
+    per token position — but only (id, pos, md5) crosses the shuffle
+    (~48 B/row; window TEXT never moves, digests are computed
+    map-side). The duplicate-digest set is corpus-sized in the worst
+    case, so it is joined back with a plain shuffle equi-join, NOT a
+    broadcast (unlike boilerplate's bounded heavy-hitter set). Flagged
+    starts collapse per document (bounded by the document's own
+    length), merge into disjoint intervals via one codegen fold, and
+    the rebuild is a map-only indexed filter — O(intervals) per
+    token, not O(flags). Suffix arrays do this with better constants
+    on one machine; this is the shape that distributes.
+    """
+    # NULL text folds into the empty-text path up front (split(NULL)
+    # yields a NULL array whose size poisons every downstream count):
+    # a NULL doc behaves exactly like '' — one empty token, removable
+    # if '' is corpus-duplicated, n_tokens = 1
+    toks = F.split(F.coalesce(F.col(text), F.lit("")), r"\s+")
+    from ..functions.text import sliding_grams
+
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    windows = base.select(
+        id_col,
+        F.posexplode(sliding_grams(F.col("__toks"), span)).alias(
+            "__pos", "__gram"
+        ),
+    ).select(id_col, "__pos", F.md5(F.col("__gram")).alias("__d"))
+    hot = (
+        windows.groupBy("__d")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__d")
+    )
+    flagged = windows.join(hot, "__d", "left_semi")
+    starts = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__pos")).alias("__starts")
+    )
+    marked = base.join(starts, id_col, "left").select(
+        id_col,
+        "__toks",
+        F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
+    )
+    ntok = F.size(F.col("__toks"))
+    hi_of = lambda s: F.least(s + span - 1, ntok - 1)  # noqa: E731
+    intervals = F.aggregate(
+        F.col("__starts"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            F.try_element_at(acc, F.lit(-1)).isNotNull()
+            & (s <= F.try_element_at(acc, F.lit(-1))["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1))["lo"].alias("lo"),
+                        F.greatest(
+                            F.try_element_at(acc, F.lit(-1))["hi"], hi_of(s)
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"), hi_of(s).cast("int").alias("hi")
+                    )
+                ),
+            )
+        ),
+    )
+    with_iv = marked.select(id_col, "__toks", intervals.alias("__iv"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__iv"), lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+        ),
+    )
+    n_removed = F.aggregate(
+        F.col("__iv"),
+        F.lit(0),
+        lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1,
+    )
+    return with_iv.select(
+        id_col,
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias(text),
+        F.coalesce(F.size("__toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(n_removed, F.lit(0)).cast("bigint").alias("n_removed"),
+    )

@@ -5667,6 +5667,58 @@ def sharded_export_requery(spark, sf_dir):
 
 
 @query(
+    "dedup_repeated_spans",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+                 FROM documents),
+    w AS (SELECT doc_id, g.i - 1 AS pos,
+                 md5(array_to_string(t[g.i : g.i + 15], ' ')) AS d
+          FROM tok, unnest(generate_series(1, GREATEST(len(t) - 15, 1))) g(i)),
+    hot AS (SELECT d FROM w GROUP BY d HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (d)),
+    cov AS (SELECT DISTINCT f.doc_id, j.j AS idx
+            FROM fl f JOIN tok t USING (doc_id),
+                 unnest(generate_series(f.pos, LEAST(f.pos + 15, len(t.t) - 1)))
+                   j(j)),
+    posn AS (SELECT t.doc_id, j.j AS idx, t.t[j.j + 1] AS token
+             FROM tok t, unnest(generate_series(0, len(t.t) - 1)) j(j)),
+    kept AS (SELECT p.doc_id, p.idx, p.token
+             FROM posn p LEFT JOIN cov c
+               ON c.doc_id = p.doc_id AND c.idx = p.idx
+             WHERE c.idx IS NULL)
+    SELECT t.doc_id,
+           COALESCE(k.text, '') AS text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed
+    FROM tok t
+    LEFT JOIN (SELECT doc_id, string_agg(token, ' ' ORDER BY idx) AS text
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id) c
+      USING (doc_id)
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """L31 ExactSubstr-style repeated-span removal
+    (operators.dedup.repeated_span_removal; Lee et al. ACL 2022): any
+    16-token window occurring in >=2 distinct documents is cut from
+    all of them, overlapping windows merging into maximal removed
+    runs — the substring-level complement of document-level MinHash
+    (a boilerplate sentence pasted into thousands of otherwise-unique
+    pages survives doc-level dedup but not this). The oracle replays
+    the ENTIRE machinery in DuckDB — window digests, distinct-doc
+    frequency, interval coverage, ordered reassembly — so the emitted
+    text, token and removal counts are compared byte-for-byte.
+    Scale shape: one (id, pos, md5) row per token position crosses
+    the shuffle (~48 B/row, the ExactSustr cost); window text never
+    moves; the duplicate-digest set joins back via a plain shuffle
+    equi-join (corpus-sized worst case — deliberately NOT broadcast);
+    flagged starts collapse per document and merge in one codegen
+    fold; the rebuild is a map-only indexed filter."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    return dedup.repeated_span_removal(d, span=16, min_docs=2)
+
+
+@query(
     "multimodal_jpeg_probe",
     oracle="""
     WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS cx,
@@ -5814,6 +5866,9 @@ _NEW_THIS_ROUND = [
     # VERDICT r4 stretch #8: baseline-JPEG entropy decode, driver-
     # checked like multimodal_pixel_probe
     "multimodal_jpeg_probe",
+    # round-5 coverage widening: ExactSubstr-style repeated-span
+    # removal (the one famous dedup mode the suite lacked)
+    "dedup_repeated_spans",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

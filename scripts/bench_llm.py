@@ -34,6 +34,7 @@ BENCH_LLM = [
     # dedup family
     "dedup_containment_pairs",
     "dedup_pipeline_keepers",
+    "dedup_repeated_spans",
     # text quality / filtering
     "boilerplate_removal",
     "text_unigram_quality",

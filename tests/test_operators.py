@@ -448,6 +448,56 @@ def test_pixel_features_format_agnostic():
     assert fb[-1] is True
 
 
+def test_repeated_span_removal_matches_reference(spark):
+    """ExactSubstr-style span dedup vs a pure-Python reference:
+    window flagging, interval merge across overlapping flags, short-doc
+    whole-text fallback, NULL/empty docs."""
+    import re
+
+    from hustle_spark.operators.dedup import repeated_span_removal
+
+    SPAN = 4
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end one"),
+        (2, "prefix two the quick brown fox jumps over the lazy dog suffix"),
+        (3, "totally unique content with no shared windows at all here"),
+        (4, "short dupe"), (5, "short dupe"), (6, None), (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in repeated_span_removal(df, span=SPAN).collect()}
+
+    tk = {i: re.split(r"\s+", t if t is not None else "") for i, t in rows}
+
+    def grams(ts):
+        n = len(ts)
+        if n >= SPAN:
+            return [" ".join(ts[j : j + SPAN]) for j in range(n - SPAN + 1)]
+        return [" ".join(ts)]
+
+    wins: dict = {}
+    for i, ts in tk.items():
+        for g in grams(ts):
+            wins.setdefault(g, set()).add(i)
+    hot = {g for g, s in wins.items() if len(s) >= 2}
+    for i, ts in tk.items():
+        removed: set = set()
+        for j, g in enumerate(grams(ts)):
+            if g in hot:
+                removed.update(range(j, min(j + SPAN, len(ts))))
+        expect = (
+            " ".join(t for j, t in enumerate(ts) if j not in removed),
+            len(ts),
+            len(removed),
+        )
+        assert out[i] == expect, (i, out[i], expect)
+    # the duplicated 8-token run is cut from both docs, the unique
+    # prefix/suffix survives
+    assert out[2][0] == "prefix two suffix"
+    # exact short duplicates vanish entirely (whole-text fallback)
+    assert out[4][0] == "" and out[5][0] == ""
+
+
 def test_jpeg_roundtrip_exact(spark):
     """Synthesized baseline JPEGs decode back to the generative pixel
     model EXACTLY (constant DC-only blocks + all-ones quant survive
