@@ -25,6 +25,35 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert q.count() == 10
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — the 100 TB join pattern: a fact
+    table partitioned on the join key joined to a FILTERED dim must
+    prune fact partitions at RUNTIME from the dim's build side (the
+    static planner cannot know which keys survive the dim filter).
+    Without DPP a warehouse-scale fact scan reads every partition."""
+    cat = h.connect(spark, tmp_path)
+    cat.create(
+        "fact", ["index string region_key", "uint32 amount"],
+        partition="region_key",
+    )
+    fact = spark.createDataFrame(
+        [(f"r{i % 8}", i) for i in range(400)],
+        "region_key string, amount long",
+    )
+    cat.append("fact", fact)
+    dim = spark.createDataFrame(
+        [(f"r{i}", "keep" if i < 2 else "drop") for i in range(8)],
+        "region_key string, flag string",
+    )
+    f = cat.table("fact").df
+    joined = f.join(dim.filter(F.col("flag") == "keep"), "region_key").groupBy(
+        "region_key"
+    ).agg(F.sum("amount").alias("s"))
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 2
+
+
 def test_stateful_streaming_equals_batch(spark):
     from hustle_spark import streaming as S
     from hustle_spark.streaming.stateful import running_user_totals
