@@ -711,12 +711,18 @@ def repeated_span_removal(
     from ..functions.text import sliding_grams
 
     base = df.select(F.col(id_col), toks.alias("__toks"))
-    windows = base.select(
-        id_col,
-        F.posexplode(sliding_grams(F.col("__toks"), span)).alias(
-            "__pos", "__gram"
-        ),
-    ).select(id_col, "__pos", F.md5(F.col("__gram")).alias("__d"))
+    # the digest-only window table feeds BOTH the frequency aggregate
+    # and the flag join (a self-join shape Spark would otherwise
+    # compute twice — the plan showed two full explode+scan subtrees);
+    # it is the skinny (id, pos, md5) frame, so caching it is cheap
+    windows = _tracked_cache(
+        base.select(
+            id_col,
+            F.posexplode(sliding_grams(F.col("__toks"), span)).alias(
+                "__pos", "__gram"
+            ),
+        ).select(id_col, "__pos", F.md5(F.col("__gram")).alias("__d"))
+    )
     hot = (
         windows.groupBy("__d")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
