@@ -603,6 +603,38 @@ def test_jpeg_decoder_against_reference_codec(spark):
             assert px[y][x] == int(ref[y, x]), (x, y)
 
 
+def test_jpeg_decoder_never_raises_on_corruption(spark):
+    """Property: byte-level corruption of a valid payload (bit flips,
+    truncation, byte deletion) must yield None or a decode — never an
+    uncaught exception. Media decode runs inside mapInPandas on
+    untrusted bytes; one raise would fail the whole batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_pixels,
+        synthesize_jpeg_payloads,
+    )
+
+    df = spark.range(7, 8).selectExpr("id as doc_id")
+    full = bytes(synthesize_jpeg_payloads(df, "doc_id").collect()[0].payload)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(full) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(full)),
+    )
+    def prop(pos, val, cut):
+        mutated = full[:pos] + bytes([val]) + full[pos + 1 :]
+        out = parse_jpeg_pixels(mutated[:cut])
+        assert out is None or (
+            isinstance(out, tuple) and len(out) == 3
+        )
+
+    prop()
+
+
 def test_jpeg_decoder_rejects_garbage(spark):
     from hustle_spark.operators.multimodal import (
         parse_jpeg_pixels,
