@@ -55,7 +55,17 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    import json
+
     from hustle_spark import registry
+
+    # --dir MODE (used by sf100_probe.py): time the named queries at ONE
+    # directory in this JVM and emit a single JSON line {name: sec}
+    if "--dir" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--dir") + 1]
+        names = [a for a in sys.argv[1:] if not a.startswith("-") and a != sf_dir]
+        print(json.dumps(time_queries(sf_dir, names)))
+        return
 
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
     unknown = [n for n in names if n not in registry.QUERIES]

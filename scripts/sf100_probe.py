@@ -1,0 +1,198 @@
+"""100x scale probe for the LLM-pipeline operators: synthesize a
+FACTOR=100 key-shifted copy of documents+embeddings (~50x the sf1
+study's text volume), run each probed query warm at sf0.1 and at the
+100x copy in fresh JVMs, and record the ratio table
+(BENCH_SCALE100_r{N}.json). This is the direct instrument for the
+"would this plan survive 100x?" question — measured, not argued.
+
+Corpus construction: every replica's text gets a UNIQUE id token
+injected every 10 tokens ("... z<new_doc_id> ..."). That keeps the
+probe honest for dedup-family ops: plain text replication would
+manufacture 100-copy near-duplicate cliques whose candidate-pair
+stages grow QUADRATICALLY by construction (the sf1 study's
+PAIR_OUTPUT caveat) — no real corpus grows new 100-deep duplicate
+groups when it grows 100x. With unique injections the dedup ops scan
+and shuffle 100x the data while finding ~nothing, which is exactly
+the cost curve a clean corpus pays. Quality/vocab/BPE ops see the
+injected tokens as rare singletons (count 1 — they never win merges
+or vocab slots). Embeddings replicate unchanged; the probed embedding
+ops are map-only or capped-benchmark scans, so no pair blowup there
+either.
+
+    python scripts/sf100_probe.py [--regen] [--out BENCH_SCALE100_rNN.json] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SRC = "/root/testdata/sf0.1"
+DST = Path("/root/repo/.scratch/sf100")
+FACTOR = 100
+
+# ops probed at 100x — LLM-pipeline surface (the headline/relational
+# surface has its own 10x instrument in sf1_bench.py)
+DEFAULT_PROBES = [
+    "dedup_repeated_spans",
+    "dedup_containment_pairs",
+    "dedup_pipeline_keepers",
+    "boilerplate_removal",
+    "text_unigram_quality",
+    "text_bigram_quality",
+    "bpe_merge_rounds",
+    "padding_waste_buckets",
+    "corpus_diff",
+    "vocab_drift_top",
+    "embedding_contamination_scan",
+    "embedding_random_projection",
+    "sharded_export_requery",
+    "multimodal_pixel_probe",
+    "multimodal_frame_sample",
+]
+
+# linear on 100x data would be ~100; the job floor and constant stages
+# push real readings far below. Anything above this line gets a plan
+# audit before the round closes.
+FLAG_RATIO = 130.0
+
+
+def gen(regen: bool = False) -> None:
+    from pyspark.sql import functions as F
+
+    from hustle_spark.catalog import Catalog
+    from hustle_spark.session import get_session
+
+    if DST.exists() and not regen:
+        print(f"100x data already at {DST} (use --regen to rebuild)")
+        return
+    spark = get_session(
+        app_name="sf100-gen",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        },
+    )
+    cat = Catalog(spark, SRC, scratch="/root/repo/.scratch/sf100_gen")
+    DST.mkdir(parents=True, exist_ok=True)
+
+    docs = cat.table("documents").df
+    stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = []
+    for i in range(FACTOR):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+        # unique token every 10 tokens — breaks cross-replica shingle
+        # identity (see module docstring) without changing length class
+        rep = rep.withColumn(
+            "text",
+            F.expr(
+                "array_join(transform(split(text, '\\\\s+'), (t, i) -> "
+                "if(i % 10 = 9, concat(t, ' z', cast(doc_id as string)), t)"
+                "), ' ')"
+            ),
+        )
+        reps.append(rep)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        str(DST / "documents.parquet")
+    )
+    print(f"  documents: x{FACTOR} with unique-token injection")
+
+    emb = cat.table("embeddings").df
+    estride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * estride))
+        for i in range(FACTOR)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        str(DST / "embeddings.parquet")
+    )
+    print(f"  embeddings: x{FACTOR}")
+
+    # remaining tables: symlink the sf0.1 originals so the catalog dir
+    # is complete (no probed query reads them at scale)
+    for t in "region nation customer supplier part orders lineitem events".split():
+        link = DST / f"{t}.parquet"
+        if not link.exists():
+            link.symlink_to(f"{SRC}/{t}.parquet")
+    spark.stop()
+
+
+def run_probe(sf_dir: str, names: list[str]) -> dict[str, float]:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/scale_probe.py", "--dir", sf_dir, *names],
+        env=env, capture_output=True, text=True, timeout=7200,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"probe at {sf_dir} produced no JSON:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+    )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    flag_values = set()
+    if "--out" in args:
+        flag_values.add(args[args.index("--out") + 1])
+    names = [a for a in args if not a.startswith("-") and a not in flag_values]
+    if not names:
+        names = DEFAULT_PROBES
+    gen(regen="--regen" in sys.argv)
+    base = run_probe(SRC, names)
+    print(f"sf0.1 done: {sum(base.values()):.1f}s")
+    scaled = run_probe(str(DST), names)
+    print(f"100x done: {sum(scaled.values()):.1f}s")
+
+    print("\n| query | sf0.1 s | 100x s | ratio (100x data) |")
+    print("|---|---|---|---|")
+    ratios, flagged = {}, []
+    for name in names:
+        t0, t1 = base.get(name, -1.0), scaled.get(name, -1.0)
+        ratio = round(t1 / t0, 1) if t0 > 0 and t1 > 0 else float("nan")
+        if ratio == ratio:
+            ratios[name] = ratio
+            if ratio > FLAG_RATIO:
+                flagged.append(name)
+        note = " **super-linear**" if name in flagged else ""
+        print(f"| {name} | {t0} | {t1} | {ratio}{note} |")
+    total_ratio = round(
+        sum(scaled.values()) / max(sum(base.values()), 1e-9), 1
+    )
+    print(f"\ntotal ratio: {total_ratio} on {FACTOR}x data "
+          f"(<= ~{FACTOR} is at-most-linear)")
+    if flagged:
+        print(f"plan-audit these (> {FLAG_RATIO}): {', '.join(flagged)}")
+
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if out_path:
+        Path(out_path).write_text(json.dumps({
+            "metric": "sf100_scaling_probe",
+            "factor": FACTOR,
+            "corpus": "unique-token-injected replicas (no synthetic dup cliques)",
+            "sf01_sec": base,
+            "sf100_sec": scaled,
+            "ratios": ratios,
+            "total_ratio": total_ratio,
+            "flagged_super_linear": flagged,
+        }, indent=1) + "\n")
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
