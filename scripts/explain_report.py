@@ -72,6 +72,7 @@ SHOWCASE = {
     "sharded_export_requery": "shard id computed map-side; partitionBy splits the write with no forced repartition; manifest is a 16-row aggregate",
     "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
     "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage, no shuffle",
+    "dedup_repeated_spans": "window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles; rebuild is a map-only indexed filter",
 }
 
 
