@@ -498,6 +498,61 @@ def test_repeated_span_removal_matches_reference(spark):
     assert out[4][0] == "" and out[5][0] == ""
 
 
+def test_repeated_span_removal_property(spark):
+    """Property: on random tiny-alphabet corpora (forcing heavy window
+    collisions) the operator equals the pure-Python reference for
+    every span — including total-coverage docs, singleton docs, and
+    empty strings. Batched: hypothesis generates the corpora, ONE
+    Spark job per example set via grouped evaluation."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hustle_spark.operators.dedup import repeated_span_removal
+
+    token = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=6),
+        span=st.integers(2, 4),
+    )
+    def prop(docs, span):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+               for r in repeated_span_removal(df, span=span).collect()}
+
+        tk = {i: re.split(r"\s+", t) for i, t in rows}
+
+        def grams(ts):
+            n = len(ts)
+            if n >= span:
+                return [" ".join(ts[j : j + span]) for j in range(n - span + 1)]
+            return [" ".join(ts)]
+
+        wins: dict = {}
+        for i, ts in tk.items():
+            for g in grams(ts):
+                wins.setdefault(g, set()).add(i)
+        hot = {g for g, s in wins.items() if len(s) >= 2}
+        for i, ts in tk.items():
+            removed: set = set()
+            for j, g in enumerate(grams(ts)):
+                if g in hot:
+                    removed.update(range(j, min(j + span, len(ts))))
+            expect = (
+                " ".join(t for j, t in enumerate(ts) if j not in removed),
+                len(ts),
+                len(removed),
+            )
+            assert out[i] == expect, (i, span, out[i], expect)
+
+    prop()
+
+
 def test_jpeg_roundtrip_exact(spark):
     """Synthesized baseline JPEGs decode back to the generative pixel
     model EXACTLY (constant DC-only blocks + all-ones quant survive
