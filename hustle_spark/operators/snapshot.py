@@ -84,12 +84,21 @@ def vocab_drift(
         # op counts — 'The' vs 'the' is casing, not drift
         from ..functions.text import tokens
 
+        from ..util import tracked_cache
+
         toks = df.select(
             F.explode(tokens(F.lower(F.col(text)))).alias("token")
         )
-        counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
-        total = toks.agg(
-            F.greatest(F.count(F.lit(1)), F.lit(1)).alias("__total")
+        # cached: the VOCABULARY-sized counts table feeds both the
+        # total and the fppm projection — uncached, each consumer
+        # replays the full corpus explode (the unigram_fppm_vocab
+        # lesson from round 4, caught again by the round-5 plan
+        # scan-count sweep: vocab_drift_top showed 6 corpus scans)
+        counts = tracked_cache(
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+        )
+        total = counts.agg(
+            F.greatest(F.sum("__c"), F.lit(1)).alias("__total")
         )
         return counts.crossJoin(F.broadcast(total)).select(
             "token",
