@@ -342,7 +342,7 @@ def ivf_index(
     index is just a column — repartitioning by it co-locates each list.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = corpus if sample_fraction >= 1.0 else corpus.sample(sample_fraction, seed=seed)
     train_vec = train.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
@@ -400,8 +400,6 @@ def ivf_topk(
     density) and bounds the scanned fraction to ~n_probe/n_lists of the
     corpus; the probe-list join is an equi-join on the list id.
     """
-    import math as _math
-
     assigned, centroids = ivf_index(corpus, dim, n_lists, id_col, vec_col, seed)
 
     # driver-side probe selection per query would break distribution for
