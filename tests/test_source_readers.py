@@ -1,0 +1,66 @@
+"""Source-connector wrappers (sources/readers.py): declared-schema
+semantics — coercion, undeclared-field dropping, empty-export column
+reconstruction, binaryFile glob pruning."""
+
+from pyspark.sql import types as T
+
+from hustle_spark.sources.readers import (
+    read_binary_files,
+    read_csv,
+    read_json_events,
+    read_parquet_table,
+)
+
+
+def test_read_json_events_drops_undeclared_and_coerces(spark, tmp_path):
+    p = tmp_path / "ev.jsonl"
+    p.write_text(
+        '{"event_id": 1, "value": 2.5, "extra": "dropped"}\n'
+        '{"event_id": 2, "value": 3}\n'          # int -> double widening
+        '{"event_id": 3, "value": "oops"}\n'     # type mismatch -> null field
+        "not json at all\n"                       # malformed -> null row
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out = read_json_events(spark, str(p), schema)
+    assert out.columns == ["event_id", "value"]  # 'extra' dropped
+    rows = {r.event_id: r.value for r in out.collect()}
+    assert rows[1] == 2.5 and rows[2] == 3.0
+    # permissive semantics: a mismatched FIELD nulls (row survives), a
+    # malformed LINE null-fills the whole row
+    assert rows[3] is None and None in rows
+
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id;amount\n1;10.5\n2;20\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    out = read_csv(spark, str(p), schema, header=True, delimiter=";")
+    assert sorted(map(tuple, out.collect())) == [(1, 10.5), (2, 20.0)]
+
+
+def test_read_binary_files_glob_prunes(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.txt").write_text("nope")
+    out = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == b"\x01\x02\x03"
+    assert rows[0].length == 3
+
+
+def test_read_parquet_table_roundtrip(spark, tmp_path):
+    df = spark.range(5).selectExpr("id", "id * 2 as v")
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    back = read_parquet_table(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
