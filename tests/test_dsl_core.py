@@ -212,6 +212,7 @@ def test_remaining_aggregate_apis(catalog, duck):
         o.o_orderstatus,
         h.h_avg(o.o_totalprice).alias("m"),
         h.h_stddev(o.o_totalprice).alias("sd"),
+        h.h_variance(o.o_totalprice).alias("var"),
         h.h_first(o.o_orderkey).alias("f"),
         h.h_last(o.o_orderkey).alias("l"),
         h.h_collect_set(o.o_orderpriority).alias("ps"),
@@ -226,6 +227,7 @@ def test_remaining_aggregate_apis(catalog, duck):
     for s, r in rows.items():
         assert abs(r.m - exp[s][0]) < 1e-6
         assert abs(r.sd - exp[s][1]) < 1e-4
+        assert abs(r.var - exp[s][1] ** 2) < 1e-2  # VAR_SAMP == stddev^2
         assert r.f is not None and r.l is not None and len(r.ps) >= 1
         assert r.med > 0
 
