@@ -36,6 +36,23 @@ SRC = "/root/testdata/sf0.1"
 DST = Path("/root/repo/.scratch/sf100")
 FACTOR = 100
 
+# event-time operator family probed with --events (events replicate
+# 100x under key-shifted event_id/user_id with the SAME time range —
+# 100x denser traffic, which is what a scaled-up deployment sees;
+# hour/window/session counts stay realistic instead of stretching)
+EVENTS_PROBES = [
+    "sessionize_users",
+    "asof_join_signup",
+    "time_tumbling_hour",
+    "time_sliding_2h",
+    "funnel_stages",
+    "cohort_retention",
+    "markov_transitions",
+    "json_props_extract",
+    "streaming_tumbling_hour",
+    "rollup_view_requery",
+]
+
 # ops probed at 100x — LLM-pipeline surface (the headline/relational
 # surface has its own 10x instrument in sf1_bench.py)
 DEFAULT_PROBES = [
@@ -119,9 +136,25 @@ def gen(regen: bool = False) -> None:
     )
     print(f"  embeddings: x{FACTOR}")
 
+    ev = cat.table("events").df
+    ev_stride = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    u_stride = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    evparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * ev_stride))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * u_stride))
+        for i in range(FACTOR)
+    ]
+    evout = evparts[0]
+    for p in evparts[1:]:
+        evout = evout.unionByName(p)
+    evout.repartition(32).write.mode("overwrite").parquet(
+        str(DST / "events.parquet")
+    )
+    print(f"  events: x{FACTOR} (same time range — 100x denser traffic)")
+
     # remaining tables: symlink the sf0.1 originals so the catalog dir
     # is complete (no probed query reads them at scale)
-    for t in "region nation customer supplier part orders lineitem events".split():
+    for t in "region nation customer supplier part orders lineitem".split():
         link = DST / f"{t}.parquet"
         if not link.exists():
             link.symlink_to(f"{SRC}/{t}.parquet")
@@ -150,7 +183,7 @@ def main() -> None:
         flag_values.add(args[args.index("--out") + 1])
     names = [a for a in args if not a.startswith("-") and a not in flag_values]
     if not names:
-        names = DEFAULT_PROBES
+        names = EVENTS_PROBES if "--events" in args else DEFAULT_PROBES
     gen(regen="--regen" in sys.argv)
     base = run_probe(SRC, names)
     print(f"sf0.1 done: {sum(base.values()):.1f}s")
