@@ -36,6 +36,24 @@ SRC = "/root/testdata/sf0.1"
 DST = Path("/root/repo/.scratch/sf100")
 FACTOR = 100
 
+# relational/TPC-H family probed with --relational against a FULL
+# join-consistent 100x table set (key-shifted replicas via the
+# sf1_bench stride map, factor 100 — ~60M lineitem rows)
+REL_PROBES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "q21_waiting_orders",
+    "join_equi_revenue",
+    "agg_stats_by_status",
+    "window_topk_per_group",
+    "topk_orders",
+    "skew_salted_join_requery",
+]
+REL_DST = Path("/root/repo/.scratch/sf100rel")
+
 # event-time operator family probed with --events (events replicate
 # 100x under key-shifted event_id/user_id with the SAME time range —
 # 100x denser traffic, which is what a scaled-up deployment sees;
@@ -161,6 +179,55 @@ def gen(regen: bool = False) -> None:
     spark.stop()
 
 
+def gen_relational(regen: bool = False) -> None:
+    """Join-consistent 100x replication of the FULL relational table
+    set, reusing sf1_bench's key-stride map at FACTOR=100."""
+    from pyspark.sql import functions as F
+
+    from hustle_spark.catalog import Catalog
+    from hustle_spark.session import get_session
+    from scripts.sf1_bench import COPY, HOME_KEY, SHIFT
+
+    if REL_DST.exists() and not regen:
+        print(f"100x relational data already at {REL_DST}")
+        return
+    spark = get_session(
+        app_name="sf100rel-gen",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        },
+    )
+    cat = Catalog(spark, SRC, scratch="/root/repo/.scratch/sf100rel_gen")
+    REL_DST.mkdir(parents=True, exist_ok=True)
+    strides = {}
+    for tbl, col in set(HOME_KEY.values()):
+        strides[(tbl, col)] = cat.table(tbl).df.agg(F.max(col)).collect()[0][0] + 1
+    for tbl in COPY:
+        cat.table(tbl).df.write.mode("overwrite").parquet(
+            str(REL_DST / f"{tbl}.parquet")
+        )
+        print(f"  {tbl}: copied")
+    for tbl, cols in SHIFT.items():
+        df = cat.table(tbl).df
+        parts = []
+        for i in range(FACTOR):
+            rep = df
+            for c in cols:
+                rep = rep.withColumn(
+                    c, F.col(c) + F.lit(i * strides[HOME_KEY[c]])
+                )
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(64).write.mode("overwrite").parquet(
+            str(REL_DST / f"{tbl}.parquet")
+        )
+        print(f"  {tbl}: x{FACTOR}")
+    spark.stop()
+
+
 def run_probe(sf_dir: str, names: list[str]) -> dict[str, float]:
     env = dict(os.environ)
     out = subprocess.run(
@@ -182,12 +249,23 @@ def main() -> None:
     if "--out" in args:
         flag_values.add(args[args.index("--out") + 1])
     names = [a for a in args if not a.startswith("-") and a not in flag_values]
+    relational = "--relational" in args
     if not names:
-        names = EVENTS_PROBES if "--events" in args else DEFAULT_PROBES
-    gen(regen="--regen" in sys.argv)
+        if relational:
+            names = REL_PROBES
+        elif "--events" in args:
+            names = EVENTS_PROBES
+        else:
+            names = DEFAULT_PROBES
+    if relational:
+        gen_relational(regen="--regen" in sys.argv)
+        dst = REL_DST
+    else:
+        gen(regen="--regen" in sys.argv)
+        dst = DST
     base = run_probe(SRC, names)
     print(f"sf0.1 done: {sum(base.values()):.1f}s")
-    scaled = run_probe(str(DST), names)
+    scaled = run_probe(str(dst), names)
     print(f"100x done: {sum(scaled.values()):.1f}s")
 
     print("\n| query | sf0.1 s | 100x s | ratio (100x data) |")
