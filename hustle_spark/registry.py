@@ -5896,6 +5896,9 @@ _BACKFILL = [
     "q17_small_quantity_revenue", "q18_large_volume_customer",
     "q20_excess_quantity_suppliers", "q21_waiting_orders",
     "q22_global_sales_opportunity", "sql_api_exists",
+    # NOTE: with the 9-entry r5 head only 41 backfill slots fit, so the
+    # last two rows above (q22_global_sales_opportunity, sql_api_exists)
+    # fall OUT of the checked window — they lead the r6 queue.
     # r6 rotation continues here: grouping_sets_sql, percentile_exact,
     # variance_manual, correlation_manual, unpivot_measures,
     # union_all_counts, window_rank_ties, range_join_purchase_errors,
