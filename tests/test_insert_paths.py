@@ -69,12 +69,13 @@ def test_external_connectors_gate_cleanly(spark):
     from hustle_spark.sources.external import (
         ConnectorUnavailable,
         connector_status,
+        read_avro,
         read_kafka_events,
         write_delta,
     )
 
     status = connector_status(spark)
-    assert set(status) == {"kafka", "delta", "iceberg"}
+    assert set(status) == {"kafka", "delta", "iceberg", "avro"}
     schema = T.StructType([T.StructField("ts", T.TimestampType())])
     if not status["kafka"]:
         with pytest.raises(ConnectorUnavailable, match="Kafka"):
@@ -82,6 +83,9 @@ def test_external_connectors_gate_cleanly(spark):
     if not status["delta"]:
         with pytest.raises(ConnectorUnavailable, match="Delta"):
             write_delta(spark.range(1), "/root/repo/.scratch/never_written")
+    if not status["avro"]:
+        with pytest.raises(ConnectorUnavailable, match="Avro"):
+            read_avro(spark, "/root/repo/.scratch/never_read")
 
 
 def test_compact_merges_small_files(spark, tmp_path):
