@@ -5764,6 +5764,59 @@ def multimodal_jpeg_probe(spark, sf_dir):
 
 
 @query(
+    "warc_ingest_records",
+    oracle=r"""
+    WITH src AS (SELECT doc_id AS s, doc_id % 3 + 1 AS nr,
+                        doc_id % 5 + 3 AS nw
+                 FROM documents),
+    recs AS (SELECT s, k.k AS rec_no, nw
+             FROM src, unnest(generate_series(0, CAST(nr - 1 AS BIGINT)))
+                  k(k)),
+    words AS (
+      SELECT s, rec_no,
+             string_agg('w' || CAST((s*7 + rec_no*13 + j.j) % 97 AS VARCHAR),
+                        ' ' ORDER BY j.j) AS w
+      FROM recs, unnest(generate_series(0, CAST(nw - 1 AS BIGINT))) j(j)
+      GROUP BY s, rec_no)
+    SELECT s AS source_id, CAST(rec_no AS INT) AS rec_no,
+           'http://example.com/' || s || '/' || rec_no AS target_uri,
+           CAST(44 + length('<html><head><title>Doc ' || s ||
+                '</title></head><body><p>alpha beta ' || w ||
+                ' &amp; more</p><script>var x=1;</script></body></html>')
+                AS BIGINT) AS content_length,
+           CAST(200 AS INT) AS http_status,
+           'Doc ' || s || ' alpha beta ' || w || ' & more' AS text
+    FROM words
+    """,
+)
+def warc_ingest_records(spark, sf_dir):
+    """S11 WARC ingestion (sources.warc) — the Common Crawl container,
+    i.e. the input format of a web-scale training-data pipeline:
+    COMPLETE WARC/1.0 files (version line, typed headers,
+    Content-Length framing, CRLF separators, HTTP response payloads)
+    are synthesized in codegen from an integer generative model, then
+    parsed by the REAL pure-Python record parser inside Arrow-batched
+    mapInPandas (parse_warc_records + HTTP split — payload bytes never
+    reach the driver) and the bodies run through the CODEGEN html_text
+    extractor (script elision, tag strip, entity decode, whitespace
+    collapse). The oracle reconstructs every record's uri, framed
+    octet length, status, and extracted text straight from the model —
+    the parser/extractor must agree byte-for-byte. Scale shape: WARC
+    files are self-contained, so binaryFile + per-file explode
+    parallelizes by file with ZERO shuffle; extraction is JVM regex at
+    scan speed."""
+    from .sources import warc as WARC
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = WARC.synthesize_warc_payloads(d, id_col="doc_id")
+    recs = WARC.records_from_payloads(media)
+    return recs.select(
+        "source_id", "rec_no", "target_uri", "content_length",
+        "http_status", WARC.html_text(F.col("body")).alias("text"),
+    )
+
+
+@query(
     "rollup_view_requery",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
@@ -5867,8 +5920,10 @@ _NEW_THIS_ROUND = [
     # checked like multimodal_pixel_probe
     "multimodal_jpeg_probe",
     # round-5 coverage widening: ExactSubstr-style repeated-span
-    # removal (the one famous dedup mode the suite lacked)
-    "dedup_repeated_spans",
+    # removal (the one famous dedup mode the suite lacked) and WARC
+    # ingestion (the Common Crawl container — the training-data
+    # pipeline's canonical input format)
+    "dedup_repeated_spans", "warc_ingest_records",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the

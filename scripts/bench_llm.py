@@ -53,6 +53,8 @@ BENCH_LLM = [
     "multimodal_frame_sample",
     # delivery
     "sharded_export_requery",
+    # ingestion (appended round 5, after the first r5 artifact)
+    "warc_ingest_records",
 ]
 
 WARM_RUNS = 3

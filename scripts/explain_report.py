@@ -73,6 +73,7 @@ SHOWCASE = {
     "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
     "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage, no shuffle",
     "dedup_repeated_spans": "window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles; rebuild is a map-only indexed filter",
+    "warc_ingest_records": "WARC bytes synthesized in codegen; ONE Arrow-batched record-parse stage (explode inside the batch, zero shuffle); html_text is a JVM regex chain",
 }
 
 

@@ -64,3 +64,50 @@ def test_read_parquet_table_roundtrip(spark, tmp_path):
     df.write.parquet(path)
     back = read_parquet_table(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_warc_parser_edges(spark):
+    """WARC parser robustness: truncation yields the parseable prefix,
+    garbage yields nothing (surfaced as ok=False, never a crash),
+    non-HTTP payloads pass through whole with status 0."""
+    from hustle_spark.sources.warc import (
+        parse_warc_records,
+        records_from_payloads,
+        synthesize_warc_payloads,
+    )
+
+    df = spark.range(7, 8).selectExpr("id as source_id")
+    full = bytes(synthesize_warc_payloads(df, "source_id").collect()[0].payload)
+    n_full = len(parse_warc_records(full))
+    assert n_full == 7 % 3 + 1
+    # truncate mid-payload: earlier complete records survive
+    assert len(parse_warc_records(full[:-40])) == n_full - 1
+    assert parse_warc_records(b"") == []
+    assert parse_warc_records(b"not a warc") == []
+    assert parse_warc_records(b"WARC/1.0\r\nContent-Length: oops\r\n\r\n") == []
+
+    # a metadata (non-HTTP) record round-trips whole with status 0
+    meta = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 11\r\n\r\n"
+        b"hello warc\n\r\n\r\n"
+    )
+    m = spark.createDataFrame([(1, bytearray(meta)), (2, bytearray(b"junk"))],
+                              "source_id long, payload binary")
+    rows = {r.source_id: r for r in records_from_payloads(m).collect()}
+    assert rows[1].ok and rows[1].warc_type == "warcinfo"
+    assert rows[1].http_status == 0 and rows[1].body == "hello warc\n"
+    assert rows[2].ok is False  # unparseable file surfaced, not dropped
+
+
+def test_read_warc_from_disk(spark, tmp_path):
+    """read_warc: binaryFile listing + glob pruning + record explode
+    over real files on disk."""
+    from hustle_spark.sources.warc import read_warc, synthesize_warc_payloads
+
+    df = spark.range(0, 4).selectExpr("id as source_id")
+    for r in synthesize_warc_payloads(df, "source_id").collect():
+        (tmp_path / f"part{r.source_id}.warc").write_bytes(bytes(r.payload))
+    (tmp_path / "ignore.txt").write_text("not warc")
+    out = read_warc(spark, str(tmp_path))
+    assert out.count() == sum(i % 3 + 1 for i in range(4))
+    assert out.filter("ok = false").count() == 0
