@@ -111,3 +111,29 @@ def test_read_warc_from_disk(spark, tmp_path):
     out = read_warc(spark, str(tmp_path))
     assert out.count() == sum(i % 3 + 1 for i in range(4))
     assert out.filter("ok = false").count() == 0
+
+
+def test_warc_framing_is_length_driven():
+    """Content-Length framing, not delimiter scanning: a body
+    containing CRLFCRLF must not split a record, and multi-byte UTF-8
+    bodies frame by OCTET count."""
+    from hustle_spark.sources.warc import _http_split, parse_warc_records
+
+    body = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n<p>a\r\n\r\nb</p>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    rs = parse_warc_records(rec + rec)
+    assert len(rs) == 2
+    st, b2 = _http_split(rs[0][1])
+    assert st == 200 and b2 == b"<p>a\r\n\r\nb</p>"
+
+    h2 = b"HTTP/1.1 200 OK\r\n\r\n" + "héllo wörld".encode()
+    rec2 = (
+        b"WARC/1.0\r\nContent-Length: " + str(len(h2)).encode()
+        + b"\r\n\r\n" + h2 + b"\r\n\r\n"
+    )
+    rs2 = parse_warc_records(rec2 + rec)
+    assert len(rs2) == 2
+    assert _http_split(rs2[0][1])[1].decode() == "héllo wörld"
