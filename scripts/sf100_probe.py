@@ -89,6 +89,7 @@ DEFAULT_PROBES = [
     "sharded_export_requery",
     "multimodal_pixel_probe",
     "multimodal_frame_sample",
+    "warc_ingest_records",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
