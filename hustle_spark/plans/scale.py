@@ -48,6 +48,13 @@ def scale_configs(target_partition_mb: int = 128, cores: int = 2000) -> dict[str
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # runtime bloom-filter join pruning: the non-partitioned
+        # sibling of dynamic partition pruning — a selective build side
+        # injects a bloom filter into the probe side's scan, cutting
+        # the big table's shuffle input before the join. On by default
+        # in Spark 4 but pinned here so a cluster-level override can't
+        # silently lose it at 100 TB, where it is a first-order win.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
 
 

@@ -135,6 +135,9 @@ def test_scale_configs_100tb_invariants():
     assert conf["spark.sql.autoBroadcastJoinThreshold"] == "64m"
     # pushdown must stay on — the plan audits assume it
     assert conf["spark.sql.parquet.filterPushdown"] == "true"
+    # runtime bloom-filter join pruning (the non-partitioned DPP
+    # sibling) pinned on
+    assert conf["spark.sql.optimizer.runtime.bloomFilter.enabled"] == "true"
 
 
 def test_apply_scale_configs_lands_on_session(spark):
