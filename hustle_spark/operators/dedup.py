@@ -699,8 +699,10 @@ def repeated_span_removal(
     broadcast (unlike boilerplate's bounded heavy-hitter set). Flagged
     starts collapse per document (bounded by the document's own
     length), merge into disjoint intervals via one codegen fold, and
-    the rebuild is a map-only indexed filter — O(intervals) per
-    token, not O(flags). Suffix arrays do this with better constants
+    the rebuild is a map-only sorted two-pointer fold — O(1) per
+    token, O(tokens + intervals) per doc (the fold's cursor can
+    advance at most once per token because merged intervals are
+    gap-separated). Suffix arrays do this with better constants
     on one machine; this is the shape that distributes.
     """
     # NULL text folds into the empty-text path up front (split(NULL)
@@ -769,11 +771,44 @@ def repeated_span_removal(
         ),
     )
     with_iv = marked.select(id_col, "__toks", intervals.alias("__iv"))
-    kept = F.filter(
+
+    # Rebuild via a sorted two-pointer fold: the merge fold above
+    # guarantees __iv is sorted, disjoint, AND gap-separated (any start
+    # within hi+1 of the previous interval was merged), so as the token
+    # index advances by exactly 1 per element, the active-interval
+    # cursor never needs to skip more than one interval per step — a
+    # single conditional advance keeps it exact. O(1) per token (total
+    # O(tokens + intervals) per doc), replacing the earlier per-token
+    # scan of the whole interval list.
+    def _keep_step(acc, x):
+        # advance the cursor past an interval we've fully consumed
+        cur = F.try_element_at(F.col("__iv"), acc["k"] + 1)
+        k2 = F.when(
+            cur.isNotNull() & (x["i"] > cur["hi"]), acc["k"] + 1
+        ).otherwise(acc["k"])
+        act = F.try_element_at(F.col("__iv"), k2 + 1)
+        covered = (
+            act.isNotNull() & (x["i"] >= act["lo"]) & (x["i"] <= act["hi"])
+        )
+        return F.struct(
+            k2.alias("k"),
+            F.when(covered, acc["kept"])
+            .otherwise(F.concat(acc["kept"], F.array(x["t"])))
+            .alias("kept"),
+        )
+
+    idxed = F.transform(
         F.col("__toks"),
-        lambda t, i: ~F.exists(
-            F.col("__iv"), lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+        lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")),
+    )
+    kept = F.aggregate(
+        idxed,
+        F.struct(
+            F.lit(0).cast("int").alias("k"),
+            F.array().cast("array<string>").alias("kept"),
         ),
+        _keep_step,
+        lambda acc: acc["kept"],
     )
     n_removed = F.aggregate(
         F.col("__iv"),

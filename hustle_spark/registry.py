@@ -5669,7 +5669,8 @@ def sharded_export_requery(spark, sf_dir):
 @query(
     "dedup_repeated_spans",
     oracle=r"""
-    WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+    WITH tok AS (SELECT doc_id,
+                        string_split_regex(COALESCE(text, ''), '\s+') AS t
                  FROM documents),
     w AS (SELECT doc_id, g.i - 1 AS pos,
                  md5(array_to_string(t[g.i : g.i + 15], ' ')) AS d
@@ -5713,7 +5714,8 @@ def dedup_repeated_spans(spark, sf_dir):
     moves; the duplicate-digest set joins back via a plain shuffle
     equi-join (corpus-sized worst case — deliberately NOT broadcast);
     flagged starts collapse per document and merge in one codegen
-    fold; the rebuild is a map-only indexed filter."""
+    fold; the rebuild is a map-only sorted two-pointer fold, O(1)
+    per token."""
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
     return dedup.repeated_span_removal(d, span=16, min_docs=2)
 

@@ -553,6 +553,52 @@ def test_repeated_span_removal_property(spark):
     prop()
 
 
+def test_repeated_span_removal_many_disjoint_intervals(spark):
+    """Worst case for the two-pointer rebuild: a doc pair sharing MANY
+    non-adjacent spans, so the merged interval list stays long and the
+    rebuild cursor must advance once per consumed interval. The old
+    per-token interval scan was O(tokens x intervals) here; the fold
+    must still match the pure-Python reference exactly."""
+    import re
+
+    from hustle_spark.operators.dedup import repeated_span_removal
+
+    SPAN = 4
+    # 12 shared 4-token runs, each separated by >=2 per-doc-unique
+    # tokens so no two flagged intervals merge (gap > 1)
+    shared = [
+        " ".join(f"s{k}_{j}" for j in range(SPAN)) for k in range(12)
+    ]
+    a_parts, b_parts = [], []
+    for k, s in enumerate(shared):
+        a_parts += [s, f"ua{k}x", f"ua{k}y"]
+        b_parts += [s, f"ub{k}x", f"ub{k}y"]
+    rows = [(1, " ".join(a_parts)), (2, " ".join(b_parts))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in repeated_span_removal(df, span=SPAN).collect()}
+
+    tk = {i: re.split(r"\s+", t) for i, t in rows}
+    wins: dict = {}
+    for i, ts in tk.items():
+        for j in range(len(ts) - SPAN + 1):
+            wins.setdefault(" ".join(ts[j : j + SPAN]), set()).add(i)
+    hot = {g for g, s in wins.items() if len(s) >= 2}
+    for i, ts in tk.items():
+        removed: set = set()
+        for j in range(len(ts) - SPAN + 1):
+            if " ".join(ts[j : j + SPAN]) in hot:
+                removed.update(range(j, min(j + SPAN, len(ts))))
+        expect = (
+            " ".join(t for j, t in enumerate(ts) if j not in removed),
+            len(ts),
+            len(removed),
+        )
+        assert out[i] == expect, (i, out[i], expect)
+    # every doc keeps exactly its 24 unique separator tokens
+    assert out[1][2] == 48 and out[2][2] == 48
+
+
 def test_jpeg_roundtrip_exact(spark):
     """Synthesized baseline JPEGs decode back to the generative pixel
     model EXACTLY (constant DC-only blocks + all-ones quant survive
