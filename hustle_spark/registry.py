@@ -5796,22 +5796,30 @@ def warc_ingest_records(spark, sf_dir):
     i.e. the input format of a web-scale training-data pipeline:
     COMPLETE WARC/1.0 files (version line, typed headers,
     Content-Length framing, CRLF separators, HTTP response payloads)
-    are synthesized in codegen from an integer generative model, then
-    parsed by the REAL pure-Python record parser inside Arrow-batched
-    mapInPandas (parse_warc_records + HTTP split — payload bytes never
-    reach the driver) and the bodies run through the CODEGEN html_text
-    extractor (script elision, tag strip, entity decode, whitespace
-    collapse). The oracle reconstructs every record's uri, framed
-    octet length, status, and extracted text straight from the model —
-    the parser/extractor must agree byte-for-byte. Scale shape: WARC
-    files are self-contained, so binaryFile + per-file explode
-    parallelizes by file with ZERO shuffle; extraction is JVM regex at
-    scan speed."""
+    are synthesized in codegen from an integer generative model; odd
+    source ids are then RE-ENCODED as concatenated non-record-aligned
+    gzip members (gzip_payloads — the Common Crawl wire layout), so
+    the SAME driver row proves both the plain and the multi-member
+    compressed ingest path. Records are parsed by the REAL pure-Python
+    parser inside Arrow-batched mapInPandas (member-iterating gunzip +
+    parse_warc_records + HTTP split — payload bytes never reach the
+    driver) and the bodies run through the CODEGEN html_text extractor
+    (script elision, tag strip, entity decode, whitespace collapse).
+    The oracle reconstructs every record's uri, framed octet length,
+    status, and extracted text straight from the model — compression
+    must be lossless and the parser/extractor byte-exact. Scale shape:
+    WARC files are self-contained, so binaryFile + per-file explode
+    parallelizes by file with ZERO shuffle; gunzip is executor-side in
+    the same Arrow batch; extraction is JVM regex at scan speed."""
     from .sources import warc as WARC
 
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
     media = WARC.synthesize_warc_payloads(d, id_col="doc_id")
-    recs = WARC.records_from_payloads(media)
+    mixed = WARC.gzip_payloads(
+        media.withColumn("__gz", F.col("source_id") % 2 == 1),
+        flag_col="__gz",
+    )
+    recs = WARC.records_from_payloads(mixed)
     return recs.select(
         "source_id", "rec_no", "target_uri", "content_length",
         "http_status", WARC.html_text(F.col("body")).alias("text"),

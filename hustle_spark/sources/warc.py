@@ -16,12 +16,16 @@ Three pieces, each with the engine's usual split of responsibilities:
   text-extraction path stays JVM-side, no UDF.
 
 Scale shape: WARC files are self-contained (Common Crawl ships ~1 GB
-gzip members), so ``binaryFile`` + per-file explode parallelizes by
-file with zero shuffle; everything downstream (lang-id, quality,
-dedup) starts from the records frame. gzip members decompress via the
-codec-transparent binaryFile path upstream or a ``zlib`` step in the
-same batch — the testdata synthesizer emits plain WARC so the parser
-differential stays byte-exact.
+files of CONCATENATED gzip members, typically one member per record),
+so ``binaryFile`` + per-file explode parallelizes by file with zero
+shuffle; everything downstream (lang-id, quality, dedup) starts from
+the records frame. ``parse_warc_records`` detects the gzip magic and
+iterates members executor-side (``_gunzip_members`` — zlib, inside
+the same Arrow batch, no extra pass), so plain ``.warc`` and
+multi-member ``.warc.gz`` inputs both work; member boundaries need
+NOT align with record boundaries. A truncated or corrupt member
+yields the decompressed prefix, which the parser then truncates to
+whole records — same tolerance contract as plain WARC.
 """
 
 from __future__ import annotations
@@ -38,11 +42,38 @@ WARC_RECORD_SCHEMA = (
 )
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a stream of CONCATENATED gzip members (the Common
+    Crawl on-disk layout: each record its own member) back into one
+    plain byte stream. Tolerant like the record parser: a truncated
+    final member contributes its decompressible prefix; a corrupt
+    member (or trailing garbage) stops iteration — the caller's
+    whole-record truncation then applies."""
+    import zlib
+
+    out = []
+    i, n = 0, len(data)
+    while i < n and data.startswith(b"\x1f\x8b", i):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[i:]))
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member: keep its prefix
+        i = n - len(d.unused_data)
+    return b"".join(out)
+
+
 def parse_warc_records(data: bytes):
     """Parse a WARC/1.0 byte stream into a list of
-    (headers: dict[bytes, bytes], payload: bytes). Tolerant of a
-    truncated tail (returns the parseable prefix); strict about the
-    version line and the Content-Length framing the spec mandates."""
+    (headers: dict[bytes, bytes], payload: bytes). Gzip inputs
+    (single- or multi-member, detected by magic) are decompressed
+    first via ``_gunzip_members``. Tolerant of a truncated tail
+    (returns the parseable prefix); strict about the version line and
+    the Content-Length framing the spec mandates."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
     recs = []
     i = 0
     n = len(data)
@@ -126,10 +157,57 @@ def records_from_payloads(
     return media.mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
 
 
-def read_warc(spark, path: str, glob: str | None = "*.warc") -> DataFrame:
+def gzip_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    flag_col: str | None = None,
+    member_bytes: int = 256,
+) -> DataFrame:
+    """Re-encode WARC byte payloads as CONCATENATED gzip members
+    (``member_bytes`` raw bytes per member, mtime pinned to 0 for
+    determinism) — the Common Crawl wire layout, with member
+    boundaries deliberately NOT record-aligned so the reader's member
+    iteration is exercised harder than the real format requires.
+    ``flag_col`` (boolean) selects which rows compress (the column is
+    consumed and dropped); None compresses all. Arrow-batched
+    mapInPandas, schema-preserving — the fixture/export-side twin of
+    ``_gunzip_members``."""
+    import gzip as _gzip
+
+    from pyspark.sql.types import StructType
+
+    out_fields = [f for f in df.schema.fields if f.name != flag_col]
+    out_schema = StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            flags = pdf[flag_col] if flag_col else [True] * len(pdf)
+            comp = []
+            for p, fl in zip(pdf[payload_col], flags):
+                raw = bytes(p) if p is not None else b""
+                if fl:
+                    members = [
+                        raw[i : i + member_bytes]
+                        for i in range(0, len(raw), member_bytes)
+                    ] or [b""]
+                    raw = b"".join(
+                        _gzip.compress(m, 9, mtime=0) for m in members
+                    )
+                comp.append(raw)
+            res = pdf[names].copy()
+            res[payload_col] = comp
+            yield res
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def read_warc(spark, path: str, glob: str | None = "*.warc*") -> DataFrame:
     """WARC files on disk -> records frame: binaryFile listing (glob
-    prunes before any bytes are read) + the Arrow record explode,
-    keyed by file path hash for a stable source_id."""
+    prunes before any bytes are read; the default also matches
+    ``.warc.gz`` — gzip is detected per-file by magic, not name) +
+    the Arrow record explode, keyed by file path hash for a stable
+    source_id."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)

@@ -137,3 +137,98 @@ def test_warc_framing_is_length_driven():
     rs2 = parse_warc_records(rec2 + rec)
     assert len(rs2) == 2
     assert _http_split(rs2[0][1])[1].decode() == "héllo wörld"
+
+
+def test_warc_gzip_members():
+    """Multi-member gzip WARC (the Common Crawl wire layout): member
+    iteration, non-record-aligned boundaries, truncated/corrupt
+    members, and plain-passthrough equivalence."""
+    import gzip
+
+    from hustle_spark.sources.warc import _gunzip_members, parse_warc_records
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nhello gzip world"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(body)).encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    plain = rec * 3
+    ref = parse_warc_records(plain)
+    assert len(ref) == 3
+
+    # one member per record (the real CC layout)
+    aligned = b"".join(gzip.compress(rec, mtime=0) for _ in range(3))
+    assert parse_warc_records(aligned) == ref
+
+    # members split mid-record (boundaries need not align)
+    chunks = [plain[i : i + 37] for i in range(0, len(plain), 37)]
+    skewed = b"".join(gzip.compress(c, mtime=0) for c in chunks)
+    assert parse_warc_records(skewed) == ref
+
+    # truncated final member: its decompressible prefix, then
+    # whole-record truncation -> first two records survive
+    cut = aligned[: len(aligned) - 8]
+    got = parse_warc_records(cut)
+    assert ref[:2] == got[:2] and len(got) >= 2
+
+    # corrupt middle member: parse stops at the corruption point
+    m = gzip.compress(rec, mtime=0)
+    corrupt = m + b"\x1f\x8b" + b"\x00" * 20 + m
+    assert parse_warc_records(corrupt) == ref[:1]
+
+    # raw gunzip on garbage after a full member stops cleanly
+    assert _gunzip_members(m + b"trailing junk") == rec
+
+
+def test_warc_gzip_payloads_roundtrip(spark):
+    """gzip_payloads -> records_from_payloads is lossless and
+    flag-selective: compressed rows parse identically to plain rows,
+    and the flag column is consumed."""
+    from hustle_spark.sources.warc import (
+        gzip_payloads,
+        records_from_payloads,
+        synthesize_warc_payloads,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 6).selectExpr("id as source_id")
+    media = synthesize_warc_payloads(df, "source_id")
+    mixed = gzip_payloads(
+        media.withColumn("__gz", F.col("source_id") % 2 == 1),
+        flag_col="__gz",
+        member_bytes=100,
+    )
+    assert mixed.columns == ["source_id", "payload"]
+    # odd ids really are gzip on the wire, even ids untouched
+    for r in mixed.collect():
+        is_gz = bytes(r.payload)[:2] == b"\x1f\x8b"
+        assert is_gz == (r.source_id % 2 == 1)
+    plain_recs = sorted(
+        map(tuple, records_from_payloads(media).collect())
+    )
+    mixed_recs = sorted(
+        map(tuple, records_from_payloads(mixed).collect())
+    )
+    assert plain_recs == mixed_recs
+
+
+def test_read_warc_gz_from_disk(spark, tmp_path):
+    """A directory mixing .warc and .warc.gz files reads as one
+    records frame under the default glob."""
+    import gzip
+
+    from hustle_spark.sources.warc import read_warc, synthesize_warc_payloads
+
+    df = spark.range(0, 4).selectExpr("id as source_id")
+    for r in synthesize_warc_payloads(df, "source_id").collect():
+        raw = bytes(r.payload)
+        if r.source_id % 2:
+            (tmp_path / f"part{r.source_id}.warc.gz").write_bytes(
+                gzip.compress(raw, mtime=0)
+            )
+        else:
+            (tmp_path / f"part{r.source_id}.warc").write_bytes(raw)
+    (tmp_path / "ignore.txt").write_text("not warc")
+    out = read_warc(spark, str(tmp_path))
+    assert out.count() == sum(i % 3 + 1 for i in range(4))
+    assert out.filter("ok = false").count() == 0
