@@ -553,7 +553,7 @@ def window_topk_per_group(spark, sf_dir):
     j = o.join(cu, o["o_custkey"] == cu["c_custkey"])
     w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        j.withColumn("rn", F.row_number().over(w))
+        j.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 2)
         .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
     )
@@ -665,7 +665,7 @@ def scalar_string_funcs(spark, sf_dir):
             F.upper("p_brand").alias("brand_u"),
             F.substring("p_type", 1, 6).alias("type6"),
             F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias("brand_size"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("bigint").alias("name_len"),
         )
         .distinct()
     )
@@ -983,7 +983,10 @@ def similarity_topk_exact(spark, sf_dir):
     dbl = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = dbl.filter(F.col("vec_id").isin(0, 1, 2))
     out = similarity.cosine_topk(dbl, queries, k=5, quantize=6)
-    return out.select("query_id", "vec_id", "cosine_u", "rank")
+    return out.select(
+        "query_id", "vec_id", "cosine_u",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @query("similarity_ann_lsh", oracle=_SQL_EXACT_COSINE_TOPK)
@@ -1004,7 +1007,10 @@ def similarity_ann_lsh(spark, sf_dir):
     ann = similarity.ann_topk(
         dbl, queries, dim=64, k=5, n_tables=12, bits_per_table=3, quantize=6
     )
-    return ann.select("query_id", "vec_id", "cosine_u", "rank")
+    return ann.select(
+        "query_id", "vec_id", "cosine_u",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 def _audit_sample_pairs(dbl: DataFrame) -> DataFrame:
@@ -3428,7 +3434,9 @@ def tfidf_top_terms(spark, sf_dir):
     )
     scored = s.withColumn("score_u", F.expr("(tf * 1000000) div df"))
     w = Window.partitionBy("lang").orderBy(F.col("score_u").desc(), F.col("term").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 5)
 
 
 @query(
@@ -3502,8 +3510,8 @@ def window_rank_ties(spark, sf_dir):
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("n_orders").desc())
     return counts.select(
         "c_mktsegment", "o_custkey", "n_orders",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
     )
 
 
@@ -3529,7 +3537,10 @@ def similarity_ivf(spark, sf_dir):
     ivf = similarity.ivf_topk(
         dbl, queries, dim=64, k=5, n_lists=8, n_probe=6, quantize=6
     )
-    return ivf.select("query_id", "vec_id", "cosine_u", "rank")
+    return ivf.select(
+        "query_id", "vec_id", "cosine_u",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
 @query(

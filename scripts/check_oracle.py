@@ -42,10 +42,13 @@ def spark_canon(dt: str) -> str:
         return spark_canon(dt[6:-1]) + "[]"
     if dt.startswith("decimal"):
         return dt.upper()
+    if dt.split("<", 1)[0] in ("struct", "map"):
+        # No canonical cross-engine spelling for nested types here —
+        # Spark "struct<a:int>" vs DuckDB "STRUCT(a INTEGER)" would
+        # always "mismatch". Mark unknown so the comparison downgrades
+        # to a WARN instead of a false hard failure (ADVICE r5).
+        return "__UNKNOWN__"
     return _SPARK2DUCK.get(dt, dt.upper())
-
-
-_INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
 
 
 def dtype_problems(spark_df, duck_rel):
@@ -58,9 +61,15 @@ def dtype_problems(spark_df, duck_rel):
     driver-green since r1) but FAILS on value-class differences — the
     round-4 red row was an uncast DuckDB HUGEINT (window SUM), which
     crosses the Arrow boundary as a different value class entirely.
-    So {TINYINT..BIGINT} differences are warnings; HUGEINT, DECIMAL
-    precision, float-vs-int, and any other class mismatch is a hard
-    problem. HUGEINT deliberately does NOT canonicalize to BIGINT."""
+    Round-6 hardening (VERDICT r5 "What's wrong" #1): the empirical
+    int-width tolerance was cheap-to-remove risk, so every registry
+    query now emits BIGINT where DuckDB does and {TINYINT..BIGINT}
+    width differences are HARD failures too — the gate runs zero-WARN.
+    Only nested types with no canonical cross-engine spelling
+    (struct/map, canon __UNKNOWN__) downgrade to warnings. HUGEINT,
+    DECIMAL precision, float-vs-int, and any other class mismatch
+    stays a hard problem; HUGEINT deliberately does NOT canonicalize
+    to BIGINT."""
     spark_t = {f.name: spark_canon(f.dataType.simpleString()) for f in spark_df.schema.fields}
     duck_t = {c: str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
     hard, warns = [], []
@@ -72,7 +81,7 @@ def dtype_problems(spark_df, duck_rel):
         while s.endswith("[]") and d.endswith("[]"):
             s, d, depth = s[:-2], d[:-2], depth + 1
         msg = f"dtype[{col}] spark={spark_t[col]} duck={duck_t[col]}"
-        if s in _INT_WIDTHS and d in _INT_WIDTHS:
+        if s == "__UNKNOWN__":
             warns.append(msg)
         else:
             hard.append(msg)
