@@ -1221,14 +1221,20 @@ def _jpeg_extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def parse_jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode for grayscale (single-component,
-    non-progressive, no restart markers): segment walk, canonical
-    Huffman tables from the DHT bytes, DC-difference + AC run/length
-    entropy decode, dequantization, zigzag re-order, float 2D IDCT
-    (numpy), level shift and clamp. Returns (w, h, rows) with rows a
-    list of per-row lists of 0-255 luma values, or None if the payload
-    is not a decodable baseline grayscale JPEG."""
+def parse_jpeg_planes(payload: bytes):
+    """REAL baseline JPEG decode for 1-component grayscale and
+    3-component 4:4:4 YCbCr (non-progressive, no subsampling, no
+    restart markers): segment walk, canonical Huffman tables from the
+    DHT bytes, per-component quant/table routing from SOF0+SOS,
+    interleaved-MCU DC-difference + AC run/length entropy decode with
+    one DC predictor per component, dequantization, zigzag re-order,
+    float 2D IDCT (numpy), level shift and clamp. Returns
+    (w, h, planes) with one row-major [[0-255]] plane per component
+    (Y[, Cb, Cr]) — color-space conversion to RGB is a pointwise map
+    deliberately left to the consumer so the decode output stays
+    integer-exact for differential oracles. None if the payload is not
+    a decodable baseline 4:4:4 JPEG (subsampled/progressive inputs
+    stay at the documented PIL/ffmpeg swap point)."""
     import numpy as np
 
     try:
@@ -1237,7 +1243,7 @@ def parse_jpeg_pixels(payload: bytes):
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
-        comp_q = 0
+        comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
         i = 2
         while i + 4 <= len(payload):
             if payload[i] != 0xFF:
@@ -1267,9 +1273,15 @@ def parse_jpeg_pixels(payload: bytes):
             elif marker == 0xC0:  # SOF0 baseline
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
-                if seg[5] != 1:
-                    return None  # grayscale only
-                comp_q = seg[8]
+                nc = seg[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        return None  # 4:4:4 only — no subsampling
+                    comps.append((cid, qid))
             elif marker in (0xC1, 0xC2, 0xC3):
                 return None  # extended/progressive/lossless unsupported
             elif marker == 0xC4:  # DHT
@@ -1285,50 +1297,70 @@ def parse_jpeg_pixels(payload: bytes):
                     )
                     j += nv
             elif marker == 0xDA:  # SOS
-                if w is None or seg[0] != 1:
+                if w is None or seg[0] != len(comps):
                     return None
-                dc_t = huff[(0, seg[2] >> 4)]
-                ac_t = huff[(1, seg[2] & 15)]
-                quant = qt[comp_q]
+                # per-scan-component (dc_table, ac_table, quant), in
+                # scan order, routed by component id
+                by_id = dict(comps)
+                tables = []
+                for c in range(seg[0]):
+                    cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    tables.append(
+                        (huff[(0, tt >> 4)], huff[(1, tt & 15)], qt[by_id[cid]])
+                    )
                 br = _JpegBits(payload, i + L)
                 A = _jpeg_idct_basis()
                 cx, cy = (w + 7) // 8, (h + 7) // 8
-                pixels = [[0] * w for _ in range(h)]
-                pred = 0
+                planes = [[[0] * w for _ in range(h)] for _ in tables]
+                preds = [0] * len(tables)
                 for by in range(cy):
                     for bx in range(cx):
-                        coefs = [0] * 64
-                        t = _jpeg_huff_decode(br, dc_t)
-                        pred += _jpeg_extend(br.bits(t), t)
-                        coefs[0] = pred * quant[0]
-                        kz = 1
-                        while kz < 64:
-                            rs = _jpeg_huff_decode(br, ac_t)
-                            if rs == 0x00:
-                                break  # EOB
-                            if rs == 0xF0:
-                                kz += 16  # ZRL
-                                continue
-                            kz += rs >> 4
-                            if kz > 63:
-                                return None
-                            coefs[_JPEG_ZIGZAG[kz]] = (
-                                _jpeg_extend(br.bits(rs & 15), rs & 15)
-                                * quant[kz]
-                            )
-                            kz += 1
-                        Fm = np.array(coefs, dtype=float).reshape(8, 8)
-                        block = (A @ Fm @ A.T) / 4.0
-                        out = np.clip(np.round(block + 128.0), 0, 255)
-                        for yy in range(min(8, h - by * 8)):
-                            row = pixels[by * 8 + yy]
-                            for xx in range(min(8, w - bx * 8)):
-                                row[bx * 8 + xx] = int(out[yy, xx])
-                return w, h, pixels
+                        # one MCU: one 8x8 block per component (4:4:4)
+                        for ci, (dc_t, ac_t, quant) in enumerate(tables):
+                            coefs = [0] * 64
+                            t = _jpeg_huff_decode(br, dc_t)
+                            preds[ci] += _jpeg_extend(br.bits(t), t)
+                            coefs[0] = preds[ci] * quant[0]
+                            kz = 1
+                            while kz < 64:
+                                rs = _jpeg_huff_decode(br, ac_t)
+                                if rs == 0x00:
+                                    break  # EOB
+                                if rs == 0xF0:
+                                    kz += 16  # ZRL
+                                    continue
+                                kz += rs >> 4
+                                if kz > 63:
+                                    return None
+                                coefs[_JPEG_ZIGZAG[kz]] = (
+                                    _jpeg_extend(br.bits(rs & 15), rs & 15)
+                                    * quant[kz]
+                                )
+                                kz += 1
+                            Fm = np.array(coefs, dtype=float).reshape(8, 8)
+                            block = (A @ Fm @ A.T) / 4.0
+                            out = np.clip(np.round(block + 128.0), 0, 255)
+                            for yy in range(min(8, h - by * 8)):
+                                row = planes[ci][by * 8 + yy]
+                                for xx in range(min(8, w - bx * 8)):
+                                    row[bx * 8 + xx] = int(out[yy, xx])
+                return w, h, planes
             i += L
         return None
     except (IndexError, ValueError, KeyError):
         return None
+
+
+def parse_jpeg_pixels(payload: bytes):
+    """Grayscale-only compatibility wrapper over ``parse_jpeg_planes``:
+    (w, h, rows) for single-component baseline JPEGs, None otherwise
+    (including color inputs — callers wanting planes use
+    parse_jpeg_planes directly)."""
+    decoded = parse_jpeg_planes(payload)
+    if decoded is None or len(decoded[2]) != 1:
+        return None
+    w, h, planes = decoded
+    return w, h, planes[0]
 
 
 JPEG_FEATURE_SCHEMA = (
@@ -1378,3 +1410,210 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+# canonical chroma DC codes by category (derives from the Annex K
+# Table K.4 counts written in _jpeg_color_static_hex)
+_JPEG_DC_CHROMA_CODES = [
+    "00", "01", "10", "110", "1110", "11110", "111110", "1111110",
+    "11111110", "111111110", "1111111110", "11111111110",
+]
+
+
+def _jpeg_color_static_hex() -> tuple[str, str]:
+    """(pre-SOF static segments, post-SOF static segments) for the
+    3-component 4:4:4 synthesizer: SOI + DQT t0/t1 (both all-ones, so
+    the lossy pipeline is exact) + four DHT tables — luma DC/AC are
+    the genuine Annex K defaults (shared with _jpeg_static_hex),
+    chroma DC is the genuine Annex K Table K.4, chroma AC is a MINIMAL
+    valid canonical table ({EOB,ZRL} at length 2 — DC-only color never
+    emits AC codes, and a small second table still forces the decoder
+    to build and route per-component tables from the DHT bytes) — and
+    the 3-component SOS (Y -> DC0/AC0, Cb/Cr -> DC1/AC1)."""
+    dqt0 = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    dqt1 = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x01" + bytes([1] * 64)
+    dc_counts = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dht_dc0 = (
+        b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00"
+        + dc_counts + bytes(range(12))
+    )
+    ac_counts = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+    ac_vals = bytes.fromhex(
+        "010203000411051221314106135161072271143281914108"
+        "2342b1c11552d1f02433627282090a161718191a25262728"
+        "292a3435363738393a434445464748494a53545556575859"
+        "5a636465666768696a737475767778797a83848586878889"
+        "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+        "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+    )
+    dht_ac0 = (
+        b"\xff\xc4" + (2 + 1 + 16 + 162).to_bytes(2, "big") + b"\x10"
+        + ac_counts + ac_vals
+    )
+    dcc_counts = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+    dht_dc1 = (
+        b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x01"
+        + dcc_counts + bytes(range(12))
+    )
+    acc_counts = bytes([0, 2] + [0] * 14)
+    dht_ac1 = (
+        b"\xff\xc4" + (2 + 1 + 16 + 2).to_bytes(2, "big") + b"\x11"
+        + acc_counts + bytes([0x00, 0xF0])
+    )
+    sos = (
+        b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03"
+        + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00"
+    )
+    pre = b"\xff\xd8" + dqt0 + dqt1 + dht_dc0 + dht_ac0 + dht_dc1 + dht_ac1
+    return pre.hex().upper(), sos.hex().upper()
+
+
+# per-channel generative pixel models: V_ch(bx, by) for channel order
+# (Y, Cb, Cr) — distinct multipliers so a decoder that swaps planes or
+# predictors cannot pass the per-channel checksums
+_JPEG_COLOR_MODELS = [
+    (7, 31, 57, 13),     # Y  (same model as the grayscale probe)
+    (11, 17, 23, 101),   # Cb
+    (5, 29, 43, 59),     # Cr
+]
+
+
+def synthesize_jpeg_color_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of COMPLETE baseline 4:4:4 YCbCr color JPEGs built
+    in codegen — the 3-component extension of
+    synthesize_jpeg_payloads: interleaved MCUs (Y, Cb, Cr block per
+    MCU), three independent DC difference chains, per-component
+    Huffman tables (genuine Annex K luma + Table K.4 chroma DC), the
+    whole entropy stream assembled bit-by-bit in SQL and 0xFF00-
+    stuffed. Geometry: blocks_x = id % 2 + 1, blocks_y = id % 3 + 1;
+    every 8x8 block of channel ch is constant
+    V_ch = (id*a + bx*b + by*c + d) % 256 with per-channel
+    coefficients (_JPEG_COLOR_MODELS). Constant blocks + all-ones
+    quant tables survive the lossy pipeline bit-exactly, so
+    parse_jpeg_planes is differentially verifiable against a replay
+    of the three pixel models."""
+    pre_hex, sos_hex = _jpeg_color_static_hex()
+    base = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.col(id_col).cast("long") % 2 + 1).alias("cx"),
+        (F.col(id_col).cast("long") % 3 + 1).alias("cy"),
+    )
+
+    luma_arr = "array(" + ", ".join(f"'{c}'" for c in _JPEG_DC_CODES) + ")"
+    chroma_arr = (
+        "array(" + ", ".join(f"'{c}'" for c in _JPEG_DC_CHROMA_CODES) + ")"
+    )
+
+    def block_bits(ch: int) -> str:
+        a, b, c, d = _JPEG_COLOR_MODELS[ch]
+        code_arr, eob = (luma_arr, "1010") if ch == 0 else (chroma_arr, "00")
+
+        def dc(k: str) -> str:
+            v = f"pmod(media_id*{a} + (({k}) % cx)*{b} + (({k}) div cx)*{c} + {d}, 256)"
+            return f"(8*({v} - 128))"
+
+        diff = f"({dc('k')} - if(k = 0, 0, {dc('k-1')}))"
+        cat = f"if({diff} = 0, 0, length(conv(abs({diff}), 10, 2)))"
+        pow2cat = f"cast(pow(2.0d, {cat}) as bigint)"
+        valbits = (
+            f"case when {diff} = 0 then '' "
+            f"when {diff} > 0 then conv({diff}, 10, 2) "
+            f"else substring(conv({diff} + 2*{pow2cat} - 1, 10, 2), 2) end"
+        )
+        return (
+            f"concat(element_at({code_arr}, cast({cat} as int) + 1), "
+            f"{valbits}, '{eob}')"
+        )
+
+    mcu = f"concat({block_bits(0)}, {block_bits(1)}, {block_bits(2)})"
+    with_bits = base.withColumn(
+        "ebits",
+        F.expr(
+            f"array_join(transform(sequence(0, cast(cx*cy - 1 as int)), "
+            f"k -> {mcu}), '')"
+        ),
+    )
+    chunk = "conv(substring(concat(ebits, '1111111'), i*8 + 1, 8), 2, 10)"
+    scan_hex = (
+        "array_join(transform("
+        "sequence(0, cast((length(ebits) + 7) div 8 as int) - 1), i -> "
+        f"concat(lpad(hex(cast({chunk} as bigint)), 2, '0'), "
+        f"if(cast({chunk} as int) = 255, '00', ''))), '')"
+    )
+    sof_hex = (
+        f"concat('FFC0001108', lpad(hex(cy*8), 4, '0'), "
+        f"lpad(hex(cx*8), 4, '0'), '03', '011100', '021101', '031101')"
+    )
+    payload_hex = F.expr(
+        f"concat('{pre_hex}', {sof_hex}, '{sos_hex}', {scan_hex}, 'FFD9')"
+    )
+    return with_bits.select(
+        "media_id",
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("jpgc_"), F.col("media_id").cast("string")).alias(
+                "filename"
+            ),
+            (F.col("cx") * 8).cast("int").alias("declared_w"),
+            (F.col("cy") * 8).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+JPEG_COLOR_FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_pixels long, sum_y long, sum_cb long, sum_cr long, "
+    "wsum_v long, ok boolean"
+)
+
+
+def _jpeg_color_features_one(payload: bytes):
+    decoded = parse_jpeg_planes(payload)
+    if decoded is None or len(decoded[2]) != 3:
+        return "unknown", 0, 0, 0, 0, 0, 0, 0, False
+    w, h, planes = decoded
+    sums = [0, 0, 0]
+    wv = 0
+    for ci, plane in enumerate(planes):
+        s = 0
+        for y, row in enumerate(plane):
+            for x in range(w):
+                v = row[x]
+                s += v
+                wv += (ci * w * h + y * w + x + 1) * v
+        sums[ci] = s
+    return "jpeg", w, h, w * h, sums[0], sums[1], sums[2], wv, True
+
+
+def decode_jpeg_color_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched full color JPEG decode (baseline 4:4:4 YCbCr)
+    over the payload column — per-channel sums plus a channel- AND
+    position-weighted checksum, so a decoder that swaps Cb/Cr planes,
+    crosses DC predictors, or mis-routes Huffman tables cannot pass
+    by luck. Same mapInPandas plumbing contract as
+    decode_jpeg_features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _jpeg_color_features_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_pixels": [f[3] for f in feats],
+                    "sum_y": [f[4] for f in feats],
+                    "sum_cb": [f[5] for f in feats],
+                    "sum_cr": [f[6] for f in feats],
+                    "wsum_v": [f[7] for f in feats],
+                    "ok": [f[8] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=JPEG_COLOR_FEATURE_SCHEMA)

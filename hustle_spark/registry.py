@@ -5849,6 +5849,62 @@ def multimodal_jpeg_probe(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_color_probe",
+    oracle="""
+    WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS cx,
+                        CAST(doc_id % 3 + 1 AS BIGINT) AS cy
+                 FROM documents),
+    px AS (
+      SELECT g.doc_id, g.cx * 8 AS w, g.cy * 8 AS h, gx.x, gy.y,
+             (g.doc_id * 7 + (gx.x // 8) * 31 + (gy.y // 8) * 57 + 13) % 256
+               AS vy,
+             (g.doc_id * 11 + (gx.x // 8) * 17 + (gy.y // 8) * 23 + 101) % 256
+               AS vcb,
+             (g.doc_id * 5 + (gx.x // 8) * 29 + (gy.y // 8) * 43 + 59) % 256
+               AS vcr
+      FROM geo g, generate_series(0, 15) gx(x), generate_series(0, 23) gy(y)
+      WHERE gx.x < g.cx * 8 AND gy.y < g.cy * 8)
+    SELECT doc_id AS media_id, 'jpeg' AS media_type,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(vy) AS BIGINT) AS sum_y,
+           CAST(SUM(vcb) AS BIGINT) AS sum_cb,
+           CAST(SUM(vcr) AS BIGINT) AS sum_cr,
+           CAST(SUM((0*w*h + px.y*w + px.x + 1) * vy
+                  + (1*w*h + px.y*w + px.x + 1) * vcb
+                  + (2*w*h + px.y*w + px.x + 1) * vcr) AS BIGINT) AS wsum_v,
+           true AS ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_color_probe(spark, sf_dir):
+    """L5 multimodal, COLOR baseline JPEG (VERDICT r5 directive #7 —
+    the next slice of the compressed-media gap): 3-component 4:4:4
+    YCbCr files with interleaved MCUs, three independent DC
+    difference chains, and per-component Huffman/quant table routing
+    (genuine Annex K luma tables + Table K.4 chroma DC), synthesized
+    bit-by-bit in codegen (multimodal.synthesize_jpeg_color_payloads)
+    and decoded by the REAL general baseline decoder
+    (parse_jpeg_planes) inside Arrow-batched mapInPandas. DC-only
+    constant blocks + all-ones quant survive the lossy pipeline
+    bit-exactly, so the oracle replays the three per-channel pixel
+    models with correlated laterals; the channel- and position-
+    weighted checksum fails any decoder that swaps Cb/Cr planes,
+    crosses DC predictors, or mis-routes tables. Chroma subsampling
+    and progressive scans remain at the documented PIL/ffmpeg swap
+    point. No color-space conversion: planes stay YCbCr so the
+    differential is integer-exact (RGB is a pointwise map downstream,
+    documented in parse_jpeg_planes)."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    media = multimodal.synthesize_jpeg_color_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_jpeg_color_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_y", "sum_cb", "sum_cr", "wsum_v", "ok",
+    )
+
+
+@query(
     "warc_ingest_records",
     oracle=r"""
     WITH src AS (SELECT doc_id AS s, doc_id % 3 + 1 AS nr,

@@ -753,6 +753,67 @@ def test_jpeg_decoder_rejects_garbage(spark):
     assert parse_jpeg_pixels(full.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
 
 
+def test_jpeg_color_roundtrip_exact(spark):
+    """Synthesized 4:4:4 color JPEGs decode back to all THREE
+    generative channel models exactly — interleaved MCUs, three DC
+    predictors, per-component table routing all exercised; the
+    grayscale wrapper must reject color payloads."""
+    from hustle_spark.operators.multimodal import (
+        _JPEG_COLOR_MODELS,
+        parse_jpeg_pixels,
+        parse_jpeg_planes,
+        synthesize_jpeg_color_payloads,
+    )
+
+    df = spark.range(0, 24).selectExpr("id as doc_id")
+    for r in synthesize_jpeg_color_payloads(df, "doc_id").collect():
+        mid = r.media_id
+        p = bytes(r.payload)
+        w, h, planes = parse_jpeg_planes(p)
+        assert (w, h) == (8 * (mid % 2 + 1), 8 * (mid % 3 + 1))
+        assert len(planes) == 3
+        for ci, (a, b, c, d) in enumerate(_JPEG_COLOR_MODELS):
+            for y in range(h):
+                for x in range(w):
+                    assert planes[ci][y][x] == (
+                        mid * a + (x // 8) * b + (y // 8) * c + d
+                    ) % 256, (mid, ci, x, y)
+        assert parse_jpeg_pixels(p) is None  # wrapper is grayscale-only
+
+
+def test_jpeg_color_decoder_never_raises_on_corruption(spark):
+    """Property: byte corruption / truncation of a color payload
+    yields None or a decode, never an uncaught exception — and
+    subsampled SOF bytes are rejected (4:4:4 only)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_planes,
+        synthesize_jpeg_color_payloads,
+    )
+
+    df = spark.range(7, 8).selectExpr("id as doc_id")
+    full = bytes(
+        synthesize_jpeg_color_payloads(df, "doc_id").collect()[0].payload
+    )
+    # 4:2:0 sampling byte on component 1 -> rejected, not mis-decoded
+    assert parse_jpeg_planes(full.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)) is None
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(full) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(full)),
+    )
+    def prop(pos, val, cut):
+        mutated = full[:pos] + bytes([val]) + full[pos + 1 :]
+        out = parse_jpeg_planes(mutated[:cut])
+        assert out is None or (isinstance(out, tuple) and len(out) == 3)
+
+    prop()
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from hustle_spark import streaming as S
 

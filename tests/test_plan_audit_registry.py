@@ -43,7 +43,9 @@ ALLOWED_PYTHON = {
     "multimodal_audio_samples",  # PCM sample-level decode, same path
     "multimodal_frame_sample",   # mdat frame sampling, same path
     "multimodal_jpeg_probe",     # baseline JPEG entropy decode, same path
-    "warc_ingest_records",       # WARC record parse, same mapInPandas path
+    "multimodal_jpeg_color_probe",  # 4:4:4 color JPEG decode, same path
+    "warc_ingest_records",       # WARC record parse + gzip member
+                                 # decode, same mapInPandas path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
