@@ -6043,73 +6043,62 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # the round-4 red row: min/max_tokens now cast bigint (driver's
-    # dtype-sensitive hash vs DuckDB len()'s BIGINT), the oracle's
-    # HUGEINT bucket cast back to BIGINT, and the twice-scanned
-    # documents frame tracked-cached (VERDICT r4 "What's wrong" #1/#3)
-    "padding_waste_buckets",
-    # commit 8782bf5 (post-r4-window isin-unwrap hardening in expr.py)
-    # landed after the r4 driver froze its window list but BEFORE the
-    # 11:41 driver run — promoted anyway per the helper-edit rule since
-    # its consumer was last driver-checked in r3
-    "filter_isin",
+    # rebuild rewritten as the O(1)-per-token two-pointer fold
+    # (VERDICT r5 "What's wrong" #2) + oracle COALESCE on NULL text
+    # (ADVICE r5 #2)
+    "dedup_repeated_spans",
+    # gzip multi-member support: odd source ids now re-encoded as
+    # non-record-aligned gzip members before parsing (VERDICT r5
+    # "Next round" #3)
+    "warc_ingest_records",
+    # the seven int32-emitting rows, now cast bigint so the preflight
+    # gate could go width-strict (VERDICT r5 "What's wrong" #1) — all
+    # previously-proven queries re-proven with a one-line cast
+    "window_topk_per_group", "scalar_string_funcs",
+    "similarity_topk_exact", "similarity_ann_lsh", "tfidf_top_terms",
+    "window_rank_ties", "similarity_ivf",
 ]
 
 # New queries registered this round — every addition goes here.
-# The four r4-queued L29/L30 rows (oracles hand-proven last round,
-# VERDICT r4 "Next round" #3) plus rollup_view_requery, which closes
-# the one remaining unit-only operator surface (VERDICT asked for the
-# 8782bf5 "rollup consumers" to be driver-checked; rollup_view had no
-# registry consumer, so this round created one).
 _NEW_THIS_ROUND = [
-    "embedding_contamination_scan", "vocab_drift_top",
-    "text_bigram_quality", "sharded_export_requery",
-    "rollup_view_requery",
-    # VERDICT r4 stretch #8: baseline-JPEG entropy decode, driver-
-    # checked like multimodal_pixel_probe
-    "multimodal_jpeg_probe",
-    # round-5 coverage widening: ExactSubstr-style repeated-span
-    # removal (the one famous dedup mode the suite lacked) and WARC
-    # ingestion (the Common Crawl container — the training-data
-    # pipeline's canonical input format)
-    "dedup_repeated_spans", "warc_ingest_records",
+    # VERDICT r5 "Next round" #4: the max_df production configuration
+    # of containment dedup, df-cut mirrored in the oracle
+    "dedup_containment_guarded",
+    # VERDICT r5 "Next round" #7: 3-component 4:4:4 color baseline
+    # JPEG, decoded by the generalized parse_jpeg_planes
+    "multimodal_jpeg_color_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to 50 — freshest re-confirmation of the stalest rows.
-# 43 slots: all 28 r1-latest rows, then the r2-latest block in
-# CORRECTNESS_r02 key order (its tail — grouping_sets_sql onward —
-# rotates in r6).
+# r6 head is 11 (9 changed + 2 new) -> 39 backfill slots: the ENTIRE
+# r2-latest tail (18 rows — window_rank_ties is promoted to _CHANGED,
+# so r2-latest staleness hits zero this round), then the first 21 of
+# the 38-row r3-latest block in CORRECTNESS_r03 key order
+# (tfidf_top_terms is also promoted). The r7 queue is the r3-latest
+# remainder starting at doc_chunking, plus the two by-design
+# rows-only sketches (dedup_minhash_lsh, dedup_simhash, r1-latest —
+# machinery hash-checked via their md5 twins).
 _BACKFILL = [
-    # r1-latest (CORRECTNESS_r01 order)
-    "nest_requery", "semi_join_customers", "anti_join_customers",
-    "left_join_nation_suppliers", "full_outer_nation_activity",
-    "cross_join_pairs", "set_except", "set_intersect", "set_union",
-    "window_topk_per_group", "window_running_total", "window_lag_delta",
-    "rollup_status_priority", "cube_flags", "scalar_string_funcs",
-    "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
-    "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
-    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
-    "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
-    "doc_fingerprint_prefix",
     # r2-latest (CORRECTNESS_r02 key order)
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q10_returned_items", "q11_important_stock",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q20_excess_quantity_suppliers", "q21_waiting_orders",
-    "q22_global_sales_opportunity", "sql_api_exists",
-    # NOTE: with the 9-entry r5 head only 41 backfill slots fit, so the
-    # last two rows above (q22_global_sales_opportunity, sql_api_exists)
-    # fall OUT of the checked window — they lead the r6 queue.
-    # r6 rotation continues here: grouping_sets_sql, percentile_exact,
-    # variance_manual, correlation_manual, unpivot_measures,
-    # union_all_counts, window_rank_ties, range_join_purchase_errors,
-    # streaming_session_windows, streaming_dedupe_count,
-    # multimodal_decode, embedding_centroids, vocab_top_tokens,
-    # curation_filter, approx_cardinality, text_lang_id, then the
-    # r3-latest block
+    "q21_waiting_orders", "q22_global_sales_opportunity",
+    "sql_api_exists", "grouping_sets_sql", "percentile_exact",
+    "variance_manual", "correlation_manual", "unpivot_measures",
+    "union_all_counts", "range_join_purchase_errors",
+    "streaming_session_windows", "streaming_dedupe_count",
+    "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
+    "curation_filter", "approx_cardinality", "text_lang_id",
+    # r3-latest (CORRECTNESS_r03 key order)
+    "collect_set_sorted", "dedup_simhash_audit",
+    "ntile_customer_quartiles", "histogram_totalprice",
+    "markov_transitions", "stratified_sample_stats",
+    "length_profile_by_source", "top_customer_share",
+    "window_cume_dist", "nullsafe_join_probe", "time_rollup_hierarchy",
+    "multimodal_audio_probe", "multimodal_video_probe",
+    "grouping_marker_rollup", "dataset_split_stats",
+    "pii_redaction_stats", "repetition_top_bigram", "source_quota_cap",
+    "orc_roundtrip_agg", "streaming_join_attribution",
+    "sequence_packing",
 ]
 
 
