@@ -32,6 +32,7 @@ import hustle_spark as h
 from . import util as _util
 from .functions.aggregates import h_avg_exact, h_sum_exact
 from .functions import text as TX
+from .functions import urls as URLS
 from . import sources as SRC
 from .operators import asof, dedup, multimodal, similarity
 from .operators.sessionize import session_stats
@@ -5965,6 +5966,132 @@ def warc_ingest_records(spark, sf_dir):
     )
 
 
+_URL_MODEL_SQL = """
+    m AS (
+      SELECT doc_id,
+             ['HTTP','https','http'][doc_id % 3 + 1] AS scheme,
+             ['Example.COM','news.example.com','blog.Example.co.uk',
+              'cdn.site.ORG','shop.site.org','www.Portal.NET',
+              'api.portal.net'][doc_id % 7 + 1] AS host0,
+             [':80',':443',':8080','',''][doc_id % 5 + 1] AS portstr,
+             '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path0,
+             ['?utm_source=x&b=2&a=1','?a=1&fbclid=zz','?b=2&a=1','']
+               [doc_id % 4 + 1] AS qs,
+             CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS frag
+      FROM documents),
+    u AS (SELECT doc_id,
+                 scheme || '://' || host0 || portstr || path0 || qs || frag
+                   AS url
+          FROM m),
+    p AS (SELECT doc_id, url,
+                 lower(regexp_extract(url, '{rx}', 1)) AS scheme,
+                 lower(regexp_extract(url, '{rx}', 2)) AS host,
+                 regexp_extract(url, '{rx}', 3) AS port,
+                 regexp_extract(url, '{rx}', 4) AS path,
+                 regexp_extract(url, '{rx}', 5) AS q
+          FROM u),
+    c AS (SELECT doc_id, url, scheme, host, path,
+                 CASE WHEN port = ''
+                        OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END AS portpart,
+                 COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(q, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x, '{trk}'))), '&'),
+                   '') AS qc
+          FROM p),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || portpart || path ||
+               CASE WHEN qc = '' THEN '' ELSE '?' || qc END
+               AS canonical_url,
+             CASE WHEN len(string_split(host, '.')) >= 3 AND
+                       (string_split(host, '.')[-2] || '.' ||
+                        string_split(host, '.')[-1])
+                       IN ('co.uk','org.uk','ac.uk','gov.uk',
+                           'com.au','co.jp','com.br','co.in')
+                  THEN string_split(host, '.')[-3] || '.' ||
+                       string_split(host, '.')[-2] || '.' ||
+                       string_split(host, '.')[-1]
+                  ELSE string_split(host, '.')[-2] || '.' ||
+                       string_split(host, '.')[-1] END AS domain
+      FROM c)
+""".format(rx=URLS.URL_REGEX, trk=URLS.TRACKING_KEY_REGEX)
+
+
+@query(
+    "url_canonicalize_stats",
+    oracle=f"""
+    WITH {_URL_MODEL_SQL}
+    SELECT doc_id, url, canonical_url, domain FROM canon
+    """,
+)
+def url_canonicalize_stats(spark, sf_dir):
+    """L32 URL canonicalization + registrable-domain extraction
+    (functions.urls — the Common Crawl curation stage between WARC
+    ingestion and text processing): messy URLs (uppercase schemes,
+    mixed-case hosts, default AND non-default ports, shuffled
+    tracking params, fragments, multi-label ccTLD hosts) synthesized
+    in codegen from a generative model of the id, then canonicalized
+    and domain-extracted entirely in codegen regexp + array HOFs — no
+    UDF, scan speed. The DuckDB oracle replays the model AND the
+    whole canonicalization spec independently (sharing only the
+    anchored parse regex, verbatim via URLS.URL_REGEX), per document
+    — every rule (lowercasing, fragment strip, scheme-default port
+    strip incl. keeping :80 on https, tracking-key drop, param sort,
+    co.uk registrable-domain collapse) is value-compared across
+    engines. Scale shape: pure per-row expressions, zero shuffle."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    synth = URLS.synthesize_messy_urls(d, "doc_id")
+    return synth.select(
+        "doc_id", "url",
+        URLS.canonicalize_url("url").alias("canonical_url"),
+        URLS.url_domain("url").alias("domain"),
+    )
+
+
+@query(
+    "url_domain_quota",
+    oracle=f"""
+    WITH {_URL_MODEL_SQL},
+    sel AS (SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (PARTITION BY domain
+                                      ORDER BY doc_id) AS rn
+            FROM canon)
+    SELECT domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_kept_ids
+    FROM sel GROUP BY domain
+    """,
+)
+def url_domain_quota(spark, sf_dir):
+    """L32b per-domain quota cap (functions.urls.domain_quota — the
+    C4-style per-site limit that stops one boilerplate-heavy domain
+    from dominating a training corpus): registrable domains extracted
+    from the same messy-URL model, then at most 100 documents kept
+    per domain, deterministically lowest-id-first (replayable; the
+    rank key is the quality-score swap point). At sf0.01 the four
+    model domains hold ~71-143 docs each, so the cap genuinely cuts
+    three of them while example.co.uk stays whole — the quota is
+    demonstrably engaged. The oracle replays domain extraction and
+    the rank-cap with a window. Scale shape: ONE shuffle (window rank
+    on the domain key) — identical to source_quota_cap; skewed
+    mega-domains are precisely what the cap discards."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    synth = URLS.synthesize_messy_urls(d, "doc_id")
+    q = URLS.domain_quota(synth, max_per_domain=100)
+    return q.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_kept"), F.col("doc_id")).otherwise(0))
+        .cast("bigint").alias("sum_kept_ids"),
+    )
+
+
 @query(
     "rollup_view_requery",
     oracle="""
@@ -6067,16 +6194,21 @@ _NEW_THIS_ROUND = [
     # VERDICT r5 "Next round" #7: 3-component 4:4:4 color baseline
     # JPEG, decoded by the generalized parse_jpeg_planes
     "multimodal_jpeg_color_probe",
+    # r6 coverage widening: URL-level curation (the Common Crawl
+    # stage the suite lacked) — canonicalization + registrable-domain
+    # extraction, and the C4-style per-domain quota cap
+    "url_canonicalize_stats", "url_domain_quota",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to 50 — freshest re-confirmation of the stalest rows.
-# r6 head is 11 (9 changed + 2 new) -> 39 backfill slots: the ENTIRE
+# r6 head is 13 (9 changed + 4 new) -> 37 backfill slots: the ENTIRE
 # r2-latest tail (18 rows — window_rank_ties is promoted to _CHANGED,
-# so r2-latest staleness hits zero this round), then the first 21 of
+# so r2-latest staleness hits zero this round), then the first 19 of
 # the 38-row r3-latest block in CORRECTNESS_r03 key order
-# (tfidf_top_terms is also promoted). The r7 queue is the r3-latest
-# remainder starting at doc_chunking, plus the two by-design
+# (tfidf_top_terms is also promoted; the listed tail past 37 slots is
+# auto-truncated by _window). The r7 queue is the r3-latest remainder
+# starting at streaming_join_attribution, plus the two by-design
 # rows-only sketches (dedup_minhash_lsh, dedup_simhash, r1-latest —
 # machinery hash-checked via their md5 twins).
 _BACKFILL = [

@@ -1,0 +1,79 @@
+"""functions.urls edge cases the differential oracle cannot see (the
+synthesized model is well-formed): NULL/garbage/schemeless inputs,
+single-label and bare-suffix hosts, empty queries, valueless params,
+and quota behavior under NULL domains."""
+
+from pyspark.sql import functions as F
+
+from hustle_spark.functions.urls import (
+    canonicalize_url,
+    domain_quota,
+    synthesize_messy_urls,
+    url_domain,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonicalize_url("url").alias("c"), url_domain("url").alias("d")
+    ).collect()
+    return [(r.c, r.d) for r in rows]
+
+
+def test_url_canonicalize_edges(spark):
+    out = _canon(
+        spark,
+        [
+            None,
+            "not a url",
+            "example.com/x",                       # schemeless
+            "HTTP://Example.COM:80/a?utm_source=1&z=2&a=3#f",
+            "https://a.b.com:80/p",                # :80 kept on https
+            "https://a.b.com:443/p",               # default stripped
+            "http://a.com/p?",                     # empty query
+            "http://a.com/p?flag&b=1",             # valueless param kept
+            "http://localhost/x",                  # single-label host
+            "http://co.uk/x",                      # bare multi-label suffix
+            "http://x.blog.example.co.uk/x",       # deep ccTLD subdomain
+        ],
+    )
+    assert out[0] == (None, None)
+    assert out[1] == (None, None)
+    assert out[2] == (None, None)
+    assert out[3] == ("http://example.com/a?a=3&z=2", "example.com")
+    assert out[4] == ("https://a.b.com:80/p", "b.com")
+    assert out[5] == ("https://a.b.com/p", "b.com")
+    assert out[6] == ("http://a.com/p", "a.com")
+    assert out[7] == ("http://a.com/p?b=1&flag", "a.com")
+    # localhost canonicalizes fine but has no registrable domain
+    assert out[8] == ("http://localhost/x", None)
+    # heuristic floor: a bare public suffix is returned as-is (the
+    # PSL swap point would reject it) — pinned, documented behavior
+    assert out[9] == ("http://co.uk/x", "co.uk")
+    assert out[10] == (
+        "http://x.blog.example.co.uk/x", "example.co.uk",
+    )
+
+
+def test_domain_quota_deterministic_and_null_safe(spark):
+    rows = [(i, f"http://d{i % 2}.com/p") for i in range(10)]
+    rows += [(100, None), (101, "garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_quota(df, max_per_domain=3)
+    kept = {r.doc_id for r in out.filter("is_kept").collect()}
+    # lowest-3 ids per domain; NULL-domain rows form their own group
+    assert {0, 2, 4} <= kept and {1, 3, 5} <= kept
+    assert 6 not in kept and 7 not in kept
+    assert out.count() == 12  # no row silently dropped
+
+
+def test_messy_url_model_is_parseable(spark):
+    df = spark.range(0, 210).selectExpr("id as doc_id")
+    synth = synthesize_messy_urls(df, "doc_id")
+    out = synth.select(
+        canonicalize_url("url").alias("c"), url_domain("url").alias("d")
+    )
+    assert out.filter(F.col("c").isNull() | F.col("d").isNull()).count() == 0
+    doms = {r.d for r in out.select("d").distinct().collect()}
+    assert doms == {"example.com", "example.co.uk", "site.org", "portal.net"}
