@@ -55,6 +55,12 @@ BENCH_LLM = [
     "sharded_export_requery",
     # ingestion (appended round 5, after the first r5 artifact)
     "warc_ingest_records",
+    # appended round 6 (append-only protocol): guarded containment,
+    # color JPEG decode, URL curation
+    "dedup_containment_guarded",
+    "multimodal_jpeg_color_probe",
+    "url_canonicalize_stats",
+    "url_domain_quota",
 ]
 
 WARM_RUNS = 3
