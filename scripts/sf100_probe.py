@@ -90,6 +90,11 @@ DEFAULT_PROBES = [
     "multimodal_pixel_probe",
     "multimodal_frame_sample",
     "warc_ingest_records",
+    # appended round 6
+    "dedup_containment_guarded",
+    "multimodal_jpeg_color_probe",
+    "url_canonicalize_stats",
+    "url_domain_quota",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
