@@ -61,6 +61,7 @@ BENCH_LLM = [
     "multimodal_jpeg_color_probe",
     "url_canonicalize_stats",
     "url_domain_quota",
+    "multimodal_jpeg_subsampled_probe",
 ]
 
 WARM_RUNS = 3

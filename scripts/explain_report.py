@@ -78,6 +78,7 @@ SHOWCASE = {
     "multimodal_jpeg_color_probe": "3-component entropy stream (interleaved MCUs, 3 DC chains) assembled bit-by-bit in codegen; one Arrow-batched MapInPandas decode stage, no shuffle",
     "url_canonicalize_stats": "parse + canonicalize + domain entirely codegen regexp/HOFs: map-only, zero shuffle, zero UDF",
     "url_domain_quota": "ONE shuffle total (window rank on the domain key); quota filter and aggregates ride the same exchange",
+    "multimodal_jpeg_subsampled_probe": "4:2:0 entropy stream (6 blocks per 16x16 MCU, 3 DC chains) assembled bit-by-bit in codegen; one Arrow-batched MapInPandas decode stage at native per-plane resolution, no shuffle",
 }
 
 

@@ -95,6 +95,7 @@ DEFAULT_PROBES = [
     "multimodal_jpeg_color_probe",
     "url_canonicalize_stats",
     "url_domain_quota",
+    "multimodal_jpeg_subsampled_probe",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages

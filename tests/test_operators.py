@@ -783,8 +783,10 @@ def test_jpeg_color_roundtrip_exact(spark):
 
 def test_jpeg_color_decoder_never_raises_on_corruption(spark):
     """Property: byte corruption / truncation of a color payload
-    yields None or a decode, never an uncaught exception — and
-    subsampled SOF bytes are rejected (4:4:4 only)."""
+    yields None or a decode, never an uncaught exception — including
+    a sampling-byte flip, which re-frames the (unchanged) entropy
+    stream against a different MCU geometry and must fail closed or
+    decode to SOME 3-tuple, never raise or loop."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -797,8 +799,120 @@ def test_jpeg_color_decoder_never_raises_on_corruption(spark):
     full = bytes(
         synthesize_jpeg_color_payloads(df, "doc_id").collect()[0].payload
     )
-    # 4:2:0 sampling byte on component 1 -> rejected, not mis-decoded
-    assert parse_jpeg_planes(full.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)) is None
+    # 4:2:0 sampling byte on component 1 over a 4:4:4 stream: the
+    # generalized decoder accepts the geometry but the bit stream no
+    # longer lines up — None or a (wrong-valued) decode, no exception
+    out = parse_jpeg_planes(full.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1))
+    assert out is None or (isinstance(out, tuple) and len(out) == 3)
+    # illegal sampling factor (H=0) is rejected outright
+    assert parse_jpeg_planes(full.replace(b"\x01\x11\x00", b"\x01\x05\x00", 1)) is None
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(full) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(full)),
+    )
+    def prop(pos, val, cut):
+        mutated = full[:pos] + bytes([val]) + full[pos + 1 :]
+        out = parse_jpeg_planes(mutated[:cut])
+        assert out is None or (isinstance(out, tuple) and len(out) == 3)
+
+    prop()
+
+
+def test_jpeg_subsampled_roundtrip_exact(spark):
+    """Synthesized 4:2:0 JPEGs decode back to all three generative
+    models at each plane's NATIVE resolution — 16x16 MCU geometry,
+    row-major Y sub-block order, three DC chains, chroma at half
+    resolution all exercised; the grayscale wrapper must reject."""
+    from hustle_spark.operators.multimodal import (
+        _JPEG_COLOR_MODELS,
+        parse_jpeg_pixels,
+        parse_jpeg_planes,
+        synthesize_jpeg_subsampled_payloads,
+    )
+
+    df = spark.range(0, 24).selectExpr("id as doc_id")
+    for r in synthesize_jpeg_subsampled_payloads(df, "doc_id").collect():
+        mid = r.media_id
+        p = bytes(r.payload)
+        w, h, planes = parse_jpeg_planes(p)
+        assert (w, h) == (16 * (mid % 2 + 1), 16 * (mid % 3 + 1))
+        assert len(planes) == 3
+        assert (len(planes[0][0]), len(planes[0])) == (w, h)
+        for ci in (1, 2):
+            assert (len(planes[ci][0]), len(planes[ci])) == (w // 2, h // 2)
+        a, b, c, d = _JPEG_COLOR_MODELS[0]
+        for y in range(h):
+            for x in range(w):
+                assert planes[0][y][x] == (
+                    mid * a + (x // 8) * b + (y // 8) * c + d
+                ) % 256, (mid, 0, x, y)
+        for ci in (1, 2):
+            a, b, c, d = _JPEG_COLOR_MODELS[ci]
+            for y in range(h // 2):
+                for x in range(w // 2):
+                    assert planes[ci][y][x] == (
+                        mid * a + (x // 8) * b + (y // 8) * c + d
+                    ) % 256, (mid, ci, x, y)
+        assert parse_jpeg_pixels(p) is None  # wrapper is grayscale-only
+
+
+def test_jpeg_subsampled_crop_non_mcu_multiple(spark):
+    """SOF dims that are NOT a multiple of the 16x16 MCU exercise the
+    padded-grid crop: patching a 32x48 payload's SOF to 28x44 keeps
+    the MCU count (ceil semantics) so the same entropy stream decodes,
+    but every plane must come back cropped to its native ceil-scaled
+    size — Y 28x44, chroma ceil(28/2) x ceil(44/2) = 14x22 — with
+    model values intact on the surviving region."""
+    from hustle_spark.operators.multimodal import (
+        _JPEG_COLOR_MODELS,
+        parse_jpeg_planes,
+        synthesize_jpeg_subsampled_payloads,
+    )
+
+    # doc_id 5 -> cx=2, cy=3 -> 32x48
+    df = spark.range(5, 6).selectExpr("id as doc_id")
+    full = bytes(
+        synthesize_jpeg_subsampled_payloads(df, "doc_id").collect()[0].payload
+    )
+    sof = full.index(b"\xff\xc0\x00\x11\x08")
+    patched = (
+        full[: sof + 5]
+        + (44).to_bytes(2, "big")
+        + (28).to_bytes(2, "big")
+        + full[sof + 9 :]
+    )
+    w, h, planes = parse_jpeg_planes(patched)
+    assert (w, h) == (28, 44)
+    assert (len(planes[0][0]), len(planes[0])) == (28, 44)
+    for ci in (1, 2):
+        assert (len(planes[ci][0]), len(planes[ci])) == (14, 22)
+    for ci, dims in ((0, (28, 44)), (1, (14, 22)), (2, (14, 22))):
+        a, b, c, d = _JPEG_COLOR_MODELS[ci]
+        for y in range(dims[1]):
+            for x in range(dims[0]):
+                assert planes[ci][y][x] == (
+                    5 * a + (x // 8) * b + (y // 8) * c + d
+                ) % 256, (ci, x, y)
+
+
+def test_jpeg_subsampled_decoder_never_raises_on_corruption(spark):
+    """Property: byte corruption / truncation of a 4:2:0 payload
+    yields None or a decode, never an uncaught exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_planes,
+        synthesize_jpeg_subsampled_payloads,
+    )
+
+    df = spark.range(11, 12).selectExpr("id as doc_id")
+    full = bytes(
+        synthesize_jpeg_subsampled_payloads(df, "doc_id").collect()[0].payload
+    )
 
     @settings(max_examples=150, deadline=None)
     @given(
