@@ -699,10 +699,10 @@ def repeated_span_removal(
     broadcast (unlike boilerplate's bounded heavy-hitter set). Flagged
     starts collapse per document (bounded by the document's own
     length), merge into disjoint intervals via one codegen fold, and
-    the rebuild is a map-only sorted two-pointer fold — O(1) per
-    token, O(tokens + intervals) per doc (the fold's cursor can
-    advance at most once per token because merged intervals are
-    gap-separated). Suffix arrays do this with better constants
+    the rebuild slices the gaps between the (sorted, disjoint,
+    gap-separated) intervals and flattens — size(intervals)+1
+    contiguous copies, O(tokens + intervals) per doc with no
+    per-token predicate. Suffix arrays do this with better constants
     on one machine; this is the shape that distributes.
     """
     # NULL text folds into the empty-text path up front (split(NULL)
@@ -772,43 +772,35 @@ def repeated_span_removal(
     )
     with_iv = marked.select(id_col, "__toks", intervals.alias("__iv"))
 
-    # Rebuild via a sorted two-pointer fold: the merge fold above
-    # guarantees __iv is sorted, disjoint, AND gap-separated (any start
-    # within hi+1 of the previous interval was merged), so as the token
-    # index advances by exactly 1 per element, the active-interval
-    # cursor never needs to skip more than one interval per step — a
-    # single conditional advance keeps it exact. O(1) per token (total
-    # O(tokens + intervals) per doc), replacing the earlier per-token
-    # scan of the whole interval list.
-    def _keep_step(acc, x):
-        # advance the cursor past an interval we've fully consumed
-        cur = F.try_element_at(F.col("__iv"), acc["k"] + 1)
-        k2 = F.when(
-            cur.isNotNull() & (x["i"] > cur["hi"]), acc["k"] + 1
-        ).otherwise(acc["k"])
-        act = F.try_element_at(F.col("__iv"), k2 + 1)
-        covered = (
-            act.isNotNull() & (x["i"] >= act["lo"]) & (x["i"] <= act["hi"])
+    # Rebuild by slicing the GAPS between intervals: the merge fold
+    # above guarantees __iv is sorted, disjoint, and gap-separated
+    # (any start within hi+1 of the previous interval was merged), so
+    # the kept text is exactly the concatenation of the token slices
+    # between consecutive intervals — gap j spans
+    # (iv[j-1].hi, iv[j].lo) with virtual sentinels hi=-1 before the
+    # first interval and lo=n_tokens after the last. size(__iv)+1
+    # slices, each a contiguous copy: O(tokens + intervals) per doc
+    # with no per-token predicate and no quadratic accumulator growth
+    # (an aggregate() that appends to its accumulator re-copies it
+    # every step — the shape this replaces).
+    nt = F.size(F.col("__toks"))
+
+    def gap_slice(j):
+        # j counts gaps 0..size(__iv); interval indices are 1-based
+        prev_hi = F.when(
+            j > 0, F.try_element_at(F.col("__iv"), j)["hi"]
+        ).otherwise(F.lit(-1))
+        next_lo = F.coalesce(
+            F.try_element_at(F.col("__iv"), j + 1)["lo"], nt
         )
-        return F.struct(
-            k2.alias("k"),
-            F.when(covered, acc["kept"])
-            .otherwise(F.concat(acc["kept"], F.array(x["t"])))
-            .alias("kept"),
+        return F.slice(
+            F.col("__toks"),
+            prev_hi + 2,  # slice() is 1-based; first kept token is hi+1
+            F.greatest(F.lit(0), next_lo - prev_hi - 1),
         )
 
-    idxed = F.transform(
-        F.col("__toks"),
-        lambda t, i: F.struct(t.alias("t"), i.cast("int").alias("i")),
-    )
-    kept = F.aggregate(
-        idxed,
-        F.struct(
-            F.lit(0).cast("int").alias("k"),
-            F.array().cast("array<string>").alias("kept"),
-        ),
-        _keep_step,
-        lambda acc: acc["kept"],
+    kept = F.flatten(
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__iv"))), gap_slice)
     )
     n_removed = F.aggregate(
         F.col("__iv"),
