@@ -48,20 +48,34 @@ def _gunzip_members(data: bytes) -> bytes:
     plain byte stream. Tolerant like the record parser: a truncated
     final member contributes its decompressible prefix; a corrupt
     member (or trailing garbage) stops iteration — the caller's
-    whole-record truncation then applies."""
+    whole-record truncation then applies.
+
+    Built on the stdlib's multi-member ``GzipFile`` reader, which
+    advances member-to-member inside one buffered stream (8 KiB raw
+    blocks) — O(bytes) total. Hand-rolling this with one
+    ``decompressobj`` per member is quadratic in disguise: zlib
+    copies everything after the member's end into ``unused_data``, so
+    a real Common Crawl file (~1 GB, ~100k members) pays
+    O(bytes x members) in tail copies. Truncation (EOFError) and
+    corruption (BadGzipFile / zlib.error / CRC mismatch) stop the
+    read with everything decompressed so far — ``read1`` (ONE
+    underlying decompressor call per invocation) rather than ``read``
+    so a failure at the next member boundary cannot discard blocks
+    the BufferedReader would otherwise still be accumulating."""
+    import gzip as _gzip
+    import io
     import zlib
 
     out = []
-    i, n = 0, len(data)
-    while i < n and data.startswith(b"\x1f\x8b", i):
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(data[i:]))
-        except zlib.error:
-            break
-        if not d.eof:
-            break  # truncated final member: keep its prefix
-        i = n - len(d.unused_data)
+    f = _gzip.GzipFile(fileobj=io.BytesIO(data))
+    try:
+        while True:
+            block = f.read1(1 << 16)
+            if not block:
+                break
+            out.append(block)
+    except (EOFError, OSError, zlib.error):
+        pass  # truncated/corrupt member or trailing garbage: stop
     return b"".join(out)
 
 
