@@ -1329,8 +1329,13 @@ def parse_jpeg_planes(payload: bytes):
                      (h * t[4] + vmax - 1) // vmax)
                     for t in tables
                 ]
+                # numpy planes so each block lands as one sliced
+                # assignment (a per-pixel Python loop here dominates
+                # the whole decode at bench scale); converted back to
+                # plain lists on return to keep the public contract
                 planes = [
-                    [[0] * cw for _ in range(chh)] for cw, chh in dims
+                    np.zeros((chh, cw), dtype=np.int64)
+                    for cw, chh in dims
                 ]
                 preds = [0] * len(tables)
                 for by in range(mcuy):
@@ -1374,14 +1379,16 @@ def parse_jpeg_planes(payload: bytes):
                                     block = (A @ Fm @ A.T) / 4.0
                                     out = np.clip(
                                         np.round(block + 128.0), 0, 255
-                                    )
+                                    ).astype(np.int64)
                                     x0 = (bx * sh + u) * 8
                                     y0 = (by * sv + v) * 8
-                                    for yy in range(min(8, chh - y0)):
-                                        row = planes[ci][y0 + yy]
-                                        for xx in range(min(8, cw - x0)):
-                                            row[x0 + xx] = int(out[yy, xx])
-                return w, h, planes
+                                    ny = min(8, chh - y0)
+                                    nx = min(8, cw - x0)
+                                    if ny > 0 and nx > 0:
+                                        planes[ci][
+                                            y0 : y0 + ny, x0 : x0 + nx
+                                        ] = out[:ny, :nx]
+                return w, h, [p.tolist() for p in planes]
             i += L
         return None
     except (IndexError, ValueError, KeyError):
@@ -1407,16 +1414,17 @@ JPEG_FEATURE_SCHEMA = (
 
 
 def _jpeg_features_one(payload: bytes):
+    import numpy as np
+
     decoded = parse_jpeg_pixels(payload)
     if decoded is None:
         return "unknown", 0, 0, 0, 0, 0, False
     w, h, rows = decoded
-    sv = wv = 0
-    for y, row in enumerate(rows):
-        for x in range(w):
-            v = row[x]
-            sv += v
-            wv += (x + y * w + 1) * v
+    # vectorized: position weight of (x, y) is x + y*w + 1
+    plane = np.asarray(rows, dtype=np.int64).reshape(h, w)
+    weights = np.arange(1, w * h + 1, dtype=np.int64).reshape(h, w)
+    sv = int(plane.sum())
+    wv = int((weights * plane).sum())
     return "jpeg", w, h, w * h, sv, wv, True
 
 
@@ -1607,20 +1615,20 @@ JPEG_COLOR_FEATURE_SCHEMA = (
 
 
 def _jpeg_color_features_one(payload: bytes):
+    import numpy as np
+
     decoded = parse_jpeg_planes(payload)
     if decoded is None or len(decoded[2]) != 3:
         return "unknown", 0, 0, 0, 0, 0, 0, 0, False
     w, h, planes = decoded
+    # vectorized: channel ci's weight at (x, y) is ci*w*h + y*w + x + 1
+    weights = np.arange(1, w * h + 1, dtype=np.int64).reshape(h, w)
     sums = [0, 0, 0]
     wv = 0
     for ci, plane in enumerate(planes):
-        s = 0
-        for y, row in enumerate(plane):
-            for x in range(w):
-                v = row[x]
-                s += v
-                wv += (ci * w * h + y * w + x + 1) * v
-        sums[ci] = s
+        arr = np.asarray(plane, dtype=np.int64).reshape(h, w)
+        sums[ci] = int(arr.sum())
+        wv += int((weights * arr).sum()) + ci * w * h * sums[ci]
     return "jpeg", w, h, w * h, sums[0], sums[1], sums[2], wv, True
 
 
@@ -1676,7 +1684,16 @@ def synthesize_jpeg_subsampled_payloads(df: DataFrame, id_col: str) -> DataFrame
     (_JPEG_COLOR_MODELS[1:]). Constant blocks + all-ones quant tables
     survive the lossy pipeline bit-exactly, so parse_jpeg_planes'
     subsampled path is differentially verifiable against a closed-form
-    replay of the three models at each plane's native resolution."""
+    replay of the three models at each plane's native resolution.
+
+    The bit stream is assembled through STAGED array columns (DC
+    values -> DC diffs -> per-block Huffman codes -> MCU interleave)
+    rather than one inline-expanded expression: the single-expression
+    form repeats each pmod model chain ~6x inside every code and
+    compiles to a codegen method big enough that janino compilation
+    dominated the whole query (~5 s/run, re-paid per fresh DataFrame);
+    staging keeps each generated method small and the output bits
+    identical."""
     pre_hex, sos_hex = _jpeg_color_static_hex()
     base = df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -1691,7 +1708,8 @@ def synthesize_jpeg_subsampled_payloads(df: DataFrame, id_col: str) -> DataFrame
 
     def dc_code(diff: str, code_arr: str, eob: str) -> str:
         # Huffman DC category + amplitude bits + (empty-AC) EOB for
-        # one block, given the SQL expression of its DC difference
+        # one block; `diff` is a plain lambda variable reference, so
+        # repeating it here costs nodes, not re-evaluated model chains
         cat = f"if({diff} = 0, 0, length(conv(abs({diff}), 10, 2)))"
         pow2cat = f"cast(pow(2.0d, {cat}) as bigint)"
         valbits = (
@@ -1704,45 +1722,65 @@ def synthesize_jpeg_subsampled_payloads(df: DataFrame, id_col: str) -> DataFrame
             f"{valbits}, '{eob}')"
         )
 
-    def y_dc(t: str) -> str:
-        # DC coefficient of the Y block at scan index t (4 per MCU):
-        # MCU k = t div 4, sub-block j = t % 4 -> (u, v) = (j%2, j//2),
-        # full-res block coords Bx = 2*(k % cx) + u, By = 2*(k div cx) + v
-        bx = f"(2*((({t}) div 4) % cx) + (({t}) % 4) % 2)"
-        by = f"(2*((({t}) div 4) div cx) + (({t}) % 4) div 2)"
-        val = f"pmod(media_id*7 + {bx}*31 + {by}*57 + 13, 256)"
-        return f"(8*({val} - 128))"
+    def chroma_dcs(a: int, b: int, c: int, d: int) -> str:
+        return (
+            f"transform(sequence(0, cast(cx*cy - 1 as int)), k -> "
+            f"8*(pmod(media_id*{a} + (k % cx)*{b} + (k div cx)*{c} "
+            f"+ {d}, 256) - 128))"
+        )
 
-    def y_block(j: int) -> str:
-        t = f"k*4 + {j}"
-        if j == 0:
-            diff = f"({y_dc(t)} - if(k = 0, 0, {y_dc('k*4 - 1')}))"
-        else:
-            diff = f"({y_dc(t)} - {y_dc(f'k*4 + {j - 1}')})"
-        return dc_code(diff, luma_arr, "1010")
+    def diffs(dcs: str) -> str:
+        return (
+            f"transform(sequence(0, size({dcs}) - 1), t -> "
+            f"element_at({dcs}, t + 1) - "
+            f"if(t = 0, 0, element_at({dcs}, t)))"
+        )
 
-    def chroma_block(ch: int) -> str:
-        a, b, c, d = _JPEG_COLOR_MODELS[ch]
-
-        def dc(k: str) -> str:
-            v = (
-                f"pmod(media_id*{a} + (({k}) % cx)*{b} + "
-                f"(({k}) div cx)*{c} + {d}, 256)"
-            )
-            return f"(8*({v} - 128))"
-
-        diff = f"({dc('k')} - if(k = 0, 0, {dc('k-1')}))"
-        return dc_code(diff, chroma_arr, "00")
-
-    mcu = "concat(" + ", ".join(
-        [y_block(j) for j in range(4)]
-        + [chroma_block(1), chroma_block(2)]
-    ) + ")"
-    with_bits = base.withColumn(
+    staged = (
+        base
+        # stage 1: DC values, one model evaluation per block.  Y scan
+        # index t: MCU k = t div 4, sub-block j = t % 4 ->
+        # (u, v) = (j%2, j div 2), full-res block coords
+        # Bx = 2*(k % cx) + u, By = 2*(k div cx) + v
+        .withColumn(
+            "__dy",
+            F.expr(
+                "transform(sequence(0, cast(cx*cy*4 - 1 as int)), t -> "
+                "8*(pmod(media_id*7 "
+                "+ (2*((t div 4) % cx) + (t % 4) % 2)*31 "
+                "+ (2*((t div 4) div cx) + (t % 4) div 2)*57 "
+                "+ 13, 256) - 128))"
+            ),
+        )
+        .withColumn("__dcb", F.expr(chroma_dcs(*_JPEG_COLOR_MODELS[1])))
+        .withColumn("__dcr", F.expr(chroma_dcs(*_JPEG_COLOR_MODELS[2])))
+        # stage 2: DC difference chains
+        .withColumn("__ddy", F.expr(diffs("__dy")))
+        .withColumn("__ddcb", F.expr(diffs("__dcb")))
+        .withColumn("__ddcr", F.expr(diffs("__dcr")))
+        # stage 3: per-block Huffman code strings
+        .withColumn(
+            "__by",
+            F.expr(f"transform(__ddy, d -> {dc_code('d', luma_arr, '1010')})"),
+        )
+        .withColumn(
+            "__bcb",
+            F.expr(f"transform(__ddcb, d -> {dc_code('d', chroma_arr, '00')})"),
+        )
+        .withColumn(
+            "__bcr",
+            F.expr(f"transform(__ddcr, d -> {dc_code('d', chroma_arr, '00')})"),
+        )
+    )
+    # stage 4: MCU interleave — 4 Y sub-blocks, then Cb, then Cr
+    with_bits = staged.withColumn(
         "ebits",
         F.expr(
-            f"array_join(transform(sequence(0, cast(cx*cy - 1 as int)), "
-            f"k -> {mcu}), '')"
+            "array_join(transform(sequence(0, cast(cx*cy - 1 as int)), "
+            "k -> concat("
+            "element_at(__by, k*4 + 1), element_at(__by, k*4 + 2), "
+            "element_at(__by, k*4 + 3), element_at(__by, k*4 + 4), "
+            "element_at(__bcb, k + 1), element_at(__bcr, k + 1))), '')"
         ),
     )
     chunk = "conv(substring(concat(ebits, '1111111'), i*8 + 1, 8), 2, 10)"
@@ -1781,6 +1819,8 @@ JPEG_SUBSAMPLED_FEATURE_SCHEMA = (
 
 
 def _jpeg_subsampled_features_one(payload: bytes):
+    import numpy as np
+
     decoded = parse_jpeg_planes(payload)
     if decoded is None or len(decoded[2]) != 3:
         return "unknown", 0, 0, 0, 0, 0, 0, 0, 0, 0, False
@@ -1790,19 +1830,18 @@ def _jpeg_subsampled_features_one(payload: bytes):
     cw, chh = pws[1], phs[1]
     if (pws[0], phs[0]) != (w, h) or (pws[2], phs[2]) != (cw, chh):
         return "unknown", 0, 0, 0, 0, 0, 0, 0, 0, 0, False
+    # vectorized: weight within the concatenated (Y, Cb, Cr) sample
+    # sequence is plane_offset + y*plane_w + x + 1
     sums = [0, 0, 0]
     wv = 0
     off = 0
     for ci, plane in enumerate(planes):
-        pw = pws[ci]
-        s = 0
-        for y, row in enumerate(plane):
-            for x in range(pw):
-                v = row[x]
-                s += v
-                wv += (off + y * pw + x + 1) * v
-        sums[ci] = s
-        off += pw * phs[ci]
+        pw, ph_ = pws[ci], phs[ci]
+        arr = np.asarray(plane, dtype=np.int64).reshape(ph_, pw)
+        weights = np.arange(1, pw * ph_ + 1, dtype=np.int64).reshape(ph_, pw)
+        sums[ci] = int(arr.sum())
+        wv += int((weights * arr).sum()) + off * sums[ci]
+        off += pw * ph_
     return (
         "jpeg", w, h, cw, chh, w * h + 2 * cw * chh,
         sums[0], sums[1], sums[2], wv, True,

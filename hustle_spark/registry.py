@@ -5840,7 +5840,15 @@ def multimodal_jpeg_probe(spark, sf_dir):
     oracle replays the pixel model with correlated laterals — the
     position-weighted checksum fails any decoder that mis-orders
     blocks, rows, or Huffman bits."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # the tiny testdata parquet is a single split, which would leave
+    # the Python decode single-threaded; real media arrives
+    # pre-parallel (one binaryFile split per file), so the probe
+    # repartitions the 8-byte ids BEFORE synthesis — the only
+    # shuffle, bounded by id width (explicit N: AQE does not coalesce
+    # user-numbered repartitions back to one partition)
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id").repartition(par))
     media = multimodal.synthesize_jpeg_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_features(media)
     return feats.select(
@@ -5896,7 +5904,12 @@ def multimodal_jpeg_color_probe(spark, sf_dir):
     point. No color-space conversion: planes stay YCbCr so the
     differential is integer-exact (RGB is a pointwise map downstream,
     documented in parse_jpeg_planes)."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # ids repartitioned before synthesis so the Python decode runs
+    # wide (see multimodal_jpeg_probe — single-split testdata otherwise
+    # serializes the whole mapInPandas stage)
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id").repartition(par))
     media = multimodal.synthesize_jpeg_color_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_color_features(media)
     return feats.select(
@@ -5967,7 +5980,12 @@ def multimodal_jpeg_subsampled_probe(spark, sf_dir):
     point. Scale shape: identical to the other media probes —
     synthesis is pure codegen, decode is Arrow-batched mapInPandas,
     zero shuffle before the (bounded) result."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # ids repartitioned before synthesis so the Python decode runs
+    # wide (see multimodal_jpeg_probe — single-split testdata otherwise
+    # serializes the whole mapInPandas stage)
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id").repartition(par))
     media = multimodal.synthesize_jpeg_subsampled_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_subsampled_features(media)
     return feats.select(
