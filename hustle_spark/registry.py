@@ -5798,8 +5798,8 @@ def dedup_repeated_spans(spark, sf_dir):
     moves; the duplicate-digest set joins back via a plain shuffle
     equi-join (corpus-sized worst case — deliberately NOT broadcast);
     flagged starts collapse per document and merge in one codegen
-    fold; the rebuild is a map-only sorted two-pointer fold, O(1)
-    per token."""
+    fold; the rebuild slices the gaps between the merged intervals
+    and flattens — O(tokens + intervals) per doc, map-only."""
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
     return dedup.repeated_span_removal(d, span=16, min_docs=2)
 
@@ -5978,8 +5978,10 @@ def multimodal_jpeg_subsampled_probe(spark, sf_dir):
     (chroma at w/2 x h/2) with correlated laterals. Progressive scans
     and restart intervals remain at the documented PIL/ffmpeg swap
     point. Scale shape: identical to the other media probes —
-    synthesis is pure codegen, decode is Arrow-batched mapInPandas,
-    zero shuffle before the (bounded) result."""
+    synthesis is pure codegen, decode is Arrow-batched mapInPandas;
+    the only shuffle is the 8-byte id repartition that keeps the
+    decode wide on single-split testdata (real media arrives
+    pre-parallel from binaryFile)."""
     # ids repartitioned before synthesis so the Python decode runs
     # wide (see multimodal_jpeg_probe — single-split testdata otherwise
     # serializes the whole mapInPandas stage)
@@ -6260,7 +6262,7 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # rebuild rewritten as the O(1)-per-token two-pointer fold
+    # rebuild rewritten as the gap-slice flatten (O(tokens+intervals))
     # (VERDICT r5 "What's wrong" #2) + oracle COALESCE on NULL text
     # (ADVICE r5 #2)
     "dedup_repeated_spans",

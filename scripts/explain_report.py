@@ -71,14 +71,14 @@ SHOWCASE = {
     "text_bigram_quality": "bigram model broadcast into the per-doc join; per-doc re-agg map-side-combines before its one shuffle",
     "sharded_export_requery": "shard id computed map-side; partitionBy splits the write with no forced repartition; manifest is a 16-row aggregate",
     "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
-    "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage, no shuffle",
-    "dedup_repeated_spans": "window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles; rebuild is a map-only two-pointer fold, O(1)/token",
+    "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage kept wide by an 8-byte-id repartition (the only exchange)",
+    "dedup_repeated_spans": "window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles; rebuild is a map-only gap-slice flatten, O(tokens + intervals)/doc",
     "warc_ingest_records": "WARC bytes synthesized in codegen; ONE Arrow-batched record-parse stage (explode inside the batch, zero shuffle; gzip members gunzipped in the same batch); html_text is a JVM regex chain",
     "dedup_containment_guarded": "max_df window cut drops ubiquitous fingerprints BEFORE the self-join (the hot-bucket guard the 100x A/B proved mandatory); sizes computed pre-cut",
-    "multimodal_jpeg_color_probe": "3-component entropy stream (interleaved MCUs, 3 DC chains) assembled bit-by-bit in codegen; one Arrow-batched MapInPandas decode stage, no shuffle",
+    "multimodal_jpeg_color_probe": "3-component entropy stream (interleaved MCUs, 3 DC chains) assembled bit-by-bit in codegen; one wide Arrow-batched MapInPandas decode stage (id repartition is the only exchange)",
     "url_canonicalize_stats": "parse + canonicalize + domain entirely codegen regexp/HOFs: map-only, zero shuffle, zero UDF",
     "url_domain_quota": "ONE shuffle total (window rank on the domain key); quota filter and aggregates ride the same exchange",
-    "multimodal_jpeg_subsampled_probe": "4:2:0 entropy stream (6 blocks per 16x16 MCU, 3 DC chains) assembled bit-by-bit in codegen; one Arrow-batched MapInPandas decode stage at native per-plane resolution, no shuffle",
+    "multimodal_jpeg_subsampled_probe": "4:2:0 entropy stream (6 blocks per 16x16 MCU, 3 DC chains) staged through array columns in codegen; one wide Arrow-batched MapInPandas decode at native per-plane resolution (id repartition is the only exchange)",
 }
 
 
