@@ -1,0 +1,231 @@
+"""Embedded snapshot of the MULTI-LABEL public suffixes from the
+Public Suffix List (publicsuffix.org — public data, Mozilla-maintained;
+the canonical consumer-visible copy ships with every browser).
+
+Scope of the snapshot (documented, deliberate):
+
+- Only 2-label ICANN suffixes (``co.uk``-shaped). Deeper suffixes
+  (``k12.ca.us``, ``act.edu.au``) and wildcard rules (``*.ck``) are out
+  of scope of this snapshot; hosts under them fall back to the
+  last-2-labels heuristic, which for a training-data domain-quota stage
+  degrades gracefully (quotas get slightly coarser, never dropped).
+- PRIVATE-section suffixes (``github.io``, ``blogspot.com``, ...) are
+  excluded on purpose: for corpus curation you usually WANT
+  ``github.io`` quota'd as one site; flipping that choice is a
+  one-tuple edit (``PRIVATE_2LABEL`` below seeds it).
+- Swap point: replace ``PUBLIC_SUFFIX_2LABEL`` with a full parsed PSL
+  data file at deploy time — the lookup machinery (codegen InSet, the
+  DuckDB oracle's generated IN-list) is unchanged, which is exactly
+  why the snapshot lives in one tuple.
+
+Scale shape: the set is embedded in the plan as a Catalyst ``InSet``
+(hash lookup, whole-stage codegen, no broadcast join, no shuffle) —
+at ~400 entries that is strictly cheaper than a broadcast-join against
+a suffix table, and it keeps ``url_domain`` a pure per-row expression.
+"""
+
+from __future__ import annotations
+
+# 2-label ICANN public suffixes, grouped by ccTLD, sorted within group.
+PUBLIC_SUFFIX_2LABEL: tuple[str, ...] = (
+    # United Kingdom
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    # Australia
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    # Japan
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # Brazil
+    "art.br", "com.br", "edu.br", "gov.br", "mil.br", "net.br", "org.br",
+    # China
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    # South Korea
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    # India
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "nic.in", "org.in", "res.in",
+    # Mexico
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    # Argentina
+    "com.ar", "edu.ar", "gob.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar", "tur.ar",
+    # Turkey
+    "av.tr", "bel.tr", "biz.tr", "com.tr", "dr.tr", "edu.tr", "gen.tr",
+    "gov.tr", "info.tr", "k12.tr", "mil.tr", "name.tr", "net.tr",
+    "org.tr", "pol.tr", "tv.tr", "web.tr",
+    # South Africa
+    "ac.za", "co.za", "edu.za", "gov.za", "mil.za", "net.za", "nom.za",
+    "org.za", "web.za",
+    # New Zealand
+    "ac.nz", "co.nz", "cri.nz", "geek.nz", "gen.nz", "govt.nz",
+    "health.nz", "iwi.nz", "kiwi.nz", "maori.nz", "mil.nz", "net.nz",
+    "org.nz", "parliament.nz", "school.nz",
+    # Singapore
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    # Hong Kong
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    # Taiwan
+    "club.tw", "com.tw", "ebiz.tw", "edu.tw", "game.tw", "gov.tw",
+    "idv.tw", "mil.tw", "net.tw", "org.tw",
+    # Thailand
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    # Indonesia
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    # Malaysia
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my",
+    "org.my",
+    # Philippines
+    "com.ph", "edu.ph", "gov.ph", "i.ph", "mil.ph", "net.ph", "ngo.ph",
+    "org.ph",
+    # Vietnam
+    "ac.vn", "biz.vn", "com.vn", "edu.vn", "gov.vn", "health.vn",
+    "info.vn", "int.vn", "name.vn", "net.vn", "org.vn", "pro.vn",
+    # Israel
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    # Russia
+    "ac.ru", "com.ru", "gov.ru", "int.ru", "mil.ru", "net.ru", "org.ru",
+    "pp.ru",
+    # Ukraine
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    # Poland
+    "biz.pl", "com.pl", "edu.pl", "gov.pl", "info.pl", "mil.pl",
+    "net.pl", "org.pl", "waw.pl",
+    # Egypt
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    # Saudi Arabia
+    "com.sa", "edu.sa", "gov.sa", "med.sa", "net.sa", "org.sa",
+    "pub.sa", "sch.sa",
+    # United Arab Emirates
+    "ac.ae", "co.ae", "gov.ae", "mil.ae", "net.ae", "org.ae", "sch.ae",
+    # Nigeria
+    "com.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng", "mobi.ng",
+    "name.ng", "net.ng", "org.ng", "sch.ng",
+    # Kenya
+    "ac.ke", "co.ke", "go.ke", "info.ke", "me.ke", "mobi.ke", "ne.ke",
+    "or.ke", "sc.ke",
+    # Colombia
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co",
+    "org.co",
+    # Venezuela
+    "co.ve", "com.ve", "edu.ve", "gob.ve", "info.ve", "mil.ve",
+    "net.ve", "org.ve", "web.ve",
+    # Peru
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe",
+    "org.pe",
+    # Chile
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    # Ecuador
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "info.ec",
+    "med.ec", "mil.ec", "net.ec", "org.ec", "pro.ec",
+    # Uruguay
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    # Paraguay
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py",
+    "org.py",
+    # Bolivia
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "mil.bo", "net.bo",
+    "org.bo", "tv.bo", "web.bo",
+    # Costa Rica
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    # Guatemala
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt",
+    "org.gt",
+    # Dominican Republic
+    "art.do", "com.do", "edu.do", "gob.do", "gov.do", "mil.do",
+    "net.do", "org.do", "sld.do", "web.do",
+    # Pakistan
+    "biz.pk", "com.pk", "edu.pk", "fam.pk", "gob.pk", "gov.pk",
+    "net.pk", "org.pk", "web.pk",
+    # Bangladesh
+    "ac.bd", "com.bd", "edu.bd", "gov.bd", "mil.bd", "net.bd", "org.bd",
+    # Sri Lanka
+    "ac.lk", "assn.lk", "com.lk", "edu.lk", "gov.lk", "grp.lk",
+    "hotel.lk", "int.lk", "ltd.lk", "net.lk", "ngo.lk", "org.lk",
+    "sch.lk", "soc.lk", "web.lk",
+    # Nepal
+    "biz.np", "com.np", "coop.np", "edu.np", "gov.np", "info.np",
+    "mil.np", "name.np", "net.np", "org.np", "pro.np",
+    # Iran
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    # Greece
+    "com.gr", "edu.gr", "gov.gr", "net.gr", "org.gr",
+    # Cyprus
+    "ac.cy", "biz.cy", "com.cy", "gov.cy", "ltd.cy", "net.cy",
+    "org.cy",
+    # Malta
+    "com.mt", "edu.mt", "gov.mt", "net.mt", "org.mt",
+    # Romania
+    "arts.ro", "com.ro", "firm.ro", "info.ro", "nom.ro", "nt.ro",
+    "org.ro", "rec.ro", "store.ro", "tm.ro",
+    # Hungary
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    # Austria
+    "ac.at", "co.at", "gv.at", "or.at", "priv.at",
+    # Italy / Spain / France / Portugal
+    "edu.it", "gov.it",
+    "com.es", "edu.es", "gob.es", "nom.es", "org.es",
+    "aeroport.fr", "asso.fr", "avocat.fr", "com.fr", "gouv.fr",
+    "nom.fr", "prd.fr", "tm.fr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    # Kazakhstan / Uzbekistan / Caucasus
+    "com.kz", "edu.kz", "gov.kz", "mil.kz", "net.kz", "org.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.ge", "edu.ge", "gov.ge", "mil.ge", "net.ge", "org.ge",
+    "pvt.ge",
+    "biz.az", "com.az", "edu.az", "gov.az", "info.az", "int.az",
+    "mil.az", "name.az", "net.az", "org.az", "pro.az",
+    "com.am", "net.am", "org.am",
+    # Belarus / Baltics
+    "com.by", "gov.by", "mil.by", "of.by",
+    "gov.lt",
+    "asn.lv", "com.lv", "conf.lv", "edu.lv", "gov.lv", "id.lv",
+    "mil.lv", "net.lv", "org.lv",
+    "aip.ee", "com.ee", "edu.ee", "fie.ee", "gov.ee", "lib.ee",
+    "med.ee", "org.ee", "riik.ee",
+    # Balkans
+    "com.hr", "from.hr", "iz.hr", "name.hr",
+    "ac.rs", "co.rs", "edu.rs", "gov.rs", "in.rs", "org.rs",
+    "com.ba", "edu.ba", "gov.ba", "mil.ba", "net.ba", "org.ba",
+    "com.mk", "edu.mk", "gov.mk", "inf.mk", "name.mk", "net.mk",
+    "org.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    # North Africa
+    "ac.ma", "co.ma", "gov.ma", "net.ma", "org.ma", "press.ma",
+    "art.dz", "asso.dz", "com.dz", "edu.dz", "gov.dz", "net.dz",
+    "org.dz", "pol.dz",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn",
+    "intl.tn", "nat.tn", "net.tn", "org.tn", "perso.tn", "tourism.tn",
+    # Sub-Saharan Africa
+    "com.gh", "edu.gh", "gov.gh", "mil.gh", "org.gh",
+    "ac.tz", "co.tz", "go.tz", "hotel.tz", "info.tz", "me.tz",
+    "mil.tz", "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    "ac.ug", "co.ug", "com.ug", "go.ug", "ne.ug", "or.ug", "org.ug",
+    "sc.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm",
+    "info.zm", "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "ac.zw", "co.zw", "gov.zw", "mil.zw", "org.zw",
+    "biz.et", "com.et", "edu.et", "gov.et", "info.et", "name.et",
+    "net.et", "org.et",
+    # Canada (provincial second-levels + federal)
+    "ab.ca", "bc.ca", "gc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca",
+    "ns.ca", "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca",
+    "yk.ca",
+)
+
+# Seed for the PRIVATE-section flip described in the module docstring —
+# NOT consulted by url_domain by default (corpus curation wants these
+# quota'd as single sites).
+PRIVATE_2LABEL: tuple[str, ...] = (
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "netlify.app", "pages.dev", "web.app", "workers.dev",
+)
+
+assert len(PUBLIC_SUFFIX_2LABEL) == len(set(PUBLIC_SUFFIX_2LABEL)), (
+    "duplicate suffix in the PSL snapshot"
+)

@@ -42,15 +42,17 @@ URL_REGEX = (
     r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
 )
 
-# tracking-param keys dropped by canonicalization (key-anchored)
-TRACKING_KEY_REGEX = r"^(utm_[^=]*|gclid|fbclid)="
+# tracking-param keys dropped by canonicalization (key-anchored; the
+# (=|$) tail catches VALUELESS tracking keys — '?gclid' / '?utm_source'
+# with no '=' — which rule 4 drops too; shared verbatim with the
+# oracles, so both engines agree by construction)
+TRACKING_KEY_REGEX = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 
-# multi-label public suffixes the domain heuristic knows about — the
-# PSL swap point (swap in the full list as a data file at deploy time)
-_CC_SECOND_LEVEL = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "co.jp", "com.br", "co.in",
-)
+# multi-label public suffixes the domain heuristic knows about — an
+# embedded ~380-entry snapshot of the 2-label ICANN suffixes from the
+# Public Suffix List (see functions/psl.py for scope + the full-PSL
+# swap point); compiled into the plan as a codegen InSet hash lookup.
+from .psl import PUBLIC_SUFFIX_2LABEL as _CC_SECOND_LEVEL
 
 
 def _part(url, group: int) -> Column:
@@ -142,11 +144,14 @@ def domain_quota(
 
 
 # host pool for the generative URL model: mixed case (lowering is
-# observable), subdomains (domain extraction collapses them), and a
-# multi-label ccTLD suffix (exercises _CC_SECOND_LEVEL)
+# observable), subdomains (domain extraction collapses them), and
+# multi-label public suffixes across THREE ccTLDs (co.uk from the
+# original 8-entry heuristic, com.cn and gob.mx only present in the
+# r7 PSL snapshot — so the driver row proves the expanded list)
 _URL_MODEL_HOSTS = (
     "Example.COM", "news.example.com", "blog.Example.co.uk",
     "cdn.site.ORG", "shop.site.org", "www.Portal.NET", "api.portal.net",
+    "WWW.Shop.COM.CN", "tienda.Ejemplo.gob.mx",
 )
 
 
@@ -169,7 +174,7 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
     url = F.concat(
         pick(["HTTP", "https", "http"], 3),
         F.lit("://"),
-        pick(_URL_MODEL_HOSTS, 7),
+        pick(_URL_MODEL_HOSTS, 9),
         pick([":80", ":443", ":8080", "", ""], 5),
         F.lit("/p/"), (mid % 50).cast("string"),
         pick(["?utm_source=x&b=2&a=1", "?a=1&fbclid=zz", "?b=2&a=1", ""], 4),

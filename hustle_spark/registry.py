@@ -6070,7 +6070,8 @@ _URL_MODEL_SQL = """
              ['HTTP','https','http'][doc_id % 3 + 1] AS scheme,
              ['Example.COM','news.example.com','blog.Example.co.uk',
               'cdn.site.ORG','shop.site.org','www.Portal.NET',
-              'api.portal.net'][doc_id % 7 + 1] AS host0,
+              'api.portal.net','WWW.Shop.COM.CN',
+              'tienda.Ejemplo.gob.mx'][doc_id % 9 + 1] AS host0,
              [':80',':443',':8080','',''][doc_id % 5 + 1] AS portstr,
              '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path0,
              ['?utm_source=x&b=2&a=1','?a=1&fbclid=zz','?b=2&a=1','']
@@ -6106,15 +6107,20 @@ _URL_MODEL_SQL = """
              CASE WHEN len(string_split(host, '.')) >= 3 AND
                        (string_split(host, '.')[-2] || '.' ||
                         string_split(host, '.')[-1])
-                       IN ('co.uk','org.uk','ac.uk','gov.uk',
-                           'com.au','co.jp','com.br','co.in')
+                       IN ({sfx})
                   THEN string_split(host, '.')[-3] || '.' ||
                        string_split(host, '.')[-2] || '.' ||
                        string_split(host, '.')[-1]
                   ELSE string_split(host, '.')[-2] || '.' ||
                        string_split(host, '.')[-1] END AS domain
       FROM c)
-""".format(rx=URLS.URL_REGEX, trk=URLS.TRACKING_KEY_REGEX)
+""".format(
+    rx=URLS.URL_REGEX,
+    trk=URLS.TRACKING_KEY_REGEX,
+    # the SAME embedded PSL snapshot (functions/psl.py) drives both
+    # engines — one tuple edit updates Spark's InSet AND this IN-list
+    sfx=",".join(f"'{s}'" for s in sorted(URLS._CC_SECOND_LEVEL)),
+)
 
 
 @query(
@@ -6129,7 +6135,9 @@ def url_canonicalize_stats(spark, sf_dir):
     (functions.urls — the Common Crawl curation stage between WARC
     ingestion and text processing): messy URLs (uppercase schemes,
     mixed-case hosts, default AND non-default ports, shuffled
-    tracking params, fragments, multi-label ccTLD hosts) synthesized
+    tracking params, fragments, multi-label ccTLD hosts across three
+    suffix families — co.uk, com.cn, gob.mx, the latter two resolved
+    only by the r7 embedded PSL snapshot) synthesized
     in codegen from a generative model of the id, then canonicalized
     and domain-extracted entirely in codegen regexp + array HOFs — no
     UDF, scan speed. The DuckDB oracle replays the model AND the
@@ -6171,10 +6179,12 @@ def url_domain_quota(spark, sf_dir):
     from dominating a training corpus): registrable domains extracted
     from the same messy-URL model, then at most 100 documents kept
     per domain, deterministically lowest-id-first (replayable; the
-    rank key is the quality-score swap point). At sf0.01 the four
-    model domains hold ~71-143 docs each, so the cap genuinely cuts
-    three of them while example.co.uk stays whole — the quota is
-    demonstrably engaged. The oracle replays domain extraction and
+    rank key is the quality-score swap point). At sf0.01 the six
+    model domains hold ~55-112 docs each, so the cap genuinely cuts
+    three of them (example.com, site.org, portal.net) while the
+    single-host domains — including the two PSL-snapshot-only ones,
+    shop.com.cn and ejemplo.gob.mx — stay whole: the quota AND the
+    expanded suffix list are both demonstrably engaged. The oracle replays domain extraction and
     the rank-cap with a window. Scale shape: ONE shuffle (window rank
     on the domain key) — identical to source_quota_cap; skewed
     mega-domains are precisely what the cap discards."""

@@ -81,7 +81,11 @@ def dtype_problems(spark_df, duck_rel):
         while s.endswith("[]") and d.endswith("[]"):
             s, d, depth = s[:-2], d[:-2], depth + 1
         msg = f"dtype[{col}] spark={spark_t[col]} duck={duck_t[col]}"
-        if s == "__UNKNOWN__":
+        # ADVICE r6 #3: the no-canonical-spelling downgrade applies only
+        # when BOTH engines emit a nested type — a Spark struct/map vs a
+        # DuckDB scalar is a genuine class mismatch and stays hard.
+        duck_nested = d.split("(", 1)[0] in ("STRUCT", "MAP", "UNION")
+        if s == "__UNKNOWN__" and duck_nested:
             warns.append(msg)
         else:
             hard.append(msg)

@@ -33,6 +33,9 @@ def test_url_canonicalize_edges(spark):
             "https://a.b.com:443/p",               # default stripped
             "http://a.com/p?",                     # empty query
             "http://a.com/p?flag&b=1",             # valueless param kept
+            "http://a.com/p?gclid",                # valueless TRACKING key
+            "http://a.com/p?utm_source&b=1",       # ... dropped (rule 4)
+            "http://a.com/p?utm=1&gclidx=2",       # near-miss keys kept
             "http://localhost/x",                  # single-label host
             "http://co.uk/x",                      # bare multi-label suffix
             "http://x.blog.example.co.uk/x",       # deep ccTLD subdomain
@@ -46,14 +49,40 @@ def test_url_canonicalize_edges(spark):
     assert out[5] == ("https://a.b.com/p", "b.com")
     assert out[6] == ("http://a.com/p", "a.com")
     assert out[7] == ("http://a.com/p?b=1&flag", "a.com")
+    # ADVICE r6 #2: valueless tracking keys are dropped too
+    assert out[8] == ("http://a.com/p", "a.com")
+    assert out[9] == ("http://a.com/p?b=1", "a.com")
+    # near-miss keys ('utm' w/o underscore, 'gclidx') are NOT tracking
+    assert out[10] == ("http://a.com/p?gclidx=2&utm=1", "a.com")
     # localhost canonicalizes fine but has no registrable domain
-    assert out[8] == ("http://localhost/x", None)
+    assert out[11] == ("http://localhost/x", None)
     # heuristic floor: a bare public suffix is returned as-is (the
-    # PSL swap point would reject it) — pinned, documented behavior
-    assert out[9] == ("http://co.uk/x", "co.uk")
-    assert out[10] == (
+    # full-PSL swap point would reject it) — pinned, documented
+    assert out[12] == ("http://co.uk/x", "co.uk")
+    assert out[13] == (
         "http://x.blog.example.co.uk/x", "example.co.uk",
     )
+
+
+def test_psl_snapshot_breadth(spark):
+    """The r7 embedded PSL snapshot (functions/psl.py): ≥20 multi-label
+    suffixes beyond the original 8-entry heuristic resolve 3-label
+    registrable domains (VERDICT r6 'Next round' #4 done-criterion)."""
+    from hustle_spark.functions.psl import PUBLIC_SUFFIX_2LABEL
+
+    original8 = {"co.uk", "org.uk", "ac.uk", "gov.uk",
+                 "com.au", "co.jp", "com.br", "co.in"}
+    beyond = [s for s in PUBLIC_SUFFIX_2LABEL if s not in original8]
+    assert len(PUBLIC_SUFFIX_2LABEL) >= 300
+    # spot-check 24 load-bearing suffixes across the snapshot
+    probe = ["com.cn", "co.kr", "com.mx", "gob.mx", "com.tr", "co.za",
+             "co.nz", "com.sg", "com.hk", "com.tw", "co.th", "co.id",
+             "com.my", "com.ph", "com.vn", "co.il", "com.ua", "com.pl",
+             "com.eg", "com.sa", "co.ke", "com.ar", "gob.pe", "on.ca"]
+    assert set(probe) <= set(beyond) and len(probe) >= 20
+    urls = [f"http://www.site.{s}/x" for s in probe]
+    out = _canon(spark, urls)
+    assert [d for _, d in out] == [f"site.{s}" for s in probe]
 
 
 def test_domain_quota_deterministic_and_null_safe(spark):
@@ -76,4 +105,5 @@ def test_messy_url_model_is_parseable(spark):
     )
     assert out.filter(F.col("c").isNull() | F.col("d").isNull()).count() == 0
     doms = {r.d for r in out.select("d").distinct().collect()}
-    assert doms == {"example.com", "example.co.uk", "site.org", "portal.net"}
+    assert doms == {"example.com", "example.co.uk", "site.org",
+                    "portal.net", "shop.com.cn", "ejemplo.gob.mx"}
