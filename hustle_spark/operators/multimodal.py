@@ -1192,6 +1192,21 @@ class _JpegBits:
             v = (v << 1) | self.bit()
         return v
 
+    def restart_marker(self) -> int:
+        """Byte-align (discarding the spec's 1-bit padding) and consume
+        an RSTn marker; returns n (0-7). Raises if the next marker is
+        not RSTn. A partially-consumed byte here was already validated
+        as entropy data by bit(), so skipping it only needs the
+        stuffed-0xFF width check."""
+        if self.k:
+            self.pos += 2 if self.data[self.pos] == 0xFF else 1
+            self.k = 0
+        m = self.data[self.pos + 1]
+        if self.data[self.pos] != 0xFF or not 0xD0 <= m <= 0xD7:
+            raise ValueError("expected RSTn at restart interval")
+        self.pos += 2
+        return m & 7
+
 
 def _jpeg_huff_table(counts: list[int], vals: list[int]) -> dict:
     """Canonical Huffman reconstruction per T.81 C.2:
@@ -1222,23 +1237,44 @@ def _jpeg_extend(v: int, n: int) -> int:
 
 
 def parse_jpeg_planes(payload: bytes):
+    """REAL baseline JPEG decode — thin wrapper over
+    ``_parse_jpeg_planes_ex`` that keeps the original public
+    (w, h, planes) contract; see that function for the full decode
+    semantics (sampling factors, restart intervals, non-interleaved
+    single-component scans)."""
+    decoded = _parse_jpeg_planes_ex(payload)
+    if decoded is None:
+        return None
+    w, h, planes, _ = decoded
+    return w, h, planes
+
+
+def _parse_jpeg_planes_ex(payload: bytes):
     """REAL baseline JPEG decode for 1-component grayscale and
     3-component YCbCr at ANY legal sampling-factor combination —
-    4:4:4, 4:2:0, 4:2:2, 4:4:0 (non-progressive, no restart
-    markers): segment walk, canonical Huffman tables from the DHT
-    bytes, per-component quant/table/sampling routing from SOF0+SOS,
-    interleaved-MCU decode in the spec's block order (per scan
-    component, Vi rows of Hi blocks per MCU), DC-difference + AC
-    run/length entropy decode with one DC predictor per component,
-    dequantization, zigzag re-order, float 2D IDCT (numpy), level
-    shift and clamp. Returns (w, h, planes) with one row-major
-    [[0-255]] plane per component (Y[, Cb, Cr]) at the component's
-    NATIVE resolution — ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax), cropped
-    from the MCU-padded grid — so subsampled chroma stays
-    integer-exact for differential oracles; chroma upsampling and
-    RGB conversion are pointwise maps deliberately left to the
-    consumer. None if the payload is not a decodable baseline
-    sequential JPEG (progressive/lossless/restart-interval inputs
+    4:4:4, 4:2:0, 4:2:2, 4:4:0 — including DRI restart intervals
+    (non-progressive): segment walk, canonical Huffman tables from
+    the DHT bytes, per-component quant/table/sampling routing from
+    SOF0+SOS, MCU decode in the spec's block order. A multi-component
+    scan is interleaved (per scan component, Vi rows of Hi blocks per
+    MCU); a SINGLE-component scan is non-interleaved per T.81 A.2 —
+    one data unit per MCU, raster order over the component's own
+    ceil(w/8) x ceil(h/8) block grid, no Hi x Vi padding. DRI
+    (0xFFDD) restart intervals are honored: after every Ri MCUs the
+    reader byte-aligns, consumes the RSTn marker (verifying the 0-7
+    cycle), and resets every DC predictor — the T.81 F.2.1.3.1
+    resync contract, which is also the chunk-parallelism hook for
+    entropy decode at scale (restart segments are independently
+    decodable). DC-difference + AC run/length entropy decode with one
+    DC predictor per component, dequantization, zigzag re-order,
+    float 2D IDCT (numpy), level shift and clamp. Returns
+    (w, h, planes, n_restarts) with one row-major [[0-255]] plane per
+    component (Y[, Cb, Cr]) at the component's NATIVE resolution —
+    ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax), cropped from the MCU-padded
+    grid — so subsampled chroma stays integer-exact for differential
+    oracles; chroma upsampling and RGB conversion are pointwise maps
+    deliberately left to the consumer. None if the payload is not a
+    decodable baseline sequential JPEG (progressive/lossless inputs
     stay at the documented PIL/ffmpeg swap point)."""
     import numpy as np
 
@@ -1248,6 +1284,7 @@ def parse_jpeg_planes(payload: bytes):
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
+        ri = 0  # restart interval in MCUs (0 = no DRI segment)
         # (comp_id, quant_id, H_i, V_i) in SOF order
         comps: list[tuple[int, int, int, int]] = []
         i = 2
@@ -1291,6 +1328,8 @@ def parse_jpeg_planes(payload: bytes):
                     comps.append((cid, qid, sh, sv))
             elif marker in (0xC1, 0xC2, 0xC3):
                 return None  # extended/progressive/lossless unsupported
+            elif marker == 0xDD:  # DRI
+                ri = int.from_bytes(seg[0:2], "big")
             elif marker == 0xC4:  # DHT
                 j = 0
                 while j < len(seg):
@@ -1321,14 +1360,26 @@ def parse_jpeg_planes(payload: bytes):
                 A = _jpeg_idct_basis()
                 hmax = max(t[3] for t in tables)
                 vmax = max(t[4] for t in tables)
-                mcux = (w + 8 * hmax - 1) // (8 * hmax)
-                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
                 # native per-component resolution (A.1.1: ceil scaling)
                 dims = [
                     ((w * t[3] + hmax - 1) // hmax,
                      (h * t[4] + vmax - 1) // vmax)
                     for t in tables
                 ]
+                if len(tables) == 1:
+                    # T.81 A.2: a single-component scan is
+                    # NON-interleaved — one data unit per MCU, raster
+                    # order over the component's own block grid; the
+                    # declared Hi x Vi play no geometric role (no MCU
+                    # padding), so walk with effective H = V = 1.
+                    dc_t, ac_t, quant, _, _ = tables[0]
+                    tables = [(dc_t, ac_t, quant, 1, 1)]
+                    cw0, ch0 = dims[0]
+                    mcux = (cw0 + 7) // 8
+                    mcuy = (ch0 + 7) // 8
+                else:
+                    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
                 # numpy planes so each block lands as one sliced
                 # assignment (a per-pixel Python loop here dominates
                 # the whole decode at bench scale); converted back to
@@ -1338,8 +1389,18 @@ def parse_jpeg_planes(payload: bytes):
                     for cw, chh in dims
                 ]
                 preds = [0] * len(tables)
+                nrst = 0
                 for by in range(mcuy):
                     for bx in range(mcux):
+                        mcu_idx = by * mcux + bx
+                        if ri and mcu_idx and mcu_idx % ri == 0:
+                            # F.2.1.3.1: byte-align, consume RSTn
+                            # (verify the 0-7 cycle), reset every DC
+                            # predictor before the next interval
+                            if br.restart_marker() != nrst & 7:
+                                return None
+                            nrst += 1
+                            preds = [0] * len(tables)
                         # one MCU: V_i x H_i blocks per component, in
                         # the spec's order (rows of blocks, left to
                         # right within a row)
@@ -1388,7 +1449,7 @@ def parse_jpeg_planes(payload: bytes):
                                         planes[ci][
                                             y0 : y0 + ny, x0 : x0 + nx
                                         ] = out[:ny, :nx]
-                return w, h, [p.tolist() for p in planes]
+                return w, h, [p.tolist() for p in planes], nrst
             i += L
         return None
     except (IndexError, ValueError, KeyError):
@@ -1455,6 +1516,170 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+def synthesize_jpeg_restart_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table of baseline grayscale JPEGs WITH DRI restart
+    intervals, built in codegen — the r7 slice of the compressed-media
+    gap (real encoders emit RSTn, and restart segments are the natural
+    chunk-parallelism unit for entropy decode at scale). Geometry,
+    pixels, and the restart interval are a fixed function of the id:
+
+        blocks_x = id % 3 + 1, blocks_y = id % 2 + 2
+        width = 8*blocks_x, height = 8*blocks_y
+        restart interval Ri = id % 4 + 1 MCUs
+        every 8x8 block is constant V(bx,by) = (id*13 + bx*37 + by*61
+        + 29) % 256
+
+    The entropy stream is assembled PER RESTART INTERVAL, exactly as
+    T.81 prescribes: each interval Huffman-codes up to Ri blocks with
+    its own DC-difference chain starting from predictor 0, is padded
+    with 1-bits to a byte boundary, 0xFF00-stuffed, and separated from
+    the next interval by RSTn markers cycling n = 0..7. Ids with
+    Ri >= blocks get a DRI segment but zero markers (the legal
+    degenerate case); ids with Ri = 1 restart at every MCU. The bit
+    stream is staged through intermediate array columns (bbits ->
+    ivbits -> padded -> hex) so janino compiles lambda references, not
+    re-expanded expression chains."""
+    pre_hex, sos_hex = _jpeg_static_hex()
+    base = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.col(id_col).cast("long") % 3 + 1).alias("cx"),
+        (F.col(id_col).cast("long") % 2 + 2).alias("cy"),
+        (F.col(id_col).cast("long") % 4 + 1).alias("ri"),
+    )
+
+    def dc(k: str) -> str:
+        v = (
+            f"pmod(media_id*13 + (({k}) % cx)*37 + (({k}) div cx)*61"
+            f" + 29, 256)"
+        )
+        return f"(8*({v} - 128))"
+
+    # DC predictor resets at every interval start (k % ri = 0)
+    diff = f"({dc('k')} - if(k % ri = 0, 0, {dc('k-1')}))"
+    cat = f"if({diff} = 0, 0, length(conv(abs({diff}), 10, 2)))"
+    pow2cat = f"cast(pow(2.0d, {cat}) as bigint)"
+    valbits = (
+        f"case when {diff} = 0 then '' "
+        f"when {diff} > 0 then conv({diff}, 10, 2) "
+        f"else substring(conv({diff} + 2*{pow2cat} - 1, 10, 2), 2) end"
+    )
+    dc_code_arr = "array(" + ", ".join(f"'{c}'" for c in _JPEG_DC_CODES) + ")"
+    block_bits = (
+        f"concat(element_at({dc_code_arr}, cast({cat} as int) + 1), "
+        f"{valbits}, '1010')"  # '1010' = EOB in the Annex K AC table
+    )
+    staged = (
+        base.withColumn(
+            "bbits",
+            F.expr(
+                f"transform(sequence(0, cast(cx*cy - 1 as int)), "
+                f"k -> {block_bits})"
+            ),
+        )
+        .withColumn(
+            # one bit string per restart interval: Ri consecutive blocks
+            "ivbits",
+            F.expr(
+                "transform(sequence(0, cast((cx*cy + ri - 1) div ri "
+                "as int) - 1), j -> array_join(slice(bbits, "
+                "cast(j*ri as int) + 1, cast(ri as int)), ''))"
+            ),
+        )
+        .withColumn(
+            # T.81: pad each interval to a byte boundary with 1-bits
+            "ivpad",
+            F.expr(
+                "transform(ivbits, b -> concat(b, "
+                "repeat('1', (8 - pmod(length(b), 8)) % 8)))"
+            ),
+        )
+    )
+    byte = "conv(substring(b, i*8 + 1, 8), 2, 10)"
+    iv_hex = (
+        f"array_join(transform(sequence(0, cast(length(b) div 8 as int)"
+        f" - 1), i -> concat(lpad(hex(cast({byte} as bigint)), 2, '0'), "
+        f"if(cast({byte} as int) = 255, '00', ''))), '')"
+    )
+    scan_hex = (
+        f"array_join(transform(ivpad, (b, j) -> concat({iv_hex}, "
+        f"if(j < size(ivpad) - 1, "
+        f"concat('FFD', cast(pmod(j, 8) as string)), ''))), '')"
+    )
+    dri_hex = "concat('FFDD0004', lpad(hex(ri), 4, '0'))"
+    sof_hex = (
+        "concat('FFC0000B08', lpad(hex(cy*8), 4, '0'), "
+        "lpad(hex(cx*8), 4, '0'), '01011100')"
+    )
+    payload_hex = F.expr(
+        f"concat('{pre_hex}', {dri_hex}, {sof_hex}, '{sos_hex}', "
+        f"{scan_hex}, 'FFD9')"
+    )
+    return staged.select(
+        "media_id",
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("jpgr_"), F.col("media_id").cast("string")).alias(
+                "filename"
+            ),
+            (F.col("cx") * 8).cast("int").alias("declared_w"),
+            (F.col("cy") * 8).cast("int").alias("declared_h"),
+            F.expr("(cx*cy + ri - 1) div ri").alias("declared_intervals"),
+        ).alias("meta"),
+    )
+
+
+JPEG_RESTART_FEATURE_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_pixels long, sum_v long, wsum_v long, n_restarts long, ok boolean"
+)
+
+
+def _jpeg_restart_features_one(payload: bytes):
+    import numpy as np
+
+    decoded = _parse_jpeg_planes_ex(payload)
+    if decoded is None or len(decoded[2]) != 1:
+        return "unknown", 0, 0, 0, 0, 0, 0, False
+    w, h, planes, nrst = decoded
+    plane = np.asarray(planes[0], dtype=np.int64).reshape(h, w)
+    weights = np.arange(1, w * h + 1, dtype=np.int64).reshape(h, w)
+    return (
+        "jpeg", w, h, w * h, int(plane.sum()),
+        int((weights * plane).sum()), nrst, True,
+    )
+
+
+def decode_jpeg_restart_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode of DRI/RSTn grayscale JPEGs — same
+    plumbing contract as decode_jpeg_features plus the observed
+    restart-marker count, so a differential oracle can pin the
+    interval structure (ceil(blocks/Ri) - 1) and not just the
+    pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _jpeg_restart_features_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_pixels": [f[3] for f in feats],
+                    "sum_v": [f[4] for f in feats],
+                    "wsum_v": [f[5] for f in feats],
+                    "n_restarts": [f[6] for f in feats],
+                    "ok": [f[7] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=JPEG_RESTART_FEATURE_SCHEMA)
 
 
 # canonical chroma DC codes by category (derives from the Annex K

@@ -5905,9 +5905,11 @@ def multimodal_jpeg_color_probe(spark, sf_dir):
     bit-exactly, so the oracle replays the three per-channel pixel
     models with correlated laterals; the channel- and position-
     weighted checksum fails any decoder that swaps Cb/Cr planes,
-    crosses DC predictors, or mis-routes tables. Chroma subsampling
-    and progressive scans remain at the documented PIL/ffmpeg swap
-    point. No color-space conversion: planes stay YCbCr so the
+    crosses DC predictors, or mis-routes tables. Progressive scans
+    remain at the documented PIL/ffmpeg swap point (chroma
+    subsampling and DRI restart intervals are decoded — see the
+    subsampled/restart probes). No color-space conversion: planes
+    stay YCbCr so the
     differential is integer-exact (RGB is a pointwise map downstream,
     documented in parse_jpeg_planes)."""
     # ids repartitioned before synthesis so the Python decode runs
@@ -5982,8 +5984,9 @@ def multimodal_jpeg_subsampled_probe(spark, sf_dir):
     sub-blocks, upsamples chroma, or crosses predictors. The oracle
     replays the three models at each plane's NATIVE resolution
     (chroma at w/2 x h/2) with correlated laterals. Progressive scans
-    and restart intervals remain at the documented PIL/ffmpeg swap
-    point. Scale shape: identical to the other media probes —
+    remain at the documented PIL/ffmpeg swap point (restart
+    intervals are decoded — see multimodal_jpeg_restart_probe).
+    Scale shape: identical to the other media probes —
     synthesis is pure codegen, decode is Arrow-batched mapInPandas;
     the only shuffle is the 8-byte id repartition that keeps the
     decode wide on single-split testdata (real media arrives
@@ -6000,6 +6003,64 @@ def multimodal_jpeg_subsampled_probe(spark, sf_dir):
         "media_id", "media_type", "width", "height", "chroma_w",
         "chroma_h", "n_pixels", "sum_y", "sum_cb", "sum_cr", "wsum_v",
         "ok",
+    )
+
+
+@query(
+    "multimodal_jpeg_restart_probe",
+    oracle="""
+    WITH geo AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS cx,
+                        CAST(doc_id % 2 + 2 AS BIGINT) AS cy,
+                        CAST(doc_id % 4 + 1 AS BIGINT) AS ri
+                 FROM documents),
+    px AS (
+      SELECT g.doc_id, g.cx * 8 AS w, g.cy * 8 AS h, gx.x, gy.y,
+             (g.cx * g.cy + g.ri - 1) // g.ri - 1 AS nrst,
+             (g.doc_id * 13 + (gx.x // 8) * 37 + (gy.y // 8) * 61 + 29) % 256
+               AS v
+      FROM geo g, generate_series(0, 23) gx(x), generate_series(0, 23) gy(y)
+      WHERE gx.x < g.cx * 8 AND gy.y < g.cy * 8)
+    SELECT doc_id AS media_id, 'jpeg' AS media_type,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM((px.x + px.y * w + 1) * v) AS BIGINT) AS wsum_v,
+           CAST(MAX(nrst) AS BIGINT) AS n_restarts,
+           true AS ok
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_restart_probe(spark, sf_dir):
+    """L5 multimodal, DRI/RSTn RESTART-INTERVAL baseline JPEG (VERDICT
+    r6 directive #3 — the marker structure real encoders emit, and the
+    chunk-parallelism hook for entropy decode at scale: restart
+    segments are independently decodable). Grayscale files whose
+    entropy stream is segmented per T.81 — each restart interval of
+    Ri = id%4+1 MCUs Huffman-coded with its own DC chain from
+    predictor 0, 1-bit-padded to a byte boundary, separated by RSTn
+    markers cycling n = 0..7 — synthesized bit-by-bit in codegen
+    (multimodal.synthesize_jpeg_restart_payloads, DRI segment
+    included) and decoded by the REAL decoder (_parse_jpeg_planes_ex:
+    byte-align at each interval, verify the RSTn cycle, reset DC
+    predictors). The probe emits the OBSERVED restart-marker count
+    and the oracle pins it to the closed form ceil(blocks/Ri) - 1, so
+    a decoder that resyncs without resetting predictors fails the
+    pixel checksum and one that ignores DRI entirely fails ok=true
+    (bare marker inside entropy data). Ids with Ri >= blocks cover
+    the legal DRI-but-zero-markers case. Scale shape: identical to
+    the other media probes — pure-codegen synthesis, Arrow-batched
+    decode, id-repartition as the only shuffle."""
+    # ids repartitioned before synthesis so the Python decode runs
+    # wide (see multimodal_jpeg_probe — single-split testdata otherwise
+    # serializes the whole mapInPandas stage)
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id").repartition(par))
+    media = multimodal.synthesize_jpeg_restart_payloads(d, id_col="doc_id")
+    feats = multimodal.decode_jpeg_restart_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_v", "wsum_v", "n_restarts", "ok",
     )
 
 
@@ -6278,88 +6339,97 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # rebuild rewritten as the gap-slice flatten (O(tokens+intervals))
-    # (VERDICT r5 "What's wrong" #2) + oracle COALESCE on NULL text
-    # (ADVICE r5 #2)
-    "dedup_repeated_spans",
-    # gzip multi-member support: odd source ids now re-encoded as
-    # non-record-aligned gzip members before parsing (VERDICT r5
-    # "Next round" #3)
-    "warc_ingest_records",
-    # the seven int32-emitting rows, now cast bigint so the preflight
-    # gate could go width-strict (VERDICT r5 "What's wrong" #1) — all
-    # previously-proven queries re-proven with a one-line cast
-    "window_topk_per_group", "scalar_string_funcs",
-    "similarity_topk_exact", "similarity_ann_lsh", "tfidf_top_terms",
-    "window_rank_ties", "similarity_ivf",
-    # parse_jpeg_planes generalized from 4:4:4-only to arbitrary
-    # sampling factors (helper-level change -> manual promotion; the
-    # grayscale probe's decode path now runs through the generalized
-    # MCU walk)
-    "multimodal_jpeg_probe",
-]
-
-# New queries registered this round — every addition goes here.
-_NEW_THIS_ROUND = [
-    # VERDICT r5 "Next round" #4: the max_df production configuration
-    # of containment dedup, df-cut mirrored in the oracle
-    "dedup_containment_guarded",
-    # VERDICT r5 "Next round" #7: 3-component 4:4:4 color baseline
-    # JPEG, decoded by the generalized parse_jpeg_planes
-    "multimodal_jpeg_color_probe",
-    # r6 coverage widening: URL-level curation (the Common Crawl
-    # stage the suite lacked) — canonicalization + registrable-domain
-    # extraction, and the C4-style per-domain quota cap
+    # PSL snapshot: the 8-suffix domain heuristic replaced by the
+    # embedded ~380-entry 2-label ICANN list (functions/psl.py), two
+    # snapshot-only hosts added to the generative model so the driver
+    # row proves the expansion; valueless tracking keys now dropped
+    # (ADVICE r6 #2) — both rows re-proven (VERDICT r6 directive #4)
     "url_canonicalize_stats", "url_domain_quota",
-    # VERDICT r5 "What's missing" #3 continuation: 4:2:0
-    # chroma-subsampled baseline JPEG through the generalized
-    # sampling-factor decoder
+    # _parse_jpeg_planes_ex: DRI/RSTn restart support + the T.81 A.2
+    # single-component non-interleaved fix (ADVICE r6 #1) — all three
+    # previously-proven JPEG probes re-proven through the edited
+    # decoder (helper-level change -> manual promotion)
+    "multimodal_jpeg_probe", "multimodal_jpeg_color_probe",
     "multimodal_jpeg_subsampled_probe",
 ]
 
+# New queries registered this round — every addition goes here.
+# COUNT-SYNC RULE (ADVICE r6 #4): _window() asserts the three segments
+# sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
+# the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
+_NEW_THIS_ROUND = [
+    # VERDICT r6 directive #3: DRI/RSTn restart-interval JPEG —
+    # per-interval DC chains, byte-aligned RSTn cycle, observed
+    # restart count pinned to ceil(blocks/Ri)-1 in the oracle
+    "multimodal_jpeg_restart_probe",
+]
+
 # Already-proven entries, oldest driver row first, used to fill the
-# window back up to 50 — freshest re-confirmation of the stalest rows.
-# r6 head is 15 (10 changed + 5 new) -> 35 backfill slots: the ENTIRE
-# r2-latest tail (18 rows — window_rank_ties is promoted to _CHANGED,
-# so r2-latest staleness hits zero this round), then the first 17 of
-# the 38-row r3-latest block in CORRECTNESS_r03 key order
-# (tfidf_top_terms is also promoted; the listed tail past 35 slots is
-# auto-truncated by _window). Re-confirmation share: 45/50 = 90%
-# (10 changed re-provens + 35 backfill), exactly the verdict floor.
-# The r7 queue is the r3-latest remainder starting at
-# source_quota_cap, plus the two by-design rows-only sketches
-# (dedup_minhash_lsh, dedup_simhash, r1-latest — machinery
-# hash-checked via their md5 twins).
+# window back up to EXACTLY 50 — freshest re-confirmation of the
+# stalest rows. r7 pays the whole r3-latest staleness tail (VERDICT r6
+# directive #1): all 21 rows whose newest green row is CORRECTNESS_r03
+# (in r3 key order), then the stalest r4-latest rows in
+# CORRECTNESS_r04 key order. After this round no query's newest green
+# row predates r4. Re-confirmation share:
+# (50 - len(_NEW_THIS_ROUND))/50 — changed rows are re-provens of
+# previously-green queries.
 _BACKFILL = [
-    # r2-latest (CORRECTNESS_r02 key order)
-    "q21_waiting_orders", "q22_global_sales_opportunity",
-    "sql_api_exists", "grouping_sets_sql", "percentile_exact",
-    "variance_manual", "correlation_manual", "unpivot_measures",
-    "union_all_counts", "range_join_purchase_errors",
-    "streaming_session_windows", "streaming_dedupe_count",
-    "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
-    "curation_filter", "approx_cardinality", "text_lang_id",
-    # r3-latest (CORRECTNESS_r03 key order)
-    "collect_set_sorted", "dedup_simhash_audit",
-    "ntile_customer_quartiles", "histogram_totalprice",
-    "markov_transitions", "stratified_sample_stats",
-    "length_profile_by_source", "top_customer_share",
-    "window_cume_dist", "nullsafe_join_probe", "time_rollup_hierarchy",
-    "multimodal_audio_probe", "multimodal_video_probe",
-    "grouping_marker_rollup", "dataset_split_stats",
-    "pii_redaction_stats", "repetition_top_bigram", "source_quota_cap",
-    "orc_roundtrip_agg", "streaming_join_attribution",
-    "sequence_packing",
+    # r3-latest tail (CORRECTNESS_r03 key order)
+    "source_quota_cap", "orc_roundtrip_agg",
+    "streaming_join_attribution", "sequence_packing", "doc_chunking",
+    "embedding_quantize_int8", "mixture_token_budget",
+    "dedup_incremental", "skew_profile", "table_profile",
+    "funnel_stages", "cohort_retention", "dedup_simhash_md5",
+    "jsonl_roundtrip_agg", "window_range_rolling_7d",
+    "percentile_approx_audit", "q1_pricing_summary",
+    "restrict_groupby_sum", "filter_bool_combinators",
+    "filter_comparisons", "join_multiway",
+    # r4-latest head (CORRECTNESS_r04 key order)
+    "embedding_near_dup", "dedup_minhash_md5", "dedup_minhash_audit",
+    "bigram_vocab_stats", "doc_rolling_fingerprint",
+    "contamination_scan", "contamination_ngram_scan",
+    "insert_jsonl_requery", "delete_partition_requery",
+    "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
+    "streaming_tumbling_hour", "streaming_stateful_totals",
+    "dedup_cluster_cc", "udf_token_count", "udaf_regression_slope",
+    "udtf_shingle_stats", "q5_local_supplier_volume",
+    "q7_volume_shipping", "q8_national_market_share",
+    "q9_product_profit", "q14_promo_revenue",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r4-latest remainder in
+# CORRECTNESS_r04 key order, the r8 backfill head.
+_QUEUED_NEXT = [
+    "q19_disjunctive_revenue", "q3_shipping_priority",
+    "scalar_math_funcs", "dedup_ngram_jaccard",
+    "streaming_static_enrich", "skew_salted_join_requery",
+    "bucketed_join_requery", "multimodal_pixel_probe",
+    "dedup_containment_pairs", "text_unigram_quality",
+    "boilerplate_removal", "dedup_pipeline_keepers",
+    "multimodal_resize_probe", "multimodal_audio_samples",
+    "multimodal_frame_sample", "corpus_diff",
+    "embedding_random_projection", "streaming_ingest_dedup_requery",
+    "bpe_merge_rounds", "compact_requery", "distinct_order_limit",
+    "star_scan_region", "topk_orders",
 ]
 
 
 def _window() -> list[str]:
     head = _CHANGED + _NEW_THIS_ROUND
-    assert len(head) <= _WINDOW_SIZE, (
-        f"{len(head)} priority queries exceed the {_WINDOW_SIZE}-slot "
-        "driver window; the driver will never check the overflow"
+    # exact-fit invariant (ADVICE r6 #4): no silent backfill
+    # truncation — the three segments must sum to the window size;
+    # anything displaced moves to _QUEUED_NEXT by an explicit edit
+    assert len(head) + len(_BACKFILL) == _WINDOW_SIZE, (
+        f"window mis-sized: {len(head)} priority + {len(_BACKFILL)} "
+        f"backfill != {_WINDOW_SIZE}; move entries between _BACKFILL "
+        "and _QUEUED_NEXT so the sum is exact"
     )
-    return head + _BACKFILL[: _WINDOW_SIZE - len(head)]
+    dupes = set(head) & set(_BACKFILL) | (
+        set(head) | set(_BACKFILL)) & set(_QUEUED_NEXT)
+    assert not dupes, f"query in two window segments: {sorted(dupes)}"
+    return head + _BACKFILL
 
 
 def _ordered() -> list[str]:

@@ -753,6 +753,81 @@ def test_jpeg_decoder_rejects_garbage(spark):
     assert parse_jpeg_pixels(full.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
 
 
+def test_jpeg_restart_roundtrip_exact(spark):
+    """Synthesized DRI/RSTn grayscale JPEGs decode back to the
+    generative pixel model exactly, with the observed restart-marker
+    count equal to ceil(blocks/Ri) - 1 — per-interval DC predictor
+    reset, byte alignment, and the 0-7 marker cycle all exercised
+    (ids cover Ri = 1..4 against 2..9 blocks, including the legal
+    DRI-but-zero-markers case Ri >= blocks)."""
+    from hustle_spark.operators.multimodal import (
+        _parse_jpeg_planes_ex,
+        synthesize_jpeg_restart_payloads,
+    )
+
+    df = spark.range(0, 24).selectExpr("id as doc_id")
+    for r in synthesize_jpeg_restart_payloads(df, "doc_id").collect():
+        i = r.media_id
+        cx, cy, ri = i % 3 + 1, i % 2 + 2, i % 4 + 1
+        w, h, planes, nrst = _parse_jpeg_planes_ex(bytes(r.payload))
+        assert (w, h) == (cx * 8, cy * 8)
+        assert nrst == (cx * cy + ri - 1) // ri - 1
+        assert nrst == r.meta.declared_intervals - 1
+        exp = [
+            [(i * 13 + (x // 8) * 37 + (y // 8) * 61 + 29) % 256
+             for x in range(w)]
+            for y in range(h)
+        ]
+        assert planes[0] == exp
+
+
+def test_jpeg_restart_rejects_broken_interval_structure(spark):
+    """A wrong RSTn index (cycle violation) and a stream with markers
+    but no DRI segment must both return None — resyncing on corrupt
+    interval structure would silently decode garbage."""
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_pixels,
+        synthesize_jpeg_restart_payloads,
+    )
+
+    # id 1: cx=2, cy=3, ri=2 -> 6 blocks, 2 restarts (FFD0, FFD1)
+    df = spark.range(1, 2).selectExpr("id as doc_id")
+    full = bytes(
+        synthesize_jpeg_restart_payloads(df, "doc_id").collect()[0].payload
+    )
+    assert full.count(b"\xff\xd0") >= 1 and b"\xff\xdd" in full
+    assert parse_jpeg_pixels(full) is not None
+    # break the cycle: first RST0 -> RST5
+    assert parse_jpeg_pixels(full.replace(b"\xff\xd0", b"\xff\xd5", 1)) is None
+    # drop the DRI segment: the decoder now hits a bare RSTn inside
+    # entropy data and must reject, not resync blindly
+    dri_at = full.find(b"\xff\xdd")
+    assert parse_jpeg_pixels(full[:dri_at] + full[dri_at + 6:]) is None
+
+
+def test_jpeg_single_component_scan_is_non_interleaved(spark):
+    """T.81 A.2 (ADVICE r6 #1): a single-component scan decodes
+    non-interleaved regardless of the declared sampling factors — a
+    grayscale file re-declared as 2x2/2x1/1x2 must decode identically
+    to its 1x1 original (one data unit per MCU, raster order, no
+    Hi x Vi padding)."""
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_pixels,
+        synthesize_jpeg_payloads,
+    )
+
+    df = spark.range(5, 6).selectExpr("id as doc_id")  # 16x24, 6 blocks
+    full = bytes(synthesize_jpeg_payloads(df, "doc_id").collect()[0].payload)
+    sof_at = full.find(bytes.fromhex("FFC0000B08"))
+    samp_at = sof_at + 11  # marker+len+precision+h+w+nc+cid -> sampling
+    assert full[samp_at] == 0x11
+    base = parse_jpeg_pixels(full)
+    assert base is not None
+    for samp in (0x22, 0x21, 0x12):
+        mutated = full[:samp_at] + bytes([samp]) + full[samp_at + 1:]
+        assert parse_jpeg_pixels(mutated) == base, hex(samp)
+
+
 def test_jpeg_color_roundtrip_exact(spark):
     """Synthesized 4:4:4 color JPEGs decode back to all THREE
     generative channel models exactly — interleaved MCUs, three DC

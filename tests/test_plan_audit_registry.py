@@ -45,6 +45,7 @@ ALLOWED_PYTHON = {
     "multimodal_jpeg_probe",     # baseline JPEG entropy decode, same path
     "multimodal_jpeg_color_probe",  # 4:4:4 color JPEG decode, same path
     "multimodal_jpeg_subsampled_probe",  # 4:2:0 decode, same path
+    "multimodal_jpeg_restart_probe",  # DRI/RSTn decode, same path
     "warc_ingest_records",       # WARC record parse + gzip member
                                  # decode, same mapInPandas path
 }
