@@ -705,26 +705,12 @@ def repeated_span_removal(
     per-token predicate. Suffix arrays do this with better constants
     on one machine; this is the shape that distributes.
     """
-    # NULL text folds into the empty-text path up front (split(NULL)
-    # yields a NULL array whose size poisons every downstream count):
-    # a NULL doc behaves exactly like '' — one empty token, removable
-    # if '' is corpus-duplicated, n_tokens = 1
-    toks = F.split(F.coalesce(F.col(text), F.lit("")), r"\s+")
-    from ..functions.text import sliding_grams
-
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    base = _span_tokens(df, text, id_col)
     # the digest-only window table feeds BOTH the frequency aggregate
     # and the flag join (a self-join shape Spark would otherwise
     # compute twice — the plan showed two full explode+scan subtrees);
     # it is the skinny (id, pos, md5) frame, so caching it is cheap
-    windows = _tracked_cache(
-        base.select(
-            id_col,
-            F.posexplode(sliding_grams(F.col("__toks"), span)).alias(
-                "__pos", "__gram"
-            ),
-        ).select(id_col, "__pos", F.md5(F.col("__gram")).alias("__d"))
-    )
+    windows = _tracked_cache(_span_windows(base, id_col, span))
     hot = (
         windows.groupBy("__d")
         .agg(F.count_distinct(F.col(id_col)).alias("__df"))
@@ -732,6 +718,85 @@ def repeated_span_removal(
         .select("__d")
     )
     flagged = windows.join(hot, "__d", "left_semi")
+    return _rebuild_without_spans(base, flagged, id_col, text, span)
+
+
+def repeated_span_removal_withindoc(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span: int = 16,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal — the self-repetition
+    half of ExactSubstr (Lee et al. ACL 2022's motivating pathology:
+    generated/scraped documents that loop the same passage): every
+    ``span``-token window whose exact content occurs at least
+    ``min_occurrences`` times INSIDE one document keeps its FIRST
+    occurrence and is cut everywhere else in that document,
+    overlapping flagged windows merging into maximal removed runs.
+    Complements ``repeated_span_removal`` (cross-document, min_docs
+    distinct docs, cut from ALL of them): run both for full
+    ExactSubstr coverage. Same output contract — (id_col, text,
+    n_tokens, n_removed), whitespace-normalized reassembly, NULL
+    text folds to ''.
+
+    Scale shape: strictly LIGHTER than the cross-doc pass — the same
+    one-row-per-token-position window table, but frequency and
+    first-occurrence are computed with window functions partitioned
+    by (doc, digest), so the only wide exchange is ONE shuffle keyed
+    by document+digest (no corpus-wide duplicate-digest set, no
+    second join back); per-partition groups are bounded by a single
+    document's repeat count. The rebuild is the shared gap-slice
+    fold: O(tokens + intervals) per doc, map-only."""
+    from pyspark.sql import Window as W
+
+    base = _span_tokens(df, text, id_col)
+    windows = _span_windows(base, id_col, span)
+    spec = W.partitionBy(id_col, "__d")
+    flagged = (
+        windows.withColumn("__c", F.count(F.lit(1)).over(spec))
+        .withColumn("__mn", F.min("__pos").over(spec))
+        .filter(
+            (F.col("__c") >= min_occurrences)
+            & (F.col("__pos") > F.col("__mn"))
+        )
+        .select(id_col, "__pos")
+    )
+    return _rebuild_without_spans(base, flagged, id_col, text, span)
+
+
+def _span_tokens(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, __toks) token frame shared by the repeated-span passes.
+    NULL text folds into the empty-text path up front (split(NULL)
+    yields a NULL array whose size poisons every downstream count):
+    a NULL doc behaves exactly like '' — one empty token, removable
+    if its window is duplicated, n_tokens = 1."""
+    toks = F.split(F.coalesce(F.col(text), F.lit("")), r"\s+")
+    return df.select(F.col(id_col), toks.alias("__toks"))
+
+
+def _span_windows(base: DataFrame, id_col: str, span: int) -> DataFrame:
+    """The skinny (id, pos, md5-digest) window table — one row per
+    token position, computed map-side so window TEXT never crosses a
+    shuffle (~48 B/row is the ExactSubstr cost)."""
+    from ..functions.text import sliding_grams
+
+    return base.select(
+        id_col,
+        F.posexplode(sliding_grams(F.col("__toks"), span)).alias(
+            "__pos", "__gram"
+        ),
+    ).select(id_col, "__pos", F.md5(F.col("__gram")).alias("__d"))
+
+
+def _rebuild_without_spans(
+    base: DataFrame, flagged: DataFrame, id_col: str, text: str, span: int
+) -> DataFrame:
+    """Shared tail of the repeated-span passes: collapse flagged
+    window starts per document, merge overlapping windows into
+    disjoint intervals with one codegen fold, and rebuild the kept
+    text by slicing the gaps between intervals."""
     starts = flagged.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__pos")).alias("__starts")
     )

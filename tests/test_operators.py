@@ -498,6 +498,65 @@ def test_repeated_span_removal_matches_reference(spark):
     assert out[4][0] == "" and out[5][0] == ""
 
 
+def test_repeated_span_removal_withindoc_matches_reference(spark):
+    """Within-doc keep-first span dedup vs a pure-Python reference:
+    first occurrence kept, later ones cut; cross-document repeats
+    deliberately NOT flagged; min_occurrences threshold; overlap
+    merge; NULL/empty docs."""
+    import re
+
+    from hustle_spark.operators.dedup import repeated_span_removal_withindoc
+
+    SPAN = 3
+    rows = [
+        # 'a b c' repeats 3x within doc 1 -> first kept, rest cut
+        (1, "a b c x y a b c z w a b c"),
+        # same window across docs 2/3 but once EACH -> untouched
+        (2, "p q r s t u"), (3, "p q r s t u"),
+        # threshold: repeats twice, min_occurrences=3 would skip;
+        # at the default 2 the second occurrence is cut
+        (4, "m n o pad m n o"),
+        (5, None), (6, ""),
+        # self-overlap: 'a a a a a' — every window identical
+        (7, "a a a a a a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+           for r in repeated_span_removal_withindoc(df, span=SPAN).collect()}
+
+    def grams(ts):
+        n = len(ts)
+        if n >= SPAN:
+            return [" ".join(ts[j: j + SPAN]) for j in range(n - SPAN + 1)]
+        return [" ".join(ts)]
+
+    for i, t in rows:
+        ts = re.split(r"\s+", t if t is not None else "")
+        occ: dict = {}
+        for j, g in enumerate(grams(ts)):
+            occ.setdefault(g, []).append(j)
+        removed: set = set()
+        for g, js in occ.items():
+            if len(js) >= 2:
+                for j in js[1:]:
+                    removed.update(range(j, min(j + SPAN, len(ts))))
+        expect = (
+            " ".join(tok for j, tok in enumerate(ts) if j not in removed),
+            len(ts),
+            len(removed),
+        )
+        assert out[i] == expect, (i, out[i], expect)
+    # cross-doc duplication alone never triggers the within-doc pass
+    assert out[2][0] == "p q r s t u" and out[3][0] == "p q r s t u"
+    # keep-first: doc 1 retains exactly one 'a b c'
+    assert out[1][0] == "a b c x y z w"
+    # min_occurrences raises the bar: nothing cut at 3 for doc 4
+    out3 = {r.doc_id: r.n_removed
+            for r in repeated_span_removal_withindoc(
+                df, span=SPAN, min_occurrences=3).collect()}
+    assert out3[4] == 0 and out3[1] > 0
+
+
 def test_repeated_span_removal_property(spark):
     """Property: on random tiny-alphabet corpora (forcing heavy window
     collisions) the operator equals the pure-Python reference for
