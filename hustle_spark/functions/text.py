@@ -117,6 +117,105 @@ def lang_id(text) -> Column:
     return best["lang"]
 
 
+def char_trigrams(text) -> Column:
+    """All character trigrams of lower(text) as array<string> — the
+    unit of the Cavnar–Trenkle profile classifier. One transform over
+    a char-index sequence (codegen, no explode until the caller asks);
+    texts shorter than 3 chars (and NULL) yield an empty array."""
+    t = F.lower(text)
+    return F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_profiles_trigram(
+    train: DataFrame,
+    text: str = "text",
+    lang: str = "lang",
+    top_k: int = 64,
+) -> DataFrame:
+    """Ranked character-trigram profile per language — the public
+    Cavnar–Trenkle method ("N-Gram-Based Text Categorization", 1994):
+    count trigrams per language over a labeled training set, keep the
+    top_k by frequency (ties broken lexicographically so the profile
+    is deterministic), and weight each kept trigram by its rank
+    (top_k + 1 - rank, the linear out-of-place surrogate). Returns
+    (lang, tri, weight). Real pipelines swap in fastText/CLD3 model
+    scores here (not available in-container); the profile-table shape
+    — a tiny broadcastable (lang, feature, weight) frame — is the
+    production shape either way.
+
+    Scale shape: the trigram explode is one row per char position but
+    aggregates map-side into (lang, tri) partials — the only shuffle
+    is the (lang, tri) count, bounded by n_langs x distinct-trigrams;
+    the ranked profile is top_k x n_langs rows, broadcast by the
+    classifier."""
+    from pyspark.sql import Window as W
+
+    tri = train.select(
+        F.col(lang), F.explode(char_trigrams(F.col(text))).alias("tri")
+    )
+    counts = tri.groupBy(lang, "tri").agg(F.count(F.lit(1)).alias("__c"))
+    w = W.partitionBy(lang).orderBy(F.col("__c").desc(), F.col("tri"))
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select(
+            lang,
+            "tri",
+            (F.lit(top_k + 1) - F.col("__rk")).cast("bigint").alias("weight"),
+        )
+    )
+
+
+def lang_id_trigram(
+    docs: DataFrame,
+    profiles: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "guess",
+) -> DataFrame:
+    """Classify documents against trigram profiles: score(doc, lang) =
+    sum of profile weights over the document's trigram OCCURRENCES,
+    argmax lang (score ties -> lexicographically smallest lang), and
+    'und' when no profile trigram occurs at all. Input ``profiles`` is
+    (lang, tri, weight) from lang_profiles_trigram (or any swapped-in
+    model exported to that shape). Returns the docs frame's id plus
+    ``out_col``.
+
+    Scale shape: explode is map-only; the profile join is an explicit
+    BROADCAST (top_k x n_langs rows — plan-guaranteed small); scores
+    aggregate map-side into (doc, lang) partials, so the one wide
+    shuffle is keyed by document; the per-doc argmax window reuses
+    that partitioning; docs that scored nothing come back via a left
+    join on the id (co-partitioned with the aggregate)."""
+    from pyspark.sql import Window as W
+
+    lang = [c for c in profiles.columns if c not in ("tri", "weight")][0]
+    dtri = docs.select(
+        id_col, F.explode(char_trigrams(F.col(text))).alias("tri")
+    )
+    scored = (
+        dtri.join(F.broadcast(profiles), "tri")
+        .groupBy(id_col, lang)
+        .agg(F.sum("weight").alias("__score"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__score").desc(), F.col(lang))
+    best = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col(lang).alias("__guess"))
+    )
+    return docs.join(best, id_col, "left").select(
+        *[F.col(c) for c in docs.columns],
+        F.coalesce(F.col("__guess"), F.lit("und")).alias(out_col),
+    )
+
+
 def fingerprint(text, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text, truncated. Content-defined,

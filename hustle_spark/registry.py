@@ -1243,6 +1243,72 @@ def text_lang_id(spark, sf_dir):
 
 
 @query(
+    "text_lang_id_trigram",
+    oracle="""
+    WITH train AS (SELECT lang, lower(text) AS t FROM documents
+                   WHERE doc_id % 2 = 0),
+    tri AS (SELECT lang, substr(t, g.i, 3) AS tri
+            FROM train, unnest(generate_series(1, len(t) - 2)) g(i)
+            WHERE len(t) >= 3),
+    cnt AS (SELECT lang, tri, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+    prof AS (SELECT lang, tri, CAST(65 - rk AS BIGINT) AS weight
+             FROM (SELECT lang, tri, c,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY c DESC, tri) AS rk
+                   FROM cnt)
+             WHERE rk <= 64),
+    test AS (SELECT doc_id, lang, lower(text) AS t FROM documents
+             WHERE doc_id % 2 = 1),
+    dtri AS (SELECT doc_id, substr(t, g.i, 3) AS tri
+             FROM test, unnest(generate_series(1, len(t) - 2)) g(i)
+             WHERE len(t) >= 3),
+    sc AS (SELECT d.doc_id, p.lang AS cand, SUM(p.weight) AS score
+           FROM dtri d JOIN prof p USING (tri) GROUP BY 1, 2),
+    best AS (SELECT doc_id, cand
+             FROM (SELECT doc_id, cand,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rk
+                   FROM sc)
+             WHERE rk = 1),
+    g AS (SELECT t.lang, COALESCE(b.cand, 'und') AS guess
+          FROM test t LEFT JOIN best b USING (doc_id))
+    SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY 1, 2
+    """,
+)
+def text_lang_id_trigram(spark, sf_dir):
+    """L4 language-ID, TRIGRAM-PROFILE classifier (VERDICT r6
+    directive #7 — the Cavnar–Trenkle 1994 method, the single most
+    load-bearing quality signal after dedup in real curation
+    pipelines): ranked character-trigram profiles are FIT on the
+    labeled even-doc_id half of the corpus (top-64 trigrams per
+    language, count-desc/tri-asc deterministic rank, linear
+    out-of-place weights 65-rank), then the held-out odd half is
+    classified by weighted profile votes with argmax/lex-smallest
+    tiebreak and 'und' for no-hit docs
+    (functions.text.lang_profiles_trigram / lang_id_trigram);
+    confusion counts vs the labeled lang. The oracle replays the
+    ENTIRE fit+predict pipeline — trigram explode, profile ranking,
+    weighted scoring, tiebreaks — in plain SQL, a full hash-checked
+    differential. fastText/CLD3 remain the documented model swap
+    point: they export to the same (lang, tri, weight) profile shape.
+    Scale shape: trigram explodes are map-only and aggregate
+    map-side; the profile (320 rows) broadcasts; the wide shuffles
+    are (lang, tri) for fit and (doc) for predict — no corpus-sized
+    join side anywhere."""
+    d = _cat(spark, sf_dir).table("documents").df
+    profiles = TX.lang_profiles_trigram(
+        d.filter(F.col("doc_id") % 2 == 0), top_k=64
+    )
+    guessed = TX.lang_id_trigram(
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "text"),
+        profiles,
+    )
+    return guessed.groupBy("lang", "guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
     "doc_fingerprint_prefix",
     oracle="""
     SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 2) AS fp2,
@@ -6454,6 +6520,9 @@ _NEW_THIS_ROUND = [
     # VERDICT r6 directive #5: within-document repeated spans
     # (keep-first), generative self-repetition replayed in the oracle
     "dedup_repeated_spans_withindoc",
+    # VERDICT r6 directive #7: Cavnar–Trenkle trigram-profile
+    # language ID, fit+predict replayed end-to-end in the oracle
+    "text_lang_id_trigram",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
@@ -6486,7 +6555,6 @@ _BACKFILL = [
     "dedup_cluster_cc", "udf_token_count", "udaf_regression_slope",
     "udtf_shingle_stats", "q5_local_supplier_volume",
     "q7_volume_shipping", "q8_national_market_share",
-    "q9_product_profit",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -6494,7 +6562,8 @@ _BACKFILL = [
 # never dropped by a slice): the r4-latest remainder in
 # CORRECTNESS_r04 key order, the r8 backfill head.
 _QUEUED_NEXT = [
-    "q14_promo_revenue", "q19_disjunctive_revenue", "q3_shipping_priority",
+    "q9_product_profit", "q14_promo_revenue", "q19_disjunctive_revenue",
+    "q3_shipping_priority",
     "scalar_math_funcs", "dedup_ngram_jaccard",
     "streaming_static_enrich", "skew_salted_join_requery",
     "bucketed_join_requery", "multimodal_pixel_probe",

@@ -203,6 +203,59 @@ def test_text_functions(spark):
     assert en.select(TX.lang_id(F.col("t")).alias("l")).collect()[0].l == "en"
 
 
+def test_lang_id_trigram_fit_predict(spark):
+    """Cavnar–Trenkle trigram profiles on REAL distinguishable text:
+    fit on labeled English/French/German sentences, classify held-out
+    sentences of each language correctly; no-signal and NULL docs fall
+    back to 'und'; score ties break to the lexicographically smallest
+    language."""
+    from hustle_spark.functions.text import (
+        char_trigrams,
+        lang_id_trigram,
+        lang_profiles_trigram,
+    )
+
+    train = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox jumps over the lazy dog and then "
+                   "the other animals watch with great interest"),
+            ("en", "there is nothing better than a warm cup of tea in the "
+                   "morning with the newspaper and the quiet"),
+            ("fr", "le renard brun saute par dessus le chien paresseux et "
+                   "les autres animaux regardent avec beaucoup de plaisir"),
+            ("fr", "il n y a rien de mieux qu une tasse de the chaud le "
+                   "matin avec le journal et le calme"),
+            ("de", "der schnelle braune fuchs springt ueber den faulen "
+                   "hund und die anderen tiere schauen mit interesse zu"),
+            ("de", "es gibt nichts besseres als eine warme tasse tee am "
+                   "morgen mit der zeitung und der ruhe"),
+        ],
+        "lang string, text string",
+    )
+    profiles = lang_profiles_trigram(train, top_k=64)
+    assert profiles.count() <= 3 * 64
+    test = spark.createDataFrame(
+        [
+            (1, "the dog watches the fox with interest in the morning"),
+            (2, "le chien regarde le renard avec plaisir le matin"),
+            (3, "der hund schaut den fuchs mit interesse am morgen an"),
+            (4, "zzqq"),          # no profile trigram at all
+            (5, None),            # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.guess
+           for r in lang_id_trigram(test, profiles).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "de"
+    assert out[4] == "und" and out[5] == "und"
+    # empty trigram array for short/NULL text
+    short = spark.createDataFrame([("ab",), (None,)], "t string")
+    assert all(
+        r.g == []
+        for r in short.select(char_trigrams(F.col("t")).alias("g")).collect()
+    )
+
+
 def test_multimodal_decode(spark):
     from hustle_spark.operators.multimodal import attach_payload, decode_features
 
