@@ -67,6 +67,26 @@ WARM_RUNS = 3
 EXTRA_RUNS_UNDER = 0.3  # sub-0.3s medians re-run to median-of-5
 EXTRA_RUNS = 2
 
+# --- same-session drift correction (VERDICT r6 directive #6) ---------
+# Wall-clock in this container drifts 10-22% between sessions on
+# IDENTICAL plans (BASELINE.md), so the raw total alone conflates code
+# changes with session luck. Three SENTINEL queries — fixed plans,
+# deliberately NOT in HEADLINE (a sentinel must not collect extra warm
+# runs a headline peer doesn't get) — run first under the same
+# cold+median protocol. Their total, divided by the pinned
+# calibration-session total below, estimates this session's speed
+# ratio; the headline total divided by that ratio is what the same
+# code would have measured in the calibration session. Both raw and
+# normalized totals are reported; the raw number remains the driver
+# contract's "value".
+SENTINELS = ["q4_order_priority", "q7_volume_shipping", "q14_promo_revenue"]
+# Sum of the three sentinel medians measured in the round-7
+# calibration session (q4 0.6523 + q7 0.7690 + q14 0.3209), whose
+# headline raw total was 13.3024 s — the normalization anchor, also
+# recorded in BASELINE.md. value_normalized estimates what the same
+# code would have measured in THAT session.
+SENTINEL_CALIBRATION_TOTAL = 1.7422
+
 
 
 
@@ -92,8 +112,7 @@ def main() -> None:
     except Exception as exc:  # a broken warmup must not kill the bench
         print(f"bench: warmup failed: {exc}", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    def measure(name: str, out: dict[str, float]) -> None:
         try:
             fn = qs[name]  # inside try: a renamed query must not kill the run
             df = fn(spark, sf_dir)  # cold: plan + run once, discard
@@ -108,28 +127,46 @@ def main() -> None:
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     times.append(time.perf_counter() - t0)
-            per_query[name] = round(statistics.median(times), 4)
+            out[name] = round(statistics.median(times), 4)
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            per_query[name] = -1.0
+            out[name] = -1.0
         finally:
             # dedup queries cache signature frames; keep storage flat
             from hustle_spark.operators.dedup import release_cached
 
             release_cached()
 
+    # sentinels first: the drift estimate must not absorb cache-state
+    # side effects of the headline sweep (fixed order = fixed protocol)
+    sentinel_times: dict[str, float] = {}
+    assert not set(SENTINELS) & set(HEADLINE)
+    for name in SENTINELS:
+        measure(name, sentinel_times)
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        measure(name, per_query)
+
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_median_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_median_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sentinel": {
+            "queries": sentinel_times,
+            "total": round(sum(t for t in sentinel_times.values() if t >= 0), 4),
+            "calibration_total": SENTINEL_CALIBRATION_TOTAL,
+        },
+    }
+    ok = [t for t in sentinel_times.values() if t >= 0]
+    if SENTINEL_CALIBRATION_TOTAL and len(ok) == len(SENTINELS):
+        ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
+        result["sentinel"]["ratio"] = round(ratio, 4)
+        result["value_normalized"] = round(total / ratio, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
