@@ -6280,6 +6280,73 @@ def warc_ingest_records(spark, sf_dir):
     )
 
 
+@query(
+    "html_block_extract",
+    oracle="""
+    WITH src AS (SELECT doc_id AS m, doc_id % 3 + 3 AS nb FROM documents),
+    blk AS (SELECT m, j.j AS j,
+                   (m*5 + j.j*3) % 9 + 2 AS nw,
+                   (m + 2*j.j) % ((m*5 + j.j*3) % 9 + 3) AS nl
+            FROM src, unnest(generate_series(0, CAST(nb - 1 AS BIGINT)))
+                 j(j)),
+    wtxt AS (SELECT b.m, b.j, b.nw, b.nl,
+                    string_agg('t' || CAST((b.m*11 + b.j*7 + i.i) % 53
+                                           AS VARCHAR),
+                               ' ' ORDER BY i.i) AS words
+             FROM blk b,
+                  unnest(generate_series(0, CAST(b.nw - 1 AS BIGINT))) i(i)
+             GROUP BY b.m, b.j, b.nw, b.nl),
+    kept AS (SELECT m, j, words FROM wtxt
+             WHERE nw >= 5 AND nl * 100 <= 30 * nw)
+    SELECT s.m AS doc_id,
+           COALESCE(k.txt, '') AS main_text,
+           CAST(s.nb + 1 AS BIGINT) AS n_blocks,
+           CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_kept,
+           CAST(1 + w.tw AS BIGINT) AS n_words
+    FROM src s
+    JOIN (SELECT m, SUM(nw) AS tw FROM blk GROUP BY m) w USING (m)
+    LEFT JOIN (SELECT m, string_agg(words, ' ' ORDER BY j) AS txt,
+                      COUNT(*) AS nk
+               FROM kept GROUP BY m) k USING (m)
+    """,
+)
+def html_block_extract(spark, sf_dir):
+    """L23/S11 document-LAYOUT extraction for WARC HTML (VERDICT r6
+    stretch #8 — the upgrade from tag-strip html_text toward
+    trafilatura-style segmentation): pages split at block-level tag
+    boundaries, each block scored by the public shallow-text-feature
+    rules (Kohlschuetter et al., WSDM 2010 — word count and link
+    density, the same per-block features trafilatura's rule core
+    consumes), and the main text reassembled from blocks with >= 5
+    words and <= 30% anchor words (sources.warc.html_blocks /
+    html_main_text — codegen regex + array HOFs, zero UDF). The test
+    corpus is a generative page model (synthesize_block_pages): m%3+3
+    <p> blocks per page whose word counts straddle the min_words
+    threshold and whose leading-anchor runs sweep link density from 0
+    to 100%, plus title/script/comment segments exercising the
+    elision paths. The oracle reconstructs every block's words, word
+    count, link count, the keep decision, and the reassembled text
+    WITHOUT parsing HTML — integer-arithmetic density (nl*100 <=
+    30*nw) keeps the rule replayable exactly. Scale shape: pure
+    per-row codegen, no shuffle at all — at 100 TB this is the map
+    phase between WARC ingest and text curation, and it runs at scan
+    speed."""
+    from .sources import warc as WARC
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    pages = WARC.synthesize_block_pages(d, id_col="doc_id")
+    ext = pages.select(
+        "doc_id", WARC.html_main_text(F.col("html")).alias("e")
+    )
+    return ext.select(
+        "doc_id",
+        F.col("e.text").alias("main_text"),
+        F.col("e.n_blocks").alias("n_blocks"),
+        F.col("e.n_kept").alias("n_kept"),
+        F.col("e.n_words").alias("n_words"),
+    )
+
+
 _URL_MODEL_SQL = """
     m AS (
       SELECT doc_id,
@@ -6523,6 +6590,10 @@ _NEW_THIS_ROUND = [
     # VERDICT r6 directive #7: Cavnar–Trenkle trigram-profile
     # language ID, fit+predict replayed end-to-end in the oracle
     "text_lang_id_trigram",
+    # VERDICT r6 stretch #8: layout-aware HTML main-text extraction
+    # (block split + WSDM'10 word-count/link-density rules), the
+    # generative page model replayed block-by-block in the oracle
+    "html_block_extract",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
@@ -6554,7 +6625,7 @@ _BACKFILL = [
     "streaming_tumbling_hour", "streaming_stateful_totals",
     "dedup_cluster_cc", "udf_token_count", "udaf_regression_slope",
     "udtf_shingle_stats", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q8_national_market_share",
+    "q7_volume_shipping",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -6562,8 +6633,8 @@ _BACKFILL = [
 # never dropped by a slice): the r4-latest remainder in
 # CORRECTNESS_r04 key order, the r8 backfill head.
 _QUEUED_NEXT = [
-    "q9_product_profit", "q14_promo_revenue", "q19_disjunctive_revenue",
-    "q3_shipping_priority",
+    "q8_national_market_share", "q9_product_profit", "q14_promo_revenue",
+    "q19_disjunctive_revenue", "q3_shipping_priority",
     "scalar_math_funcs", "dedup_ngram_jaccard",
     "streaming_static_enrich", "skew_salted_join_requery",
     "bucketed_join_requery", "multimodal_pixel_probe",

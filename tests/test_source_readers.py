@@ -232,3 +232,57 @@ def test_read_warc_gz_from_disk(spark, tmp_path):
     out = read_warc(spark, str(tmp_path))
     assert out.count() == sum(i % 3 + 1 for i in range(4))
     assert out.filter("ok = false").count() == 0
+
+
+def test_html_block_extraction_rules(spark):
+    """Layout-aware extraction (html_blocks/html_main_text): the
+    WSDM'10 rule core keeps long low-link-density blocks and drops
+    navigation (pure links), short blocks, and link-heavy 'related'
+    chrome; script/style/comment content never leaks; entities decode;
+    NULL and empty pages degrade to NULL/zero rows."""
+    from pyspark.sql import functions as F
+
+    from hustle_spark.sources.warc import html_blocks, html_main_text
+
+    html = (
+        '<html><head><title>T page</title><style>.x{color:red}</style>'
+        '</head><body>'
+        '<div class="nav"><a href="/">Home</a> <a href="/a">About us</a>'
+        '</div>'
+        '<p>this is the real main content &amp; body of the page here</p>'
+        '<p>too short</p>'
+        '<p>see <a href="/x">one two three four five six</a> also here</p>'
+        '<script>var x=1;</script><!-- boilerplate --></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "")], "doc_id long, html string"
+    )
+    out = {
+        r.doc_id: (r.text, r.n_blocks, r.n_kept, r.n_words)
+        for r in df.select(
+            "doc_id", html_main_text(F.col("html")).alias("e")
+        ).select("doc_id", "e.*").collect()
+    }
+    # only the 11-word 0-link paragraph survives; '&amp;' decoded
+    assert out[1] == (
+        "this is the real main content & body of the page here", 5, 1, 28
+    )
+    assert out[2] == (None, None, None, None)
+    assert out[3] == ("", 0, 0, 0)
+    # per-block features: the nav div is 3 words / 3 link words
+    blocks = (
+        df.filter("doc_id = 1")
+        .select(F.explode(html_blocks(F.col("html"))).alias("b"))
+        .select("b.*")
+        .collect()
+    )
+    nav = [b for b in blocks if b.text.startswith("Home")][0]
+    assert (nav.n_words, nav.n_link_words) == (3, 3)
+    linky = [b for b in blocks if b.text.startswith("see")][0]
+    assert (linky.n_words, linky.n_link_words) == (9, 6)
+    # thresholds are parameters: loosening both keeps the linky block
+    loose = df.filter("doc_id = 1").select(
+        html_main_text(F.col("html"), min_words=2,
+                       max_link_density=1.0).alias("e")
+    ).collect()[0].e
+    assert loose.n_kept == 5 and "Home" in loose.text
