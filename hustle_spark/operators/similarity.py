@@ -586,3 +586,86 @@ def embedding_contamination_scan(
         (-F.col("__best.nb")).cast("bigint").alias("matched_bench_id"),
         (F.col("__best.c") >= threshold_e6).alias("contaminated"),
     )
+
+
+def sign_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Deterministic axis-sign coarse quantizer: cluster id = the sign
+    bits of the first ``n_bits`` dimensions (2^n_bits clusters). A
+    zero-training-cost, engine-replayable stand-in for a learned
+    coarse quantizer — production SemDeDup swaps in build_ivf's
+    sampled k-means (same (id, vec, cluster) output shape); axis signs
+    are the n_bits axis-aligned members of the random-hyperplane
+    family LSH uses. Map-only, codegen, no shuffle."""
+    bit = lambda i: F.when(  # noqa: E731
+        F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << (n_bits - 1 - i))
+    ).otherwise(F.lit(0))
+    cluster = bit(0)
+    for i in range(1, n_bits):
+        cluster = cluster + bit(i)
+    return df.withColumn(out_col, cluster.cast("bigint"))
+
+
+def semantic_dedup(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): embedding-space
+    near-duplicates are pruned WITHIN clusters — a vector is dropped
+    iff some LOWER-id vector in the same cluster has cosine similarity
+    at or above ``threshold`` (keep-min-id representative, the
+    deterministic replayable stand-in for the paper's
+    farthest-from-centroid keeper; swap the rank key to change
+    policy). The threshold is compared on floor-quantized scores
+    (10^quantize) so differential oracles replay the decision exactly;
+    a zero-norm vector's NULL cosine fails every threshold (kept, and
+    never evicts others). Returns the input frame plus ``kept``
+    boolean.
+
+    Scale shape: THE SemDeDup cost model — candidate generation is a
+    self-join on the cluster key, so pairs per task are bounded by
+    cluster size, never corpus size; cluster COUNT must scale with the
+    corpus (k ~ n / target_cluster_size, exactly how the paper runs
+    k-means with large k) to keep the per-cluster quadratic term
+    constant. Cross-cluster near-dups are invisible by design — the
+    paper's documented approximation. The dominated-id set joins back
+    via a plain equi-join on the id."""
+    thr_u = int(round(threshold * 10**quantize))
+    a = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    dominated = (
+        a.join(b, "__cl")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__idb").alias(id_col),
+            F.floor(
+                cosine(F.col("__va"), F.col("__vb"))
+                * F.lit(float(10**quantize))
+            ).cast("bigint").alias("__cu"),
+        )
+        .filter(F.col("__cu") >= thr_u)
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dominated, id_col, "left").select(
+        *[F.col(c) for c in assigned.columns],
+        F.col("__dropped").isNull().alias("kept"),
+    )

@@ -1091,6 +1091,53 @@ def embedding_near_dup(spark, sf_dir):
 
 
 @query(
+    "dedup_semantic",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
+                       CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
+                       CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
+                       CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+                        AS list_id
+               FROM embeddings),
+    dom AS (SELECT DISTINCT b.vec_id
+            FROM a x JOIN a b
+              ON x.list_id = b.list_id AND x.vec_id < b.vec_id
+            WHERE CAST(floor(list_cosine_similarity(x.v, b.v) * 1000000)
+                       AS BIGINT) >= 300000)
+    SELECT a.vec_id, CAST(a.list_id AS BIGINT) AS list_id,
+           d.vec_id IS NULL AS kept
+    FROM a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """L2c SemDeDup — embedding-space SEMANTIC deduplication (Abbas et
+    al. 2023, the published method behind web-scale curation's
+    paraphrase pruning; the r7 coverage widening memory queued):
+    vectors are coarse-clustered, then within each cluster any vector
+    whose cosine to a lower-id clustermate reaches 0.30 is dropped
+    (keep-min-id representative; the threshold is the 99.5th-pct
+    pairwise cosine of this corpus, so ~23% of vectors are genuinely
+    pruned — demonstrably engaged). The driver row clusters with the
+    deterministic axis-sign quantizer (similarity.sign_quantize, 16
+    clusters) so the DuckDB oracle replays assignment, within-cluster
+    pairwise floor-quantized cosine, domination, and the keep flag
+    exactly; production swaps in build_ivf's sampled k-means — same
+    (id, vec, cluster) shape (similarity.semantic_dedup docstring
+    carries the cost model). Scale shape: THE SemDeDup cost model —
+    pairs per task bounded by cluster size via the cluster-key
+    equi-join, cluster count scales with the corpus, cross-cluster
+    dups invisible by design (the paper's approximation)."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = similarity.sign_quantize(dbl, n_bits=4)
+    out = similarity.semantic_dedup(assigned, threshold=0.30)
+    return out.select("vec_id", "list_id", "kept")
+
+
+@query(
     "dedup_cluster_cc",
     oracle="""
     WITH RECURSIVE pairs AS (
@@ -6594,6 +6641,10 @@ _NEW_THIS_ROUND = [
     # (block split + WSDM'10 word-count/link-density rules), the
     # generative page model replayed block-by-block in the oracle
     "html_block_extract",
+    # r7 coverage widening (memory queue): SemDeDup embedding-space
+    # semantic dedup — cluster-partitioned cosine domination, replayed
+    # end-to-end by the oracle over the axis-sign quantizer
+    "dedup_semantic",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
@@ -6625,7 +6676,6 @@ _BACKFILL = [
     "streaming_tumbling_hour", "streaming_stateful_totals",
     "dedup_cluster_cc", "udf_token_count", "udaf_regression_slope",
     "udtf_shingle_stats", "q5_local_supplier_volume",
-    "q7_volume_shipping",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -6633,6 +6683,7 @@ _BACKFILL = [
 # never dropped by a slice): the r4-latest remainder in
 # CORRECTNESS_r04 key order, the r8 backfill head.
 _QUEUED_NEXT = [
+    "q7_volume_shipping",
     "q8_national_market_share", "q9_product_profit", "q14_promo_revenue",
     "q19_disjunctive_revenue", "q3_shipping_priority",
     "scalar_math_funcs", "dedup_ngram_jaccard",

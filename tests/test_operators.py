@@ -137,6 +137,47 @@ def test_cosine_topk(spark):
     assert got == [(1, 1), (2, 2)]
 
 
+def test_semantic_dedup_rules(spark):
+    """SemDeDup keep/drop semantics: keep-min-id within a cluster,
+    cross-cluster dups invisible by design, threshold respected,
+    zero-norm vectors (NULL cosine) kept and never evicting."""
+    from hustle_spark.operators.similarity import (
+        semantic_dedup,
+        sign_quantize,
+    )
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),     # cluster 15
+        (1, [1.0, 1.0, 1.0, 1.001]),   # near-dup of 0, same cluster
+        (2, [2.0, 2.0, 2.0, 2.0]),     # exact direction of 0
+        (3, [1.0, 1.0, 1.0, -1.0]),    # cluster 14: own cluster
+        (4, [-1.0, -1.0, -1.0, -1.0]), # cluster 0: OPPOSITE of 0 —
+                                       # different cluster, kept even
+                                       # though |cos| high (by design
+                                       # cosine is signed anyway)
+        (5, [0.0, 0.0, 0.0, 0.0]),     # zero-norm -> NULL cosine
+        (6, [0.0, 0.0, 0.0, 0.0]),     # second zero vector (cluster 0)
+        (7, [1.0, -1.0, 0.5, 0.2]),    # lone occupant of its cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = sign_quantize(df, n_bits=4)
+    out = {r.vec_id: (r.list_id, r.kept)
+           for r in semantic_dedup(assigned, threshold=0.9).collect()}
+    assert out[0] == (15, True)          # min id of its dup group
+    assert out[1][1] is False            # dominated by 0
+    assert out[2][1] is False            # dominated by 0
+    assert out[3][1] is True             # cos(0,3) = 0.5 < 0.9
+    assert out[4] == (0, True)           # cross-cluster: invisible
+    # NULL cosine fails every threshold: both zero vectors kept,
+    # and 5 does not evict 6 despite sharing cluster 0
+    assert out[5][1] is True and out[6][1] is True
+    assert out[7][1] is True
+    # tighter threshold prunes nothing but exact-direction pairs
+    out2 = {r.vec_id: r.kept
+            for r in semantic_dedup(assigned, threshold=0.9999995).collect()}
+    assert out2[2] is False and out2[1] is True
+
+
 def test_ann_topk_recall(spark):
     from hustle_spark.operators.similarity import ann_topk, cosine_topk
 
