@@ -1339,9 +1339,12 @@ def text_lang_id_trigram(spark, sf_dir):
     differential. fastText/CLD3 remain the documented model swap
     point: they export to the same (lang, tri, weight) profile shape.
     Scale shape: trigram explodes are map-only and aggregate
-    map-side; the profile (320 rows) broadcasts; the wide shuffles
-    are (lang, tri) for fit and (doc) for predict — no corpus-sized
-    join side anywhere."""
+    map-side; the profile (320 rows) broadcasts; every post-explode
+    shuffle — the (lang, tri) fit count, the (doc, lang) score
+    aggregate, the per-doc argmax window, and the und-fallback join
+    back to the doc frame — moves only skinny scalar rows (id, lang,
+    score); document TEXT never crosses an exchange (plan audited:
+    6 exchanges total, all scalar-width)."""
     d = _cat(spark, sf_dir).table("documents").df
     profiles = TX.lang_profiles_trigram(
         d.filter(F.col("doc_id") % 2 == 0), top_k=64

@@ -62,6 +62,14 @@ BENCH_LLM = [
     "url_canonicalize_stats",
     "url_domain_quota",
     "multimodal_jpeg_subsampled_probe",
+    # appended round 7 (append-only protocol): restart-interval JPEG,
+    # within-doc repeated spans, trigram lang-id, HTML layout
+    # extraction, SemDeDup
+    "multimodal_jpeg_restart_probe",
+    "dedup_repeated_spans_withindoc",
+    "text_lang_id_trigram",
+    "html_block_extract",
+    "dedup_semantic",
 ]
 
 WARM_RUNS = 3

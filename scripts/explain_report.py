@@ -79,6 +79,11 @@ SHOWCASE = {
     "url_canonicalize_stats": "parse + canonicalize + domain entirely codegen regexp/HOFs: map-only, zero shuffle, zero UDF",
     "url_domain_quota": "ONE shuffle total (window rank on the domain key); quota filter and aggregates ride the same exchange",
     "multimodal_jpeg_subsampled_probe": "4:2:0 entropy stream (6 blocks per 16x16 MCU, 3 DC chains) staged through array columns in codegen; one wide Arrow-batched MapInPandas decode at native per-plane resolution (id repartition is the only exchange)",
+    "multimodal_jpeg_restart_probe": "per-interval entropy streams (own DC chain, byte pad, cycling RSTn) built via staged array columns; one wide Arrow-batched MapInPandas decode (id repartition is the only exchange)",
+    "dedup_repeated_spans_withindoc": "frequency + first-occurrence as window functions over (doc, digest): ONE wide shuffle, no corpus-sized duplicate set, no join back; map-only gap-slice rebuild",
+    "text_lang_id_trigram": "trigram explodes map-only with map-side partial aggs; 320-row profile broadcast; wide shuffles are (lang, tri) fit and (doc) score only",
+    "html_block_extract": "block split + per-block WSDM'10 features entirely codegen regexp/HOFs: map-only, ZERO shuffle, zero UDF",
+    "dedup_semantic": "within-cluster cosine domination via cluster-key equi-join (pairs per task bounded by cluster size); dominated-id set joins back on the id; sign-quantizer assignment map-only",
 }
 
 

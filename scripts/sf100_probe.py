@@ -96,6 +96,12 @@ DEFAULT_PROBES = [
     "url_canonicalize_stats",
     "url_domain_quota",
     "multimodal_jpeg_subsampled_probe",
+    # appended round 7
+    "multimodal_jpeg_restart_probe",
+    "dedup_repeated_spans_withindoc",
+    "text_lang_id_trigram",
+    "html_block_extract",
+    "dedup_semantic",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
