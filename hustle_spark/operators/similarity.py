@@ -610,6 +610,23 @@ def sign_quantize(
     return df.withColumn(out_col, cluster.cast("bigint"))
 
 
+def adaptive_sign_bits(
+    n: int,
+    target_cluster_size: int = 32,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Sign-quantizer width that keeps cluster count proportional to
+    the corpus (clusters ~ n / target_cluster_size), so SemDeDup's
+    within-cluster pair work stays LINEAR in n instead of quadratic —
+    a fixed cluster count is the quadratic-in-disguise trap at scale.
+    Pure integer arithmetic (bits = length of the binary repr of
+    ceil(n/target)-1), so a SQL oracle replays it exactly:
+    LEAST(max, GREATEST(min, length(bin((n + t - 1) // t - 1))))."""
+    c = max(1, (n + target_cluster_size - 1) // target_cluster_size)
+    return min(max_bits, max(min_bits, len(bin(max(c - 1, 0))[2:])))
+
+
 def semantic_dedup(
     assigned: DataFrame,
     threshold: float,

@@ -1093,13 +1093,19 @@ def embedding_near_dup(spark, sf_dir):
 @query(
     "dedup_semantic",
     oracle="""
-    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                      (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END +
-                       CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
-                        AS list_id
-               FROM embeddings),
+    WITH nbits AS (SELECT LEAST(16, GREATEST(4,
+                     length(bin(CAST((COUNT(*) + 31) // 32 - 1
+                                     AS BIGINT))))) AS nb
+                   FROM embeddings),
+    sig AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (SELECT CAST(SUM(CASE WHEN e.embedding[i.i + 1] >= 0
+                                    THEN CAST(pow(2, 15 - i.i) AS BIGINT)
+                                    ELSE 0 END) AS BIGINT)
+                    FROM generate_series(0, 15) i(i)) AS s16
+            FROM embeddings e),
+    a AS (SELECT vec_id, v,
+                 s16 // CAST(pow(2, 16 - nb) AS BIGINT) AS list_id
+          FROM sig, nbits),
     dom AS (SELECT DISTINCT b.vec_id
             FROM a x JOIN a b
               ON x.list_id = b.list_id AND x.vec_id < b.vec_id
@@ -1119,20 +1125,29 @@ def dedup_semantic(spark, sf_dir):
     (keep-min-id representative; the threshold is the 99.5th-pct
     pairwise cosine of this corpus, so ~23% of vectors are genuinely
     pruned — demonstrably engaged). The driver row clusters with the
-    deterministic axis-sign quantizer (similarity.sign_quantize, 16
-    clusters) so the DuckDB oracle replays assignment, within-cluster
-    pairwise floor-quantized cosine, domination, and the keep flag
-    exactly; production swaps in build_ivf's sampled k-means — same
-    (id, vec, cluster) shape (similarity.semantic_dedup docstring
-    carries the cost model). Scale shape: THE SemDeDup cost model —
-    pairs per task bounded by cluster size via the cluster-key
-    equi-join, cluster count scales with the corpus, cross-cluster
-    dups invisible by design (the paper's approximation)."""
+    deterministic axis-sign quantizer at an ADAPTIVE width —
+    adaptive_sign_bits keeps cluster count ~ n/32 (nb=4/16 clusters
+    at the gate SFs, nb=6/64 at sf0.1, nb=12+ at 100x), the integer
+    closed form replayed by the oracle from COUNT(*) — so the
+    within-cluster pair work scales LINEARLY with the corpus instead
+    of quadratically (the fixed-cluster-count trap). The oracle
+    replays width, assignment (16-bit sign signature >> (16-nb)),
+    within-cluster pairwise floor-quantized cosine, domination, and
+    the keep flag exactly; production swaps in build_ivf's sampled
+    k-means with k ~ n/target — same (id, vec, cluster) shape
+    (similarity.semantic_dedup docstring carries the cost model).
+    Scale shape: THE SemDeDup cost model — pairs per task bounded by
+    cluster size via the cluster-key equi-join, cluster count grows
+    with the corpus, cross-cluster dups invisible by design (the
+    paper's approximation)."""
     e = _cat(spark, sf_dir).table("embeddings").df
     dbl = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    assigned = similarity.sign_quantize(dbl, n_bits=4)
+    # one metadata-cheap count action; the same closed form runs in
+    # the oracle off COUNT(*), so both engines derive the same width
+    nb = similarity.adaptive_sign_bits(dbl.count())
+    assigned = similarity.sign_quantize(dbl, n_bits=nb)
     out = similarity.semantic_dedup(assigned, threshold=0.30)
     return out.select("vec_id", "list_id", "kept")
 

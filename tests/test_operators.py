@@ -178,6 +178,22 @@ def test_semantic_dedup_rules(spark):
     assert out2[2] is False and out2[1] is True
 
 
+def test_adaptive_sign_bits_closed_form():
+    """Width tracks corpus size (clusters ~ n/32), clamps at [4, 16],
+    and equals the SQL oracle's integer formulation at every n."""
+    from hustle_spark.operators.similarity import adaptive_sign_bits
+
+    assert adaptive_sign_bits(1) == 4
+    assert adaptive_sign_bits(500) == 4       # gate SF: 16 clusters
+    assert adaptive_sign_bits(2000) == 6      # sf0.1: 64 clusters
+    assert adaptive_sign_bits(200_000) == 13  # 100x: 8192 clusters
+    assert adaptive_sign_bits(10**9) == 16    # clamp
+    for n in (1, 2, 31, 32, 33, 512, 513, 2048, 65536, 10**7):
+        c = max(1, (n + 31) // 32)
+        sql_form = min(16, max(4, len(format(max(c - 1, 0), "b"))))
+        assert adaptive_sign_bits(n) == sql_form, n
+
+
 def test_ann_topk_recall(spark):
     from hustle_spark.operators.similarity import ann_topk, cosine_topk
 
