@@ -919,8 +919,15 @@ def dedup_exact_keep_min(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """L2 fuzzy dedup: seeded MinHash signatures + banded LSH
     candidate join (operators.dedup.minhash_lsh_pairs). Deterministic
-    but not SQL-expressible at reasonable cost -> rows-only."""
-    d = _cat(spark, sf_dir).table("documents").df
+    but not SQL-expressible at reasonable cost -> rows-only (the
+    machinery is hash-checked by the md5-twin and audit rows). The
+    id+text repartition spreads the Arrow signature stage on
+    single-split testdata (2.2x measured; xxhash64 signatures are
+    partitioning-independent, so the pair set is unchanged); the
+    OPERATOR stays plan-pinned shuffle-free on pre-parallel input
+    (tests/test_scale.py)."""
+    par = spark.sparkContext.defaultParallelism
+    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
     return dedup.minhash_lsh_pairs(d, threshold=0.35)
 
 
@@ -929,8 +936,11 @@ def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via 16-bit chunk banding. max_hamming=3
     with 4 chunks keeps random-chunk collisions at ~4*2^-16 of pairs —
     candidate generation stays near-linear at corpus scale (8-bit
-    chunks would admit ~1.4% of ALL pairs: quadratic)."""
-    d = _cat(spark, sf_dir).table("documents").df
+    chunks would admit ~1.4% of ALL pairs: quadratic). Input spread
+    as in dedup_minhash_lsh (2.1x measured, signatures
+    partitioning-independent)."""
+    par = spark.sparkContext.defaultParallelism
+    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
     return dedup.simhash_near_pairs(d, max_hamming=3, chunks=4)
 
 
@@ -1358,9 +1368,15 @@ def text_lang_id_trigram(spark, sf_dir):
     shuffle — the (lang, tri) fit count, the (doc, lang) score
     aggregate, the per-doc argmax window, and the und-fallback join
     back to the doc frame — moves only skinny scalar rows (id, lang,
-    score); document TEXT never crosses an exchange (plan audited:
-    6 exchanges total, all scalar-width)."""
-    d = _cat(spark, sf_dir).table("documents").df
+    score); document TEXT never crosses an exchange after the input
+    spread (plan audited: all post-explode exchanges scalar-width)."""
+    # single-split testdata would run BOTH trigram explodes on one
+    # core (measured: the explode alone was 1.9 s single-threaded at
+    # sf0.1); real corpora arrive pre-parallel, so the query spreads
+    # the ~2.5 MB doc frame once up front — same rationale as the
+    # media probes' id repartition
+    par = spark.sparkContext.defaultParallelism
+    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
     profiles = TX.lang_profiles_trigram(
         d.filter(F.col("doc_id") % 2 == 0), top_k=64
     )
@@ -5936,8 +5952,13 @@ def dedup_repeated_spans(spark, sf_dir):
     equi-join (corpus-sized worst case — deliberately NOT broadcast);
     flagged starts collapse per document and merge in one codegen
     fold; the rebuild slices the gaps between the merged intervals
-    and flattens — O(tokens + intervals) per doc, map-only."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    and flattens — O(tokens + intervals) per doc, map-only. The
+    8-byte-id repartition up front keeps the window-digest explode
+    wide on single-split testdata (real corpora arrive
+    pre-parallel)."""
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id", "text").repartition(par))
     return dedup.repeated_span_removal(d, span=16, min_docs=2)
 
 
@@ -6010,8 +6031,12 @@ def dedup_repeated_spans_withindoc(spark, sf_dir):
     table, but frequency/first-occurrence are window functions over
     (doc, digest), so the only wide exchange is ONE shuffle keyed by
     doc+digest (no corpus-wide duplicate set, no join back);
-    the rebuild is the shared O(tokens + intervals) gap-slice."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    the rebuild is the shared O(tokens + intervals) gap-slice. The
+    8-byte-id repartition keeps the explode wide on single-split
+    testdata (real corpora arrive pre-parallel)."""
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id", "text").repartition(par))
     snip = F.array_join(
         F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), 1, 12),
         " ",
@@ -6393,12 +6418,16 @@ def html_block_extract(spark, sf_dir):
     count, link count, the keep decision, and the reassembled text
     WITHOUT parsing HTML — integer-arithmetic density (nl*100 <=
     30*nw) keeps the rule replayable exactly. Scale shape: pure
-    per-row codegen, no shuffle at all — at 100 TB this is the map
-    phase between WARC ingest and text curation, and it runs at scan
-    speed."""
+    per-row codegen — at 100 TB this is the map phase between WARC
+    ingest and text curation, and it runs at scan speed; the only
+    exchange is the 8-byte-id repartition that keeps the map wide on
+    single-split testdata (real pages arrive pre-parallel from WARC
+    files)."""
     from .sources import warc as WARC
 
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    d = (_cat(spark, sf_dir).table("documents").df
+         .select("doc_id").repartition(par))
     pages = WARC.synthesize_block_pages(d, id_col="doc_id")
     ext = pages.select(
         "doc_id", WARC.html_main_text(F.col("html")).alias("e")
@@ -6638,6 +6667,14 @@ _CHANGED = [
     # decoder (helper-level change -> manual promotion)
     "multimodal_jpeg_probe", "multimodal_jpeg_color_probe",
     "multimodal_jpeg_subsampled_probe",
+    # single-split input spread: the window-digest explode ran on ONE
+    # core of 32 at sf0.1 (measured 1.9 s explode-alone for the
+    # trigram sibling); the id repartition keeps it wide — re-proven
+    "dedup_repeated_spans",
+    # same input spread for the two rows-only sketches (2.1-2.2x
+    # measured; xxhash64 signatures partitioning-independent) — their
+    # promotion also retires the last r1-latest driver rows
+    "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6692,8 +6729,7 @@ _BACKFILL = [
     "insert_jsonl_requery", "delete_partition_requery",
     "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
     "streaming_tumbling_hour", "streaming_stateful_totals",
-    "dedup_cluster_cc", "udf_token_count", "udaf_regression_slope",
-    "udtf_shingle_stats", "q5_local_supplier_volume",
+    "dedup_cluster_cc", "udf_token_count",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -6701,7 +6737,8 @@ _BACKFILL = [
 # never dropped by a slice): the r4-latest remainder in
 # CORRECTNESS_r04 key order, the r8 backfill head.
 _QUEUED_NEXT = [
-    "q7_volume_shipping",
+    "udaf_regression_slope", "udtf_shingle_stats",
+    "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_profit", "q14_promo_revenue",
     "q19_disjunctive_revenue", "q3_shipping_priority",
     "scalar_math_funcs", "dedup_ngram_jaccard",

@@ -72,7 +72,7 @@ SHOWCASE = {
     "sharded_export_requery": "shard id computed map-side; partitionBy splits the write with no forced repartition; manifest is a 16-row aggregate",
     "rollup_view_requery": "partials re-merge: hour-partitioned batch dirs pruned at read; final agg runs on the rollup, never raw events",
     "multimodal_jpeg_probe": "Huffman entropy stream assembled bit-by-bit in codegen (nested HOFs); one Arrow-batched MapInPandas decode stage kept wide by an 8-byte-id repartition (the only exchange)",
-    "dedup_repeated_spans": "window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles; rebuild is a map-only gap-slice flatten, O(tokens + intervals)/doc",
+    "dedup_repeated_spans": "input spread by id repartition (single-split testdata would run the digest explode on one core; 2x+ measured); window digests cached once (InMemoryRelation feeds frequency agg AND flag join); only (id, pos, md5) shuffles after; rebuild is a map-only gap-slice flatten, O(tokens + intervals)/doc",
     "warc_ingest_records": "WARC bytes synthesized in codegen; ONE Arrow-batched record-parse stage (explode inside the batch, zero shuffle; gzip members gunzipped in the same batch); html_text is a JVM regex chain",
     "dedup_containment_guarded": "max_df window cut drops ubiquitous fingerprints BEFORE the self-join (the hot-bucket guard the 100x A/B proved mandatory); sizes computed pre-cut",
     "multimodal_jpeg_color_probe": "3-component entropy stream (interleaved MCUs, 3 DC chains) assembled bit-by-bit in codegen; one wide Arrow-batched MapInPandas decode stage (id repartition is the only exchange)",
@@ -81,8 +81,8 @@ SHOWCASE = {
     "multimodal_jpeg_subsampled_probe": "4:2:0 entropy stream (6 blocks per 16x16 MCU, 3 DC chains) staged through array columns in codegen; one wide Arrow-batched MapInPandas decode at native per-plane resolution (id repartition is the only exchange)",
     "multimodal_jpeg_restart_probe": "per-interval entropy streams (own DC chain, byte pad, cycling RSTn) built via staged array columns; one wide Arrow-batched MapInPandas decode (id repartition is the only exchange)",
     "dedup_repeated_spans_withindoc": "frequency + first-occurrence as window functions over (doc, digest): ONE wide shuffle, no corpus-sized duplicate set, no join back; map-only gap-slice rebuild",
-    "text_lang_id_trigram": "trigram explodes map-only with map-side partial aggs; 320-row profile broadcast; wide shuffles are (lang, tri) fit and (doc) score only",
-    "html_block_extract": "block split + per-block WSDM'10 features entirely codegen regexp/HOFs: map-only, ZERO shuffle, zero UDF",
+    "text_lang_id_trigram": "doc frame spread once up front (3.1x measured: the explode ran single-threaded on single-split testdata); trigram explodes map-only with map-side partial aggs; 320-row profile broadcast; every later exchange is scalar-width",
+    "html_block_extract": "block split + per-block WSDM'10 features entirely codegen regexp/HOFs, zero UDF; the id repartition input spread is the only exchange (3.2x measured on single-split testdata)",
     "dedup_semantic": "within-cluster cosine domination via cluster-key equi-join (pairs per task bounded by cluster size); dominated-id set joins back on the id; sign-quantizer assignment map-only",
 }
 

@@ -950,6 +950,39 @@ def test_jpeg_restart_roundtrip_exact(spark):
         assert planes[0] == exp
 
 
+def test_jpeg_restart_decoder_never_raises_on_corruption(spark):
+    """Property: byte-level corruption of a valid DRI/RSTn payload
+    (bit flips, truncation) must yield None or a decode — never an
+    uncaught exception. The restart path adds marker-boundary states
+    (byte-align mid-bit, expected-RSTn index, predictor reset) that
+    corruption can hit in ways the plain-scan fuzzer cannot."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hustle_spark.operators.multimodal import (
+        _parse_jpeg_planes_ex,
+        synthesize_jpeg_restart_payloads,
+    )
+
+    df = spark.range(13, 14).selectExpr("id as doc_id")  # 2 restarts
+    full = bytes(
+        synthesize_jpeg_restart_payloads(df, "doc_id").collect()[0].payload
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(full) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(full)),
+    )
+    def prop(pos, val, cut):
+        mutated = full[:pos] + bytes([val]) + full[pos + 1:]
+        out = _parse_jpeg_planes_ex(mutated[:cut])
+        assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+    prop()
+
+
 def test_jpeg_restart_rejects_broken_interval_structure(spark):
     """A wrong RSTn index (cycle violation) and a stream with markers
     but no DRI segment must both return None — resyncing on corrupt
