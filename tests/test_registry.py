@@ -48,12 +48,18 @@ def test_window_priority_ordering():
     assert must_check <= set(registry.QUERIES)
     missing = must_check - set(window)
     assert not missing, f"must-check queries outside window: {missing}"
-    # every window entry is oracle-bound (no rows-only checks burn a slot)
+    # every window entry is oracle-bound UNLESS it is a must-check
+    # promotion: a changed rows-only sketch still needs its (weaker)
+    # driver row refreshed — the window-sort invariant outranks the
+    # slot-economy preference. PROVEN rows-only entries must not burn
+    # backfill slots.
     import __spark_entry__ as entry
 
     osql = entry.oracle_sql()
-    no_oracle = [n for n in window if n not in osql]
-    assert not no_oracle, f"window entries without oracle: {no_oracle}"
+    no_oracle = [n for n in window if n not in osql and n not in must_check]
+    assert not no_oracle, (
+        f"proven rows-only entries burning window slots: {no_oracle}"
+    )
     # oracle_sql keys must be a subset of queries and aligned by name
     osql = registry.oracle_sql()
     assert set(osql) <= set(names)
