@@ -1035,7 +1035,7 @@ def _jpeg_static_hex() -> tuple[str, str]:
     )
     ac_counts = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
     ac_vals = bytes.fromhex(
-        "010203000411051221314106135161072271143281914108"
+        "01020300041105122131410613516107227114328191a108"
         "2342b1c11552d1f02433627282090a161718191a25262728"
         "292a3435363738393a434445464748494a53545556575859"
         "5a636465666768696a737475767778797a83848586878889"
@@ -1192,15 +1192,19 @@ class _JpegBits:
             v = (v << 1) | self.bit()
         return v
 
-    def restart_marker(self) -> int:
-        """Byte-align (discarding the spec's 1-bit padding) and consume
-        an RSTn marker; returns n (0-7). Raises if the next marker is
-        not RSTn. A partially-consumed byte here was already validated
-        as entropy data by bit(), so skipping it only needs the
-        stuffed-0xFF width check."""
+    def align(self) -> None:
+        """Byte-align, discarding the spec's 1-bit padding. A
+        partially-consumed byte was already validated as entropy data
+        by bit(), so skipping it only needs the stuffed-0xFF width
+        check."""
         if self.k:
             self.pos += 2 if self.data[self.pos] == 0xFF else 1
             self.k = 0
+
+    def restart_marker(self) -> int:
+        """Byte-align and consume an RSTn marker; returns n (0-7).
+        Raises if the next marker is not RSTn."""
+        self.align()
         m = self.data[self.pos + 1]
         if self.data[self.pos] != 0xFF or not 0xD0 <= m <= 0xD7:
             raise ValueError("expected RSTn at restart interval")
@@ -1234,6 +1238,209 @@ def _jpeg_extend(v: int, n: int) -> int:
     if n == 0:
         return 0
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _prog_decode_scan(payload, pos, seg, comps, huff, geom, store, ri):
+    """Decode ONE progressive-JPEG scan (T.81 Annex G) into the
+    cross-scan coefficient store, returning the byte offset just past
+    the scan's entropy data.
+
+    Implements all four scan kinds from the spec's flowcharts:
+    first/refinement DC (G.1.2.1 — successive-approximation bits OR
+    into the two's-complement coefficient, which is exactly how the
+    encoder peels them off), and first/refinement AC (G.1.2.2/3 —
+    band-limited run/size coding with EOBRUN end-of-band runs; the
+    refinement pass spends one correction bit per nonzero-history
+    coefficient it crosses and inserts new ±1<<Al values). DC scans
+    may be interleaved (MCU order over the padded grid, like a
+    sequential scan) or single-component; AC scans are always
+    single-component raster over that component's OWN block grid.
+    Restart intervals apply per scan: every Ri units the reader
+    byte-aligns, verifies the RSTn cycle (restarting at 0 each scan),
+    and resets DC predictors and the EOBRUN."""
+    ns = seg[0]
+    by_id = {cid: idx for idx, (cid, _, _, _) in enumerate(comps)}
+    sel = []
+    for c in range(ns):
+        cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        sel.append((by_id[cid], tt >> 4, tt & 15))
+    Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    Ah, Al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+    br = _JpegBits(payload, pos)
+    mcux, mcuy, bw, bh, bwp = geom
+    p1, m1 = 1 << Al, -1 << Al
+    nrst = 0
+
+    def check_restart(unit_idx, reset):
+        nonlocal nrst
+        if ri and unit_idx and unit_idx % ri == 0:
+            if br.restart_marker() != nrst & 7:
+                raise ValueError("RSTn cycle broken")
+            nrst += 1
+            reset()
+
+    if Ss == 0:  # DC scan (Se must be 0 per G.1.1.1)
+        if Se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * ns
+
+        def reset_preds():
+            for idx in range(ns):
+                preds[idx] = 0
+
+        if ns > 1:  # interleaved over the padded MCU grid
+            for m in range(mcux * mcuy):
+                check_restart(m, reset_preds)
+                my, mx = divmod(m, mcux)
+                for si, (ci, dct, _) in enumerate(sel):
+                    _, _, sh, sv = comps[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            blk = store[ci][
+                                (my * sv + v) * bwp[ci] + (mx * sh + u)
+                            ]
+                            if Ah == 0:
+                                t = _jpeg_huff_decode(br, huff[(0, dct)])
+                                preds[si] += _jpeg_extend(br.bits(t), t)
+                                blk[0] = preds[si] << Al
+                            elif br.bit():
+                                blk[0] |= p1
+        else:  # single-component: raster over the component's grid
+            ci, dct, _ = sel[0]
+            for b in range(bw[ci] * bh[ci]):
+                check_restart(b, reset_preds)
+                y, x = divmod(b, bw[ci])
+                blk = store[ci][y * bwp[ci] + x]
+                if Ah == 0:
+                    t = _jpeg_huff_decode(br, huff[(0, dct)])
+                    preds[0] += _jpeg_extend(br.bits(t), t)
+                    blk[0] = preds[0] << Al
+                elif br.bit():
+                    blk[0] |= p1
+    else:  # AC scan: always non-interleaved (G.1.1.1.1)
+        if ns != 1 or Se > 63 or Ss > Se:
+            raise ValueError("bad AC scan header")
+        ci, _, act = sel[0]
+        table = huff[(1, act)]
+        eobrun = 0
+
+        def reset_eob():
+            nonlocal eobrun
+            eobrun = 0
+
+        for b in range(bw[ci] * bh[ci]):
+            check_restart(b, reset_eob)
+            y, x = divmod(b, bw[ci])
+            blk = store[ci][y * bwp[ci] + x]
+            if Ah == 0:  # first AC scan (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = _jpeg_huff_decode(br, table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC run past band end")
+                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(br.bits(s), s) << Al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                # eobrun counts REMAINING run blocks INCLUDING the one
+                # being decoded: a block carried in by the run, or one
+                # that just read an EOBn code, finishes its band with
+                # correction bits only, then consumes one run unit.
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = _jpeg_huff_decode(br, table)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:  # EOB run begins (incl. this block)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError("refinement size != 1")
+                            newval = p1 if br.bit() else m1
+                        # cross r zero-history positions (correcting
+                        # nonzero-history ones en route), then place
+                        while k <= Se:
+                            nat = _JPEG_ZIGZAG[k]
+                            if blk[nat] != 0:
+                                if br.bit() and not blk[nat] & p1:
+                                    blk[nat] += p1 if blk[nat] > 0 else m1
+                            else:
+                                if r == 0:
+                                    if newval:
+                                        blk[nat] = newval
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # in-run: remaining band positions get correction
+                    # bits only, then this block consumes one run unit
+                    while k <= Se:
+                        nat = _JPEG_ZIGZAG[k]
+                        if blk[nat] != 0 and br.bit() and not blk[nat] & p1:
+                            blk[nat] += p1 if blk[nat] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    br.align()
+    return br.pos, nrst
+
+
+def _prog_finalize(w, h, comps, qt, store, geom, nrst):
+    """Progressive epilogue at EOI: the cross-scan coefficient store
+    holds fully-quantized coefficients in natural order — dequantize
+    (quant tables are stored zigzag, so permute once), IDCT, level
+    shift, clamp, and crop the padded grid to each component's native
+    resolution — identical output contract to the sequential path."""
+    import numpy as np
+
+    A = _jpeg_idct_basis()
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    _, _, bw, bh, bwp = geom
+    planes = []
+    for ci, (_, qid, sh, sv) in enumerate(comps):
+        quant = qt[qid]
+        qnat = [0] * 64
+        for kz in range(64):
+            qnat[_JPEG_ZIGZAG[kz]] = quant[kz]
+        qarr = np.array(qnat, dtype=float)
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        plane = np.zeros((ch, cw), dtype=np.int64)
+        for y in range(bh[ci]):
+            for x in range(bw[ci]):
+                Fm = (
+                    np.array(store[ci][y * bwp[ci] + x], dtype=float) * qarr
+                ).reshape(8, 8)
+                block = (A @ Fm @ A.T) / 4.0
+                out = np.clip(np.round(block + 128.0), 0, 255).astype(
+                    np.int64
+                )
+                ny = min(8, ch - y * 8)
+                nx = min(8, cw - x * 8)
+                plane[y * 8 : y * 8 + ny, x * 8 : x * 8 + nx] = out[
+                    :ny, :nx
+                ]
+        planes.append(plane.tolist())
+    return w, h, planes, nrst
 
 
 def parse_jpeg_planes(payload: bytes):
@@ -1273,9 +1480,16 @@ def _parse_jpeg_planes_ex(payload: bytes):
     ceil(w*Hi/Hmax) x ceil(h*Vi/Vmax), cropped from the MCU-padded
     grid — so subsampled chroma stays integer-exact for differential
     oracles; chroma upsampling and RGB conversion are pointwise maps
-    deliberately left to the consumer. None if the payload is not a
-    decodable baseline sequential JPEG (progressive/lossless inputs
-    stay at the documented PIL/ffmpeg swap point)."""
+    deliberately left to the consumer. PROGRESSIVE files (SOF2, T.81
+    Annex G) are decoded too: scans accumulate into a cross-scan
+    coefficient store (_prog_decode_scan — spectral selection bands,
+    successive-approximation DC/AC first+refinement passes, EOB runs,
+    per-scan restart intervals) and the IDCT runs once at EOI
+    (_prog_finalize); the machinery is differentially tested against
+    this sequential path on identical coefficient content. None if
+    the payload is not a decodable baseline-sequential or progressive
+    JPEG (lossless/hierarchical stay at the documented PIL/ffmpeg
+    swap point)."""
     import numpy as np
 
     try:
@@ -1285,16 +1499,28 @@ def _parse_jpeg_planes_ex(payload: bytes):
         huff: dict[tuple[int, int], dict] = {}
         w = h = None
         ri = 0  # restart interval in MCUs (0 = no DRI segment)
+        progressive = False
+        prog_store = None  # per-comp flat block grids of 64 coefs
+        prog_geom = None
+        n_scans = 0
+        prog_rst = 0  # restart markers consumed across all scans
         # (comp_id, quant_id, H_i, V_i) in SOF order
         comps: list[tuple[int, int, int, int]] = []
         i = 2
-        while i + 4 <= len(payload):
+        # + 2, not + 4: a progressive file legitimately ENDS with the
+        # bare EOI marker (sequential returns from inside its single
+        # SOS, so it never read a trailing marker)
+        while i + 2 <= len(payload):
             if payload[i] != 0xFF:
                 return None
             marker = payload[i + 1]
             i += 2
             if marker == 0xD9:
-                return None  # EOI before SOS
+                if progressive and n_scans:
+                    return _prog_finalize(
+                        w, h, comps, qt, prog_store, prog_geom, prog_rst
+                    )
+                return None  # EOI before any decoded scan
             if marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 continue  # standalone markers
             L = int.from_bytes(payload[i : i + 2], "big")
@@ -1313,7 +1539,8 @@ def _parse_jpeg_planes_ex(payload: bytes):
                     else:
                         qt[tq] = list(seg[j : j + 64])
                         j += 64
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                progressive = marker == 0xC2
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
@@ -1326,8 +1553,8 @@ def _parse_jpeg_planes_ex(payload: bytes):
                     if not (1 <= sh <= 4 and 1 <= sv <= 4):
                         return None  # illegal sampling factor
                     comps.append((cid, qid, sh, sv))
-            elif marker in (0xC1, 0xC2, 0xC3):
-                return None  # extended/progressive/lossless unsupported
+            elif marker in (0xC1, 0xC3):
+                return None  # extended/lossless unsupported
             elif marker == 0xDD:  # DRI
                 ri = int.from_bytes(seg[0:2], "big")
             elif marker == 0xC4:  # DHT
@@ -1342,7 +1569,33 @@ def _parse_jpeg_planes_ex(payload: bytes):
                         counts, list(seg[j : j + nv])
                     )
                     j += nv
-            elif marker == 0xDA:  # SOS
+            elif marker == 0xDA and progressive:  # progressive scan
+                if w is None:
+                    return None
+                if prog_store is None:
+                    hmax = max(c[2] for c in comps)
+                    vmax = max(c[3] for c in comps)
+                    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                    bw, bh, bwp, prog_store = [], [], [], []
+                    for _, _, sh, sv in comps:
+                        cw = (w * sh + hmax - 1) // hmax
+                        ch = (h * sv + vmax - 1) // vmax
+                        bw.append((cw + 7) // 8)
+                        bh.append((ch + 7) // 8)
+                        bwp.append(mcux * sh)
+                        prog_store.append(
+                            [[0] * 64 for _ in range(mcux * sh * mcuy * sv)]
+                        )
+                    prog_geom = (mcux, mcuy, bw, bh, bwp)
+                i, scan_rst = _prog_decode_scan(
+                    payload, i + L, seg, comps, huff, prog_geom,
+                    prog_store, ri,
+                )
+                n_scans += 1
+                prog_rst += scan_rst
+                continue
+            elif marker == 0xDA:  # SOS (sequential)
                 if w is None or seg[0] != len(comps):
                     return None
                 # per-scan-component (dc_table, ac_table, quant, H, V)
@@ -1453,6 +1706,10 @@ def _parse_jpeg_planes_ex(payload: bytes):
             i += L
         return None
     except (IndexError, ValueError, KeyError):
+        import os
+
+        if os.environ.get("HUSTLE_JPEG_DEBUG"):
+            raise
         return None
 
 
@@ -1709,7 +1966,7 @@ def _jpeg_color_static_hex() -> tuple[str, str]:
     )
     ac_counts = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
     ac_vals = bytes.fromhex(
-        "010203000411051221314106135161072271143281914108"
+        "01020300041105122131410613516107227114328191a108"
         "2342b1c11552d1f02433627282090a161718191a25262728"
         "292a3435363738393a434445464748494a53545556575859"
         "5a636465666768696a737475767778797a83848586878889"

@@ -815,7 +815,7 @@ def test_jpeg_decoder_against_reference_codec(spark):
 
     ac_counts = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
     ac_vals_hex = (
-        "010203000411051221314106135161072271143281914108"
+        "01020300041105122131410613516107227114328191a108"
         "2342b1c11552d1f02433627282090a161718191a25262728"
         "292a3435363738393a434445464748494a53545556575859"
         "5a636465666768696a737475767778797a83848586878889"
@@ -2018,3 +2018,146 @@ def test_spread_input_conditional(spark):
     assert widened.count() == 1000
     wide = spark.range(0, 1000).repartition(par + 4)
     assert spread_input(wide, spark) is wide
+
+
+def test_jpeg_progressive_matches_sequential_dc_only(spark):
+    """Progressive decode (SOF2: DC-first + DC-refinement +
+    full-band AC scan) equals the oracle-proven sequential decode of
+    the SAME quantized coefficient content — DC-only blocks round the
+    pixel model exactly."""
+    from helpers import jpeg_encode_gray
+
+    from hustle_spark.operators.multimodal import _parse_jpeg_planes_ex
+
+    bw, bh = 3, 2
+    blocks = []
+    for b in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = 8 * (((b * 37 + 19) % 256) - 128)
+        blocks.append(blk)
+    seq = jpeg_encode_gray(blocks, bw, bh, mode="sequential")
+    prog = jpeg_encode_gray(
+        blocks, bw, bh, mode="progressive",
+        scans=[("dc", 0, 1), ("dc", 1, 0), ("ac", 1, 63, 0, 0)],
+    )
+    ds = _parse_jpeg_planes_ex(seq)
+    dp = _parse_jpeg_planes_ex(prog)
+    assert ds is not None and dp is not None
+    assert ds[:3] == dp[:3]
+    w, h, planes, _ = dp
+    assert (w, h) == (bw * 8, bh * 8)
+    for b, blk in enumerate(blocks):
+        v = blk[0] // 8 + 128
+        y, x = divmod(b, bw)
+        assert planes[0][y * 8][x * 8] == v
+
+
+def test_jpeg_progressive_matches_sequential_property(spark):
+    """Property: for random sparse quantized coefficient grids, the
+    progressive decode (spectral selection split + successive
+    approximation on DC and AC, refinement passes included) is
+    IDENTICAL to the sequential decode of the same content — the
+    strongest transfer of the sequential decoder's oracle-proven
+    trust onto the Annex G machinery (EOB runs, ZRL-with-correction
+    walks, birth placement, two's-complement bit append)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from helpers import jpeg_encode_gray
+
+    from hustle_spark.operators.multimodal import _parse_jpeg_planes_ex
+
+    SCANS = [
+        ("dc", 0, 1), ("dc", 1, 0),
+        ("ac", 1, 5, 0, 1), ("ac", 6, 63, 0, 1),
+        ("ac", 1, 5, 1, 0), ("ac", 6, 63, 1, 0),
+    ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        bw = data.draw(st.integers(1, 3))
+        bh = data.draw(st.integers(1, 2))
+        blocks = []
+        for _ in range(bw * bh):
+            blk = [0] * 64
+            blk[0] = data.draw(st.integers(-600, 600))
+            for _ in range(data.draw(st.integers(0, 6))):
+                pos = data.draw(st.integers(1, 63))
+                blk[pos] = data.draw(
+                    st.integers(-9, 9).filter(lambda v: v != 0)
+                )
+            blocks.append(blk)
+        seq = jpeg_encode_gray(blocks, bw, bh, mode="sequential")
+        prog = jpeg_encode_gray(
+            blocks, bw, bh, mode="progressive", scans=SCANS
+        )
+        ds = _parse_jpeg_planes_ex(seq)
+        dp = _parse_jpeg_planes_ex(prog)
+        assert ds is not None, "sequential decode failed"
+        assert dp is not None, "progressive decode failed"
+        assert ds[:3] == dp[:3]
+
+    prop()
+
+
+def test_jpeg_progressive_with_restarts_and_fuzz(spark):
+    """Progressive + DRI: per-scan restart intervals (predictor and
+    EOB-run reset, per-scan RSTn cycle) decode identically to the
+    sequential decode of the same content; byte-corruption of the
+    progressive stream never raises."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from helpers import jpeg_encode_gray
+
+    from hustle_spark.operators.multimodal import _parse_jpeg_planes_ex
+
+    rng = random.Random(11)
+    bw, bh = 3, 3
+    blocks = []
+    for _ in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = rng.randrange(-600, 600)
+        for _ in range(rng.randrange(0, 5)):
+            blk[rng.randrange(1, 64)] = rng.choice(
+                [-5, -3, -2, -1, 1, 2, 3, 5]
+            )
+        blocks.append(blk)
+    scans = [
+        ("dc", 0, 1), ("dc", 1, 0),
+        ("ac", 1, 8, 0, 1), ("ac", 9, 63, 0, 1),
+        ("ac", 1, 8, 1, 0), ("ac", 9, 63, 1, 0),
+    ]
+    seq = jpeg_encode_gray(blocks, bw, bh, mode="sequential")
+    ds = _parse_jpeg_planes_ex(seq)
+    for ri in (1, 2, 4, 100):  # incl. interval > blocks (no markers)
+        prog = jpeg_encode_gray(
+            blocks, bw, bh, mode="progressive", scans=scans,
+            restart_interval=ri,
+        )
+        dp = _parse_jpeg_planes_ex(prog)
+        assert dp is not None, f"ri={ri}"
+        assert ds[:3] == dp[:3], f"ri={ri}"
+        exp_per_scan = (bw * bh - 1) // ri
+        assert dp[3] == exp_per_scan * len(scans), f"ri={ri}"
+
+    full = jpeg_encode_gray(
+        blocks, bw, bh, mode="progressive", scans=scans,
+        restart_interval=2,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        pos=st.integers(0, len(full) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(full)),
+    )
+    def prop(pos, val, cut):
+        mutated = full[:pos] + bytes([val]) + full[pos + 1:]
+        out = _parse_jpeg_planes_ex(mutated[:cut])
+        assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+    prop()
