@@ -1888,6 +1888,146 @@ def synthesize_jpeg_restart_payloads(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _jpeg_progressive_static_hex() -> str:
+    """Static pre-scan segments for the progressive synthesizer:
+    SOI + DQT(all-ones) + DHT DC (Annex K.3) + DHT AC (a flat
+    canonical table — 254 nine-bit + 2 ten-bit codes covering every
+    RS value, the shape progressive encoders use since Annex K's
+    baseline AC table has no EOBn codes) + SOF2 header PREFIX (the
+    per-id geometry bytes are appended in codegen)."""
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    dc_counts = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    dht_dc = (
+        b"\xff\xc4" + (31).to_bytes(2, "big") + b"\x00"
+        + dc_counts + bytes(range(12))
+    )
+    flat_counts = bytes([0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0])
+    dht_ac = (
+        b"\xff\xc4" + (2 + 1 + 16 + 256).to_bytes(2, "big") + b"\x10"
+        + flat_counts + bytes(range(256))
+    )
+    return (b"\xff\xd8" + dqt + dht_dc + dht_ac).hex().upper()
+
+
+def synthesize_jpeg_progressive_payloads(
+    df: DataFrame, id_col: str
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) grayscale JPEGs built in codegen — the
+    four-scan Annex G script real encoders emit, over the exactness
+    pixel model (constant 8x8 blocks, all-ones quant):
+
+        blocks_x = id % 2 + 2, blocks_y = id % 3 + 2
+        every block is constant V(bx,by) = (id*17 + bx*41 + by*67
+        + 37) % 256
+
+    Scan script: (1) DC first at Al=1 — diffs of the
+    arithmetic-shifted DC chain; (2) DC refinement appending the low
+    bit (pmod(D,2) == D&1 in two's complement); (3) AC first over
+    band 1-63 at Al=1 and (4) AC refinement of the same band — the
+    blocks are DC-only, so both AC scans are pure EOB runs, whose
+    EOBn(r) + extension-bit closed form is the elegant
+    substring-after-MSB identity: conv(n,2) minus its leading bit IS
+    n - 2^r in exactly r bits. Each scan's bit stream is 1-padded to
+    a byte boundary and 0xFF00-stuffed independently (spec scan
+    framing). The flat progressive AC table ships in the DHT. This is
+    the codegen twin of the reference encoder the decoder was
+    differentially proven against (tests/helpers.py); the r8 driver
+    row pairs it with a generative pixel-model oracle."""
+    pre_hex = _jpeg_progressive_static_hex()
+    base = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        (F.col(id_col).cast("long") % 2 + 2).alias("cx"),
+        (F.col(id_col).cast("long") % 3 + 2).alias("cy"),
+    )
+
+    def dcoef(k: str) -> str:
+        v = (
+            f"pmod(media_id*17 + (({k}) % cx)*41 + (({k}) div cx)*67"
+            f" + 37, 256)"
+        )
+        return f"(8*({v} - 128))"
+
+    hi = f"shiftright({dcoef('k')}, 1)"
+    hiprev = f"shiftright({dcoef('k-1')}, 1)"
+    diff = f"({hi} - if(k = 0, 0, {hiprev}))"
+    cat = f"if({diff} = 0, 0, length(conv(abs({diff}), 10, 2)))"
+    pow2cat = f"cast(pow(2.0d, {cat}) as bigint)"
+    valbits = (
+        f"case when {diff} = 0 then '' "
+        f"when {diff} > 0 then conv({diff}, 10, 2) "
+        f"else substring(conv({diff} + 2*{pow2cat} - 1, 10, 2), 2) end"
+    )
+    dc_code_arr = "array(" + ", ".join(f"'{c}'" for c in _JPEG_DC_CODES) + ")"
+    block_bits = (
+        f"concat(element_at({dc_code_arr}, cast({cat} as int) + 1), "
+        f"{valbits})"
+    )
+    # flat 9-bit AC code for RS value r<<4 (r <= 3 here: n <= 12)
+    eob_bits = (
+        "concat(lpad(conv(shiftleft(length(conv(cx*cy, 10, 2)) - 1, 4),"
+        " 10, 2), 9, '0'), substring(conv(cx*cy, 10, 2), 2))"
+    )
+    staged = (
+        base.withColumn(
+            "s1bits",
+            F.expr(
+                f"array_join(transform(sequence(0, cast(cx*cy - 1 as"
+                f" int)), k -> {block_bits}), '')"
+            ),
+        )
+        .withColumn(
+            "s2bits",
+            F.expr(
+                f"array_join(transform(sequence(0, cast(cx*cy - 1 as"
+                f" int)), k -> cast(pmod({dcoef('k')}, 2) as string)),"
+                f" '')"
+            ),
+        )
+        .withColumn("s3bits", F.expr(eob_bits))
+        .withColumn("s4bits", F.expr(eob_bits))
+    )
+    byte = "conv(substring(b, i*8 + 1, 8), 2, 10)"
+    tohex = (
+        f"array_join(transform(sequence(0, cast((length(b) + 7) div 8"
+        f" as int) - 1), i -> concat(lpad(hex(cast({byte} as bigint)),"
+        f" 2, '0'), if(cast({byte} as int) = 255, '00', ''))), '')"
+    )
+
+    def scan_hex(bits_col: str, ss: int, se: int, ahal: int) -> str:
+        hdr = f"FFDA000801010{0:01X}{ss:02X}{se:02X}{ahal:02X}"
+        padded = (
+            f"concat({bits_col}, repeat('1', (8 - pmod(length("
+            f"{bits_col}), 8)) % 8))"
+        )
+        body = f"transform(array({padded}), b -> {tohex})[0]"
+        return f"concat('{hdr}', {body})"
+
+    sof_hex = (
+        "concat('FFC2000B08', lpad(hex(cy*8), 4, '0'), "
+        "lpad(hex(cx*8), 4, '0'), '01011100')"
+    )
+    payload_hex = F.expr(
+        f"concat('{pre_hex}', {sof_hex}, "
+        f"{scan_hex('s1bits', 0, 0, 0x01)}, "
+        f"{scan_hex('s2bits', 0, 0, 0x10)}, "
+        f"{scan_hex('s3bits', 1, 63, 0x01)}, "
+        f"{scan_hex('s4bits', 1, 63, 0x10)}, 'FFD9')"
+    )
+    return staged.select(
+        "media_id",
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("jpgp_"), F.col("media_id").cast("string")).alias(
+                "filename"
+            ),
+            (F.col("cx") * 8).cast("int").alias("declared_w"),
+            (F.col("cy") * 8).cast("int").alias("declared_h"),
+            F.lit(4).cast("int").alias("declared_scans"),
+        ).alias("meta"),
+    )
+
+
 JPEG_RESTART_FEATURE_SCHEMA = (
     "media_id long, media_type string, width int, height int, "
     "n_pixels long, sum_v long, wsum_v long, n_restarts long, ok boolean"

@@ -2161,3 +2161,31 @@ def test_jpeg_progressive_with_restarts_and_fuzz(spark):
         assert out is None or (isinstance(out, tuple) and len(out) == 4)
 
     prop()
+
+
+def test_jpeg_progressive_codegen_roundtrip_exact(spark):
+    """The CODEGEN progressive synthesizer (four-scan Annex G script:
+    DC first/refinement + two EOB-run AC scans, per-scan byte
+    framing, flat progressive AC table in the DHT) round-trips the
+    pixel model exactly through the progressive decoder — the engine
+    for the r8 driver row."""
+    from hustle_spark.operators.multimodal import (
+        _parse_jpeg_planes_ex,
+        synthesize_jpeg_progressive_payloads,
+    )
+
+    df = spark.range(0, 18).selectExpr("id as doc_id")
+    for r in synthesize_jpeg_progressive_payloads(df, "doc_id").collect():
+        i = r.media_id
+        cx, cy = i % 2 + 2, i % 3 + 2
+        w, h, planes, nrst = _parse_jpeg_planes_ex(bytes(r.payload))
+        assert (w, h) == (cx * 8, cy * 8) and nrst == 0
+        exp = [
+            [(i * 17 + (x // 8) * 41 + (y // 8) * 67 + 37) % 256
+             for x in range(w)]
+            for y in range(h)
+        ]
+        assert planes[0] == exp
+        # it IS a progressive file (SOF2 present, 4 scans)
+        p = bytes(r.payload)
+        assert b"\xff\xc2" in p and p.count(b"\xff\xda") == 4
