@@ -181,3 +181,113 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
         F.when(mid % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
     return df.select(mid.alias(id_col), url.alias("url"))
+
+
+# --- robots.txt politeness filtering (crawl curation stage) -----------
+
+def robots_disallows(robots_text, user_agent: str = "*") -> Column:
+    """Parse a robots.txt body into the array of Disallow path
+    prefixes that apply to ``user_agent`` — entirely in codegen (one
+    aggregate fold over the lines, no UDF). Implements the core of
+    the public robots exclusion protocol (RFC 9309) group semantics:
+    ``User-agent:`` lines open a group (several in a row share one
+    rule block); a group applies if it names the agent exactly or
+    ``*``; ``Disallow:`` lines inside an applying group contribute
+    their prefix; empty Disallow values (allow-all) and comment /
+    unknown lines are ignored. Crawl-delay/Allow precedence are out
+    of scope of this rule core (documented; a full matcher is a
+    drop-in over the same per-line fold). NULL text parses to an
+    empty array (no restrictions)."""
+    lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
+    ua = F.lit(user_agent.lower())
+
+    def step(acc, line):
+        # acc: struct<active:boolean, in_group:boolean, pfx:array<string>>
+        t = F.trim(F.regexp_replace(line, r"#.*$", ""))
+        low = F.lower(t)
+        # value = everything after the FIRST colon (paths may contain
+        # ':'), trimmed
+        val = F.trim(F.regexp_replace(t, r"^[^:]*:", ""))
+        is_ua = low.rlike(r"^user-agent\s*:")
+        is_dis = low.rlike(r"^disallow\s*:")
+        pfx = val
+        applies = (F.lower(val) == ua) | (val == F.lit("*"))
+        return (
+            F.when(
+                is_ua,
+                F.struct(
+                    # consecutive User-agent lines OR into one group;
+                    # a UA line after rules starts a fresh group
+                    F.when(
+                        acc["in_group"], acc["active"] | applies
+                    ).otherwise(applies).alias("active"),
+                    F.lit(True).alias("in_group"),
+                    acc["pfx"].alias("pfx"),
+                ),
+            )
+            .when(
+                is_dis,
+                F.struct(
+                    acc["active"].alias("active"),
+                    F.lit(False).alias("in_group"),
+                    F.when(
+                        acc["active"] & (pfx != F.lit("")),
+                        F.array_append(acc["pfx"], pfx),
+                    ).otherwise(acc["pfx"]).alias("pfx"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    acc["active"].alias("active"),
+                    F.lit(False).alias("in_group"),
+                    acc["pfx"].alias("pfx"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(False).alias("in_group"),
+        F.array().cast("array<string>").alias("pfx"),
+    )
+    return F.aggregate(lines, init, step, lambda acc: acc["pfx"])
+
+
+def url_path(url) -> Column:
+    """Path component of a URL ('' when the URL does not parse)."""
+    return F.regexp_extract(url, URL_REGEX, 4)
+
+
+def robots_filter(
+    docs: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    disallow_col: str = "disallows",
+) -> DataFrame:
+    """Filter crawled documents by robots.txt rules: a document is
+    blocked iff its URL's path starts with ANY disallowed prefix of
+    its registrable domain (prefix semantics of the robots exclusion
+    protocol's rule core). ``robots`` is (domain, disallows
+    array<string>) — one row per domain, e.g. robots_disallows over
+    fetched robots bodies. Returns the input plus (domain, blocked).
+
+    Scale shape: domains number FAR fewer than documents and the
+    disallow arrays are tiny, so the robots side is an explicit
+    BROADCAST joined on the domain key — the corpus is scanned once,
+    never shuffled; the prefix test is an exists() HOF in codegen."""
+    d = docs.withColumn("__dom", url_domain(F.col(url_col)))
+    r = robots.select(
+        F.col(domain_col).alias("__dom"),
+        F.col(disallow_col).alias("__dis"),
+    )
+    path = url_path(F.col(url_col))
+    blocked = F.coalesce(
+        F.exists("__dis", lambda p: path.startswith(p)),
+        F.lit(False),
+    )
+    return d.join(F.broadcast(r), "__dom", "left").select(
+        *[F.col(c) for c in docs.columns],
+        F.col("__dom").alias("domain"),
+        blocked.alias("blocked"),
+    )

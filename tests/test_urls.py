@@ -107,3 +107,67 @@ def test_messy_url_model_is_parseable(spark):
     doms = {r.d for r in out.select("d").distinct().collect()}
     assert doms == {"example.com", "example.co.uk", "site.org",
                     "portal.net", "shop.com.cn", "ejemplo.gob.mx"}
+
+
+def test_robots_parse_and_filter(spark):
+    """robots.txt rule core (RFC 9309 group semantics in one codegen
+    fold): consecutive User-agent lines share a group, only applying
+    groups contribute Disallow prefixes, comments/blank/empty-value
+    lines are inert; the filter blocks exactly the URLs whose path
+    starts with a disallowed prefix of their domain."""
+    from hustle_spark.functions.urls import (
+        robots_disallows,
+        robots_filter,
+        url_path,
+    )
+
+    robots_txt = (
+        "# crawl policy\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: goodbot\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"          # empty value = allow-all, inert
+        "Crawl-delay: 10\n"    # unknown directive, inert
+        "Disallow: /late\n"    # still in the same group's rule block
+    )
+    rdf = spark.createDataFrame(
+        [("example.com", robots_txt),
+         ("open.org", None),                      # no robots -> allow
+         ("strict.net", "User-agent: *\nDisallow: /\n")],
+        "domain string, body string",
+    )
+    parsed = rdf.select(
+        "domain", robots_disallows(F.col("body")).alias("disallows")
+    )
+    got = {r.domain: r.disallows for r in parsed.collect()}
+    assert got["example.com"] == ["/private/", "/tmp", "/late"]
+    assert got["open.org"] == []
+    assert got["strict.net"] == ["/"]
+    # the evilbot-only group must apply when asked for evilbot
+    evil = rdf.filter("domain = 'example.com'").select(
+        robots_disallows(F.col("body"), user_agent="EvilBot").alias("d")
+    ).collect()[0].d
+    assert evil == ["/", "/private/", "/tmp", "/late"]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://www.example.com/private/x.html"),   # blocked
+            (2, "http://example.com/public/x.html"),        # kept
+            (3, "http://example.com/tmpfile"),              # prefix: blocked
+            (4, "https://strict.net:443/anything"),         # blocked
+            (5, "http://open.org/private/whatever"),        # no rules
+            (6, "http://unknown.io/x"),                     # no robots row
+            (7, None),                                      # NULL url
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r.blocked
+           for r in robots_filter(docs, parsed).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True,
+                   5: False, 6: False, 7: False}
+    assert docs.select(url_path(F.col("url")).alias("p")).collect()[0].p \
+        == "/private/x.html"
