@@ -806,3 +806,45 @@ def bigram_quality_scores(
             )
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text: str = "text",
+    sep: str = "_",
+    out_tokens: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode the corpus with a LEARNED BPE merge list — the apply
+    half of the tokenizer loop (bpe_learn_merges is the train half;
+    production swaps in a tokenizer's exported merges.txt, which is
+    exactly this (a, b) priority list). Each merge is applied
+    corpus-wide as one exhaustive greedy left-to-right pass in
+    priority order, which equals reference priority-queue encoding
+    for greedily-learned lists: a later merge's joined token is
+    strictly newer than any earlier pair's operands, and merging a
+    pair never makes its two NEIGHBORS adjacent, so later merges
+    cannot create matches for earlier ones. Returns the input plus
+    ``out_tokens`` (array<string>) and ``n_bpe_tokens``.
+
+    Scale shape: entirely map-only — one codegen fold per merge with
+    NO shuffle anywhere; the merge list lives in the plan as
+    literals (the merges.txt broadcast analogue). Staged one
+    withColumn per merge so janino compiles lambda references
+    instead of an N-deep nested-fold expression (the codegen-bloat
+    trap). The per-merge fold's append-accumulator is quadratic in
+    DOCUMENT length (bounded, not corpus-sized) — the inherent cost
+    of a stateful greedy walk."""
+    # NULL text folds to '' (the module's NULL-doc convention)
+    out = df.withColumn(
+        "__t", tokens(F.coalesce(F.col(text), F.lit("")))
+    )
+    for a, b in merges:
+        out = out.withColumn(
+            "__t", bpe_apply_merge(F.col("__t"), a, b, f"{a}{sep}{b}")
+        )
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("__t").alias(out_tokens),
+        F.size("__t").cast("bigint").alias("n_bpe_tokens"),
+    )

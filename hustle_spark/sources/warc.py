@@ -448,3 +448,23 @@ def synthesize_warc_payloads(df: DataFrame, id_col: str) -> DataFrame:
         mid.alias("source_id"),
         F.to_binary(payload, F.lit("utf-8")).alias("payload"),
     )
+
+
+# robots meta directives — the page-level complement of robots.txt
+# (attribute order varies in the wild, so both name/content orders
+# are matched; case-insensitive, quote-optional)
+_META_NOINDEX_REGEX = (
+    r"(?is)<meta\b"
+    r"(?=[^>]*\bname\s*=\s*[\"']?robots\b)"
+    r"(?=[^>]*\bcontent\s*=\s*"
+    r"(?:\"[^\">]*noindex|'[^'>]*noindex|[^\"'\s>]*noindex))"
+)
+
+
+def html_meta_noindex(col) -> Column:
+    """True when the page carries a robots meta noindex directive
+    (<meta name="robots" content="...noindex...">, either attribute
+    order) — the page-level opt-out a polite curation pipeline honors
+    alongside robots.txt. Pure codegen rlike at scan speed; NULL
+    pages are not flagged."""
+    return F.coalesce(col.rlike(_META_NOINDEX_REGEX), F.lit(False))

@@ -2189,3 +2189,71 @@ def test_jpeg_progressive_codegen_roundtrip_exact(spark):
         # it IS a progressive file (SOF2 present, 4 scans)
         p = bytes(r.payload)
         assert b"\xff\xc2" in p and p.count(b"\xff\xda") == 4
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Full merge-list application vs a pure-Python reference
+    (exhaustive greedy left-to-right per merge, priority order):
+    overlap collapsing, later merges consuming earlier merges'
+    joined tokens, untouched docs, NULL/empty text."""
+    import re
+
+    from hustle_spark.functions.text import bpe_encode
+
+    merges = [("a", "a"), ("a_a", "a_a"), ("b", "c"), ("a_a_a_a", "b_c")]
+    rows = [
+        (1, "a a a a b c d"),       # full cascade -> one mega token +d
+        (2, "a a a b c"),           # odd count: a_a a b_c
+        (3, "x y z"),               # untouched
+        (4, "a b a b"),             # no adjacent pairs from the list
+        (5, None), (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.bpe_tokens, r.n_bpe_tokens)
+           for r in bpe_encode(df, merges).collect()}
+
+    def ref(text):
+        toks = re.split(r"\s+", text if text is not None else "")
+        for a, b in merges:
+            j, res = f"{a}_{b}", []
+            for t in toks:
+                if res and res[-1] == a and t == b:
+                    res[-1] = j
+                else:
+                    res.append(t)
+            toks = res
+        return toks
+
+    for i, t in rows:
+        expect = ref(t)
+        assert out[i] == (expect, len(expect)), (i, out[i], expect)
+    assert out[1][0] == ["a_a_a_a_b_c", "d"]
+    assert out[2][0] == ["a_a", "a", "b_c"]
+
+
+def test_html_meta_noindex(spark):
+    """Page-level robots noindex detection: both attribute orders,
+    quotes optional, case-insensitive, multi-valued content; plain
+    pages, other meta tags, and NULL pages are not flagged."""
+    from hustle_spark.sources.warc import html_meta_noindex
+
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex,nofollow">'
+            "</head><body>x</body></html>", True),
+        (2, "<html><head><META CONTENT='NOINDEX' NAME=robots></head>"
+            "<body>x</body></html>", True),
+        (3, '<meta name="robots" content="index,follow">', False),
+        (4, '<meta name="viewport" content="noindex-lookalike">', False),
+        (5, "<html><body>no meta at all</body></html>", False),
+        (6, None, False),
+        (7, '<meta name=robots content=noindex>', True),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in rows], "doc_id long, html string"
+    )
+    got = {r.doc_id: r.f
+           for r in df.select(
+               "doc_id", html_meta_noindex(F.col("html")).alias("f")
+           ).collect()}
+    for i, _, want in rows:
+        assert got[i] is want, (i, got[i], want)
