@@ -1282,6 +1282,11 @@ def _prog_decode_scan(payload, pos, seg, comps, huff, geom, store, ri):
     if Ss == 0:  # DC scan (Se must be 0 per G.1.1.1)
         if Se != 0:
             raise ValueError("DC scan with Se != 0")
+        if 1 < ns < len(comps):
+            # a strict component SUBSET interleaves over ITS OWN MCU
+            # geometry, not the frame's — unsupported rather than
+            # silently mis-walked (real encoders emit all-or-one)
+            raise ValueError("partial-component DC scan unsupported")
         preds = [0] * ns
 
         def reset_preds():
