@@ -686,3 +686,176 @@ def semantic_dedup(
         *[F.col(c) for c in assigned.columns],
         F.col("__dropped").isNull().alias("kept"),
     )
+
+
+def cluster_centroid_dirs(
+    assigned: DataFrame,
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """Per-cluster centroid DIRECTION as exact integers: component j =
+    SUM over the cluster of floor(vec[j] * 10^quantize), a bigint. The
+    mean's 1/count scalar cancels inside cosine, so ranking against
+    this integer-sum direction is IDENTICAL to ranking against the
+    true float centroid — while the sum itself is order-invariant
+    (integer addition commutes; a float mean would differ between
+    engines and between shuffle layouts). One (cluster, dim) →
+    (cluster) reduction, all codegen.
+
+    Scale shape: posexplode shuffles n*d rows of (cluster, pos,
+    bigint) — linear in corpus size with map-side partial aggregation
+    on (cluster, pos). At very high d a production deployment would
+    swap in an applyInPandas integer-accumulator per cluster (same
+    output contract); the explode form keeps this engine-replayable
+    and JVM-side.
+
+    Returns (cluster_col, centroid_dir array<double>) where each
+    component is the exact bigint sum cast to double (exact up to
+    2^53, far beyond any corpus this runs on: |sum| <= n * 10^q *
+    max|x|)."""
+    scale = float(10**quantize)
+    ex = assigned.select(
+        F.col(cluster_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__pos", "__val"
+        ),
+    )
+    sums = ex.groupBy(cluster_col, "__pos").agg(
+        F.sum(F.floor(F.col("__val") * F.lit(scale)).cast("bigint")).alias(
+            "__s"
+        )
+    )
+    return sums.groupBy(cluster_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__s"))),
+            lambda st: st["__s"].cast("double"),
+        ).alias("centroid_dir")
+    )
+
+
+def cluster_centrality(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """Adds ``centrality_u`` — floor(cosine(vec, cluster centroid
+    direction) * 10^quantize) as BIGINT — to every row. NULL when
+    either the vector or the centroid direction has zero norm (the
+    cosine() try_divide contract). The floor-quantized integer is the
+    cross-engine-stable rank key SemDeDup's keeper policy needs; the
+    centroid direction comes from cluster_centroid_dirs (exact
+    integer sums, count scalar cancelled by cosine)."""
+    cents = cluster_centroid_dirs(
+        assigned, cluster_col=cluster_col, vec_col=vec_col, quantize=quantize
+    )
+    return assigned.join(cents, cluster_col).select(
+        *[F.col(c) for c in assigned.columns],
+        F.floor(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("centroid_dir"))
+            * F.lit(float(10**quantize))
+        ).cast("bigint").alias("centrality_u"),
+    )
+
+
+def semantic_dedup_ranked(
+    assigned: DataFrame,
+    threshold: float,
+    rank_col: str,
+    id_col: str = "vec_id",
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+    ascending: bool = True,
+) -> DataFrame:
+    """SemDeDup with a PLUGGABLE keeper policy — the rank-key swap the
+    semantic_dedup docstring promises. Within a cluster a vector is
+    dropped iff some clustermate with a strictly better
+    (rank_col, id) — lexicographic, rank first, id as the
+    deterministic tiebreak — has floor-quantized cosine >= threshold
+    to it. ``ascending=True`` means smaller rank values are
+    keeper-preferred. A NULL rank is WORST (never evicts a ranked
+    clustermate through rank, loses every tie), via a +/-2^62
+    sentinel so struct comparison stays total. semantic_dedup(df, t)
+    == semantic_dedup_ranked(df, t, rank_col=<id copy>).
+
+    Scale shape: identical to semantic_dedup — the self-join is on
+    the cluster key, pairs per task bounded by cluster size, and the
+    adaptive cluster count keeps total pair work linear."""
+    thr_u = int(round(threshold * 10**quantize))
+    sentinel = F.lit((1 if ascending else -1) * (1 << 62)).cast("bigint")
+    rk = F.coalesce(F.col(rank_col).cast("bigint"), sentinel)
+    a = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__ida"),
+        rk.alias("__ra"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__idb"),
+        rk.alias("__rb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    if ascending:
+        better = F.col("__ra") < F.col("__rb")
+    else:
+        better = F.col("__ra") > F.col("__rb")
+    better = better | (
+        (F.col("__ra") == F.col("__rb")) & (F.col("__ida") < F.col("__idb"))
+    )
+    dominated = (
+        a.join(b, "__cl")
+        .filter(better)
+        .select(
+            F.col("__idb").alias(id_col),
+            F.floor(
+                cosine(F.col("__va"), F.col("__vb"))
+                * F.lit(float(10**quantize))
+            ).cast("bigint").alias("__cu"),
+        )
+        .filter(F.col("__cu") >= thr_u)
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return assigned.join(dominated, id_col, "left").select(
+        *[F.col(c) for c in assigned.columns],
+        F.col("__dropped").isNull().alias("kept"),
+    )
+
+
+def semantic_dedup_centroid(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    cluster_col: str = "list_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """SemDeDup with the PAPER'S keeper policy (Abbas et al. 2023
+    keep the example with the LOWEST cosine similarity to the cluster
+    centroid — the far-from-centroid representative preserves cluster
+    diversity better than an arbitrary id): centrality from
+    cluster_centrality (exact integer-sum centroid direction), then
+    semantic_dedup_ranked ascending on centrality_u. Returns the
+    input columns + centrality_u + kept."""
+    ranked = cluster_centrality(
+        assigned,
+        id_col=id_col,
+        cluster_col=cluster_col,
+        vec_col=vec_col,
+        quantize=quantize,
+    )
+    return semantic_dedup_ranked(
+        ranked,
+        threshold,
+        rank_col="centrality_u",
+        id_col=id_col,
+        cluster_col=cluster_col,
+        vec_col=vec_col,
+        quantize=quantize,
+        ascending=True,
+    )

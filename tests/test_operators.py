@@ -194,6 +194,148 @@ def test_adaptive_sign_bits_closed_form():
         assert adaptive_sign_bits(n) == sql_form, n
 
 
+def test_semantic_dedup_centroid_rules(spark):
+    """Centroid-keeper policy (Abbas et al.: keep the LOWEST cosine to
+    the cluster centroid): where two of three mutually-similar vectors
+    share a direction, the centroid is pulled toward the pair and the
+    odd one out becomes the keeper — a different survivor than
+    keep-min-id. Zero vectors: NULL centrality ranks WORST, NULL
+    pairwise cosine never evicts."""
+    from hustle_spark.operators.similarity import (
+        semantic_dedup_centroid,
+        sign_quantize,
+    )
+
+    rows = [
+        (10, [1.0, 1.0, 1.0, 1.0]),   # direction A (x2: pulls centroid)
+        (11, [1.0, 1.0, 1.0, 1.0]),   # direction A
+        (12, [1.0, 1.0, 1.0, 0.5]),   # direction B: farthest from centroid
+        (13, [0.0, 0.0, 0.0, 0.0]),   # zero-norm, cluster 0
+        (14, [-1.0, -1.0, -1.0, -1.0]),  # cluster 0 clustermate of 13
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.kept, r.centrality_u)
+        for r in semantic_dedup_centroid(
+            sign_quantize(df, n_bits=4), threshold=0.9
+        ).collect()
+    }
+    # cos(A, B) ~ 0.9707 >= 0.9; B has strictly lower centrality ->
+    # B evicts both copies of A (min-id policy would keep 10 instead)
+    assert out[12][0] is True
+    assert out[10][0] is False and out[11][0] is False
+    assert out[12][1] < out[10][1]
+    # identical vectors tie exactly on quantized centrality
+    assert out[10][1] == out[11][1]
+    # zero vector: NULL centrality, kept, and 14 is untouched by it
+    assert out[13] == (True, None)
+    assert out[14][0] is True
+
+
+def test_semantic_dedup_ranked_id_key_matches_min_id(spark):
+    """semantic_dedup_ranked with the id itself as rank key reproduces
+    semantic_dedup's keep-min-id output exactly (the documented
+    degenerate case), including NULL-cosine and threshold edges."""
+    from hustle_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_ranked,
+        sign_quantize,
+    )
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 1.0, 1.001]),
+        (2, [2.0, 2.0, 2.0, 2.0]),
+        (3, [1.0, 1.0, 1.0, -1.0]),
+        (4, [-1.0, -1.0, -1.0, -1.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, -1.0, 0.5, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = sign_quantize(df, n_bits=4)
+    base = {r.vec_id: r.kept
+            for r in semantic_dedup(assigned, threshold=0.9).collect()}
+    ranked = {
+        r.vec_id: r.kept
+        for r in semantic_dedup_ranked(
+            assigned.withColumn("rk", F.col("vec_id")),
+            threshold=0.9,
+            rank_col="rk",
+        ).collect()
+    }
+    assert ranked == base
+
+
+def test_semantic_dedup_centroid_matches_duckdb(spark, catalog, duck):
+    """Full-corpus differential replay of the centroid-keeper pipeline
+    (the r8 driver row's oracle): sign_quantize(nb=4) -> integer-sum
+    centroid directions -> floor-quantized centrality -> rank-dominated
+    eviction, reproduced end-to-end in DuckDB SQL over the same
+    parquet. The mean's 1/count cancels inside cosine, so both engines
+    rank against the exact bigint component sums."""
+    from hustle_spark.operators.similarity import (
+        semantic_dedup_centroid,
+        sign_quantize,
+    )
+
+    e = catalog.table("embeddings").df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semantic_dedup_centroid(
+        sign_quantize(e, n_bits=4), threshold=0.30
+    )
+    got = {
+        r.vec_id: (r.list_id, r.centrality_u, r.kept) for r in out.collect()
+    }
+
+    exp_rows = duck.execute(
+        """
+        WITH assigned AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS list_id
+          FROM embeddings),
+        ex AS (
+          SELECT list_id, generate_subscripts(v, 1) AS pos,
+                 unnest(v) AS val
+          FROM assigned),
+        sums AS (
+          SELECT list_id, pos,
+                 SUM(CAST(floor(val * 1000000) AS BIGINT)) AS s
+          FROM ex GROUP BY 1, 2),
+        cents AS (
+          SELECT list_id, list(s::DOUBLE ORDER BY pos) AS cdir
+          FROM sums GROUP BY 1),
+        ranked AS (
+          SELECT a.vec_id, a.list_id, a.v,
+                 CAST(floor(list_cosine_similarity(a.v, c.cdir) * 1000000)
+                      AS BIGINT) AS centrality_u
+          FROM assigned a JOIN cents c USING (list_id)),
+        dominated AS (
+          SELECT DISTINCT b.vec_id
+          FROM ranked a JOIN ranked b
+            ON a.list_id = b.list_id
+          WHERE (a.centrality_u < b.centrality_u
+                 OR (a.centrality_u = b.centrality_u
+                     AND a.vec_id < b.vec_id))
+            AND CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000)
+                     AS BIGINT) >= 300000)
+        SELECT r.vec_id, r.list_id, r.centrality_u,
+               (d.vec_id IS NULL) AS kept
+        FROM ranked r LEFT JOIN dominated d ON r.vec_id = d.vec_id
+        """
+    ).fetchall()
+    exp = {v: (l, c, k) for v, l, c, k in exp_rows}
+    assert got == exp
+    # the threshold is genuinely engaged on this corpus
+    pruned = sum(1 for _, _, k in got.values() if not k)
+    assert pruned > 0
+
+
 def test_ann_topk_recall(spark):
     from hustle_spark.operators.similarity import ann_topk, cosine_topk
 
