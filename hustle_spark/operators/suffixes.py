@@ -1,0 +1,343 @@
+"""Distributed suffix array + LCP + repeated-substring groups.
+
+The CHARACTER-level half of ExactSubstr (Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022, build a byte
+suffix array of the whole corpus and cut repeats >= 50 bytes):
+``operators.dedup.repeated_span_removal`` covers token-window repeats
+at one fixed width; this module finds EXACT repeated substrings of any
+length >= a threshold, with their suffix-array interval, occurrence
+and document counts — the sub-span repeats a fixed window width
+cannot see.
+
+Spark-first construction — prefix doubling (Manber–Myers), the suffix
+array algorithm whose inner loop IS a distributed sort:
+
+- one row per (doc, pos) suffix; suffixes never cross document
+  boundaries (equivalently: corpus concatenation with per-document
+  unique sentinels, the Lee et al. layout),
+- round 0 ranks every suffix by its first ``prefix_cap`` characters
+  directly (one global dense rank over the carried prefix — skipping
+  log2(prefix_cap) doubling rounds),
+- round k sorts (rank[pos], rank[pos + h]) pairs and re-ranks,
+  doubling h, until every rank is distinct or h covers the longest
+  document — O(log max_doc_len) rounds, each one doc-partitioned
+  window (lead) plus one range-partitioned global dense rank,
+- global dense rank never funnels through a single partition: range
+  repartition -> per-partition dense_rank -> closed-form offsets from
+  the <= shuffle_partitions per-partition distinct counts (a bounded
+  driver collect, same class as connected_components' convergence
+  check).
+
+LCP between rank-adjacent suffixes is computed from the carried
+``prefix_cap``-character prefixes (codegen zip_with; exact up to the
+cap, reported as min(true LCP, cap)) — the bounded-LCP contract that
+keeps the frame at ~(id, pos, rank, cap chars) per row instead of
+Kasai's sequential pass or per-level rank matrices. Repeats longer
+than the cap still group correctly (their capped LCP saturates at the
+cap >= min_len); only the REPORTED length saturates.
+
+Scale shape: one row per character position is the honest ExactSubstr
+cost (Lee et al. pay the same 8 bytes/byte for the SA). Every wide
+operation is an equi-join or a range sort on scalar keys; per-round
+frames are localCheckpoint'ed (the connected_components lineage
+idiom) so plans stay flat across rounds. Within-doc windows mean one
+task sees one document's positions — shard pathologically long
+documents upstream (the module treats a document as the parallelism
+atom, exactly like the token-window passes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _global_dense_rank(df: DataFrame, cols: list, out: str) -> DataFrame:
+    """Dense rank (0-based) over the WHOLE frame by ``cols`` without a
+    single-partition window: range-repartition on the key, dense_rank
+    inside each partition, then add per-partition offsets computed
+    from the (<= shuffle_partitions)-row distinct-count collect.
+    RangePartitioner puts equal keys in one partition, so
+    per-partition dense ranks splice into a global dense rank
+    exactly."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = [F.col(c) for c in cols]
+    d = df.repartitionByRange(n_parts, *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*key)
+    # localCheckpoint BEFORE the offsets collect: range boundaries come
+    # from a sampling job and AQE may re-plan between executions, so
+    # the offsets job and every later consumer MUST read one frozen
+    # materialization of (__pid, __lr) — recomputing the shuffle could
+    # assign different partition ids and splice garbage ranks
+    d = d.withColumn("__lr", F.dense_rank().over(w)).localCheckpoint()
+    # bounded collect: one row per non-empty partition
+    per = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in d.groupBy("__pid").agg(F.max("__lr").alias("__cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in per:
+        offsets[pid] = acc
+        acc += cnt
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    return (
+        d.withColumn(out, (F.col("__lr") - 1 + omap[F.col("__pid")]).cast("bigint"))
+        .drop("__pid", "__lr")
+    )
+
+
+def suffix_positions(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    prefix_cap: int = 64,
+) -> DataFrame:
+    """One row per suffix: (id, pos, __prefix) where pos is 0-based and
+    __prefix carries the first ``prefix_cap`` characters of the suffix
+    (computed map-side while the document text is in hand — the only
+    place text is touched). NULL and empty documents contribute no
+    suffixes (nothing to repeat). The prefix is the module's working
+    payload: ranking round 0, capped LCP, and the reported sample text
+    all come from it."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    return (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.length("__t") - 1)).alias(
+                "__pos"
+            ),
+            F.col("__t"),
+        )
+        .select(
+            id_col,
+            F.col("__pos").cast("int").alias("pos"),
+            F.expr(f"substring(__t, __pos + 1, {int(prefix_cap)})").alias(
+                "__prefix"
+            ),
+        )
+    )
+
+
+def suffix_array(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    prefix_cap: int = 64,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Corpus-wide suffix array: (id, pos, __prefix, rank) with rank a
+    0-based GLOBAL lexicographic index over every suffix of every
+    document, ties between byte-identical suffixes broken by
+    (id, pos) — exactly ``ORDER BY suffix, id, pos`` in an oracle
+    engine. A suffix that is a proper prefix of another sorts first
+    (the unique-sentinel convention: absent continuation ranks below
+    every real rank).
+
+    Prefix doubling with a ``prefix_cap``-character head start; rounds
+    end when all ranks are distinct (checked per round — the
+    iterative-algorithm class, like connected_components) or h covers
+    the longest document. Each round: lead(rank, h) inside the doc
+    partition, one global dense rank on the (rank, next-rank) pair,
+    and a localCheckpoint to keep the plan flat."""
+    base = suffix_positions(df, text=text, id_col=id_col, prefix_cap=prefix_cap)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.length("__prefix")).alias("maxp"),
+    ).collect()[0]
+    n = stats["n"]
+    cur = _global_dense_rank(base, ["__prefix"], "rank")
+    if n == 0:
+        return cur
+    max_len_row = (
+        df.select(F.max(F.length(F.coalesce(F.col(text), F.lit("")))).alias("m"))
+        .collect()[0]
+    )
+    max_len = max_len_row["m"] or 0
+    h = int(prefix_cap)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    for _ in range(max_rounds):
+        distinct = cur.agg(F.max("rank").alias("mx")).collect()[0]["mx"]
+        if distinct == n - 1 or h >= max_len:
+            break
+        paired = cur.withColumn(
+            "__r2", F.coalesce(F.lead("rank", h).over(w_doc), F.lit(-1))
+        )
+        cur = _global_dense_rank(
+            paired, ["rank", "__r2"], "__nr"
+        ).drop("rank", "__r2").withColumnRenamed("__nr", "rank")
+        h *= 2
+    # final total order: byte-equal suffixes tie on rank; break by
+    # (id, pos) so rank becomes a unique 0-based index, matching the
+    # oracle's ORDER BY suffix, id, pos
+    return (
+        _global_dense_rank(cur, ["rank", id_col, "pos"], "__u")
+        .drop("rank")
+        .withColumnRenamed("__u", "rank")
+    )
+
+
+def _capped_lcp(a, b):
+    """Common-prefix length of two (already cap-bounded) strings in
+    pure codegen: zip the character arrays, find the first mismatch.
+    zip_with pads the shorter side with NULL, and NULL != ch yields
+    NULL (not false), so the first FALSE is always a genuine mismatch
+    and a fully-matching shorter string falls through to min(len)."""
+    za = F.split(a, "(?!^)")
+    zb = F.split(b, "(?!^)")
+    eq = F.zip_with(za, zb, lambda x, y: x == y)
+    first_false = F.array_position(eq, F.lit(False))
+    return F.when(
+        first_false > 0, (first_false - 1).cast("int")
+    ).otherwise(F.least(F.length(a), F.length(b)).cast("int"))
+
+
+def lcp_adjacent(sa: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Adds ``lcp_prev``: the capped LCP between each suffix and its
+    rank-predecessor (NULL for rank 0). Rank-adjacency is a plain
+    self-equi-join on rank (ranks are unique integers), not a global
+    window — the shuffle is on a scalar key."""
+    prev = sa.select(
+        (F.col("rank") + 1).alias("rank"), F.col("__prefix").alias("__pprefix")
+    )
+    return sa.join(prev, "rank", "left").withColumn(
+        "lcp_prev",
+        F.when(
+            F.col("__pprefix").isNotNull(),
+            _capped_lcp(F.col("__prefix"), F.col("__pprefix")),
+        ),
+    ).drop("__pprefix")
+
+
+def repeated_substring_groups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    min_docs: int = 2,
+    prefix_cap: int = 64,
+) -> DataFrame:
+    """Right-maximal repeated substrings of length >= ``min_len``
+    characters, straight off the suffix array: every maximal run of
+    rank-consecutive suffixes whose adjacent capped LCPs all reach
+    ``min_len`` is one GROUP — the occurrences of a shared substring of
+    length >= min_len (the suffix-array interval of that substring).
+    Groups are filtered to those spanning >= ``min_docs`` distinct
+    documents (cross-document repeats; set min_docs=1 to include
+    within-document self-repeats).
+
+    Returns one row per group:
+      group_id     — rank of the group's first suffix (stable),
+      n_occ        — number of occurrences (suffixes in the interval),
+      n_docs       — distinct documents touched,
+      repeat_len   — min(true shared length, prefix_cap): the minimum
+                     adjacent LCP over the interval, saturating at the
+                     cap (a group whose repeat_len == prefix_cap may
+                     share arbitrarily more),
+      sample       — the shared substring itself, to repeat_len chars.
+
+    The group key for a run of consecutive ranks is rank - (index of
+    the member among members ordered by rank) — the islands trick, with
+    the member index supplied by the same range-partitioned global
+    dense rank the SA construction uses (member ranks are unique, so
+    dense rank == row index). Runs additionally SPLIT where the
+    adjacent LCP dips below min_len even though both sides stay
+    members of other runs — membership alone is not edge-transitivity.
+
+    Scale shape: members (positions inside repeated regions) are the
+    only rows past the LCP stage; everything after is group-keyed
+    aggregation. Lee et al. cut every repeat the SA surfaces — this
+    group table is exactly the audit/cut list that pass consumes."""
+    # checkpoints: sa feeds lcp_adjacent's self-join and lcped feeds
+    # its own reverse join — without truncation each action would
+    # replay the whole doubling pipeline once per branch
+    sa = suffix_array(
+        df, text=text, id_col=id_col, prefix_cap=prefix_cap
+    )
+    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint()
+    # a suffix is a member iff it shares >= min_len with a rank
+    # neighbor on either side; lcp_next via the reverse join
+    nxt = lcped.select(
+        (F.col("rank") - 1).alias("rank"), F.col("lcp_prev").alias("lcp_next")
+    )
+    marked = lcped.join(nxt, "rank", "left")
+    members = marked.filter(
+        (F.col("lcp_prev") >= min_len) | (F.col("lcp_next") >= min_len)
+    )
+    # islands: consecutive ranks with a qualifying SHARED edge stay in
+    # one group; split on rank gaps (automatic: rank - index changes)
+    # and on sub-threshold edges (explicit boundary flag)
+    idx = _global_dense_rank(members, ["rank"], "__mi")
+    boundary = (
+        F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
+    ).cast("bigint")
+    flagged = idx.withColumn("__b", boundary)
+    # group seed = running count of boundaries up to each member, a
+    # prefix sum over the member index — same range-partition scan
+    runs = _running_sum(flagged, "__mi", "__b", "__g")
+    groups = (
+        runs.groupBy("__g")
+        .agg(
+            F.min("rank").alias("group_id"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            # min over the interval's INTERNAL edges = shared length;
+            # the boundary row's lcp_prev belongs to the previous group
+            F.min(F.when(F.col("__b") == 0, F.col("lcp_prev"))).alias(
+                "repeat_len"
+            ),
+            F.min(F.struct("rank", "__prefix")).alias("__first"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "group_id",
+            "n_occ",
+            "n_docs",
+            F.col("repeat_len").cast("int").alias("repeat_len"),
+            F.expr("substring(__first.__prefix, 1, repeat_len)").alias(
+                "sample"
+            ),
+        )
+    )
+    return groups
+
+
+def _running_sum(
+    df: DataFrame, order_col: str, val_col: str, out: str
+) -> DataFrame:
+    """Inclusive prefix sum of ``val_col`` in ``order_col`` order
+    without a single-partition window: range repartition, local
+    cumulative sum, per-partition totals (bounded collect) as
+    offsets."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # same freeze-before-collect contract as _global_dense_rank
+    d = d.withColumn("__ls", F.sum(val_col).over(w)).localCheckpoint()
+    per = sorted(
+        (r["__pid"], r["__tot"])
+        for r in d.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in per:
+        offsets[pid] = acc
+        acc += tot or 0
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    return d.withColumn(
+        out, (F.col("__ls") + omap[F.col("__pid")]).cast("bigint")
+    ).drop("__pid", "__ls")

@@ -336,6 +336,139 @@ def test_semantic_dedup_centroid_matches_duckdb(spark, catalog, duck):
     assert pruned > 0
 
 
+def test_suffix_array_brute_force(spark):
+    """Distributed prefix-doubling SA vs a python brute-force sort:
+    full rank order (ties by doc, pos), capped adjacent LCP, and the
+    shorter-suffix-first sentinel convention."""
+    from hustle_spark.operators.suffixes import lcp_adjacent, suffix_array
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with the quick brown fox inside"),
+        (3, "abcabcabc"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = sorted(
+        (t[p:], d, p) for d, t in rows if t for p in range(len(t))
+    )
+    sa = lcp_adjacent(suffix_array(df, prefix_cap=8)).orderBy("rank")
+    got = [(r.doc_id, r.pos, r.rank, r.lcp_prev) for r in sa.collect()]
+
+    def lcp(a, b, cap=8):
+        a, b = a[:cap], b[:cap]
+        i = 0
+        while i < min(len(a), len(b)) and a[i] == b[i]:
+            i += 1
+        return i
+
+    exp_rows = [
+        (d, p, i, None if i == 0 else lcp(exp[i - 1][0], s))
+        for i, (s, d, p) in enumerate(exp)
+    ]
+    assert sorted(got) == sorted(exp_rows)
+
+
+def test_repeated_substring_groups_rules(spark):
+    """SA-interval repeat groups: every right-extension of a shared
+    substring >= min_len is one group (n_occ, n_docs, capped length,
+    the shared sample text); min_docs filters within-doc self-repeats;
+    repeats longer than prefix_cap saturate at the cap."""
+    from hustle_spark.operators.suffixes import repeated_substring_groups
+
+    rows = [
+        (1, "xx SHARED-RUN-ALPHA yy"),
+        (2, "zz SHARED-RUN-ALPHA qq"),
+        (3, "loop loop loop"),  # within-doc self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cross = {
+        r.sample: (r.n_occ, r.n_docs, r.repeat_len)
+        for r in repeated_substring_groups(
+            df, min_len=6, min_docs=2, prefix_cap=12
+        ).collect()
+    }
+    # the full 18-char repeat " SHARED-RUN-ALPHA " saturates at cap 12
+    assert cross[" SHARED-RUN-"] == (2, 2, 12)
+    # right-extensions shorter than min_len are not groups
+    assert all(len(s) >= 6 for s in cross)
+    # within-doc repeats appear only at min_docs=1
+    assert not any("loop" in s for s in cross)
+    within = {
+        r.sample
+        for r in repeated_substring_groups(
+            df, min_len=6, min_docs=1, prefix_cap=12
+        ).collect()
+    }
+    assert any("loop" in s for s in within)
+
+
+def test_repeated_substring_groups_match_duckdb(spark, catalog, duck):
+    """End-to-end differential replay (the r8 driver row's oracle): SA
+    order, capped LCP, island grouping, and group aggregates
+    reproduced in DuckDB over a bounded document sample via ORDER BY
+    the materialized suffixes."""
+    from hustle_spark.operators.suffixes import repeated_substring_groups
+
+    d = catalog.table("documents").df.filter(F.col("doc_id") < 40)
+    got = {
+        r.group_id: (r.n_occ, r.n_docs, r.repeat_len, r.sample)
+        for r in repeated_substring_groups(
+            d, min_len=6, min_docs=2, prefix_cap=16
+        ).collect()
+    }
+    exp_rows = duck.execute(
+        """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 40 AND text IS NOT NULL AND length(text) > 0),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
+                 text FROM docs),
+        suf AS (
+          SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
+                 substr(text, pos + 1, 16) AS prefix FROM pos),
+        ord AS (
+          SELECT doc_id, pos, prefix,
+                 row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
+          FROM suf),
+        lagged AS (
+          SELECT *, lag(prefix) OVER (ORDER BY rank) AS pprev FROM ord),
+        lcpd AS (
+          SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
+                 SELECT COALESCE(MAX(k), 0)
+                 FROM generate_series(1, 16) AS g(k)
+                 WHERE k <= least(length(prefix), length(pprev))
+                   AND substr(prefix, 1, k) = substr(pprev, 1, k))
+               END AS lcp_prev
+          FROM lagged),
+        edged AS (
+          SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next
+          FROM lcpd),
+        members AS (
+          SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 6
+                         THEN 1 ELSE 0 END AS b
+          FROM edged
+          WHERE lcp_prev >= 6 OR lcp_next >= 6),
+        runs AS (
+          SELECT *, SUM(b) OVER (ORDER BY rank
+                                 ROWS UNBOUNDED PRECEDING) AS g
+          FROM members)
+        SELECT MIN(rank) AS group_id, COUNT(*) AS n_occ,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(CASE WHEN b = 0 THEN lcp_prev END) AS repeat_len,
+               substr(arg_min(prefix, rank), 1,
+                      MIN(CASE WHEN b = 0 THEN lcp_prev END)) AS sample
+        FROM runs GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        """
+    ).fetchall()
+    exp = {g: (n, nd, rl, s) for g, n, nd, rl, s in exp_rows}
+    assert got == exp
+    assert len(got) > 0  # the corpus genuinely contains cross-doc repeats
+
+
 def test_ann_topk_recall(spark):
     from hustle_spark.operators.similarity import ann_topk, cosine_topk
 
