@@ -104,9 +104,12 @@ def suffix_positions(
     suffixes (nothing to repeat). The prefix is the module's working
     payload: ranking round 0, capped LCP, and the reported sample text
     all come from it."""
+    from ..util import spread_input
+
     t = F.coalesce(F.col(text), F.lit(""))
     return (
-        df.select(F.col(id_col), t.alias("__t"))
+        spread_input(df, df.sparkSession)
+        .select(F.col(id_col), t.alias("__t"))
         .filter(F.length("__t") > 0)
         .select(
             id_col,
