@@ -257,33 +257,7 @@ def repeated_substring_groups(
     only rows past the LCP stage; everything after is group-keyed
     aggregation. Lee et al. cut every repeat the SA surfaces — this
     group table is exactly the audit/cut list that pass consumes."""
-    # checkpoints: sa feeds lcp_adjacent's self-join and lcped feeds
-    # its own reverse join — without truncation each action would
-    # replay the whole doubling pipeline once per branch
-    sa = suffix_array(
-        df, text=text, id_col=id_col, prefix_cap=prefix_cap
-    )
-    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint()
-    # a suffix is a member iff it shares >= min_len with a rank
-    # neighbor on either side; lcp_next via the reverse join
-    nxt = lcped.select(
-        (F.col("rank") - 1).alias("rank"), F.col("lcp_prev").alias("lcp_next")
-    )
-    marked = lcped.join(nxt, "rank", "left")
-    members = marked.filter(
-        (F.col("lcp_prev") >= min_len) | (F.col("lcp_next") >= min_len)
-    )
-    # islands: consecutive ranks with a qualifying SHARED edge stay in
-    # one group; split on rank gaps (automatic: rank - index changes)
-    # and on sub-threshold edges (explicit boundary flag)
-    idx = _global_dense_rank(members, ["rank"], "__mi")
-    boundary = (
-        F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
-    ).cast("bigint")
-    flagged = idx.withColumn("__b", boundary)
-    # group seed = running count of boundaries up to each member, a
-    # prefix sum over the member index — same range-partition scan
-    runs = _running_sum(flagged, "__mi", "__b", "__g")
+    runs = _repeat_runs(df, text, id_col, min_len, prefix_cap)
     groups = (
         runs.groupBy("__g")
         .agg(
@@ -309,6 +283,163 @@ def repeated_substring_groups(
         )
     )
     return groups
+
+
+def _repeat_runs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    min_len: int,
+    prefix_cap: int,
+) -> DataFrame:
+    """Per-member run frame shared by groups and removal: suffixes
+    inside some repeated region (an adjacent capped LCP >= min_len on
+    either side), each carrying its island key ``__g`` (split on rank
+    gaps and sub-threshold edges — membership alone is not
+    edge-transitivity), boundary flag ``__b``, rank, prefix, and
+    (id, pos)."""
+    # checkpoints: sa feeds lcp_adjacent's self-join and lcped feeds
+    # its own reverse join — without truncation each action would
+    # replay the whole doubling pipeline once per branch
+    sa = suffix_array(
+        df, text=text, id_col=id_col, prefix_cap=prefix_cap
+    )
+    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint()
+    # a suffix is a member iff it shares >= min_len with a rank
+    # neighbor on either side; lcp_next via the reverse join
+    nxt = lcped.select(
+        (F.col("rank") - 1).alias("rank"), F.col("lcp_prev").alias("lcp_next")
+    )
+    marked = lcped.join(nxt, "rank", "left")
+    members = marked.filter(
+        (F.col("lcp_prev") >= min_len) | (F.col("lcp_next") >= min_len)
+    )
+    # islands: consecutive ranks with a qualifying SHARED edge stay in
+    # one group; split on rank gaps (automatic: a gapped rank has a
+    # sub-threshold or absent lcp_prev edge) and on sub-threshold edges
+    idx = _global_dense_rank(members, ["rank"], "__mi")
+    boundary = (
+        F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
+    ).cast("bigint")
+    flagged = idx.withColumn("__b", boundary)
+    # group seed = running count of boundaries up to each member, a
+    # prefix sum over the member index — same range-partition scan
+    return _running_sum(flagged, "__mi", "__b", "__g")
+
+
+def repeated_substring_removal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    min_docs: int = 2,
+    prefix_cap: int = 64,
+) -> DataFrame:
+    """Character-exact ExactSubstr CUT (Lee et al. ACL 2022): every
+    character covered by a substring of length >= ``min_len`` that
+    repeats across >= ``min_docs`` distinct documents is removed from
+    ALL of them — the char-level complement of
+    ``dedup.repeated_span_removal``'s token windows, with exact repeat
+    boundaries from the suffix array instead of window-width rounding.
+    Set min_docs=1 to also cut within-document self-repeats.
+
+    Coverage is cap-independent: every suffix position inside a long
+    repeat is its own member, and each member marks only
+    [pos, pos + min_len) — the union of those windows tiles the whole
+    repeat exactly, so ``prefix_cap`` only needs to be >= min_len for
+    DETECTION, never for cut length.
+
+    Returns (id_col, text, n_chars, n_removed): surviving text with
+    the removed intervals' characters deleted (gap concatenation — no
+    whitespace normalization; character offsets are the contract
+    here), original char count, chars removed. Documents with nothing
+    flagged pass through verbatim; NULL text folds to ''.
+
+    Scale shape: members are the only rows past the LCP stage; marks
+    collapse per document (bounded by the doc's own length), merge
+    into disjoint intervals via the same codegen fold as the token
+    pass, and the rebuild is size(intervals)+1 substring copies."""
+    runs = _repeat_runs(df, text, id_col, min_len, prefix_cap)
+    qual = (
+        runs.groupBy("__g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    marks = (
+        runs.join(qual, "__g", "left_semi")
+        .select(F.col(id_col), F.col("pos").alias("__lo"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__lo")).alias("__starts"))
+    )
+    base = df.select(
+        F.col(id_col), F.coalesce(F.col(text), F.lit("")).alias("__t")
+    )
+    withs = base.join(marks, id_col, "left").select(
+        id_col,
+        "__t",
+        F.coalesce("__starts", F.array().cast("array<int>")).alias("__starts"),
+    )
+    nch = F.length("__t")
+    hi_of = lambda s: F.least(s + min_len - 1, nch - 1)  # noqa: E731
+    # same merge fold as the token pass: sorted starts collapse into
+    # sorted, disjoint, gap-separated [lo, hi] intervals
+    intervals = F.aggregate(
+        F.col("__starts"),
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            F.try_element_at(acc, F.lit(-1)).isNotNull()
+            & (s <= F.try_element_at(acc, F.lit(-1))["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.try_element_at(acc, F.lit(-1))["lo"].alias("lo"),
+                        F.greatest(
+                            F.try_element_at(acc, F.lit(-1))["hi"], hi_of(s)
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"), hi_of(s).cast("int").alias("hi")
+                    )
+                ),
+            )
+        ),
+    )
+    with_iv = withs.select(id_col, "__t", intervals.alias("__iv"))
+
+    def gap_piece(j):
+        prev_hi = F.when(
+            j > 0, F.try_element_at(F.col("__iv"), j)["hi"]
+        ).otherwise(F.lit(-1))
+        next_lo = F.coalesce(
+            F.try_element_at(F.col("__iv"), j + 1)["lo"], F.length("__t")
+        )
+        return F.col("__t").substr(
+            prev_hi + 2, F.greatest(F.lit(0), next_lo - prev_hi - 1)
+        )
+
+    kept = F.array_join(
+        F.transform(F.sequence(F.lit(0), F.size(F.col("__iv"))), gap_piece),
+        "",
+    )
+    n_removed = F.aggregate(
+        F.col("__iv"),
+        F.lit(0),
+        lambda acc, iv: acc + iv["hi"] - iv["lo"] + 1,
+    )
+    return with_iv.select(
+        id_col,
+        kept.alias(text),
+        F.length("__t").cast("bigint").alias("n_chars"),
+        F.coalesce(n_removed, F.lit(0)).cast("bigint").alias("n_removed"),
+    )
 
 
 def _running_sum(

@@ -469,6 +469,143 @@ def test_repeated_substring_groups_match_duckdb(spark, catalog, duck):
     assert len(got) > 0  # the corpus genuinely contains cross-doc repeats
 
 
+def test_repeated_substring_removal_rules(spark):
+    """Char-exact ExactSubstr cut: the cross-doc shared region is
+    removed from ALL docs with exact boundaries (member windows tile
+    the repeat — no window-width rounding), untouched docs pass
+    through verbatim, NULL folds to ''."""
+    from hustle_spark.operators.suffixes import repeated_substring_removal
+
+    rows = [
+        (1, "xq1 COMMON-SEGMENT-42 zk9"),
+        (2, "wm2 COMMON-SEGMENT-42 ty7"),
+        (3, "unique!!"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text, r.n_chars, r.n_removed)
+        for r in repeated_substring_removal(
+            df, min_len=6, min_docs=2, prefix_cap=12
+        ).collect()
+    }
+    # shared region " COMMON-SEGMENT-42 " spans chars 3..21 in both
+    assert got[1] == ("xq1zk9", 25, 19)
+    assert got[2] == ("wm2ty7", 25, 19)
+    assert got[3] == ("unique!!", 8, 0)
+    assert got[4] == ("", 0, 0)
+    # min_docs=1 also cuts within-doc self-repeats
+    within = {
+        r.doc_id: r.n_removed
+        for r in repeated_substring_removal(
+            spark.createDataFrame(
+                [(1, "ab LOOPLOOPLOOP cd")], "doc_id long, text string"
+            ),
+            min_len=6,
+            min_docs=1,
+            prefix_cap=12,
+        ).collect()
+    }
+    assert within[1] > 0
+
+
+def test_repeated_substring_removal_matches_duckdb(spark, catalog, duck):
+    """Differential replay of the cut over a bounded document sample:
+    member marks, interval merge, and gap-substring rebuild reproduced
+    in DuckDB on top of the same suffix ordering."""
+    from hustle_spark.operators.suffixes import repeated_substring_removal
+
+    d = catalog.table("documents").df.filter(F.col("doc_id") < 40)
+    got = {
+        r.doc_id: (r.text, r.n_chars, r.n_removed)
+        for r in repeated_substring_removal(
+            d, min_len=8, min_docs=2, prefix_cap=16
+        ).collect()
+    }
+    exp_rows = duck.execute(
+        """
+        WITH docs AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM documents
+          WHERE doc_id < 40),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
+                 text FROM docs WHERE length(text) > 0),
+        suf AS (
+          SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
+                 substr(text, pos + 1, 16) AS prefix FROM pos),
+        ord AS (
+          SELECT doc_id, pos, prefix,
+                 row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
+          FROM suf),
+        lagged AS (
+          SELECT *, lag(prefix) OVER (ORDER BY rank) AS pprev FROM ord),
+        lcpd AS (
+          SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
+                 SELECT COALESCE(MAX(k), 0)
+                 FROM generate_series(1, 16) AS g(k)
+                 WHERE k <= least(length(prefix), length(pprev))
+                   AND substr(prefix, 1, k) = substr(pprev, 1, k))
+               END AS lcp_prev
+          FROM lagged),
+        edged AS (
+          SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next
+          FROM lcpd),
+        members AS (
+          SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 8
+                         THEN 1 ELSE 0 END AS b
+          FROM edged
+          WHERE lcp_prev >= 8 OR lcp_next >= 8),
+        runs AS (
+          SELECT *, SUM(b) OVER (ORDER BY rank
+                                 ROWS UNBOUNDED PRECEDING) AS g
+          FROM members),
+        qual AS (
+          SELECT g FROM runs GROUP BY g
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+        m2 AS (
+          SELECT r.doc_id, r.pos AS lo,
+                 least(r.pos + 8 - 1, length(d.text) - 1) AS hi
+          FROM runs r JOIN docs d USING (doc_id)
+          WHERE r.g IN (SELECT g FROM qual)),
+        isl AS (
+          SELECT *, CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                           PARTITION BY doc_id ORDER BY lo
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), -2) + 1
+                         THEN 1 ELSE 0 END AS nb
+          FROM m2),
+        isl2 AS (
+          SELECT *, SUM(nb) OVER (PARTITION BY doc_id ORDER BY lo
+                                  ROWS UNBOUNDED PRECEDING) AS isle
+          FROM isl),
+        iv AS (
+          SELECT doc_id, isle, MIN(lo) AS lo, MAX(hi) AS hi
+          FROM isl2 GROUP BY 1, 2),
+        gaps AS (
+          SELECT doc_id, lo AS cut_lo,
+                 lag(hi, 1, -1) OVER (PARTITION BY doc_id
+                                      ORDER BY lo) AS prev_hi
+          FROM iv)
+        SELECT d.doc_id,
+               COALESCE((SELECT string_agg(
+                   substr(d.text, g.prev_hi + 2, g.cut_lo - g.prev_hi - 1),
+                   '' ORDER BY g.cut_lo)
+                 FROM gaps g WHERE g.doc_id = d.doc_id), '')
+               || substr(d.text,
+                    COALESCE((SELECT MAX(hi) FROM iv
+                              WHERE iv.doc_id = d.doc_id), -1) + 2)
+                 AS new_text,
+               length(d.text) AS n_chars,
+               COALESCE((SELECT SUM(hi - lo + 1) FROM iv
+                         WHERE iv.doc_id = d.doc_id), 0) AS n_removed
+        FROM docs d
+        """
+    ).fetchall()
+    exp = {i: (t, nc, nr) for i, t, nc, nr in exp_rows}
+    assert got == exp
+    assert any(nr > 0 for _, _, nr in got.values())
+
+
 def test_ann_topk_recall(spark):
     from hustle_spark.operators.similarity import ann_topk, cosine_topk
 
