@@ -291,3 +291,53 @@ def robots_filter(
         F.col("__dom").alias("domain"),
         blocked.alias("blocked"),
     )
+
+
+def synthesize_robots_bodies(
+    domains: DataFrame, domain_col: str = "domain"
+) -> DataFrame:
+    """Deterministic robots.txt bodies from an integer generative
+    model of the DOMAIN STRING (the messy-URL synthesizer idiom, so a
+    DuckDB oracle replays the expected blocked set in closed form
+    without parsing any text): variant = length(domain) % 4.
+
+      v0: ``User-agent: *`` with Disallow /p/1 and /q/ (+ comment and
+          a trailing-spaces line the parser must trim)
+      v1: a ``SomeOtherBot`` full-block group FOLLOWED by a ``*``
+          group disallowing /p/2 — group isolation: the /  of the
+          other agent must not leak into *
+      v2: comment + ``Disallow:`` with empty value — allow-all
+      v3: consecutive ``User-agent: *`` / ``User-agent: FancyBot``
+          lines sharing one Disallow /p/ block — group OR semantics
+
+    Closed form for agent ``*``: blocked(path) =
+      v0: path LIKE '/p/1%' OR path LIKE '/q/%'
+      v1: path LIKE '/p/2%'
+      v2: false
+      v3: path LIKE '/p/%'
+
+    Returns (domain_col, robots_txt)."""
+    v = (F.length(F.col(domain_col)) % 4).cast("int")
+    body = (
+        F.when(
+            v == 0,
+            F.lit(
+                "# generated\nUser-agent: *\nDisallow: /p/1\n"
+                "Disallow:   /q/   \nCrawl-delay: 2\n"
+            ),
+        )
+        .when(
+            v == 1,
+            F.lit(
+                "User-agent: SomeOtherBot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /p/2\n"
+            ),
+        )
+        .when(v == 2, F.lit("# open site\nUser-agent: *\nDisallow:\n"))
+        .otherwise(
+            F.lit(
+                "User-agent: *\nUser-agent: FancyBot\nDisallow: /p/\n"
+            )
+        )
+    )
+    return domains.select(F.col(domain_col), body.alias("robots_txt"))

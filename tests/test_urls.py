@@ -171,3 +171,58 @@ def test_robots_parse_and_filter(spark):
                    5: False, 6: False, 7: False}
     assert docs.select(url_path(F.col("url")).alias("p")).collect()[0].p \
         == "/private/x.html"
+
+
+def test_robots_generative_model_closed_form(spark):
+    """The synthesized robots corpus (variant = length(domain) % 4)
+    parses to exactly the closed-form blocked rule the oracle will
+    replay: v0 /p/1|/q/, v1 /p/2 (the other agent's full block must
+    not leak), v2 allow-all, v3 /p/ via consecutive UA lines."""
+    from hustle_spark.functions.urls import (
+        robots_disallows,
+        robots_filter,
+        synthesize_robots_bodies,
+    )
+
+    domains = ["a.co", "a-site.io", "portal.net", "example.com"]
+    assert [len(d) % 4 for d in domains] == [0, 1, 2, 3]
+    rdf = synthesize_robots_bodies(
+        spark.createDataFrame([(d,) for d in domains], "domain string")
+    )
+    parsed = rdf.select(
+        "domain", robots_disallows(F.col("robots_txt")).alias("disallows")
+    )
+    got = {r.domain: r.disallows for r in parsed.collect()}
+    assert got["a.co"] == ["/p/1", "/q/"]
+    assert got["a-site.io"] == ["/p/2"]
+    assert got["portal.net"] == []
+    assert got["example.com"] == ["/p/"]
+
+    paths = ["/p/1x", "/p/2y", "/p/zz", "/q/k", "/r/ok"]
+    docs = spark.createDataFrame(
+        [
+            (i * 10 + j, f"http://{d}{p}")
+            for i, d in enumerate(domains)
+            for j, p in enumerate(paths)
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r.blocked
+           for r in robots_filter(docs, parsed).collect()}
+
+    def closed_form(domain, path):
+        v = len(domain) % 4
+        if v == 0:
+            return path.startswith("/p/1") or path.startswith("/q/")
+        if v == 1:
+            return path.startswith("/p/2")
+        if v == 2:
+            return False
+        return path.startswith("/p/")
+
+    exp = {
+        i * 10 + j: closed_form(d, p)
+        for i, d in enumerate(domains)
+        for j, p in enumerate(paths)
+    }
+    assert out == exp
