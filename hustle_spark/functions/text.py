@@ -848,3 +848,116 @@ def bpe_encode(
         F.col("__t").alias(out_tokens),
         F.size("__t").cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    ref_where,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl
+    data", LREC 2020): fit an add-one-smoothed bigram LM on a clean
+    REFERENCE slice (``ref_where``, CCNet's Wikipedia stand-in),
+    score every document's mean negative log-likelihood under it,
+    and bucket the corpus into head / middle / tail thirds by that
+    perplexity proxy — the held-out-model design that separates this
+    from bigram_quality_scores (which scores a corpus against
+    itself).
+
+    Per adjacent token pair (w1, w2):
+      nll_e6 = floor(-log10((c(w1,w2) + 1) / (pc(w1) + V)) * 1e6)
+    with c/pc counts from the reference slice (pc = occurrences of w1
+    as a bigram prefix), V = reference distinct-token count, and
+    missing counts 0 — add-one smoothing keeps unseen transitions
+    finite while the floor-scaled integers keep the score
+    engine-replayable (log10 on binary doubles, ties measure-zero).
+
+    Returns (id_col, n_bigrams, sum_nll_e6, mean_nll_e6, bucket):
+    mean = sum DIV n (positive operands, so truncation == floor in
+    every engine); bucket by GLOBAL rank r (0-based) over
+    (mean_nll_e6, id) ascending — 'head' iff 3*(r+1) <= n_scored,
+    'middle' iff 3*(r+1) <= 2*n_scored, else 'tail'; documents with
+    fewer than two tokens are 'unscored' (no signal, excluded from
+    the rank). The rank uses util.global_dense_rank — range-partition
+    + offsets, never a single-partition window.
+
+    Scale shape: the reference model is vocabulary-sized, cut by
+    ``min_count`` (raise it to bound the broadcast on huge reference
+    slices) and BROADCAST into the per-bigram join; the corpus-sized
+    shuffles are the per-doc re-aggregation (map-side combined) and
+    the one range sort of the 1-row-per-doc score frame."""
+    from ..util import global_dense_rank
+
+    toks = F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), WS)
+    ref = df.filter(ref_where)
+    ref_pairs = ref.select(
+        F.explode(sliding_grams(F.split(F.lower(F.col(text)), WS), 2)).alias(
+            "gram"
+        )
+    ).filter(F.instr(F.col("gram"), " ") > 0)
+    bc = ref_pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__c12"))
+    bc = bc.filter(F.col("__c12") >= min_count)
+    pc = bc.groupBy(
+        F.split(F.col("gram"), " ")[0].alias("__w1")
+    ).agg(F.sum("__c12").alias("__pc"))
+    v_df = ref.select(
+        F.explode(F.split(F.lower(F.col(text)), WS)).alias("__w")
+    ).filter(F.col("__w") != "")
+    # scalar V via a 1-row broadcast cross join (the registry idiom)
+    v = v_df.agg(F.count_distinct("__w").alias("__V"))
+
+    pairs = df.select(
+        F.col(id_col), F.explode(sliding_grams(toks, 2)).alias("gram")
+    ).filter(F.instr(F.col("gram"), " ") > 0)
+    scored_pairs = (
+        pairs.withColumn("__w1", F.split(F.col("gram"), " ")[0])
+        .join(F.broadcast(bc), "gram", "left")
+        .join(F.broadcast(pc), "__w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            F.floor(
+                -F.log10(
+                    (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("__pc"), F.lit(0)) + F.col("__V"))
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("__nll_e6"),
+        )
+    )
+    per_doc = scored_pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__nll_e6").alias("sum_nll_e6"),
+    ).withColumn(
+        "mean_nll_e6", F.expr("sum_nll_e6 DIV n_bigrams").cast("bigint")
+    )
+    n_scored = per_doc.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = global_dense_rank(per_doc, ["mean_nll_e6", id_col], "__r")
+    bucketed = ranked.crossJoin(F.broadcast(n_scored)).select(
+        id_col,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("sum_nll_e6").cast("bigint").alias("sum_nll_e6"),
+        "mean_nll_e6",
+        F.when(3 * (F.col("__r") + 1) <= F.col("__n"), F.lit("head"))
+        .when(3 * (F.col("__r") + 1) <= 2 * F.col("__n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    # complement partition of the scored set: any doc with >= 2 raw
+    # tokens produces >= 1 space-bearing gram (sliding_grams windows
+    # are space-joined), so per_doc and this branch never overlap
+    unscored = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") < 2)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(0).cast("bigint").alias("sum_nll_e6"),
+            F.lit(None).cast("bigint").alias("mean_nll_e6"),
+            F.lit("unscored").alias("bucket"),
+        )
+    )
+    return bucketed.unionByName(unscored)

@@ -76,3 +76,94 @@ def spread_input(df, spark):
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+# --- scalable global ordering primitives --------------------------------
+#
+# Global dense rank / prefix sum WITHOUT a single-partition window:
+# range-repartition on the key, rank/scan inside each partition, then
+# closed-form offsets from a bounded (<= shuffle_partitions rows)
+# driver collect. The ranked frame is localCheckpoint'ed BEFORE the
+# offsets collect: range boundaries come from a sampling job and AQE
+# may re-plan between executions, so the offsets job and every later
+# consumer must read ONE frozen materialization of the partition ids.
+# Used by the suffix-array construction and any operator needing a
+# corpus-wide rank (LM quality bucketing).
+
+
+def global_dense_rank(df, cols: list, out: str):
+    """Dense rank (0-based) over the WHOLE frame by ``cols`` without a
+    single-partition window: range-repartition on the key, dense_rank
+    inside each partition, then add per-partition offsets computed
+    from the (<= shuffle_partitions)-row distinct-count collect.
+    RangePartitioner puts equal keys in one partition, so
+    per-partition dense ranks splice into a global dense rank
+    exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = [F.col(c) for c in cols]
+    d = df.repartitionByRange(n_parts, *key).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*key)
+    # localCheckpoint BEFORE the offsets collect: range boundaries come
+    # from a sampling job and AQE may re-plan between executions, so
+    # the offsets job and every later consumer MUST read one frozen
+    # materialization of (__pid, __lr) — recomputing the shuffle could
+    # assign different partition ids and splice garbage ranks
+    d = d.withColumn("__lr", F.dense_rank().over(w)).localCheckpoint()
+    # bounded collect: one row per non-empty partition
+    per = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in d.groupBy("__pid").agg(F.max("__lr").alias("__cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in per:
+        offsets[pid] = acc
+        acc += cnt
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    return (
+        d.withColumn(out, (F.col("__lr") - 1 + omap[F.col("__pid")]).cast("bigint"))
+        .drop("__pid", "__lr")
+    )
+
+
+def global_running_sum(df, order_col: str, val_col: str, out: str):
+    """Inclusive prefix sum of ``val_col`` in ``order_col`` order
+    without a single-partition window: range repartition, local
+    cumulative sum, per-partition totals (bounded collect) as
+    offsets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # same freeze-before-collect contract as _global_dense_rank
+    d = d.withColumn("__ls", F.sum(val_col).over(w)).localCheckpoint()
+    per = sorted(
+        (r["__pid"], r["__tot"])
+        for r in d.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in per:
+        offsets[pid] = acc
+        acc += tot or 0
+    omap = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    return d.withColumn(
+        out, (F.col("__ls") + omap[F.col("__pid")]).cast("bigint")
+    ).drop("__pid", "__ls")

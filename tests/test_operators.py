@@ -2669,3 +2669,102 @@ def test_html_meta_noindex(spark):
            ).collect()}
     for i, _, want in rows:
         assert got[i] is want, (i, got[i], want)
+
+
+def test_lm_perplexity_rules(spark):
+    """CCNet-style held-out LM scoring: fluent text (reference-like
+    transitions) scores lower NLL than shuffled gibberish, buckets
+    split the scored set into thirds by rank, and short docs are
+    'unscored' without double-counting."""
+    from hustle_spark.functions.text import lm_perplexity_scores
+
+    rows = [
+        (1, "the cat sat on the mat", "ref"),
+        (2, "the cat ate on the mat", "ref"),
+        (3, "the cat sat on the mat", "tgt"),      # fluent
+        (4, "mat the on sat cat the", "tgt"),      # shuffled
+        (5, "zzz qqq vvv kkk www uuu", "tgt"),     # full OOV
+        (6, "one", "tgt"),                         # too short
+        (7, None, "tgt"),                          # NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_e6, r.bucket)
+        for r in lm_perplexity_scores(df, F.col("src") == "ref").collect()
+    }
+    assert len(out) == 7  # every doc exactly once
+    assert out[6] == (0, None, "unscored")
+    assert out[7] == (0, None, "unscored")
+    # fluent beats both degradations in mean NLL (note: add-one gives
+    # an OOV prefix 1/V, which can BEAT an unseen transition after a
+    # frequent prefix 1/(pc+V) — so no ordering between 4 and 5)
+    assert out[3][1] < out[4][1]
+    assert out[3][1] < out[5][1]
+    scored = [v for v in out.values() if v[2] != "unscored"]
+    assert {b for _, _, b in scored} <= {"head", "middle", "tail"}
+    # ref docs are scored too (ranks 0-1 here), so the fluent target
+    # sits mid-pack while gibberish lands in the tail
+    assert out[3][2] in ("head", "middle")
+    assert out[4][2] == "tail" or out[5][2] == "tail"
+
+
+def test_lm_perplexity_matches_duckdb(spark, catalog, duck):
+    """Full-corpus differential replay (the r8 driver row's oracle):
+    reference slice lang='en', add-one bigram NLL, DIV mean, global
+    rank bucketing — all reproduced in DuckDB SQL."""
+    from hustle_spark.functions.text import lm_perplexity_scores
+
+    d = catalog.table("documents").df
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_nll_e6, r.mean_nll_e6, r.bucket)
+        for r in lm_perplexity_scores(d, F.col("lang") == "en").collect()
+    }
+    exp_rows = duck.execute(
+        r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+          FROM documents),
+        ref AS (SELECT * FROM tok WHERE lang = 'en'),
+        rp AS (
+          SELECT t[g.i] || ' ' || t[g.i + 1] AS gram
+          FROM ref, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        bc AS (SELECT gram, COUNT(*) AS c12 FROM rp GROUP BY gram
+               HAVING COUNT(*) >= 1),
+        pc AS (SELECT string_split(gram, ' ')[1] AS w1,
+                      CAST(SUM(c12) AS BIGINT) AS pc
+               FROM bc GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w) AS V FROM (
+                SELECT unnest(t) AS w FROM ref) WHERE w <> ''),
+        tp AS (
+          SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS gram,
+                 t[g.i] AS w1
+          FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        sp AS (
+          SELECT doc_id,
+                 CAST(floor(-log10((COALESCE(c12, 0) + 1.0)
+                                   / (COALESCE(pc, 0) + V)) * 1000000)
+                      AS BIGINT) AS nll
+          FROM tp LEFT JOIN bc USING (gram) LEFT JOIN pc USING (w1)
+               CROSS JOIN v),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                      CAST(SUM(nll) AS BIGINT) AS sum_nll
+               FROM sp GROUP BY doc_id),
+        pd2 AS (SELECT *, CAST(sum_nll // n_bigrams AS BIGINT) AS mean_nll
+                FROM pd),
+        nr AS (SELECT COUNT(*) AS n FROM pd),
+        rk AS (SELECT *, row_number() OVER (ORDER BY mean_nll, doc_id) - 1
+                         AS r
+               FROM pd2)
+        SELECT doc_id, n_bigrams, sum_nll, mean_nll,
+               CASE WHEN 3 * (r + 1) <= n THEN 'head'
+                    WHEN 3 * (r + 1) <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rk CROSS JOIN nr
+        UNION ALL
+        SELECT doc_id, 0, 0, NULL, 'unscored' FROM tok WHERE len(t) < 2
+        """
+    ).fetchall()
+    exp = {i: (nb, s, m, b) for i, nb, s, m, b in exp_rows}
+    assert got == exp
+    assert {b for _, _, _, b in got.values()} >= {"head", "middle", "tail"}
