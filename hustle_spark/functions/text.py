@@ -961,3 +961,113 @@ def lm_perplexity_scores(
         )
     )
     return bucketed.unionByName(unscored)
+
+
+# fixed artifact list for the mojibake probe: the UTF-8 bytes of the
+# commonest Latin-1/Windows-1252 suspects as mis-decoded by a second
+# UTF-8 pass (e.g. '\u00e9' -> '\u00c3\u00a9', right single quote ->
+# '\u00e2\u20ac\u2122') — a data-file swap point for a fuller table
+# (ftfy's sequence list is the public reference). The list is
+# PREFIX-FREE (no artifact is a prefix of another) so the
+# replace-count never double-counts; counting is substring
+# occurrences, shared verbatim with the oracle.
+MOJIBAKE_ARTIFACTS = (
+    "\u00c3\u00a9",          # e-acute
+    "\u00c3\u00a8",          # e-grave
+    "\u00c3\u00a4",          # a-umlaut
+    "\u00c3\u00b6",          # o-umlaut
+    "\u00c3\u00bc",          # u-umlaut
+    "\u00c3\u00b1",          # n-tilde
+    "\u00c3\u00b3",          # o-acute
+    "\u00c3\u00a7",          # c-cedilla
+    "\u00e2\u20ac\u2122",   # right single quote
+    "\u00e2\u20ac\u0153",   # left double quote
+    "\u00e2\u20ac\u201c",   # en dash
+    "\u00e2\u20ac\u201d",   # em dash
+    "\u00c2\u00b7",          # middle dot
+    "\u00c2\u00b0",          # degree sign
+    "\u00c2\u00bb",          # right guillemet
+)
+
+
+def unicode_hygiene_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Encoding-hygiene screening — the curation stage that catches
+    mojibake (double-decoded UTF-8), lost bytes (U+FFFD replacement
+    chars), and binary-contaminated text (C0 control characters)
+    before they poison a tokenizer's vocabulary:
+
+      n_chars        — length (NULL text folds to '')
+      n_replacement  — U+FFFD occurrences
+      n_control      — C0 controls EXCEPT tab/newline/carriage-return
+      n_mojibake     — total occurrences of the MOJIBAKE_ARTIFACTS
+                       substrings (length-difference under replace;
+                       the prefix-free list keeps counts disjoint)
+      is_clean       — no replacement, no mojibake, and controls
+                       under 1% of chars
+
+    Entirely codegen (replace/length arithmetic plus one character
+    class), map-only, zero shuffle; every rule replays verbatim in a
+    SQL oracle."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    n_repl = F.length(t) - F.length(
+        F.replace(t, F.lit("\ufffd"), F.lit(""))
+    )
+    ctrl = F.length(t) - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    )
+    moji = F.lit(0).cast("bigint")
+    for pat in MOJIBAKE_ARTIFACTS:
+        moji = moji + (
+            (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        n_repl.cast("bigint").alias("n_replacement"),
+        ctrl.cast("bigint").alias("n_control"),
+        moji.alias("n_mojibake"),
+        (
+            (n_repl == 0)
+            & (moji == 0)
+            & (ctrl * 100 < F.greatest(F.length(t), F.lit(1)))
+        ).alias("is_clean"),
+    )
+
+
+def blocklist_filter(
+    df,
+    terms,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist screening (the NSFW/spam wordlist stage): count
+    WHOLE-WORD, case-insensitive occurrences of any of ``terms`` and
+    flag documents exceeding ``max_hits``. The N patterns compile
+    into ONE alternation regex evaluated in codegen — the broadcast
+    analogue of an Aho-Corasick scan (regex engines run the
+    alternation as one automaton pass; for wordlists beyond regex
+    size limits, chunk into several counts and sum).
+
+    Word boundary = ``\\b`` on the LOWERCASED text with
+    regex-escaped terms, semantics shared by Java regex and RE2 so a
+    SQL oracle counts identically. Returns the input plus
+    (n_blocklist_hits, blocked). NULL text folds to '' (no hits).
+
+    Scale shape: map-only codegen, zero shuffle, pattern in the plan
+    as a literal."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist_filter needs at least one term")
+    pat = r"\b(?:" + "|".join(_re.escape(w.lower()) for w in terms) + r")\b"
+    t = F.lower(F.coalesce(F.col(text), F.lit("")))
+    hits = F.regexp_count(t, F.lit(pat)).cast("bigint")
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        hits.alias("n_blocklist_hits"),
+        (hits > max_hits).alias("blocked"),
+    )

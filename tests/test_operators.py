@@ -2768,3 +2768,72 @@ def test_lm_perplexity_matches_duckdb(spark, catalog, duck):
     exp = {i: (nb, s, m, b) for i, nb, s, m, b in exp_rows}
     assert got == exp
     assert {b for _, _, _, b in got.values()} >= {"head", "middle", "tail"}
+
+
+
+def test_unicode_hygiene_rules(spark):
+    """Mojibake / replacement-char / control-char screening: counts
+    are exact, the artifact list is prefix-free (no double counting),
+    and is_clean applies the 1% control budget."""
+    from hustle_spark.functions.text import unicode_hygiene_stats
+
+    rows = [
+        (1, "clean text here"),
+        (2, "caf\u00c3\u00a9 and \u00e2\u20ac\u2122quoted\u00e2\u20ac\u2122"),
+        (3, "lost\ufffdbyte\ufffd"),
+        (4, "bin\x01ary\x02junk" + "x" * 300),  # 2 controls < 1% of 311
+        (5, "ctl\x03" ),                          # 1 control of 4 chars
+        (6, None),
+        (7, "tabs\tand\nnewlines\rok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.n_replacement, r.n_control, r.n_mojibake,
+                   r.is_clean)
+        for r in unicode_hygiene_stats(df).collect()
+    }
+    assert got[1] == (15, 0, 0, 0, True)
+    assert got[2][3] == 3 and got[2][4] is False     # 1x e-acute + 2x quote
+    assert got[3] == (10, 2, 0, 0, False)
+    assert got[4][2] == 2 and got[4][4] is True      # under the 1% budget
+    assert got[5][2] == 1 and got[5][4] is False     # 25% controls
+    assert got[6] == (0, 0, 0, 0, True)
+    assert got[7] == (20, 0, 0, 0, True)             # \t\n\r exempt
+
+
+def test_blocklist_filter_matches_duckdb(spark, catalog, duck):
+    """Whole-word case-insensitive blocklist counting replayed in
+    DuckDB with the identical alternation regex (Java regex and RE2
+    agree on \\b and non-capturing groups)."""
+    from hustle_spark.functions.text import blocklist_filter
+
+    terms = ["table", "merge", "scan"]
+    d = catalog.table("documents").df.select("doc_id", "text")
+    got = {
+        r.doc_id: (r.n_blocklist_hits, r.blocked)
+        for r in blocklist_filter(d, terms, max_hits=2).collect()
+    }
+    pat = r"\b(?:table|merge|scan)\b"
+    exp_rows = duck.execute(
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(coalesce(text, '')), '{pat}'))
+                 AS hits
+        FROM documents
+        """
+    ).fetchall()
+    exp = {i: (h, h > 2) for i, h in exp_rows}
+    assert got == exp
+    assert any(h > 0 for h, _ in got.values())
+    assert any(b for _, b in got.values())
+
+    # word boundaries: substrings inside larger words never match
+    inline = spark.createDataFrame(
+        [(1, "the tablecloth merges scanner"), (2, "TABLE scan merge!")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: r.n_blocklist_hits
+        for r in blocklist_filter(inline, terms).collect()
+    }
+    assert got2 == {1: 0, 2: 3}
