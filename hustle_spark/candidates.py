@@ -1,0 +1,500 @@
+"""Round-8 driver-row CANDIDATES — registry-ready (query function +
+oracle SQL) but deliberately NOT registered yet.
+
+Why staged: the round-7 correctness window is the verdict-directed
+staleness rotation (all 21 r3-latest rows + the stalest r4 rows at
+exactly the >=90% re-confirmation floor), and
+tests/test_window_invariant.py rightly forces every REGISTERED new
+query into the 50-slot driver window — so these wait for round 8's
+``_NEW_THIS_ROUND`` flip instead of displacing the rotation. Each
+candidate's machinery is already unit-proven with a full differential
+oracle (tests/test_operators.py, tests/test_urls.py); this module
+pins the exact (query fn, oracle SQL) pair the r8 registration will
+lift verbatim, and tests/test_candidates.py runs every pair against
+DuckDB at the gate SF so the flip is a mechanical edit, not new work.
+
+To promote in r8: move each entry into registry.py under ``@query``,
+add the name to ``_NEW_THIS_ROUND``, move displaced backfill to
+``_QUEUED_NEXT``, re-run scripts/update_query_hashes.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import text as TX
+from .functions import urls as URLS
+from .operators import multimodal, similarity, suffixes
+from .registry import _URL_MODEL_SQL, _cat
+
+
+def multimodal_jpeg_progressive_probe(spark, sf_dir):
+    """L5 multimodal, PROGRESSIVE (SOF2) grayscale JPEG — the r7
+    decoder (full Annex G: spectral-selection bands, successive
+    approximation with DC/AC first + refinement passes, EOB runs,
+    per-scan restarts) paired with the codegen synthesizer's four-scan
+    scan script. The generative pixel model (constant 8x8 blocks,
+    all-ones quant: blocks_x = id%2+2, blocks_y = id%3+2, V = (id*17 +
+    bx*41 + by*67 + 37) % 256) round-trips bit-exactly, so the oracle
+    replays pixels with the position-weighted checksum — any decoder
+    that mis-accumulates coefficients across scans or mis-applies a
+    refinement pass cannot pass by luck. Same single-split input
+    spread as the other media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_jpeg_progressive_payloads(d, "doc_id")
+    feats = multimodal.decode_jpeg_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_v", "wsum_v", "ok",
+    )
+
+
+MULTIMODAL_JPEG_PROGRESSIVE_ORACLE = """
+    WITH geo AS (SELECT doc_id, CAST(doc_id % 2 + 2 AS BIGINT) AS cx,
+                        CAST(doc_id % 3 + 2 AS BIGINT) AS cy
+                 FROM documents),
+    px AS (
+      SELECT g.doc_id, g.cx * 8 AS w, g.cy * 8 AS h, gx.x, gy.y,
+             (g.doc_id * 17 + (gx.x // 8) * 41 + (gy.y // 8) * 67 + 37)
+               % 256 AS v
+      FROM geo g, generate_series(0, 23) gx(x), generate_series(0, 31) gy(y)
+      WHERE gx.x < g.cx * 8 AND gy.y < g.cy * 8)
+    SELECT doc_id AS media_id, 'jpeg' AS media_type,
+           CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM((px.x + px.y * w + 1) * v) AS BIGINT) AS wsum_v,
+           true AS ok
+    FROM px GROUP BY doc_id
+"""
+
+
+def url_robots_filter(spark, sf_dir):
+    """L33 robots.txt politeness filtering (RFC 9309 rule core): the
+    messy-URL corpus's registrable domains each get a synthesized
+    robots body (variant = length(domain) % 4, the generative-replay
+    idiom), the bodies are parsed by the one-codegen-fold
+    robots_disallows, and robots_filter broadcasts the (domain,
+    disallows) table into a prefix test over every document URL. The
+    oracle never parses robots text — it replays the closed-form
+    blocked rule straight from the generative models, so the parser
+    AND the filter are both differentially pinned. Scale shape:
+    domains << documents, robots side broadcast, corpus scanned
+    once; the prefix test is an exists() HOF in codegen."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    urls = URLS.synthesize_messy_urls(d, "doc_id")
+    domains = urls.select(
+        URLS.url_domain(F.col("url")).alias("domain")
+    ).distinct()
+    robots = URLS.synthesize_robots_bodies(domains)
+    parsed = robots.select(
+        "domain",
+        URLS.robots_disallows(F.col("robots_txt")).alias("disallows"),
+    )
+    out = URLS.robots_filter(urls, parsed)
+    return out.select("doc_id", "domain", "blocked")
+
+
+URL_ROBOTS_FILTER_ORACLE = f"""
+    WITH {_URL_MODEL_SQL}
+    SELECT canon.doc_id, canon.domain,
+           CASE CAST(length(canon.domain) % 4 AS INT)
+             WHEN 0 THEN (p.path LIKE '/p/1%' OR p.path LIKE '/q/%')
+             WHEN 1 THEN p.path LIKE '/p/2%'
+             WHEN 2 THEN FALSE
+             ELSE p.path LIKE '/p/%' END AS blocked
+    FROM canon JOIN p ON canon.doc_id = p.doc_id
+"""
+
+
+def dedup_semantic_centroid(spark, sf_dir):
+    """L2c SemDeDup with the PAPER'S keeper policy (Abbas et al. 2023
+    keep the LOWEST cosine to the cluster centroid — the
+    far-from-centroid representative preserves cluster diversity):
+    adaptive-width sign-quantizer clusters, exact integer-sum centroid
+    DIRECTIONS (the mean's 1/count cancels inside cosine, so ranking
+    against bigint component sums equals ranking against the float
+    centroid while staying order-invariant), floor-quantized
+    centrality as the rank key, and rank-dominated eviction
+    (similarity.semantic_dedup_centroid). Same linear-in-n cost model
+    as dedup_semantic; the centroid reduction adds one (cluster, dim)
+    aggregation."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    dbl = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    nb = similarity.adaptive_sign_bits(dbl.count())
+    assigned = similarity.sign_quantize(dbl, n_bits=nb)
+    out = similarity.semantic_dedup_centroid(assigned, threshold=0.30)
+    return out.select("vec_id", "list_id", "centrality_u", "kept")
+
+
+DEDUP_SEMANTIC_CENTROID_ORACLE = """
+    WITH nbits AS (SELECT LEAST(16, GREATEST(4,
+                     length(bin(CAST((COUNT(*) + 31) // 32 - 1
+                                     AS BIGINT))))) AS nb
+                   FROM embeddings),
+    sig AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (SELECT CAST(SUM(CASE WHEN e.embedding[i.i + 1] >= 0
+                                    THEN CAST(pow(2, 15 - i.i) AS BIGINT)
+                                    ELSE 0 END) AS BIGINT)
+                    FROM generate_series(0, 15) i(i)) AS s16
+            FROM embeddings e),
+    a AS (SELECT vec_id, v,
+                 s16 // CAST(pow(2, 16 - nb) AS BIGINT) AS list_id
+          FROM sig, nbits),
+    ex AS (SELECT list_id, generate_subscripts(v, 1) AS pos,
+                  unnest(v) AS val FROM a),
+    sums AS (SELECT list_id, pos,
+                    SUM(CAST(floor(val * 1000000) AS BIGINT)) AS s
+             FROM ex GROUP BY 1, 2),
+    cents AS (SELECT list_id, list(s::DOUBLE ORDER BY pos) AS cdir
+              FROM sums GROUP BY 1),
+    ranked AS (SELECT a.vec_id, a.list_id, a.v,
+                      CAST(floor(list_cosine_similarity(a.v, c.cdir)
+                                 * 1000000) AS BIGINT) AS centrality_u
+               FROM a JOIN cents c USING (list_id)),
+    dom AS (SELECT DISTINCT b.vec_id
+            FROM ranked x JOIN ranked b ON x.list_id = b.list_id
+            WHERE (x.centrality_u < b.centrality_u
+                   OR (x.centrality_u = b.centrality_u
+                       AND x.vec_id < b.vec_id))
+              AND CAST(floor(list_cosine_similarity(x.v, b.v) * 1000000)
+                       AS BIGINT) >= 300000)
+    SELECT r.vec_id, CAST(r.list_id AS BIGINT) AS list_id,
+           r.centrality_u, d.vec_id IS NULL AS kept
+    FROM ranked r LEFT JOIN dom d ON r.vec_id = d.vec_id
+"""
+
+
+def dedup_substring_groups(spark, sf_dir):
+    """L31b suffix-array ExactSubstr DISCOVERY (Lee et al. ACL 2022's
+    data structure, distributed): right-maximal repeated substrings
+    >= 8 chars spanning >= 2 documents, as suffix-array intervals with
+    occurrence/document counts, capped LCP length, and the shared
+    sample text (operators.suffixes.repeated_substring_groups —
+    prefix-doubling SA whose inner loop is a range sort, capped
+    adjacent LCP in codegen, island grouping via the range-partitioned
+    global scan). The oracle rebuilds the same SA by materializing and
+    ORDER BY-ing the suffixes — tractable at the gate SF, and every
+    stage (order, LCP, islands, aggregates) replays exactly."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return suffixes.repeated_substring_groups(
+        d, min_len=8, min_docs=2, prefix_cap=24
+    )
+
+
+DEDUP_SUBSTRING_GROUPS_ORACLE = r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
+             text FROM docs),
+    suf AS (
+      SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
+             substr(text, pos + 1, 24) AS prefix FROM pos),
+    ord AS (
+      SELECT doc_id, pos, prefix,
+             row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
+      FROM suf),
+    lagged AS (SELECT *, lag(prefix) OVER (ORDER BY rank) AS pprev FROM ord),
+    lcpd AS (
+      SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
+             SELECT COALESCE(MAX(k), 0)
+             FROM generate_series(1, 24) AS g(k)
+             WHERE k <= least(length(prefix), length(pprev))
+               AND substr(prefix, 1, k) = substr(pprev, 1, k))
+           END AS lcp_prev
+      FROM lagged),
+    edged AS (
+      SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
+    members AS (
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 8
+                     THEN 1 ELSE 0 END AS b
+      FROM edged WHERE lcp_prev >= 8 OR lcp_next >= 8),
+    runs AS (
+      SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
+      FROM members)
+    SELECT CAST(MIN(rank) AS BIGINT) AS group_id,
+           COUNT(*) AS n_occ,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MIN(CASE WHEN b = 0 THEN lcp_prev END) AS INT)
+             AS repeat_len,
+           substr(arg_min(prefix, rank), 1,
+                  MIN(CASE WHEN b = 0 THEN lcp_prev END)) AS sample
+    FROM runs GROUP BY g
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def dedup_substring_removal(spark, sf_dir):
+    """L31c suffix-array ExactSubstr CUT: every character covered by a
+    substring >= 10 chars repeating across >= 2 documents is removed
+    from ALL of them with exact boundaries (each member suffix marks
+    only [pos, pos+min_len) and the windows tile the repeat, so the
+    prefix cap bounds DETECTION, never cut length). Gap-substring
+    rebuild, no whitespace normalization — character offsets are the
+    contract. The oracle replays marks, interval merge, and the
+    string_agg rebuild over the same DuckDB-ordered suffixes."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return suffixes.repeated_substring_removal(
+        d, min_len=10, min_docs=2, prefix_cap=16
+    ).select("doc_id", "text", "n_chars", "n_removed")
+
+
+DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
+    WITH docs AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
+             text FROM docs WHERE length(text) > 0),
+    suf AS (
+      SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
+             substr(text, pos + 1, 16) AS prefix FROM pos),
+    ord AS (
+      SELECT doc_id, pos, prefix,
+             row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
+      FROM suf),
+    lagged AS (SELECT *, lag(prefix) OVER (ORDER BY rank) AS pprev FROM ord),
+    lcpd AS (
+      SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
+             SELECT COALESCE(MAX(k), 0)
+             FROM generate_series(1, 16) AS g(k)
+             WHERE k <= least(length(prefix), length(pprev))
+               AND substr(prefix, 1, k) = substr(pprev, 1, k))
+           END AS lcp_prev
+      FROM lagged),
+    edged AS (
+      SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
+    members AS (
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 10
+                     THEN 1 ELSE 0 END AS b
+      FROM edged WHERE lcp_prev >= 10 OR lcp_next >= 10),
+    runs AS (
+      SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
+      FROM members),
+    qual AS (SELECT g FROM runs GROUP BY g
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    m2 AS (
+      SELECT r.doc_id, r.pos AS lo,
+             least(r.pos + 9, length(d.text) - 1) AS hi
+      FROM runs r JOIN docs d USING (doc_id)
+      WHERE r.g IN (SELECT g FROM qual)),
+    isl AS (
+      SELECT *, CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                       PARTITION BY doc_id ORDER BY lo
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -2) + 1
+                     THEN 1 ELSE 0 END AS nb
+      FROM m2),
+    isl2 AS (
+      SELECT *, SUM(nb) OVER (PARTITION BY doc_id ORDER BY lo
+                              ROWS UNBOUNDED PRECEDING) AS isle
+      FROM isl),
+    iv AS (SELECT doc_id, isle, MIN(lo) AS lo, MAX(hi) AS hi
+           FROM isl2 GROUP BY 1, 2),
+    gaps AS (
+      SELECT doc_id, lo AS cut_lo,
+             lag(hi, 1, -1) OVER (PARTITION BY doc_id ORDER BY lo)
+               AS prev_hi
+      FROM iv)
+    SELECT d.doc_id,
+           COALESCE((SELECT string_agg(
+               substr(d.text, g.prev_hi + 2, g.cut_lo - g.prev_hi - 1),
+               '' ORDER BY g.cut_lo)
+             FROM gaps g WHERE g.doc_id = d.doc_id), '')
+           || substr(d.text,
+                COALESCE((SELECT MAX(hi) FROM iv
+                          WHERE iv.doc_id = d.doc_id), -1) + 2) AS text,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(COALESCE((SELECT SUM(hi - lo + 1) FROM iv
+                          WHERE iv.doc_id = d.doc_id), 0) AS BIGINT)
+             AS n_removed
+    FROM docs d
+"""
+
+
+def text_lm_perplexity(spark, sf_dir):
+    """L34 CCNet-style LM quality bucketing (Wenzek et al., LREC
+    2020): add-one bigram LM fit on the lang='en' REFERENCE slice,
+    every document scored by floor-scaled mean negative
+    log-likelihood, corpus split head/middle/tail by scalable global
+    rank (util.global_dense_rank — range partition + offsets, no
+    single-partition window); sub-2-token docs are 'unscored'
+    (functions.text.lm_perplexity_scores). The held-out-model design
+    is what separates this from text_bigram_quality's
+    self-referential scoring."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.lm_perplexity_scores(d, F.col("lang") == "en")
+
+
+TEXT_LM_PERPLEXITY_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+      FROM documents),
+    ref AS (SELECT * FROM tok WHERE lang = 'en'),
+    rp AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS gram
+           FROM ref, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    bc AS (SELECT gram, COUNT(*) AS c12 FROM rp GROUP BY gram
+           HAVING COUNT(*) >= 1),
+    pc AS (SELECT string_split(gram, ' ')[1] AS w1,
+                  CAST(SUM(c12) AS BIGINT) AS pc
+           FROM bc GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS V FROM (
+            SELECT unnest(t) AS w FROM ref) WHERE w <> ''),
+    tp AS (SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS gram,
+                  t[g.i] AS w1
+           FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    sp AS (SELECT doc_id,
+                  CAST(floor(-log10((COALESCE(c12, 0) + 1.0)
+                                    / (COALESCE(pc, 0) + V)) * 1000000)
+                       AS BIGINT) AS nll
+           FROM tp LEFT JOIN bc USING (gram) LEFT JOIN pc USING (w1)
+                CROSS JOIN v),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(nll) AS BIGINT) AS sum_nll_e6
+           FROM sp GROUP BY doc_id),
+    pd2 AS (SELECT *, CAST(sum_nll_e6 // n_bigrams AS BIGINT)
+                        AS mean_nll_e6
+            FROM pd),
+    nr AS (SELECT COUNT(*) AS n FROM pd),
+    rk AS (SELECT *, row_number() OVER (ORDER BY mean_nll_e6, doc_id) - 1
+                     AS r
+           FROM pd2)
+    SELECT doc_id, n_bigrams, sum_nll_e6, mean_nll_e6,
+           CASE WHEN 3 * (r + 1) <= n THEN 'head'
+                WHEN 3 * (r + 1) <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM rk CROSS JOIN nr
+    UNION ALL
+    SELECT doc_id, 0, 0, NULL, 'unscored' FROM tok WHERE len(t) < 2
+"""
+
+
+def text_unicode_hygiene(spark, sf_dir):
+    """L35 encoding-hygiene screening over a deterministically DIRTIED
+    corpus (the testdata text is clean ASCII, so the generative-replay
+    idiom injects the pathologies by id: every 5th doc gets a mojibake
+    e-acute artifact appended, every 7th a U+FFFD, every 11th an ETX
+    control byte — both engines apply the same closed form, so every
+    counter is genuinely engaged): U+FFFD counts, C0-control counts
+    (tab/newline/CR exempt), prefix-free mojibake artifact counts,
+    and the 1%-control-budget is_clean verdict
+    (functions.text.unicode_hygiene_stats — all codegen replace/length
+    arithmetic, map-only, zero shuffle)."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    dirty = d.withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("caf\u00c3\u00a9")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\ufffd")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\u0003")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return TX.unicode_hygiene_stats(dirty)
+
+
+TEXT_UNICODE_HYGIENE_ORACLE = (
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 5 = 0 THEN 'caf' || chr(195) || chr(169)
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN chr(3) ELSE '' END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(t) - length(replace(t, chr(65533), ''))
+                  AS BIGINT) AS n_replacement,
+             CAST(length(t) - length(regexp_replace(t,
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                  AS BIGINT) AS n_control,
+             CAST(__MOJI__ AS BIGINT) AS n_mojibake
+      FROM dirty)
+    SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+           (n_replacement = 0 AND n_mojibake = 0
+            AND n_control * 100 < greatest(n_chars, 1)) AS is_clean
+    FROM c
+    """.replace(
+        "__MOJI__",
+        " + ".join(
+            "(length(t) - length(replace(t, '{p}', ''))) // {n}".format(
+                p=p.replace("'", "''"), n=len(p)
+            )
+            for p in TX.MOJIBAKE_ARTIFACTS
+        ),
+    )
+)
+
+
+def text_blocklist(spark, sf_dir):
+    """L36 term-blocklist screening (the NSFW/spam wordlist stage, on
+    a benign stand-in list drawn from the corpus vocabulary so the
+    counts are engaged): whole-word case-insensitive occurrence
+    counts of {table, merge, scan} via ONE alternation regex in
+    codegen — the broadcast analogue of an Aho-Corasick scan — and a
+    blocked flag at > 2 hits (functions.text.blocklist_filter;
+    map-only, zero shuffle). Java regex and RE2 agree on \\b and
+    non-capturing alternation, so the oracle counts with the
+    identical pattern."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    return TX.blocklist_filter(
+        d, ["table", "merge", "scan"], max_hits=2
+    ).select("doc_id", "n_blocklist_hits", "blocked")
+
+
+TEXT_BLOCKLIST_ORACLE = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\b(?:table|merge|scan)\b')) AS BIGINT)
+             AS n_blocklist_hits,
+           len(regexp_extract_all(lower(coalesce(text, '')),
+               '\b(?:table|merge|scan)\b')) > 2 AS blocked
+    FROM documents
+"""
+
+
+# name -> (query fn, oracle SQL) — the exact pairs the r8 @query
+# registrations lift; tests/test_candidates.py drives every pair
+# against DuckDB at the gate SF.
+R8_CANDIDATES = {
+    "multimodal_jpeg_progressive_probe": (
+        multimodal_jpeg_progressive_probe,
+        MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
+    ),
+    "url_robots_filter": (url_robots_filter, URL_ROBOTS_FILTER_ORACLE),
+    "dedup_semantic_centroid": (
+        dedup_semantic_centroid,
+        DEDUP_SEMANTIC_CENTROID_ORACLE,
+    ),
+    "dedup_substring_groups": (
+        dedup_substring_groups,
+        DEDUP_SUBSTRING_GROUPS_ORACLE,
+    ),
+    "dedup_substring_removal": (
+        dedup_substring_removal,
+        DEDUP_SUBSTRING_REMOVAL_ORACLE,
+    ),
+    "text_lm_perplexity": (text_lm_perplexity, TEXT_LM_PERPLEXITY_ORACLE),
+    "text_unicode_hygiene": (
+        text_unicode_hygiene,
+        TEXT_UNICODE_HYGIENE_ORACLE,
+    ),
+    "text_blocklist": (text_blocklist, TEXT_BLOCKLIST_ORACLE),
+}
