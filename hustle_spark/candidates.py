@@ -22,9 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from . import util as _util
 from .functions import text as TX
 from .functions import urls as URLS
-from .operators import multimodal, similarity, suffixes
+from .operators import dedup, multimodal, similarity, suffixes
 from .registry import _URL_MODEL_SQL, _cat
 
 
@@ -470,6 +471,186 @@ TEXT_BLOCKLIST_ORACLE = r"""
 """
 
 
+def text_gopher_quality(spark, sf_dir):
+    """L37 Gopher document-quality rules (Rae et al. 2021, Table A1):
+    word count / mean word length / symbol ratio / alphabetic-word
+    fraction / stop-word presence over a deterministically dirtied
+    twin of each document, with the combined keep verdict. All five
+    rules are ENGAGED at the gate SF (313/500 pass; each rule fails
+    for some docs). Map-only codegen + token-array HOFs, zero
+    shuffle (functions.text.gopher_quality_stats)."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    return TX.gopher_quality_stats(d)
+
+
+TEXT_GOPHER_QUALITY_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             coalesce(text, '') || repeat(' 42', CAST(doc_id % 7 AS INT))
+               || repeat(' #', CAST(doc_id % 5 AS INT))
+               || CASE WHEN doc_id % 11 = 0 THEN ' …' ELSE '' END AS dirty
+      FROM documents),
+    t AS (SELECT doc_id, dirty,
+                 string_split_regex(dirty, '\s+') AS toks FROM d),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS nw,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                 'sum') AS BIGINT) AS wchars,
+             CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+               AS nalpha,
+             CAST(length(dirty)
+                  - length(replace(replace(dirty, '#', ''), '…', ''))
+               AS BIGINT) AS nsym,
+             CAST(CASE WHEN regexp_matches(dirty, '\bthe\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(dirty, '\ba\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(dirty, '\bvalue\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(dirty, '\bdata\b') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(dirty, '\brow\b') THEN 1 ELSE 0 END
+               AS BIGINT) AS nstop
+      FROM t)
+    SELECT doc_id, nw AS n_words,
+           wchars * 1000000 // nw AS mean_wlen_micro,
+           nsym * 1000000 // nw AS symbol_ratio_micro,
+           nalpha * 1000000 // nw AS frac_alpha_micro,
+           nstop AS n_stop_distinct,
+           (nw BETWEEN 50 AND 100000
+            AND wchars >= 3 * nw AND wchars <= 10 * nw
+            AND 10 * nsym <= nw
+            AND 5 * nalpha >= 4 * nw
+            AND nstop >= 2) AS passes
+    FROM s
+"""
+
+
+def text_gopher_repetition(spark, sf_dir):
+    """L37b Gopher repetition rules: duplicate-line fraction (count
+    and character), top-3-gram character coverage, duplicated-5-gram
+    character fraction, and the combined repetitive verdict at the
+    paper's thresholds, over deterministically derived lines
+    (3 + doc_id % 3 token chunks; doc_id % 5 == 0 docs are r = 2
+    repeated content blocks, so the dup rules are engaged by
+    construction — 143/500 flagged at the gate SF). Map-only nested
+    HOFs, corpus never shuffled
+    (functions.text.gopher_repetition_stats). Contract: every doc
+    has >= 5 tokens (true at all test SFs), so the n-gram arrays are
+    the true sliding windows on both engines."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    return TX.gopher_repetition_stats(d)
+
+
+TEXT_GOPHER_REPETITION_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS txt_chars,
+             string_split_regex(coalesce(text, ''), '\s+') AS toks,
+             CAST(len(string_split_regex(coalesce(text, ''), '\s+'))
+               AS BIGINT) AS nw,
+             3 + CAST(doc_id % 3 AS INT) AS ll,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS r
+      FROM documents),
+    lines AS (
+      SELECT doc_id, r,
+             array_to_string(toks[(g.i - 1) * ll + 1 : g.i * ll], ' ') AS line
+      FROM base, unnest(generate_series(1, (nw + ll - 1) // ll)) g(i)),
+    lc AS (SELECT doc_id, r, line, COUNT(*) AS c
+           FROM lines GROUP BY doc_id, r, line),
+    lagg AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(r * c) FILTER (WHERE r * c >= 2), 0)
+               AS BIGINT) AS dup_occ,
+             CAST(COALESCE(SUM(r * c * length(line))
+                           FILTER (WHERE r * c >= 2), 0)
+               AS BIGINT) AS dup_chars,
+             CAST(SUM(c * length(line)) * MAX(r) AS BIGINT) AS line_chars,
+             CAST(SUM(c) * MAX(r) AS BIGINT) AS n_lines
+      FROM lc GROUP BY doc_id),
+    g3 AS (SELECT doc_id, r, array_to_string(toks[g.i : g.i + 2], ' ') AS gram
+           FROM base, unnest(generate_series(1, nw - 2)) g(i)),
+    g3c AS (SELECT doc_id, r, gram, COUNT(*) AS c
+            FROM g3 GROUP BY doc_id, r, gram),
+    g3agg AS (SELECT doc_id,
+                     CAST(MAX(CASE WHEN r * c >= 2
+                              THEN r * c * length(gram) ELSE 0 END)
+                       AS BIGINT) AS top3_cov
+              FROM g3c GROUP BY doc_id),
+    g5 AS (SELECT doc_id, r, array_to_string(toks[g.i : g.i + 4], ' ') AS gram
+           FROM base, unnest(generate_series(1, nw - 4)) g(i)),
+    g5c AS (SELECT doc_id, r, gram, COUNT(*) AS c
+            FROM g5 GROUP BY doc_id, r, gram),
+    g5agg AS (SELECT doc_id,
+                     CAST(COALESCE(SUM(r * c * length(gram))
+                                   FILTER (WHERE r * c >= 2), 0)
+                       AS BIGINT) AS dup5_chars
+              FROM g5c GROUP BY doc_id)
+    SELECT b.doc_id, b.r AS n_blocks, l.n_lines,
+           l.dup_occ * 1000000 // greatest(l.n_lines, 1)
+             AS dup_line_frac_micro,
+           l.dup_chars * 1000000 // greatest(l.line_chars, 1)
+             AS dup_line_char_frac_micro,
+           a3.top3_cov * 1000000 // greatest(b.r * b.txt_chars, 1)
+             AS top3_char_cov_micro,
+           a5.dup5_chars * 1000000 // greatest(b.r * b.txt_chars, 1)
+             AS dup5_char_frac_micro,
+           (10 * l.dup_occ > 3 * l.n_lines
+            OR 5 * l.dup_chars > l.line_chars
+            OR 100 * a3.top3_cov > 18 * b.r * b.txt_chars
+            OR 100 * a5.dup5_chars > 15 * b.r * b.txt_chars)
+             AS is_repetitive
+    FROM base b
+    JOIN lagg l USING (doc_id)
+    JOIN g3agg a3 USING (doc_id)
+    JOIN g5agg a5 USING (doc_id)
+"""
+
+
+def dedup_lines_corpus(spark, sf_dir):
+    """L38 corpus-level line dedup (CCNet / C4 span dedup): drop every
+    line occurrence whose exact text appeared earlier in the corpus
+    (total-ordered by (doc_id, position)); per-doc survivor stats +
+    md5 of the reassembled kept text (the md5-twin idiom). Lines are
+    derived 3-token chunks — 1,833 of 9,476 occurrences drop at the
+    gate SF. One shuffle keyed by line text, one by doc
+    (operators.dedup.line_dedup_keep_first)."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    return dedup.line_dedup_keep_first(d)
+
+
+DEDUP_LINES_CORPUS_ORACLE = r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(coalesce(text, ''), '\s+') AS toks
+               FROM documents),
+    lines AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             array_to_string(toks[(g.i - 1) * 3 + 1 : g.i * 3], ' ') AS line
+      FROM t, unnest(generate_series(1, (len(toks) + 2) // 3)) g(i)),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM lines)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(length(line)) FILTER (WHERE rn = 1), 0)
+             AS BIGINT) AS kept_chars,
+           md5(coalesce(array_to_string(
+                 list(line ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
+             AS kept_md5
+    FROM flagged GROUP BY doc_id
+"""
+
+
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
@@ -497,4 +678,10 @@ R8_CANDIDATES = {
         TEXT_UNICODE_HYGIENE_ORACLE,
     ),
     "text_blocklist": (text_blocklist, TEXT_BLOCKLIST_ORACLE),
+    "text_gopher_quality": (text_gopher_quality, TEXT_GOPHER_QUALITY_ORACLE),
+    "text_gopher_repetition": (
+        text_gopher_repetition,
+        TEXT_GOPHER_REPETITION_ORACLE,
+    ),
+    "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_CORPUS_ORACLE),
 }

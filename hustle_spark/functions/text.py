@@ -1071,3 +1071,208 @@ def blocklist_filter(
         hits.alias("n_blocklist_hits"),
         (hits > max_hits).alias("blocked"),
     )
+
+
+# Corpus-adapted stand-in for Gopher's 8-word English stop-word list
+# ("the, be, to, of, and, that, have, with"): only "the" exists in the
+# synthetic vocabulary, so the rule would be constant-false with the
+# real list. Same idiom as blocklist_filter's stand-in terms — the
+# list is drawn from the corpus vocabulary so the rule is ENGAGED
+# (473/500 docs pass, 27 fail at sf0.001); swap in the real list for
+# natural-language corpora.
+GOPHER_STOPWORDS_STANDIN = ("the", "a", "value", "data", "row")
+
+
+def gopher_quality_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """L37 Gopher document-quality rules (Rae et al. 2021, Table A1 —
+    the MassiveText filter stage): per-document word count, mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, and
+    stop-word presence, plus the combined keep/drop verdict:
+
+      50 <= n_words <= 100000
+      3 <= mean word length <= 10
+      symbol-to-word ratio <= 0.1        (symbols: '#' and ellipsis)
+      >= 80% of words contain an alphabetic character
+      >= 2 distinct stop-words present   (GOPHER_STOPWORDS_STANDIN)
+
+    The clean synthetic corpus has no symbols or digit tokens, so the
+    symbol/alpha rules are engaged on a DETERMINISTICALLY DIRTIED
+    twin of each document (the text_unicode_hygiene idiom): append
+    (doc_id % 7) '42' tokens, (doc_id % 5) '#' tokens, and an
+    ellipsis token when doc_id % 11 == 0. Both engines derive the
+    same dirty text from (doc_id, text), so the oracle replays every
+    rule verbatim. Line-shape rules (bullet/ellipsis line fractions)
+    live with the other line-derived stats in
+    gopher_repetition_stats.
+
+    Determinism: ratios never leave integer math — emitted fractions
+    are floor-scaled micros (x * 1000000 DIV n) and every rule
+    compares cross-multiplied integers (e.g. mean word length in
+    [3, 10] is 3*n_words <= word_chars <= 10*n_words).
+
+    Scale shape: map-only codegen + higher-order functions over the
+    token array, zero shuffle; the per-doc HOF cost is O(tokens)."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    dirty = F.concat(
+        t,
+        F.repeat(F.lit(" 42"), (F.col(id_col) % 7).cast("int")),
+        F.repeat(F.lit(" #"), (F.col(id_col) % 5).cast("int")),
+        F.when(F.col(id_col) % 11 == 0, F.lit(" …")).otherwise(F.lit("")),
+    )
+    toks = tokens(dirty)
+    nw = F.size(toks).cast("bigint")
+    wchars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    nalpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    nsym = (
+        F.length(dirty)
+        - F.length(F.replace(F.replace(dirty, F.lit("#"), F.lit("")),
+                             F.lit("…"), F.lit("")))
+    ).cast("bigint")
+    nstop = F.lit(0).cast("bigint")
+    for w in GOPHER_STOPWORDS_STANDIN:
+        nstop = nstop + F.when(
+            dirty.rlike(r"\b" + w + r"\b"), F.lit(1)
+        ).otherwise(F.lit(0))
+    passes = (
+        nw.between(50, 100000)
+        & (wchars >= 3 * nw)
+        & (wchars <= 10 * nw)
+        & (10 * nsym <= nw)
+        & (5 * nalpha >= 4 * nw)
+        & (nstop >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        wchars.alias("__wchars"),
+        nsym.alias("__nsym"),
+        nalpha.alias("__nalpha"),
+        nstop.alias("n_stop_distinct"),
+        passes.alias("passes"),
+    ).select(
+        id_col,
+        "n_words",
+        F.expr("__wchars * 1000000 DIV n_words").alias("mean_wlen_micro"),
+        F.expr("__nsym * 1000000 DIV n_words").alias("symbol_ratio_micro"),
+        F.expr("__nalpha * 1000000 DIV n_words").alias("frac_alpha_micro"),
+        "n_stop_distinct",
+        "passes",
+    )
+
+
+def gopher_repetition_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """L37b Gopher repetition rules (Rae et al. 2021 — the
+    MassiveText "repetitious documents" filter): per-document
+    duplicate-line fraction, duplicate-line CHARACTER fraction,
+    top-3-gram character coverage, and duplicated-5-gram character
+    fraction, plus the combined repetitive verdict at the paper's
+    thresholds (0.30 / 0.20 / 0.18 / 0.15).
+
+    The corpus is newline-free, so "lines" are DERIVED
+    deterministically (the generative-corpus idiom): chunks of
+    ``3 + doc_id % 3`` tokens, and every doc_id % 5 == 0 document is
+    treated as ``r = 2`` repeated content blocks — a scraped page
+    whose main block appears twice. Occurrence counts scale by ``r``
+    (block boundaries reset per block, so counts are exactly
+    r x base), which both ENGAGES the dup rules by construction
+    (every line of an r=2 doc is a duplicate) and keeps the whole
+    computation a closed-form function of (doc_id, text) that a SQL
+    oracle replays verbatim.
+
+    Character-coverage semantics are the documented occurrence-sum
+    variant: chars covered by duplicated n-grams = sum over
+    duplicated grams of occurrences x gram length (overlap counted
+    per occurrence), not the paper's deduplicated character spans —
+    and the top-3-gram coverage counts only REPEATED grams
+    (occurrences >= 2; a gram seen once covers 0), so a short
+    all-distinct document is never flagged by gram coverage alone.
+
+    Determinism: all fractions are floor-scaled micros over integer
+    counts; the verdict compares cross-multiplied integers.
+
+    Scale shape: map-only nested higher-order functions over the
+    token array (the repetition_top_bigram shape) — the corpus is
+    never shuffled. Per-doc cost is O(u * n) over distinct
+    lines/grams, right for page-sized docs; book-length docs switch
+    to the explode + groupBy(doc_id, gram) shape."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.split(t, WS).alias("toks"),
+        F.length(t).cast("bigint").alias("txt_chars"),
+        (F.lit(3) + F.col(id_col) % 3).cast("int").alias("ll"),
+        F.when(F.col(id_col) % 5 == 0, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("r"),
+    )
+    arrs = base.select(
+        id_col,
+        "txt_chars",
+        "r",
+        F.expr(
+            "transform(sequence(1, (size(toks) + ll - 1) div ll),"
+            " i -> array_join(slice(toks, (i - 1) * ll + 1, ll), ' '))"
+        ).alias("lines"),
+        sliding_grams(F.col("toks"), 3).alias("g3"),
+        sliding_grams(F.col("toks"), 5).alias("g5"),
+    )
+    cnt = (
+        "transform(array_distinct({a}), d -> struct("
+        "r * bigint(size(filter({a}, x -> x = d))) AS rc,"
+        " bigint(length(d)) AS ln))"
+    )
+    stats = arrs.select(
+        id_col,
+        "r",
+        (F.expr("bigint(size(lines))") * F.col("r")).alias("n_lines"),
+        (F.expr("aggregate(lines, 0L, (acc, l) -> acc + length(l))") * F.col("r")).alias(
+            "__line_chars"
+        ),
+        (F.col("txt_chars") * F.col("r")).alias("__tot_chars"),
+        F.expr(
+            "aggregate(" + cnt.format(a="lines") + ", 0L,"
+            " (acc, s) -> acc + IF(s.rc >= 2, s.rc, 0L))"
+        ).alias("__dup_occ"),
+        F.expr(
+            "aggregate(" + cnt.format(a="lines") + ", 0L,"
+            " (acc, s) -> acc + IF(s.rc >= 2, s.rc * s.ln, 0L))"
+        ).alias("__dup_chars"),
+        F.expr(
+            "aggregate(" + cnt.format(a="g3") + ", 0L,"
+            " (acc, s) -> greatest(acc, IF(s.rc >= 2, s.rc * s.ln, 0L)))"
+        ).alias("__top3_cov"),
+        F.expr(
+            "aggregate(" + cnt.format(a="g5") + ", 0L,"
+            " (acc, s) -> acc + IF(s.rc >= 2, s.rc * s.ln, 0L))"
+        ).alias("__dup5_chars"),
+    )
+    return stats.select(
+        id_col,
+        F.col("r").alias("n_blocks"),
+        "n_lines",
+        F.expr("__dup_occ * 1000000 DIV greatest(n_lines, 1)").alias(
+            "dup_line_frac_micro"
+        ),
+        F.expr("__dup_chars * 1000000 DIV greatest(__line_chars, 1)").alias(
+            "dup_line_char_frac_micro"
+        ),
+        F.expr("__top3_cov * 1000000 DIV greatest(__tot_chars, 1)").alias(
+            "top3_char_cov_micro"
+        ),
+        F.expr("__dup5_chars * 1000000 DIV greatest(__tot_chars, 1)").alias(
+            "dup5_char_frac_micro"
+        ),
+        (
+            (10 * F.col("__dup_occ") > 3 * F.col("n_lines"))
+            | (5 * F.col("__dup_chars") > F.col("__line_chars"))
+            | (100 * F.col("__top3_cov") > 18 * F.col("__tot_chars"))
+            | (100 * F.col("__dup5_chars") > 15 * F.col("__tot_chars"))
+        ).alias("is_repetitive"),
+    )

@@ -878,3 +878,81 @@ def _rebuild_without_spans(
         F.coalesce(F.size("__toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
         F.coalesce(n_removed, F.lit(0)).cast("bigint").alias("n_removed"),
     )
+
+
+def line_dedup_keep_first(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 3,
+) -> DataFrame:
+    """L38 corpus-level line deduplication (the CCNet / C4 span-dedup
+    stage: drop every repeated line across the WHOLE corpus, keeping
+    only its first occurrence) with per-document survivor stats and a
+    reassembly digest:
+
+      n_lines     — lines in the document
+      n_kept      — lines surviving corpus-wide keep-first
+      kept_chars  — characters across kept lines
+      kept_md5    — md5 of the kept lines re-joined in position order
+                    (the md5-twin idiom: one 32-char digest proves the
+                    full reassembled text without shipping it)
+
+    The corpus is newline-free, so "lines" are derived
+    deterministically as chunks of ``line_tokens`` whitespace tokens
+    (3295 of 7643 line occurrences are corpus-duplicated at sf0.001 —
+    the op is heavily engaged). "First" is total-ordered: the minimal
+    (doc_id, position) occurrence of each exact line text survives;
+    all later occurrences are dropped, exactly CCNet's rule.
+
+    Scale shape: ONE wide shuffle keyed by the line text (the window
+    partition), then one keyed by doc for reassembly — the CCNet
+    shape. At 100 TB the window key would be a 16-byte line digest
+    (md5) rather than the raw string to cut shuffle width; the raw
+    key is kept here so the oracle replay is byte-transparent, and
+    the swap is a one-line change. Skewed hot lines (boilerplate)
+    are handled by AQE skew-split; the per-line state is one
+    row_number, never a collected list."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    toks = F.split(t, r"\s+")
+    lines = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(__toks) + {line_tokens} - 1)"
+                f" div {line_tokens}),"
+                f" i -> array_join(slice(__toks, (i - 1) * {line_tokens} + 1,"
+                f" {line_tokens}), ' '))"
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+    flagged = lines.withColumn("__rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count_if(F.col("__rn") == 1).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("__rn") == 1, F.length("line")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__rn") == 1,
+                                    F.struct(F.col("pos"), F.col("line")),
+                                )
+                            )
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Unit tests for the Gopher quality/repetition rules and corpus-level
+line dedup — hand-built micro-cases with closed-form expectations,
+independent of the DuckDB differential (tests/test_candidates.py)."""
+
+from pyspark.sql import functions as F
+
+from hustle_spark.functions import text as TX
+from hustle_spark.operators import dedup as DD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestGopherQuality:
+    def test_rules_on_handbuilt_docs(self, spark):
+        # doc 77: 77%7=0, 77%5=2, 77%11=0 -> dirty adds ' # #' + ' …'
+        # base: 60 alphabetic 4-char words incl. two stopwords.
+        words = ["word"] * 58 + ["the", "data"]
+        rows = [(77, " ".join(words))]
+        out = TX.gopher_quality_stats(_docs(spark, rows)).collect()[0]
+        assert out.n_words == 63  # 60 + 2 '#' + 1 '…'
+        # word chars: 58*4 + 3 + 4 + 2*1 + 1 = 242
+        assert out.mean_wlen_micro == 242 * 1000000 // 63
+        assert out.n_stop_distinct == 2
+        # symbols: 2 '#' + 1 '…' = 3; 10*3 <= 63 passes
+        assert out.symbol_ratio_micro == 3 * 1000000 // 63
+        # alpha words: 60 of 63 -> 5*60 >= 4*63 passes
+        assert out.frac_alpha_micro == 60 * 1000000 // 63
+        assert bool(out.passes) is True
+
+    def test_short_doc_fails_word_count(self, spark):
+        rows = [(1, "the a value data tiny")]
+        out = TX.gopher_quality_stats(_docs(spark, rows)).collect()[0]
+        assert out.n_words < 50 and bool(out.passes) is False
+
+    def test_stopword_rule_fails_without_two(self, spark):
+        rows = [(1, " ".join(["word"] * 60))]
+        out = TX.gopher_quality_stats(_docs(spark, rows)).collect()[0]
+        assert out.n_stop_distinct == 0 and bool(out.passes) is False
+
+
+class TestGopherRepetition:
+    def test_doubled_block_is_fully_duplicated(self, spark):
+        # doc 10: 10%5==0 -> r=2; 10%3=1 -> 4-token lines.
+        # 8 distinct tokens -> 2 base lines, every line duplicated at r=2.
+        rows = [(10, "aa bb cc dd ee ff gg hh")]
+        out = TX.gopher_repetition_stats(_docs(spark, rows)).collect()[0]
+        assert out.n_blocks == 2
+        assert out.n_lines == 4
+        assert out.dup_line_frac_micro == 1000000
+        assert out.dup_line_char_frac_micro == 1000000
+        assert bool(out.is_repetitive) is True
+
+    def test_distinct_single_block_not_flagged(self, spark):
+        # doc 1: r=1, 4-token lines, all lines/grams distinct.
+        rows = [(1, "aa bb cc dd ee ff gg hh ii jj kk ll")]
+        out = TX.gopher_repetition_stats(_docs(spark, rows)).collect()[0]
+        assert out.n_blocks == 1
+        assert out.n_lines == 3
+        assert out.dup_line_frac_micro == 0
+        assert out.dup5_char_frac_micro == 0
+        assert bool(out.is_repetitive) is False
+
+    def test_top3_coverage_closed_form(self, spark):
+        # doc 1: "x y z" repeated 4x -> top 3-gram "x y z" (5 chars)
+        # occurs 4 times among 10 grams; text chars = 23.
+        rows = [(1, "x y z x y z x y z x y z")]
+        out = TX.gopher_repetition_stats(_docs(spark, rows)).collect()[0]
+        assert out.top3_char_cov_micro == 4 * 5 * 1000000 // 23
+        assert bool(out.is_repetitive) is True  # 20/23 > 18%
+
+
+class TestLineDedupKeepFirst:
+    def test_keep_first_across_docs(self, spark):
+        # 3-token lines; doc 2 repeats doc 1's first line verbatim.
+        rows = [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc gg hh ii"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in DD.line_dedup_keep_first(_docs(spark, rows)).collect()
+        }
+        assert out[1].n_lines == 2 and out[1].n_kept == 2
+        assert out[2].n_lines == 2 and out[2].n_kept == 1
+        assert out[2].kept_chars == len("gg hh ii")
+
+    def test_within_doc_duplicate_dropped(self, spark):
+        rows = [(1, "aa bb cc aa bb cc dd ee ff")]
+        out = DD.line_dedup_keep_first(_docs(spark, rows)).collect()[0]
+        assert out.n_lines == 3 and out.n_kept == 2
+
+    def test_digest_matches_reassembled_text(self, spark):
+        rows = [(1, "aa bb cc dd ee ff"), (2, "aa bb cc gg hh ii")]
+        out = {
+            r.doc_id: r
+            for r in DD.line_dedup_keep_first(_docs(spark, rows)).collect()
+        }
+        expect = (
+            spark.range(1)
+            .select(
+                F.md5(F.lit("aa bb cc dd ee ff")).alias("a"),
+                F.md5(F.lit("gg hh ii")).alias("b"),
+            )
+            .collect()[0]
+        )
+        assert out[1].kept_md5 == expect.a
+        assert out[2].kept_md5 == expect.b
+
+    def test_all_lines_dropped_yields_empty_digest(self, spark):
+        rows = [(1, "aa bb cc"), (2, "aa bb cc")]
+        out = {
+            r.doc_id: r
+            for r in DD.line_dedup_keep_first(_docs(spark, rows)).collect()
+        }
+        assert out[2].n_kept == 0 and out[2].kept_chars == 0
+        empty_md5 = (
+            spark.range(1).select(F.md5(F.lit("")).alias("h")).collect()[0].h
+        )
+        assert out[2].kept_md5 == empty_md5
