@@ -651,6 +651,51 @@ DEDUP_LINES_CORPUS_ORACLE = r"""
 """
 
 
+def text_quality_classifier(spark, sf_dir):
+    """L39 fastText-shaped quality classifier (FineWeb-Edu / DCLM
+    stage): hashed unigram+bigram bag, linear bucket weights, sign
+    threshold. The md5 feature hash and closed-form integer weight
+    table replay exactly in SQL; a real exported model swaps in as a
+    broadcast (bucket, weight) table on the same hash. Map-only,
+    zero shuffle (functions.text.quality_classifier_scores)."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    return TX.quality_classifier_scores(d)
+
+
+TEXT_QUALITY_CLASSIFIER_ORACLE = r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(coalesce(text, ''), '\s+') AS toks
+               FROM documents),
+    feats AS (
+      SELECT doc_id, tok AS f FROM t, unnest(toks) u(tok)
+      UNION ALL
+      SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS f
+      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+    h AS (SELECT doc_id, md5(f) AS m FROM feats),
+    b AS (SELECT doc_id,
+            ((CASE WHEN substring(m, 1, 1) <= '9'
+                   THEN ascii(substring(m, 1, 1)) - 48
+                   ELSE ascii(substring(m, 1, 1)) - 87 END) * 256
+           + (CASE WHEN substring(m, 2, 1) <= '9'
+                   THEN ascii(substring(m, 2, 1)) - 48
+                   ELSE ascii(substring(m, 2, 1)) - 87 END) * 16
+           + (CASE WHEN substring(m, 3, 1) <= '9'
+                   THEN ascii(substring(m, 3, 1)) - 48
+                   ELSE ascii(substring(m, 3, 1)) - 87 END)) % 4096 AS bkt
+          FROM h),
+    w AS (SELECT doc_id, (bkt * 2654435761) % 1001 - 500 AS w FROM b)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(COUNT(*) FILTER (WHERE w > 0) AS BIGINT) AS n_pos_feats,
+           CAST(SUM(w) AS BIGINT) AS margin,
+           SUM(w) > 0 AS quality_ok
+    FROM w GROUP BY doc_id
+"""
+
+
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
@@ -684,4 +729,8 @@ R8_CANDIDATES = {
         TEXT_GOPHER_REPETITION_ORACLE,
     ),
     "dedup_lines_corpus": (dedup_lines_corpus, DEDUP_LINES_CORPUS_ORACLE),
+    "text_quality_classifier": (
+        text_quality_classifier,
+        TEXT_QUALITY_CLASSIFIER_ORACLE,
+    ),
 }

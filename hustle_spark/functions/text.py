@@ -1276,3 +1276,82 @@ def gopher_repetition_stats(
             | (100 * F.col("__dup5_chars") > 15 * F.col("__tot_chars"))
         ).alias("is_repetitive"),
     )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """L39 model-based quality classification — the fastText-shaped
+    linear classifier every recent curation pipeline runs
+    (FineWeb-Edu's educational-value scorer, DCLM's
+    good-reference-text filter; Joulin et al. 2016 architecture):
+    bag of unigram + bigram features, feature HASHING into
+    ``n_buckets`` buckets, a linear layer over the bucket weights,
+    and a sign threshold.
+
+      n_feats      — unigram + bigram feature occurrences
+      n_pos_feats  — occurrences whose bucket weight is positive
+      margin       — sum of bucket weights (the pre-sigmoid logit)
+      quality_ok   — margin > 0
+
+    The hash is the first 3 hex nibbles of md5(feature) (the repo's
+    md5-twin idiom — DuckDB computes identical digests, so the
+    WHOLE fit-free model replays in SQL), and the weight table is a
+    closed-form stand-in: w(b) = (b * 2654435761) % 1001 - 500, a
+    Knuth multiplicative scramble centered on zero. A real exported
+    fastText/regression model swaps in as a broadcast (bucket,
+    weight) table joined on the same hash — the documented swap
+    point; the hashing, pooling, and thresholding machinery is the
+    production shape either way. Integer weights keep every margin
+    exact, so no float boundary exists between engines.
+
+    Scale shape: map-only — two transform passes per doc (md5 once
+    per feature, then 6 substring reads), one aggregate fold; the
+    corpus is never shuffled and no model state exceeds the plan's
+    literals. Cost is O(features) per doc."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    nib = (
+        "(CASE WHEN substring(m, {i}, 1) <= '9'"
+        " THEN ascii(substring(m, {i}, 1)) - 48"
+        " ELSE ascii(substring(m, {i}, 1)) - 87 END)"
+    )
+    bucket = (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16"
+        f" + {nib.format(i=3)}) % {n_buckets})"
+    )
+    w_expr = f"bigint(({bucket} * 2654435761) % 1001 - 500)"
+    base = df.select(
+        F.col(id_col),
+        F.split(t, WS).alias("toks"),
+    )
+    feats = base.select(
+        id_col,
+        F.concat(
+            F.col("toks"), sliding_grams(F.col("toks"), 2)
+        ).alias("feats"),
+    )
+    scored = feats.select(
+        id_col,
+        F.expr("bigint(size(feats))").alias("n_feats"),
+        F.expr(
+            "transform(transform(feats, f -> md5(f)),"
+            f" m -> {w_expr})"
+        ).alias("__ws"),
+    )
+    return scored.select(
+        id_col,
+        "n_feats",
+        F.expr(
+            "aggregate(__ws, 0L, (acc, x) -> acc + IF(x > 0, 1L, 0L))"
+        ).alias("n_pos_feats"),
+        F.expr("aggregate(__ws, 0L, (acc, x) -> acc + x)").alias("margin"),
+    ).select(
+        id_col,
+        "n_feats",
+        "n_pos_feats",
+        "margin",
+        (F.col("margin") > 0).alias("quality_ok"),
+    )

@@ -119,3 +119,42 @@ class TestLineDedupKeepFirst:
             spark.range(1).select(F.md5(F.lit("")).alias("h")).collect()[0].h
         )
         assert out[2].kept_md5 == empty_md5
+
+
+class TestQualityClassifier:
+    @staticmethod
+    def _ref_margin(text):
+        """Pure-Python replay of the hash + weight model."""
+        import hashlib
+
+        toks = text.split()
+        feats = list(toks) + [
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        ]
+        if len(toks) < 2:
+            feats = list(toks) + [" ".join(toks)]
+        ws = []
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:3], 16) % 4096
+            ws.append((b * 2654435761) % 1001 - 500)
+        return len(feats), sum(1 for w in ws if w > 0), sum(ws)
+
+    def test_matches_pure_python_model(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "table scan merge table scan merge"),
+            (3, "one"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in TX.quality_classifier_scores(_docs(spark, rows)).collect()
+        }
+        for doc_id, text in rows:
+            n, npos, margin = self._ref_margin(text)
+            got = out[doc_id]
+            assert (got.n_feats, got.n_pos_feats, got.margin) == (
+                n,
+                npos,
+                margin,
+            ), doc_id
+            assert bool(got.quality_ok) is (margin > 0)
