@@ -696,6 +696,52 @@ TEXT_QUALITY_CLASSIFIER_ORACLE = r"""
 """
 
 
+def warc_meta_noindex(spark, sf_dir):
+    """L33b page-level robots opt-out at driver grade: a generative
+    HTML corpus (each doc's text wrapped in a page shell whose <meta>
+    tag is one of six id-derived variants — quoted name-first,
+    reversed-order single-quoted UPPERCASE, bare-value, index-follow,
+    a name="description" LOOKALIKE carrying the word noindex, and no
+    meta at all) scanned by the real sources.warc.html_meta_noindex
+    regex. The flag has the closed form variant < 3, which is what
+    the oracle replays (the robots-corpus idiom) — the regex must
+    match all three directive spellings and reject both negatives to
+    pass. Pure codegen rlike, map-only, zero shuffle."""
+    from .sources import warc as W
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    variant = (F.col("doc_id") % 6).cast("bigint")
+    meta = (
+        F.when(variant == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(variant == 1, F.lit("<meta content='NOINDEX' name='robots'>"))
+        .when(variant == 2, F.lit("<meta name=robots content=noindex>"))
+        .when(variant == 3, F.lit('<meta name="robots" content="index, follow">'))
+        .when(variant == 4, F.lit('<meta name="description" content="noindex discussed">'))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(
+        F.lit("<html><head><title>P"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        meta,
+        F.lit("</head><body><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        variant.alias("variant"),
+        W.html_meta_noindex(page).alias("noindex"),
+    )
+
+
+WARC_META_NOINDEX_ORACLE = """
+    SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS variant,
+           doc_id % 6 < 3 AS noindex
+    FROM documents
+"""
+
+
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
@@ -733,4 +779,5 @@ R8_CANDIDATES = {
         text_quality_classifier,
         TEXT_QUALITY_CLASSIFIER_ORACLE,
     ),
+    "warc_meta_noindex": (warc_meta_noindex, WARC_META_NOINDEX_ORACLE),
 }
