@@ -742,6 +742,50 @@ WARC_META_NOINDEX_ORACLE = """
 """
 
 
+def multimodal_image_ahash(spark, sf_dir):
+    """L5i perceptual image hashing (aHash) — the multimodal
+    near-duplicate signature stage: complete synthesized BMPs decoded
+    pixel-by-pixel in Arrow batches, gray 8x8 nearest-neighbor grid,
+    cross-multiplied integer mean threshold, 64-bit string out. The
+    generative pixel model (B=(id+x+y)%256, G=(id*3+x*7)%256,
+    R=(id*5+y*11)%256, w=(id%4+1)*4, h=id%6+1) lets the oracle
+    replay every grid sample and threshold vote — a decoder that
+    drops the BMP bottom-up flip or mis-maps the grid cannot pass.
+    Near-dup grouping downstream bands the 64 bits into exact-match
+    chunks and equi-joins (the SimHash shape, no all-pairs). Same
+    single-split spread as the other media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_bmp_payloads(d, "doc_id")
+    return multimodal.decode_image_ahash(media)
+
+
+MULTIMODAL_IMAGE_AHASH_ORACLE = """
+    WITH geo AS (SELECT doc_id, CAST((doc_id % 4 + 1) * 4 AS BIGINT) AS w,
+                        CAST(doc_id % 6 + 1 AS BIGINT) AS h
+                 FROM documents),
+    cells AS (
+      SELECT g.doc_id, g.w, g.h, gj.j, gi.i,
+             (((g.doc_id + (gi.i * g.w // 8) + (gj.j * g.h // 8)) % 256)
+            + ((g.doc_id * 3 + (gi.i * g.w // 8) * 7) % 256)
+            + ((g.doc_id * 5 + (gj.j * g.h // 8) * 11) % 256)) // 3 AS v
+      FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+    tot AS (SELECT doc_id, SUM(v) AS t FROM cells GROUP BY doc_id)
+    SELECT c.doc_id AS media_id, 'bmp' AS media_type,
+           CAST(MAX(c.w) AS INT) AS width, CAST(MAX(c.h) AS INT) AS height,
+           CAST(COUNT(*) FILTER (WHERE 64 * c.v > t.t) AS BIGINT)
+             AS n_set_bits,
+           string_agg(CASE WHEN 64 * c.v > t.t THEN '1' ELSE '0' END, ''
+                      ORDER BY c.j, c.i) AS ahash_bits,
+           true AS ok
+    FROM cells c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id
+"""
+
+
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
@@ -780,4 +824,8 @@ R8_CANDIDATES = {
         TEXT_QUALITY_CLASSIFIER_ORACLE,
     ),
     "warc_meta_noindex": (warc_meta_noindex, WARC_META_NOINDEX_ORACLE),
+    "multimodal_image_ahash": (
+        multimodal_image_ahash,
+        MULTIMODAL_IMAGE_AHASH_ORACLE,
+    ),
 }

@@ -2508,3 +2508,73 @@ def decode_jpeg_subsampled_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=JPEG_SUBSAMPLED_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_set_bits long, ahash_bits string, ok boolean"
+)
+
+
+def _ahash_one(payload: bytes):
+    """64-bit average-hash (aHash) from a FULL pixel decode: gray =
+    (B+G+R) DIV 3 sampled on an 8x8 nearest-neighbor grid (cell (i,j)
+    reads pixel (i*w DIV 8, j*h DIV 8) — the repo's resize mapping),
+    bit set when 64*cell > sum(cells) (cross-multiplied integer mean
+    threshold, tie -> 0). Bits are row-major (j outer). Images
+    smaller than 8x8 repeat-sample pixels — documented NN semantics;
+    a production pipeline swaps in area-mean downsampling behind the
+    same 64-bit contract."""
+    decoded = parse_bmp_pixels(payload)
+    if decoded is not None:
+        fmt, (b_off, g_off, r_off) = "bmp", (0, 1, 2)
+    else:
+        decoded = parse_png_pixels(payload)
+        if decoded is None:
+            return "unknown", 0, 0, 0, "", False
+        fmt, (b_off, g_off, r_off) = "png", (2, 1, 0)
+    w, h, rows = decoded
+    if w <= 0 or h <= 0:
+        return fmt, w, h, 0, "", False
+    vals = []
+    for j in range(8):
+        y = j * h // 8
+        row = rows[y]
+        for i in range(8):
+            x = i * w // 8
+            px = row[x * 3 : x * 3 + 3]
+            vals.append((px[b_off] + px[g_off] + px[r_off]) // 3)
+    total = sum(vals)
+    bits = "".join("1" if 64 * v > total else "0" for v in vals)
+    return fmt, w, h, bits.count("1"), bits, True
+
+
+def decode_image_ahash(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash extraction over the payload
+    column — the multimodal near-duplicate signature stage (aHash;
+    pHash/dHash swap in behind the same 64-bit-string contract, as
+    does a PIL-backed decoder for formats beyond BMP/PNG). Map-only:
+    payloads never leave the executor; downstream near-dup grouping
+    bands the 64 bits into k exact-match chunks (two hashes within
+    d < k bits share a chunk) and equi-joins — the SimHash shape,
+    never an all-pairs comparison."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _ahash_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_set_bits": [f[3] for f in feats],
+                    "ahash_bits": [f[4] for f in feats],
+                    "ok": [f[5] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)

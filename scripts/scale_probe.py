@@ -27,7 +27,12 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
     spark = get_session(app_name=f"scale-probe", extra_conf={"spark.ui.enabled": "false"})
     out: dict[str, float] = {}
     for name in names:
-        fn = registry.QUERIES[name].fn
+        if name in registry.QUERIES:
+            fn = registry.QUERIES[name].fn
+        else:  # staged candidate rows are probe-able before the flip
+            from hustle_spark.candidates import R8_CANDIDATES
+
+            fn = R8_CANDIDATES[name][0]
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()

@@ -158,3 +158,44 @@ class TestQualityClassifier:
                 margin,
             ), doc_id
             assert bool(got.quality_ok) is (margin > 0)
+
+
+class TestImageAHash:
+    def test_ahash_matches_pure_python_model(self, spark):
+        """Replay the generative BMP pixel model in pure Python and
+        check the decoded aHash bit-for-bit for a handful of ids."""
+        from hustle_spark.operators import multimodal as M
+
+        d = spark.createDataFrame(
+            [(i,) for i in range(12)], "doc_id bigint"
+        )
+        media = M.synthesize_bmp_payloads(d, "doc_id")
+        got = {r.media_id: r for r in M.decode_image_ahash(media).collect()}
+        for mid in range(12):
+            w, h = (mid % 4 + 1) * 4, mid % 6 + 1
+            vals = []
+            for j in range(8):
+                y = j * h // 8
+                for i in range(8):
+                    x = i * w // 8
+                    b = (mid + x + y) % 256
+                    g = (mid * 3 + x * 7) % 256
+                    r = (mid * 5 + y * 11) % 256
+                    vals.append((b + g + r) // 3)
+            t = sum(vals)
+            bits = "".join("1" if 64 * v > t else "0" for v in vals)
+            row = got[mid]
+            assert (row.width, row.height) == (w, h)
+            assert row.ahash_bits == bits, mid
+            assert row.n_set_bits == bits.count("1")
+            assert bool(row.ok) is True
+
+    def test_ahash_garbage_payload_not_ok(self, spark):
+        from hustle_spark.operators import multimodal as M
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"not an image"), "x", None)],
+            "media_id long, payload binary, media_type string, meta string",
+        )
+        row = M.decode_image_ahash(media).collect()[0]
+        assert bool(row.ok) is False and row.ahash_bits == ""
