@@ -124,11 +124,16 @@ def global_dense_rank(df, cols: list, out: str):
     for pid, cnt in per:
         offsets[pid] = acc
         acc += cnt
-    omap = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.create_map()
+    if offsets:
+        omap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        off = omap[F.col("__pid")]
+    else:
+        # empty frame: no rows means no lookups — but an argless
+        # create_map() has VOID value type and fails ANALYSIS, so any
+        # typed literal keeps the (empty) plan resolvable
+        off = F.lit(0)
     return (
-        d.withColumn(out, (F.col("__lr") - 1 + omap[F.col("__pid")]).cast("bigint"))
+        d.withColumn(out, (F.col("__lr") - 1 + off).cast("bigint"))
         .drop("__pid", "__lr")
     )
 
@@ -161,9 +166,11 @@ def global_running_sum(df, order_col: str, val_col: str, out: str):
     for pid, tot in per:
         offsets[pid] = acc
         acc += tot or 0
-    omap = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.create_map()
+    if offsets:
+        omap = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+        off = omap[F.col("__pid")]
+    else:  # empty frame — same VOID-map analysis trap as above
+        off = F.lit(0)
     return d.withColumn(
-        out, (F.col("__ls") + omap[F.col("__pid")]).cast("bigint")
+        out, (F.col("__ls") + off).cast("bigint")
     ).drop("__pid", "__ls")
