@@ -199,3 +199,19 @@ class TestImageAHash:
         )
         row = M.decode_image_ahash(media).collect()[0]
         assert bool(row.ok) is False and row.ahash_bits == ""
+
+
+class TestNullText:
+    def test_all_new_helpers_handle_null_text(self, spark):
+        rows = [(7, None), (8, "aa bb cc dd ee")]
+        d = _docs(spark, rows)
+        q = {r.doc_id: r for r in TX.gopher_quality_stats(d).collect()}
+        assert q[7].n_words >= 1 and bool(q[7].passes) is False
+        rep = {r.doc_id: r for r in TX.gopher_repetition_stats(d).collect()}
+        assert rep[7].dup5_char_frac_micro == 0
+        led = {r.doc_id: r for r in DD.line_dedup_keep_first(d).collect()}
+        assert led[7].n_lines == 1  # '' folds to one empty line
+        cls = {
+            r.doc_id: r for r in TX.quality_classifier_scores(d).collect()
+        }
+        assert cls[7].n_feats >= 1 and cls[8].n_feats == 9
