@@ -62,3 +62,35 @@ def test_plan_invariants(name, spark, catalog):
     if name not in ALLOWED_PYTHON:
         for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
             assert node not in plan, f"{name}: unexpected Python stage {node}"
+
+
+# staged candidate rows (hustle_spark/candidates.py) face the same
+# plan bar BEFORE the r8 flip imports them into the driver window
+CANDIDATE_ALLOWED_NESTED_LOOP = {
+    "text_lm_perplexity",        # 1-row reference-LM total broadcast
+                                 # (the unigram fppm pattern)
+}
+CANDIDATE_ALLOWED_PYTHON = {
+    "multimodal_jpeg_progressive_probe",  # Annex G decode, mapInPandas
+    "multimodal_image_ahash",             # pixel decode + aHash, same path
+}
+
+
+def _candidates():
+    from hustle_spark.candidates import R8_CANDIDATES
+
+    return sorted(R8_CANDIDATES)
+
+
+@pytest.mark.parametrize("name", _candidates())
+def test_candidate_plan_invariants(name, spark, catalog):
+    from hustle_spark.candidates import R8_CANDIDATES
+
+    df = R8_CANDIDATES[name][0](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    if name not in CANDIDATE_ALLOWED_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested loop join"
+    if name not in CANDIDATE_ALLOWED_PYTHON:
+        for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{name}: unexpected Python stage {node}"
