@@ -390,22 +390,28 @@ def text_unicode_hygiene(spark, sf_dir):
     (functions.text.unicode_hygiene_stats — all codegen replace/length
     arithmetic, map-only, zero shuffle)."""
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
-    dirty = d.withColumn(
-        "text",
-        F.concat(
-            F.coalesce(F.col("text"), F.lit("")),
-            F.when(
-                F.col("doc_id") % 5 == 0, F.lit("caf\u00c3\u00a9")
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 7 == 0, F.lit("\ufffd")
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 11 == 0, F.lit("\u0003")
-            ).otherwise(F.lit("")),
-        ),
+    return TX.unicode_hygiene_stats(
+        d.withColumn("text", _hygiene_dirty_expr())
     )
-    return TX.unicode_hygiene_stats(dirty)
+
+
+def _hygiene_dirty_expr():
+    """The deterministic hygiene-pathology twin shared by
+    text_unicode_hygiene and text_curation_verdict: every 5th doc a
+    mojibake e-acute, every 7th a U+FFFD, every 11th an ETX control
+    byte — the exact closed form TEXT_UNICODE_HYGIENE_ORACLE replays."""
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("caf\u00c3\u00a9")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\ufffd")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\u0003")
+        ).otherwise(F.lit("")),
+    )
 
 
 TEXT_UNICODE_HYGIENE_ORACLE = (
@@ -786,6 +792,64 @@ MULTIMODAL_IMAGE_AHASH_ORACLE = """
 """
 
 
+def text_curation_verdict(spark, sf_dir):
+    """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
+    composition): unicode hygiene + Gopher quality + Gopher
+    repetition + classifier + blocklist as ONE single-scan map-only
+    operator (functions.text.curation_verdict — zero shuffles, zero
+    joins; the plan audit pins it). Hygiene screens the dirtied twin
+    shared with text_unicode_hygiene (via hygiene_col); the
+    corpus-adapted knobs (blocklist = the rare 'dup' token,
+    classifier margin threshold at the corpus median) keep every
+    fail bit AND the keep verdict engaged. The oracle is the literal
+    SQL composition of the five stage oracles — agreement proves the
+    composition, not just the stages."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    d = d.withColumn("__hyg", _hygiene_dirty_expr())
+    return TX.curation_verdict(
+        d,
+        hygiene_col="__hyg",
+        blocklist_terms=("dup",),
+        max_hits=0,
+        margin_threshold=-5000,
+    )
+
+
+_CURATION_VERDICT_TEMPLATE = """
+    WITH hyg AS (SELECT doc_id, is_clean
+                 FROM ({hygiene}) hygsub),
+    gq AS (SELECT doc_id, passes FROM ({quality}) gqsub),
+    gr AS (SELECT doc_id, is_repetitive FROM ({repetition}) grsub),
+    cl AS (SELECT doc_id, margin > -5000 AS quality_ok
+           FROM ({classifier}) clsub),
+    bl AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(coalesce(text, '')),
+                      '\\b(?:dup)\\b')) > 0 AS blocked
+           FROM documents)
+    SELECT hyg.doc_id, is_clean, passes, is_repetitive, quality_ok,
+           blocked,
+           CAST(CASE WHEN NOT is_clean THEN 1 ELSE 0 END
+              + CASE WHEN NOT passes THEN 2 ELSE 0 END
+              + CASE WHEN is_repetitive THEN 4 ELSE 0 END
+              + CASE WHEN NOT quality_ok THEN 8 ELSE 0 END
+              + CASE WHEN blocked THEN 16 ELSE 0 END AS BIGINT)
+             AS fail_mask,
+           fail_mask = 0 AS keep
+    FROM hyg
+    JOIN gq USING (doc_id)
+    JOIN gr USING (doc_id)
+    JOIN cl USING (doc_id)
+    JOIN bl USING (doc_id)
+"""
+
+TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
+    hygiene=TEXT_UNICODE_HYGIENE_ORACLE,
+    quality=TEXT_GOPHER_QUALITY_ORACLE,
+    repetition=TEXT_GOPHER_REPETITION_ORACLE,
+    classifier=TEXT_QUALITY_CLASSIFIER_ORACLE,
+)
+
+
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
@@ -827,5 +891,9 @@ R8_CANDIDATES = {
     "multimodal_image_ahash": (
         multimodal_image_ahash,
         MULTIMODAL_IMAGE_AHASH_ORACLE,
+    ),
+    "text_curation_verdict": (
+        text_curation_verdict,
+        TEXT_CURATION_VERDICT_ORACLE,
     ),
 }

@@ -991,7 +991,10 @@ MOJIBAKE_ARTIFACTS = (
 
 
 def unicode_hygiene_stats(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """Encoding-hygiene screening — the curation stage that catches
     mojibake (double-decoded UTF-8), lost bytes (U+FFFD replacement
@@ -1034,6 +1037,7 @@ def unicode_hygiene_stats(
             & (moji == 0)
             & (ctrl * 100 < F.greatest(F.length(t), F.lit(1)))
         ).alias("is_clean"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -1084,7 +1088,10 @@ GOPHER_STOPWORDS_STANDIN = ("the", "a", "value", "data", "row")
 
 
 def gopher_quality_stats(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """L37 Gopher document-quality rules (Rae et al. 2021, Table A1 —
     the MassiveText filter stage): per-document word count, mean word
@@ -1153,6 +1160,7 @@ def gopher_quality_stats(
         nalpha.alias("__nalpha"),
         nstop.alias("n_stop_distinct"),
         passes.alias("passes"),
+        *[F.col(c) for c in keep],
     ).select(
         id_col,
         "n_words",
@@ -1161,11 +1169,15 @@ def gopher_quality_stats(
         F.expr("__nalpha * 1000000 DIV n_words").alias("frac_alpha_micro"),
         "n_stop_distinct",
         "passes",
+        *keep,
     )
 
 
 def gopher_repetition_stats(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple = (),
 ) -> DataFrame:
     """L37b Gopher repetition rules (Rae et al. 2021 — the
     MassiveText "repetitious documents" filter): per-document
@@ -1211,11 +1223,13 @@ def gopher_repetition_stats(
         .otherwise(F.lit(1))
         .cast("bigint")
         .alias("r"),
+        *[F.col(c) for c in keep],
     )
     arrs = base.select(
         id_col,
         "txt_chars",
         "r",
+        *keep,
         F.expr(
             "transform(sequence(1, (size(toks) + ll - 1) div ll),"
             " i -> array_join(slice(toks, (i - 1) * ll + 1, ll), ' '))"
@@ -1231,6 +1245,7 @@ def gopher_repetition_stats(
     stats = arrs.select(
         id_col,
         "r",
+        *keep,
         (F.expr("bigint(size(lines))") * F.col("r")).alias("n_lines"),
         (F.expr("aggregate(lines, 0L, (acc, l) -> acc + length(l))") * F.col("r")).alias(
             "__line_chars"
@@ -1275,6 +1290,7 @@ def gopher_repetition_stats(
             | (100 * F.col("__top3_cov") > 18 * F.col("__tot_chars"))
             | (100 * F.col("__dup5_chars") > 15 * F.col("__tot_chars"))
         ).alias("is_repetitive"),
+        *keep,
     )
 
 
@@ -1283,6 +1299,8 @@ def quality_classifier_scores(
     text: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 4096,
+    keep: tuple = (),
+    margin_threshold: int = 0,
 ) -> DataFrame:
     """L39 model-based quality classification — the fastText-shaped
     linear classifier every recent curation pipeline runs
@@ -1326,12 +1344,14 @@ def quality_classifier_scores(
     base = df.select(
         F.col(id_col),
         F.split(t, WS).alias("toks"),
+        *[F.col(c) for c in keep],
     )
     feats = base.select(
         id_col,
         F.concat(
             F.col("toks"), sliding_grams(F.col("toks"), 2)
         ).alias("feats"),
+        *keep,
     )
     scored = feats.select(
         id_col,
@@ -1340,6 +1360,7 @@ def quality_classifier_scores(
             "transform(transform(feats, f -> md5(f)),"
             f" m -> {w_expr})"
         ).alias("__ws"),
+        *keep,
     )
     return scored.select(
         id_col,
@@ -1348,10 +1369,83 @@ def quality_classifier_scores(
             "aggregate(__ws, 0L, (acc, x) -> acc + IF(x > 0, 1L, 0L))"
         ).alias("n_pos_feats"),
         F.expr("aggregate(__ws, 0L, (acc, x) -> acc + x)").alias("margin"),
+        *keep,
     ).select(
         id_col,
         "n_feats",
         "n_pos_feats",
         "margin",
-        (F.col("margin") > 0).alias("quality_ok"),
+        (F.col("margin") > margin_threshold).alias("quality_ok"),
+        *keep,
     )
+
+
+def curation_verdict(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    hygiene_col: str | None = None,
+    blocklist_terms: tuple = ("table", "merge", "scan"),
+    max_hits: int = 2,
+    margin_threshold: int = 0,
+) -> DataFrame:
+    """L40 composed curation pipeline — the single-pass document
+    gate every large corpus build runs before any corpus-wide
+    stage (the RefinedWeb / FineWeb / MassiveText composition):
+
+      bit 0  unicode hygiene fails  (unicode_hygiene_stats)
+      bit 1  Gopher quality fails   (gopher_quality_stats)
+      bit 2  Gopher repetition      (gopher_repetition_stats)
+      bit 3  classifier rejects     (quality_classifier_scores)
+      bit 4  blocklist hit          (blocklist_filter)
+
+    emitting each stage verdict, the fail_mask, and keep
+    (fail_mask == 0). ``hygiene_col`` screens a different column
+    than the rule stages read — e.g. the pre-normalization raw bytes
+    while quality reads the cleaned text (defaults to ``text``).
+
+    Scale shape — the reason this is ONE operator and not five
+    joins: every stage is a map-only column composition, so the
+    whole gate is a single scan with ZERO shuffles and no joins;
+    per-doc cost is the sum of the stage HOF costs. Corpus-wide
+    stages (line dedup, MinHash, ExactSubstr) run AFTER this gate on
+    the keep survivors, which is what makes the gate's selectivity a
+    shuffle-byte multiplier at 100 TB."""
+    hcol = hygiene_col or text
+    cols = [id_col, text] + (
+        [hcol] if hcol != text else []
+    )
+    d = df.select(*cols)
+    h = unicode_hygiene_stats(d, text=hcol, id_col=id_col, keep=(text,))
+    q = gopher_quality_stats(
+        h, text=text, id_col=id_col, keep=(text, "is_clean")
+    )
+    r = gopher_repetition_stats(
+        q, text=text, id_col=id_col, keep=(text, "is_clean", "passes")
+    )
+    c = quality_classifier_scores(
+        r,
+        text=text,
+        id_col=id_col,
+        keep=(text, "is_clean", "passes", "is_repetitive"),
+        margin_threshold=margin_threshold,
+    )
+    b = blocklist_filter(
+        c, list(blocklist_terms), text=text, id_col=id_col, max_hits=max_hits
+    )
+    mask = (
+        F.when(~F.col("is_clean"), 1).otherwise(0)
+        + F.when(~F.col("passes"), 2).otherwise(0)
+        + F.when(F.col("is_repetitive"), 4).otherwise(0)
+        + F.when(~F.col("quality_ok"), 8).otherwise(0)
+        + F.when(F.col("blocked"), 16).otherwise(0)
+    ).cast("bigint")
+    return b.select(
+        id_col,
+        "is_clean",
+        "passes",
+        "is_repetitive",
+        "quality_ok",
+        "blocked",
+        mask.alias("fail_mask"),
+    ).withColumn("keep", F.col("fail_mask") == 0)
