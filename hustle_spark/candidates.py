@@ -804,7 +804,10 @@ def text_curation_verdict(spark, sf_dir):
     fail bit AND the keep verdict engaged. The oracle is the literal
     SQL composition of the five stage oracles — agreement proves the
     composition, not just the stages."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     d = d.withColumn("__hyg", _hygiene_dirty_expr())
     return TX.curation_verdict(
         d,
