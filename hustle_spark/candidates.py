@@ -792,6 +792,54 @@ MULTIMODAL_IMAGE_AHASH_ORACLE = """
 """
 
 
+def multimodal_png_probe(spark, sf_dir):
+    """L5p PNG pixel decode at driver grade (closes the last
+    headers-only media format): spec-valid PNGs — CRC-correct chunks,
+    genuine zlib stream (stored-deflate block + F.aggregate adler32)
+    — synthesized entirely in codegen, then FULLY decoded by
+    parse_png_pixels (stdlib zlib inflate + scanline un-filtering)
+    inside Arrow-batched mapInPandas. Each scanline is pre-filtered
+    with type (id+y)%5, so every row exercises one of the five PNG
+    filter reconstructions and a decoder that mis-implements Sub/Up/
+    Average/Paeth cannot match the position-weighted checksum. The
+    oracle replays the generative pixel model (R=(id*5+y*11)%256,
+    G=(id*3+x*7)%256, B=(id+x+y)%256, w=id%5+4, h=id%7+3) with
+    correlated generate_series laterals — the BMP pixel-probe idiom
+    over the compressed format. Same single-split spread as the
+    other media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_png_payloads(d, "doc_id")
+    feats = multimodal.decode_pixel_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_b", "sum_g", "sum_r", "wsum_b", "ok",
+    )
+
+
+MULTIMODAL_PNG_PROBE_ORACLE = """
+    SELECT d.doc_id AS media_id,
+           'png' AS media_type,
+           CAST(d.doc_id % 5 + 4 AS INT) AS width,
+           CAST(d.doc_id % 7 + 3 AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM((d.doc_id + g.x + gy.y) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((d.doc_id * 3 + g.x * 7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 5 + gy.y * 11) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((g.x + gy.y * (d.doc_id % 5 + 4) + 1)
+                    * ((d.doc_id + g.x + gy.y) % 256)) AS BIGINT) AS wsum_b,
+           true AS ok
+    FROM documents d,
+         generate_series(0, 7) g(x),
+         generate_series(0, 8) gy(y)
+    WHERE g.x < d.doc_id % 5 + 4 AND gy.y < d.doc_id % 7 + 3
+    GROUP BY d.doc_id
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -895,6 +943,7 @@ R8_CANDIDATES = {
         multimodal_image_ahash,
         MULTIMODAL_IMAGE_AHASH_ORACLE,
     ),
+    "multimodal_png_probe": (multimodal_png_probe, MULTIMODAL_PNG_PROBE_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

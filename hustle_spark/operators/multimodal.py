@@ -490,6 +490,196 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table whose payloads are COMPLETE, spec-valid PNG
+    files — signature, CRC-correct chunks, and a genuine zlib IDAT
+    stream — constructed entirely in codegen (no Python in the data
+    path). The deflate payload uses a single stored (BTYPE=00) block,
+    which is byte-aligned and therefore closed-form in SQL; the zlib
+    adler32 trailer is computed with an F.aggregate running-sum pair
+    and the chunk CRCs with Spark's built-in crc32, so stdlib
+    ``zlib.decompress`` accepts the stream unmodified. Each scanline
+    is PRE-FILTERED with filter type (id + y) % 5 — every decode
+    exercises all five PNG filter reconstructions (None/Sub/Up/
+    Average/Paeth), not just the trivial one. Geometry and pixels are
+    a fixed function of the id (the BMP generative model, new
+    geometry), so a correlated-lateral oracle can replay the decode:
+
+        width  = id % 5 + 4
+        height = id % 7 + 3
+        R(x,y) = (id*5 + y*11) % 256
+        G(x,y) = (id*3 + x*7) % 256
+        B(x,y) = (id + x + y) % 256
+    """
+    # Staged through intermediate array columns (the janino-bloat
+    # idiom: re-expanding the pixel model inside every filter branch
+    # made the generated code megabytes and the query seconds; lambda
+    # references over staged arrays keep it small and fast).
+    out = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = F.col("media_id")
+    w = m % 5 + 4
+    h = m % 7 + 3
+
+    # stage 1: raw pixel scanlines, one model expansion per channel —
+    # __px[y][k] is the byte at stride offset k of image row y
+    out = out.withColumn(
+        "__px",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), h - 1),
+            lambda y: F.transform(
+                F.sequence(F.lit(0).cast("long"), w * 3 - 1),
+                lambda k: F.when(k % 3 == 0, (m * 5 + y * 11) % 256)
+                .when(k % 3 == 1, (m * 3 + F.floor(k / 3).cast("long") * 7) % 256)
+                .otherwise((m + F.floor(k / 3).cast("long") + y) % 256),
+            ),
+        ),
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = F.abs(p - a), F.abs(p - b), F.abs(p - c)
+        return F.when((pa <= pb) & (pa <= pc), a).when(pb <= pc, b).otherwise(c)
+
+    # stage 2: per-scanline filter byte + encoder-side filtered bytes,
+    # all neighbor reads as array lookups on the staged scanlines
+    zeros = F.array_repeat(F.lit(0).cast("long"), (w * 3).cast("int"))
+    out = out.withColumn(
+        "__raw",
+        F.flatten(
+            F.transform(
+                F.col("__px"),
+                lambda row, y: F.concat(
+                    F.array((m + y) % 5),
+                    F.transform(
+                        row,
+                        lambda b, k: F.pmod(
+                            F.when((m + y) % 5 == 0, b)
+                            .when(
+                                (m + y) % 5 == 1,
+                                b
+                                - F.when(k >= 3, F.element_at(row, k - 2)).otherwise(
+                                    F.lit(0).cast("long")
+                                ),
+                            )
+                            .when(
+                                (m + y) % 5 == 2,
+                                b
+                                - F.element_at(
+                                    F.when(y >= 1, F.element_at(F.col("__px"), y))
+                                    .otherwise(zeros),
+                                    k + 1,
+                                ),
+                            )
+                            .when(
+                                (m + y) % 5 == 3,
+                                b
+                                - F.floor(
+                                    (
+                                        F.when(k >= 3, F.element_at(row, k - 2))
+                                        .otherwise(F.lit(0).cast("long"))
+                                        + F.element_at(
+                                            F.when(
+                                                y >= 1,
+                                                F.element_at(F.col("__px"), y),
+                                            ).otherwise(zeros),
+                                            k + 1,
+                                        )
+                                    )
+                                    / 2
+                                ).cast("long"),
+                            )
+                            .otherwise(
+                                b
+                                - paeth(
+                                    F.when(k >= 3, F.element_at(row, k - 2)).otherwise(
+                                        F.lit(0).cast("long")
+                                    ),
+                                    F.element_at(
+                                        F.when(y >= 1, F.element_at(F.col("__px"), y))
+                                        .otherwise(zeros),
+                                        k + 1,
+                                    ),
+                                    F.when(
+                                        (k >= 3) & (y >= 1),
+                                        F.element_at(
+                                            F.element_at(F.col("__px"), y), k - 2
+                                        ),
+                                    ).otherwise(F.lit(0).cast("long")),
+                                )
+                            ),
+                            F.lit(256),
+                        ),
+                    ),
+                ),
+            )
+        ),
+    )
+
+    # stage 3: hex text + adler32 (s1 = 1 + sum, s2 = sum of running
+    # s1; the stream is < 256 bytes so one final pmod suffices)
+    raw = F.col("__raw")
+    acc = F.aggregate(
+        raw,
+        F.struct(
+            F.lit(1).cast("long").alias("s1"), F.lit(0).cast("long").alias("s2")
+        ),
+        lambda a, b: F.struct(
+            (a["s1"] + b).alias("s1"), (a["s2"] + a["s1"] + b).alias("s2")
+        ),
+    )
+    out = out.withColumn(
+        "__raw_hex",
+        F.array_join(F.transform(raw, lambda b: F.lpad(F.hex(b), 2, "0")), ""),
+    ).withColumn(
+        "__adler_hex",
+        F.lpad(
+            F.hex(
+                F.pmod(acc["s2"], F.lit(65521)) * 65536
+                + F.pmod(acc["s1"], F.lit(65521))
+            ),
+            8,
+            "0",
+        ),
+    )
+    raw_hex, adler_hex = F.col("__raw_hex"), F.col("__adler_hex")
+    nraw = h * (1 + 3 * w)
+
+    def le2(col):
+        be = F.lpad(F.hex(col), 4, "0")
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    def be4(col):
+        return F.lpad(F.hex(col), 8, "0")
+
+    # zlib header 78 01, stored-block final byte 01, LEN/NLEN, raw, adler
+    zlib_hex = F.concat(
+        F.lit("780101"), le2(nraw), le2(F.lit(65535) - nraw), raw_hex, adler_hex
+    )
+
+    def chunk(type_hex: str, data_hex):
+        td = F.concat(F.lit(type_hex), data_hex)
+        crc = F.lpad(F.hex(F.crc32(F.to_binary(td, F.lit("hex")))), 8, "0")
+        return F.concat(be4((F.length(data_hex) / 2).cast("long")), td, crc)
+
+    ihdr_data = F.concat(be4(w), be4(h), F.lit("0802000000"))
+    payload_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        chunk("49484452", ihdr_data),
+        chunk("49444154", zlib_hex),
+        F.lit("00000000" "49454E44" "AE426082"),
+    )
+    return out.select(
+        m.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/png").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("png_"), m.cast("string")).alias("filename"),
+            w.cast("int").alias("declared_w"),
+            h.cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
 PIXEL_FEATURE_SCHEMA = (
     "media_id long, media_type string, width int, height int, "
     "n_pixels long, sum_b long, sum_g long, sum_r long, wsum_b long, "

@@ -970,6 +970,58 @@ def test_pixel_features_format_agnostic():
     assert fb[-1] is True
 
 
+def test_png_synthesizer_spec_valid_and_roundtrips(spark):
+    """synthesize_png_payloads must emit SPEC-VALID PNGs — chunk CRCs
+    that binascii.crc32 confirms, an IDAT stream stdlib zlib accepts
+    (stored-deflate framing + correct adler32) — whose full decode
+    reproduces the generative pixel model exactly. Ids 0..39 cover
+    every (geometry, per-row filter phase) combination, so all five
+    scanline filter types are both ENCODED by the codegen and
+    INVERTED by parse_png_pixels."""
+    import binascii
+    import zlib
+
+    from hustle_spark.operators.multimodal import (
+        parse_png_pixels,
+        synthesize_png_payloads,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthesize_png_payloads(df, "doc_id").collect()
+    assert len(media) == 40
+    filter_types_seen = set()
+    for r in media:
+        i, p = r.media_id, bytes(r.payload)
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
+        pos = 8
+        while pos < len(p):
+            ln = int.from_bytes(p[pos : pos + 4], "big")
+            typ = p[pos + 4 : pos + 8]
+            data = p[pos + 8 : pos + 8 + ln]
+            crc = int.from_bytes(p[pos + 8 + ln : pos + 12 + ln], "big")
+            assert crc == binascii.crc32(typ + data), (i, typ)
+            if typ == b"IDAT":
+                raw = zlib.decompress(data)  # validates adler32 too
+                stride = (i % 5 + 4) * 3
+                for y in range(i % 7 + 3):
+                    filter_types_seen.add(raw[y * (stride + 1)])
+            pos += 12 + ln
+        decoded = parse_png_pixels(p)
+        assert decoded is not None, i
+        w, h, rows = decoded
+        assert (w, h) == (i % 5 + 4, i % 7 + 3)
+        for y, row in enumerate(rows):
+            for x in range(w):
+                expected = (
+                    (i * 5 + y * 11) % 256,
+                    (i * 3 + x * 7) % 256,
+                    (i + x + y) % 256,
+                )
+                assert tuple(row[x * 3 : x * 3 + 3]) == expected, (i, x, y)
+        assert r.meta.declared_w == w and r.meta.declared_h == h
+    assert filter_types_seen == {0, 1, 2, 3, 4}
+
+
 def test_repeated_span_removal_matches_reference(spark):
     """ExactSubstr-style span dedup vs a pure-Python reference:
     window flagging, interval merge across overlapping flags, short-doc
