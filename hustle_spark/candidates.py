@@ -792,6 +792,70 @@ MULTIMODAL_IMAGE_AHASH_ORACLE = """
 """
 
 
+_BPE_EXPORT_MERGES = [
+    ("table", "hash"),
+    ("customer", "join"),
+    ("big", "order"),
+    ("big_order", "scan"),  # consumes merge 3's output: priority order
+]
+
+
+def bpe_encode_corpus(spark, sf_dir):
+    """L28b BPE ENCODE — the apply half of the tokenizer loop
+    (functions.text.bpe_encode; bpe_merge_rounds is the train half):
+    the corpus is encoded with a fixed EXPORTED merge list (the
+    merges.txt contract — merges live in the plan as literals, the
+    broadcast analogue), applied as one greedy left-to-right codegen
+    fold per merge, map-only, zero shuffle. Merge 4 consumes merge
+    3's joined token, so the row proves priority-ordered chaining,
+    not just independent pair rewrites; every merge engages at all
+    test SFs. tokens_md5 pins the full encoded token sequence per
+    document — the oracle replays each fold with DuckDB ``reduce``
+    (the bpe_merge_rounds fold idiom) and must reproduce every
+    boundary decision to hash-match."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    ).select(
+        "doc_id", "text",
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint").alias("n_tokens"),
+    )
+    enc = TX.bpe_encode(d, merges=_BPE_EXPORT_MERGES)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.md5(F.encode(F.concat_ws(" ", F.col("bpe_tokens")), "UTF-8"))
+        .alias("tokens_md5"),
+    )
+
+
+def _bpe_fold_sql(src: str, a: str, b: str) -> str:
+    return f"""
+    SELECT doc_id, n_tokens, reduce(list_transform(tl, x -> [x]),
+      (acc, x) -> CASE WHEN acc[-1] = '{a}' AND x[1] = '{b}'
+        THEN list_concat(acc[1:len(acc)-1], ['{a}_{b}'])
+        ELSE list_concat(acc, x) END) AS tl
+    FROM {src}"""
+
+
+BPE_ENCODE_CORPUS_ORACLE = f"""
+    WITH t0 AS (SELECT doc_id,
+                       string_split_regex(text, '\\s+') AS tl,
+                       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                         AS n_tokens
+                FROM documents),
+    s1 AS ({_bpe_fold_sql('t0', 'table', 'hash')}),
+    s2 AS ({_bpe_fold_sql('s1', 'customer', 'join')}),
+    s3 AS ({_bpe_fold_sql('s2', 'big', 'order')}),
+    s4 AS ({_bpe_fold_sql('s3', 'big_order', 'scan')})
+    SELECT doc_id, n_tokens, CAST(len(tl) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(tl, ' ')) AS tokens_md5
+    FROM s4
+"""
+
+
 def multimodal_png_probe(spark, sf_dir):
     """L5p PNG pixel decode at driver grade (closes the last
     headers-only media format): spec-valid PNGs — CRC-correct chunks,
@@ -944,6 +1008,7 @@ R8_CANDIDATES = {
         MULTIMODAL_IMAGE_AHASH_ORACLE,
     ),
     "multimodal_png_probe": (multimodal_png_probe, MULTIMODAL_PNG_PROBE_ORACLE),
+    "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_CORPUS_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
