@@ -102,6 +102,18 @@ DEFAULT_PROBES = [
     "text_lang_id_trigram",
     "html_block_extract",
     "dedup_semantic",
+    # round-7 staged candidates (resolved via hustle_spark.candidates
+    # until the r8 registration flip)
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    "text_quality_classifier",
+    "warc_meta_noindex",
+    "dedup_lines_corpus",
+    "multimodal_image_ahash",
+    "multimodal_png_probe",
+    "bpe_encode_corpus",
+    "text_curation_verdict",
+    "multimodal_image_phash",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
