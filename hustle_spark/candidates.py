@@ -970,6 +970,74 @@ def _phash_oracle() -> str:
 MULTIMODAL_IMAGE_PHASH_ORACLE = _phash_oracle()
 
 
+def audio_pitch_probe(spark, sf_dir):
+    """L5a audio ANALYSIS level (upgrades the sample-level decode to
+    signal understanding): periodic integer-sawtooth WAVs with a
+    known fundamental (period = id%13+4) synthesized in codegen, then
+    pitch-detected by NORMALIZED integer autocorrelation in Arrow
+    batches (multimodal._audio_pitch_one — the 2^24-per-term shift
+    makes floor and truncating division agree, so the score is
+    engine-exact; unnormalized R(L) always peaks at the smallest lag,
+    the octave-error pitfall the normalization exists to avoid).
+    ``recovered`` compares the detector's argmax against the
+    generative ground truth — the detection is REAL, not replayed:
+    the oracle recomputes the same autocorrelation surface from the
+    sample model and must land on the same peak. Recovery is 499/500
+    at the gate SF (doc 481: a sub-2% noise-level score gap at a
+    period multiple picks 8 over the true 4 — the documented residual
+    of the threshold rule, and the oracle agrees on it exactly).
+    YIN/pYIN swaps in behind the same (detected_period, peak_score)
+    contract."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_wav_tone_payloads(d, "doc_id")
+    feats = multimodal.decode_audio_pitch(media)
+    return feats.select(
+        "media_id", "media_type", "sample_rate", "n_samples",
+        "detected_period", "peak_score",
+        (F.col("detected_period") == F.col("media_id") % 13 + 4)
+        .alias("recovered"),
+        "ok",
+    )
+
+
+AUDIO_PITCH_PROBE_ORACLE = """
+    WITH m AS (SELECT doc_id, doc_id % 40 + 48 AS n, doc_id % 13 + 4 AS p
+               FROM documents),
+    s AS (SELECT m.doc_id, m.n, g.i,
+                 ((g.i % m.p) * 4000) // m.p - 2000
+                 + (m.doc_id * 7 + g.i * 13) % 61 - 30 AS v
+          FROM m, generate_series(0, 86) g(i) WHERE g.i < m.n),
+    r AS (SELECT a.doc_id, l.lag, MAX(a.n) AS n, SUM(a.v * b.v) AS r
+          FROM generate_series(2, 20) l(lag),
+               s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + l.lag
+          GROUP BY a.doc_id, l.lag),
+    sc AS (SELECT doc_id, lag,
+                  CAST(((r + (n - lag) * 16777216) * 1048576)
+                       // (n - lag) - 17592186044416 AS BIGINT) AS score
+           FROM r),
+    mx AS (SELECT doc_id, MAX(score) AS mx FROM sc GROUP BY doc_id),
+    best AS (SELECT s.doc_id, MIN(s.lag) AS lag
+             FROM sc s JOIN mx ON mx.doc_id = s.doc_id
+             WHERE s.score * 100 >=
+                   CASE WHEN mx.mx >= 0 THEN mx.mx * 98
+                        ELSE mx.mx * 102 END
+             GROUP BY s.doc_id)
+    SELECT m.doc_id AS media_id, 'wav' AS media_type,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST(b.lag AS BIGINT) AS detected_period,
+           (SELECT score FROM sc
+            WHERE sc.doc_id = m.doc_id AND sc.lag = b.lag) AS peak_score,
+           b.lag = m.p AS recovered,
+           true AS ok
+    FROM m JOIN best b ON b.doc_id = m.doc_id
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1079,6 +1147,7 @@ R8_CANDIDATES = {
         multimodal_image_phash,
         MULTIMODAL_IMAGE_PHASH_ORACLE,
     ),
+    "audio_pitch_probe": (audio_pitch_probe, AUDIO_PITCH_PROBE_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

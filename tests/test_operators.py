@@ -1087,6 +1087,48 @@ def test_phash_brightness_invariant_ahash_not():
     assert a_base[-1] and len(a_base[4]) == 64
 
 
+def test_wav_tone_synthesizer_and_pitch_detector(spark):
+    """The tone WAVs must be files stdlib ``wave`` accepts (spec
+    validity via a third-party parser, not our own), and the
+    autocorrelation detector must recover the generative fundamental
+    on (nearly) all of them — allowing the documented multiple-pick
+    residual — while a garbage payload reports ok=False."""
+    import io
+    import wave as wavmod
+
+    from hustle_spark.operators.multimodal import (
+        _audio_pitch_one,
+        synthesize_wav_tone_payloads,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthesize_wav_tone_payloads(df, "doc_id").collect()
+    assert len(media) == 40
+    recovered = 0
+    for r in media:
+        i, p = r.media_id, bytes(r.payload)
+        with wavmod.open(io.BytesIO(p)) as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 2
+            assert wf.getframerate() == 8000
+            assert wf.getnframes() == i % 40 + 48
+            frames = wf.readframes(wf.getnframes())
+        # spot-check the generative sample model through stdlib wave
+        period = i % 13 + 4
+        for k in (0, 1, 7):
+            v = int.from_bytes(frames[2 * k : 2 * k + 2], "little", signed=True)
+            expected = ((k % period) * 4000) // period - 2000 + (
+                i * 7 + k * 13
+            ) % 61 - 30
+            assert v == expected, (i, k, v, expected)
+        fmt, sr, n, lag, score, ok = _audio_pitch_one(p)
+        assert ok and fmt == "wav" and sr == 8000 and n == i % 40 + 48
+        recovered += lag == period
+    assert recovered >= 38, recovered
+    assert _audio_pitch_one(b"RIFFgarbage")[-1] is False
+    assert _audio_pitch_one(b"")[-1] is False
+
+
 def test_repeated_span_removal_matches_reference(spark):
     """ExactSubstr-style span dedup vs a pure-Python reference:
     window flagging, interval merge across overlapping flags, short-doc
