@@ -114,6 +114,7 @@ DEFAULT_PROBES = [
     "bpe_encode_corpus",
     "text_curation_verdict",
     "multimodal_image_phash",
+    "audio_pitch_probe",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
