@@ -1038,6 +1038,42 @@ AUDIO_PITCH_PROBE_ORACLE = """
 """
 
 
+def multimodal_exif_probe(spark, sf_dir):
+    """L5m image METADATA level (Exif): JPEGs carrying a real APP1
+    TIFF block — header, sorted IFD0, offset-stored ASCII data area —
+    synthesized in codegen with the byte order ALTERNATING by id
+    ('II' even / 'MM' odd), then parsed back by a genuine TIFF IFD
+    walk (operators.multimodal.parse_jpeg_exif: both endiannesses,
+    SHORT + ASCII types, inline and offset values). A parser
+    hard-coded to one byte order fails half the corpus; the oracle
+    replays the generative metadata model closed-form. Orientation
+    feeds rotation normalization, make/timestamp feed provenance
+    dedup — the metadata half of image curation."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_jpeg_exif_payloads(d, "doc_id")
+    return multimodal.decode_exif_features(media)
+
+
+MULTIMODAL_EXIF_PROBE_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           'CAMERA' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           '2021:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+             AS taken_at,
+           true AS ok
+    FROM documents
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1148,6 +1184,10 @@ R8_CANDIDATES = {
         MULTIMODAL_IMAGE_PHASH_ORACLE,
     ),
     "audio_pitch_probe": (audio_pitch_probe, AUDIO_PITCH_PROBE_ORACLE),
+    "multimodal_exif_probe": (
+        multimodal_exif_probe,
+        MULTIMODAL_EXIF_PROBE_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

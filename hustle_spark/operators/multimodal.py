@@ -1011,6 +1011,177 @@ def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def parse_jpeg_exif(payload: bytes):
+    """Parse Exif metadata out of a JPEG APP1 segment — a REAL TIFF
+    IFD walk, both byte orders ('II' little / 'MM' big), SHORT and
+    ASCII types, inline and offset-stored values. Returns
+    (byte_order, orientation, make, datetime, ok); unknown tags are
+    skipped, missing fields default (0 / ''). None-safe on truncated
+    or non-JPEG payloads."""
+    p = payload
+    if len(p) < 4 or p[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    tiff = None
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+        body = p[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        i += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:4] == b"II\x2a\x00":
+        bo, order = "little", "II"
+    elif tiff[:4] == b"MM\x00\x2a":
+        bo, order = "big", "MM"
+    else:
+        return None
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd = u(tiff[4:8])
+    if ifd + 2 > len(tiff):
+        return None
+    n = u(tiff[ifd : ifd + 2])
+    orientation, make, dt = 0, "", ""
+    for k in range(n):
+        e = tiff[ifd + 2 + 12 * k : ifd + 14 + 12 * k]
+        if len(e) < 12:
+            return None
+        tag, typ, cnt = u(e[0:2]), u(e[2:4]), u(e[4:8])
+        if typ == 3 and cnt == 1:  # SHORT, left-justified in the value field
+            val = u(e[8:10])
+            if tag == 0x0112:
+                orientation = val
+        elif typ == 2:  # ASCII, inline when cnt <= 4 else offset-stored
+            raw = e[8 : 8 + cnt] if cnt <= 4 else tiff[u(e[8:12]) : u(e[8:12]) + cnt]
+            s = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+            if tag == 0x010F:
+                make = s
+            elif tag == 0x0132:
+                dt = s
+    return order, orientation, make, dt, True
+
+
+def synthesize_jpeg_exif_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build JPEG payloads carrying a REAL Exif APP1 segment — full
+    TIFF structure (header, IFD0 with sorted tags Make/Orientation/
+    DateTime, offset-stored ASCII data area) in codegen, alternating
+    the TIFF byte order by id ('II' for even ids, 'MM' for odd), so
+    a parser hard-coded to one endianness fails half the corpus.
+    The generative metadata model:
+
+        byte_order  = II when id % 2 = 0 else MM
+        orientation = id % 8 + 1
+        make        = 'CAMERA' || (id % 5)            (offset-stored)
+        datetime    = '2021:MM:DD HH:MI:SS' from
+                      (id%12+1, id%28+1, id%24, id%60, (id*7)%60)
+    """
+    mid = F.col(id_col).cast("long")
+
+    def fix2(x):  # zero-padded 2-digit decimal
+        return F.lpad(x.cast("string"), 2, "0")
+
+    dt_str = F.concat(
+        F.lit("2021:"), fix2(mid % 12 + 1), F.lit(":"), fix2(mid % 28 + 1),
+        F.lit(" "), fix2(mid % 24), F.lit(":"), fix2(mid % 60),
+        F.lit(":"), fix2((mid * 7) % 60),
+    )
+    make_str = F.concat(F.lit("CAMERA"), (mid % 5).cast("string"))
+    make_hex = F.concat(F.hex(F.encode(make_str, "UTF-8")), F.lit("00"))
+    dt_hex = F.concat(F.hex(F.encode(dt_str, "UTF-8")), F.lit("00"))
+    orient = mid % 8 + 1
+
+    def u16(val, big: bool):
+        be = F.lpad(F.hex(val.cast("long") % 65536), 4, "0")
+        if big:
+            return be
+        return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+    def u32(val, big: bool):
+        be = F.lpad(F.hex(val.cast("long")), 8, "0")
+        if big:
+            return be
+        return F.concat(
+            *[F.substring(be, (3 - i) * 2 + 1, 2) for i in range(4)]
+        )
+
+    def tiff_hex(big: bool):
+        def ent(tag: int, typ: int, cnt, val4):
+            return F.concat(
+                u16(F.lit(tag), big), u16(F.lit(typ), big),
+                u32(F.lit(cnt) if isinstance(cnt, int) else cnt, big), val4,
+            )
+
+        header = F.concat(
+            F.lit("4D4D002A" if big else "49492A00"), u32(F.lit(8), big)
+        )
+        # IFD0: 3 entries sorted by tag, data area at 50 (Make, 8B)
+        # and 58 (DateTime, 20B)
+        entries = F.concat(
+            ent(0x010F, 2, 8, u32(F.lit(50), big)),
+            ent(0x0112, 3, 1, F.concat(u16(orient, big), F.lit("0000"))),
+            ent(0x0132, 2, 20, u32(F.lit(58), big)),
+        )
+        return F.concat(
+            header, u16(F.lit(3), big), entries, u32(F.lit(0), big),
+            make_hex, dt_hex,
+        )
+
+    tiff = F.when(mid % 2 == 0, tiff_hex(False)).otherwise(tiff_hex(True))
+    # APP1 length = 2 (len field) + 6 ('Exif\0\0') + 78 (TIFF) = 86
+    app1 = F.concat(F.lit("FFE1" "0056" "457869660000"), tiff)
+    # minimal SOF0 after the metadata so the payload is a plausible
+    # JPEG prelude (same shape as synthesize_image_payloads), then EOI
+    sof = F.lit("FFC0" "0011" "08" "0010" "0010" "03" "011100" "021100" "031100")
+    payload_hex = F.concat(F.lit("FFD8"), app1, sof, F.lit("FFD9"))
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+    )
+
+
+EXIF_SCHEMA = (
+    "media_id long, byte_order string, orientation int, make string, "
+    "taken_at string, ok boolean"
+)
+
+
+def decode_exif_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched Exif extraction over JPEG payloads — the image-
+    metadata stage of a media curation pipeline (orientation for
+    rotation-normalized training images, timestamps/camera for
+    provenance dedup). Map-only; payloads stay executor-side."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                parsed = parse_jpeg_exif(p if p is not None else b"")
+                feats.append(parsed or ("", 0, "", "", False))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_order": [f[0] for f in feats],
+                    "orientation": [f[1] for f in feats],
+                    "make": [f[2] for f in feats],
+                    "taken_at": [f[3] for f in feats],
+                    "ok": [f[4] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=EXIF_SCHEMA)
+
+
 def synthesize_wav_tone_payloads(df: DataFrame, id_col: str) -> DataFrame:
     """Build COMPLETE mono 16-bit PCM WAV files whose waveform is a
     PERIODIC integer sawtooth plus small deterministic noise — the

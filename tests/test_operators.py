@@ -1087,6 +1087,50 @@ def test_phash_brightness_invariant_ahash_not():
     assert a_base[-1] and len(a_base[4]) == 64
 
 
+def test_exif_parser_both_byte_orders_and_inline_ascii(spark):
+    """parse_jpeg_exif must walk a real TIFF IFD in BOTH byte orders
+    (the synthesizer alternates II/MM by id), resolve offset-stored
+    ASCII, and — covered here with a hand-built payload because the
+    synthesized corpus always stores ASCII at offsets — read an
+    INLINE ASCII value (count <= 4) and skip unknown tags. Truncated
+    and non-JPEG payloads return None."""
+    import struct
+
+    from hustle_spark.operators.multimodal import (
+        parse_jpeg_exif,
+        synthesize_jpeg_exif_payloads,
+    )
+
+    df = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    for r in synthesize_jpeg_exif_payloads(df, "doc_id").collect():
+        i, p = r.media_id, bytes(r.payload)
+        order, orient, make, dt, ok = parse_jpeg_exif(p)
+        assert ok
+        assert order == ("II" if i % 2 == 0 else "MM")
+        assert orient == i % 8 + 1
+        assert make == f"CAMERA{i % 5}"
+        assert dt == (
+            f"2021:{i % 12 + 1:02d}:{i % 28 + 1:02d} "
+            f"{i % 24:02d}:{i % 60:02d}:{i * 7 % 60:02d}"
+        )
+
+    # hand-built big-endian TIFF: unknown tag + INLINE ASCII Make
+    entries = (
+        struct.pack(">HHI4s", 0x010F, 2, 4, b"AB\x00\x00")  # inline Make
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 6, 0)          # orientation 6
+        + struct.pack(">HHI4s", 0x9999, 7, 1, b"\x00" * 4)   # unknown: skip
+    )
+    tiff = b"MM\x00\x2a" + struct.pack(">I", 8) + struct.pack(">H", 3) + entries + b"\x00" * 4
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff)) + b"Exif\x00\x00" + tiff
+    payload = b"\xff\xd8" + app1 + b"\xff\xd9"
+    order, orient, make, dt, ok = parse_jpeg_exif(payload)
+    assert (order, orient, make, dt, ok) == ("MM", 6, "AB", "", True)
+
+    assert parse_jpeg_exif(b"") is None
+    assert parse_jpeg_exif(b"\xff\xd8\xff\xe1\x00\x04ab") is None
+    assert parse_jpeg_exif(b"not a jpeg") is None
+
+
 def test_wav_tone_synthesizer_and_pitch_detector(spark):
     """The tone WAVs must be files stdlib ``wave`` accepts (spec
     validity via a third-party parser, not our own), and the
