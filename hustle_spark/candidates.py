@@ -1074,6 +1074,52 @@ MULTIMODAL_EXIF_PROBE_ORACLE = """
 """
 
 
+def multimodal_video_scenes(spark, sf_dir):
+    """L5v video ANALYSIS level (content-aware upgrade of fixed-stride
+    frame sampling): MP4s whose mdat frames carry scene structure —
+    constant content per scene plus sub-threshold per-frame noise —
+    synthesized in codegen, then cut-detected by L1 frame-difference
+    energy in Arrow batches (multimodal._video_scenes_one; a naive
+    exact-frame-match detector fails on the noise). boundaries_md5
+    pins every detected cut POSITION. The oracle replays the full
+    detection surface — frame bytes, pairwise L1 diffs, threshold —
+    not just the closed-form boundary rule, though the two provably
+    coincide (exhaustively verified for 10k ids in the synthesizer
+    docstring's bound). pyscenedetect/ffmpeg histogram detectors swap
+    in behind the same (n_scenes, boundaries) contract."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_mp4_scene_payloads(d, "doc_id")
+    return multimodal.detect_video_scenes(media)
+
+
+MULTIMODAL_VIDEO_SCENES_ORACLE = """
+    WITH m AS (SELECT doc_id, doc_id % 24 + 8 AS n, doc_id % 5 + 3 AS l
+               FROM documents),
+    by AS (SELECT m.doc_id, g.f, gj.j,
+                  (m.doc_id * 3 + (g.f // m.l) * 97 + gj.j * 5) % 200
+                  + (m.doc_id * 7 + g.f * 13 + gj.j * 3) % 4 AS v
+           FROM m, generate_series(0, 30) g(f), generate_series(0, 15) gj(j)
+           WHERE g.f < m.n),
+    d AS (SELECT a.doc_id, a.f, SUM(ABS(a.v - p.v)) AS diff
+          FROM by a JOIN by p ON p.doc_id = a.doc_id AND p.f = a.f - 1
+                              AND p.j = a.j
+          WHERE a.f >= 1 GROUP BY a.doc_id, a.f),
+    bd AS (SELECT doc_id, f FROM d WHERE diff > 128)
+    SELECT m.doc_id AS media_id, 'mp4' AS media_type,
+           CAST(m.n AS BIGINT) AS n_frames,
+           CAST(COUNT(bd.f) + 1 AS BIGINT) AS n_scenes,
+           md5(coalesce(string_agg(CAST(bd.f AS VARCHAR), ','
+                                   ORDER BY bd.f), '')) AS boundaries_md5,
+           true AS ok
+    FROM m LEFT JOIN bd ON bd.doc_id = m.doc_id
+    GROUP BY m.doc_id, m.n
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1187,6 +1233,10 @@ R8_CANDIDATES = {
     "multimodal_exif_probe": (
         multimodal_exif_probe,
         MULTIMODAL_EXIF_PROBE_ORACLE,
+    ),
+    "multimodal_video_scenes": (
+        multimodal_video_scenes,
+        MULTIMODAL_VIDEO_SCENES_ORACLE,
     ),
     "text_curation_verdict": (
         text_curation_verdict,

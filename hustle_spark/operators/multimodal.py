@@ -1445,6 +1445,157 @@ def synthesize_mp4_frames_payloads(
     )
 
 
+def synthesize_mp4_scene_payloads(
+    df: DataFrame, id_col: str, frame_size: int = 16
+) -> DataFrame:
+    """Build MP4 payloads whose ``mdat`` frames have SCENE structure —
+    constant content per scene plus tiny per-frame noise, cutting to
+    new content at known boundaries — the fixture for scene-change
+    detection (synthesize_mp4_frames_payloads drifts every frame, so
+    it has no boundaries to find). The frame-byte model:
+
+        n_frames   = id % 24 + 8         (8..31)
+        scene_len  = id % 5 + 3          (3..7 frames per scene)
+        byte[f][j] = (id*3 + (f DIV scene_len)*97 + j*5) % 200
+                     + (id*7 + f*13 + j*3) % 4
+
+    The %4 noise makes within-scene frame pairs UNEQUAL (a naive
+    exact-match detector fails) while staying far under the scene-cut
+    energy; the base lives in [0,200) ADDITIVELY below the noise so a
+    mod-256 wrap can never turn noise into a phantom cut (within-scene
+    L1 diff <= 48, boundary diff >= 1504 — verified exhaustively for
+    10k ids); boundary positions are closed-form for the oracle."""
+    mid = F.col(id_col).cast("long")
+    timescale = F.lit(600).cast("long")
+    n_frames = (mid % 24 + 8).cast("long")
+    scene_len = mid % 5 + 3
+    duration = n_frames * 25
+    be = lambda c, n: F.lpad(F.hex(c.cast("long")), n * 2, "0")  # noqa: E731
+    ftyp_hex = F.lit("00000014" "66747970" "69736F6D" "00000000" "69736F6D")
+    mvhd_hex = F.concat(
+        F.lit("0000006C" "6D766864" "00000000" "00000000" "00000000"),
+        be(timescale, 4), be(duration, 4),
+        F.lit(
+            "00010000" "0100" "0000" "0000000000000000"
+            "000100000000000000000000"
+            "000000000001000000000000"
+            "000000000000000040000000"
+            "000000000000000000000000"
+            "000000000000000000000000"
+            "00000002"
+        ),
+    )
+    fs = F.lit(frame_size).cast("long")
+    mdat_hex = F.concat(
+        be(n_frames * frame_size + 8, 4),
+        F.lit("6D646174"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (n_frames * frame_size - 1).cast("int")),
+                lambda b: F.lpad(
+                    F.hex(
+                        (
+                            mid * 3
+                            + F.floor(b.cast("long") / fs / scene_len).cast("long") * 97
+                            + (b % fs) * 5
+                        ) % 200
+                        + (mid * 7
+                           + F.floor(b.cast("long") / fs).cast("long") * 13
+                           + (b % fs) * 3) % 4
+                    ),
+                    2, "0",
+                ),
+            ),
+            "",
+        ),
+    )
+    payload_hex = F.concat(
+        ftyp_hex, F.lit("00000074" "6D6F6F76"), mvhd_hex, mdat_hex
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("video/mp4").alias("media_type"),
+    )
+
+
+VIDEO_SCENES_SCHEMA = (
+    "media_id long, media_type string, n_frames long, n_scenes long, "
+    "boundaries_md5 string, ok boolean"
+)
+
+
+def _video_scenes_one(payload: bytes, frame_size: int = 16, threshold: int = 128):
+    """Scene-change detection over mdat frames: L1 frame-difference
+    energy diff(f) = sum_j |b[f][j] - b[f-1][j]|, boundary declared
+    when diff > threshold. The box walk shares _mdat_frames' size
+    handling (0 = to-EOF, 1 = 64-bit largesize). Returns (fmt,
+    n_frames, n_scenes, boundaries_md5, ok) with boundaries_md5 =
+    md5 of the comma-joined boundary frame numbers (md5('') when a
+    clip is a single scene) — position-exact, so an off-by-one in
+    frame slicing cannot hash-match."""
+    import hashlib
+
+    pos, n = 0, len(payload)
+    data = None
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        header = 8
+        if size == 0:
+            size = n - pos
+        elif size == 1:
+            if pos + 16 > n:
+                break
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            header = 16
+        if size < header or pos + size > n:
+            break
+        if btype == b"mdat":
+            data = payload[pos + header : pos + size]
+            break
+        pos += size
+    if data is None:
+        return "unknown", 0, 0, "", False
+    nf = len(data) // frame_size
+    if nf == 0:
+        return "mp4", 0, 0, "", False
+    bounds = []
+    for f in range(1, nf):
+        prev = data[(f - 1) * frame_size : f * frame_size]
+        cur = data[f * frame_size : (f + 1) * frame_size]
+        if sum(abs(a - b) for a, b in zip(cur, prev)) > threshold:
+            bounds.append(f)
+    md5 = hashlib.md5(",".join(str(b) for b in bounds).encode()).hexdigest()
+    return "mp4", nf, len(bounds) + 1, md5, True
+
+
+def detect_video_scenes(media: DataFrame, frame_size: int = 16) -> DataFrame:
+    """Arrow-batched scene-change detection — the content-aware
+    upgrade of fixed-stride frame sampling (sample every scene once
+    instead of every Nth frame; an ffmpeg/pyscenedetect histogram
+    detector swaps in behind the same (n_scenes, boundaries) shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _video_scenes_one(p if p is not None else b"", frame_size)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "n_frames": [f[1] for f in feats],
+                    "n_scenes": [f[2] for f in feats],
+                    "boundaries_md5": [f[3] for f in feats],
+                    "ok": [f[4] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_SCENES_SCHEMA)
+
+
 def _mdat_frames(payload: bytes, every_n: int, frame_size: int):
     """Walk top-level ISO-BMFF boxes to the first ``mdat``, slice its
     payload into fixed-size frames, and yield (frame_no, fsum, wfsum)

@@ -1087,6 +1087,44 @@ def test_phash_brightness_invariant_ahash_not():
     assert a_base[-1] and len(a_base[4]) == 64
 
 
+def test_video_scene_detection_recovers_boundaries(spark):
+    """The scene detector must recover exactly the generative cut
+    positions — and a NAIVE exact-frame-equality detector must NOT
+    (the sub-threshold noise makes consecutive within-scene frames
+    unequal), which is what makes the L1-energy threshold a real
+    detector rather than a string compare. Garbage and mdat-less
+    payloads report ok=False."""
+    import hashlib
+
+    from hustle_spark.operators.multimodal import (
+        _video_scenes_one,
+        synthesize_mp4_scene_payloads,
+    )
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    for r in synthesize_mp4_scene_payloads(df, "doc_id").collect():
+        i, p = r.media_id, bytes(r.payload)
+        fmt, nf, ns, md5, ok = _video_scenes_one(p)
+        assert ok and fmt == "mp4"
+        n, L = i % 24 + 8, i % 5 + 3
+        assert nf == n
+        true_bounds = [f for f in range(1, n) if f % L == 0]
+        assert ns == len(true_bounds) + 1, (i, ns, true_bounds)
+        expect = hashlib.md5(
+            ",".join(str(b) for b in true_bounds).encode()
+        ).hexdigest()
+        assert md5 == expect, i
+        # naive equality detector over-segments: every frame pair
+        # differs thanks to the noise
+        mdat = p[p.find(b"mdat") + 4 :]
+        frames = [mdat[k * 16 : (k + 1) * 16] for k in range(nf)]
+        naive = sum(1 for f in range(1, nf) if frames[f] != frames[f - 1])
+        assert naive == nf - 1 and naive > len(true_bounds)
+
+    assert _video_scenes_one(b"")[-1] is False
+    assert _video_scenes_one(b"\x00\x00\x00\x14ftypisom" + b"\x00" * 12)[-1] is False
+
+
 def test_exif_parser_both_byte_orders_and_inline_ascii(spark):
     """parse_jpeg_exif must walk a real TIFF IFD in BOTH byte orders
     (the synthesizer alternates II/MM by id), resolve offset-stored
