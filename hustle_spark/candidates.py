@@ -1120,6 +1120,59 @@ MULTIMODAL_VIDEO_SCENES_ORACLE = """
 """
 
 
+def graph_pagerank(spark, sf_dir):
+    """L42 link-graph centrality (operators/graph.py pagerank): the
+    Common-Crawl-ranking quality prior — integer fixed-point PageRank
+    (micro-scaled ranks, 0.85 damping as 85 DIV 100) over a
+    deterministic synthetic link graph (u -> (u*31+k) mod n,
+    k=1..u%3+1 — VARIABLE out-degree, because the constant-k graph is
+    a union of bijections whose stationary vector is uniform and a
+    constant rank output is a worthless differential; self-loops
+    dropped), 3 iterations, each one src-join + dst-groupBy
+    shuffle with map-side combine and a left join back to the node
+    list so sink-only nodes keep the teleport term. The fixed-point
+    ladder is what makes a distributed iterative float algorithm
+    oracle-checkable bit-for-bit: the oracle unrolls all three
+    iterations as CTEs and must reproduce every rank exactly. The
+    only driver state is the node count (one scalar — the
+    IVF-centroid precedent)."""
+    from .operators import graph as G
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    n = d.count()
+    edges = G.synthetic_link_edges(d, "doc_id", F.lit(n))
+    ranks = G.pagerank(edges, d, n_iter=3, id_col="doc_id")
+    return ranks.select(F.col("id").alias("doc_id"), "rank_scaled")
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    parts = [
+        """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    e0 AS (SELECT d.doc_id AS src, (d.doc_id * 31 + g.k) % nn.n AS dst
+           FROM documents d, generate_series(1, 3) g(k), nn
+           WHERE g.k <= d.doc_id % 3 + 1),
+    edges AS (SELECT src, dst FROM e0 WHERE src != dst),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+    i{t} AS (SELECT e.dst, SUM(r.r // dg.deg) AS s
+           FROM edges e JOIN r{t-1} r ON r.id = e.src
+           JOIN deg dg ON dg.src = e.src
+           GROUP BY e.dst),
+    r{t} AS (SELECT d.doc_id AS id,
+                  150000 + (85 * COALESCE(i{t}.s, 0)) // 100 AS r
+           FROM documents d LEFT JOIN i{t} ON i{t}.dst = d.doc_id)""")
+    parts.append(f"""
+    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r{n_iter}""")
+    return "".join(parts)
+
+
+GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1238,6 +1291,7 @@ R8_CANDIDATES = {
         multimodal_video_scenes,
         MULTIMODAL_VIDEO_SCENES_ORACLE,
     ),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

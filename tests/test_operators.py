@@ -1087,6 +1087,38 @@ def test_phash_brightness_invariant_ahash_not():
     assert a_base[-1] and len(a_base[4]) == 64
 
 
+def test_pagerank_matches_pure_python_replay(spark):
+    """pagerank() vs an independent pure-Python replay of the integer
+    recurrence on a hand-built graph with a sink-only node (3: no
+    out-edges — its rank must stay at the teleport term plus inflow)
+    and asymmetric in-degrees. Also pins the micro-scale invariants:
+    every rank >= teleport, and a node all others point at outranks a
+    node nobody points at."""
+    from hustle_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 2), (4, 0)]
+    nodes = list(range(5))
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    n_df = spark.createDataFrame([(i,) for i in nodes], "id long")
+    got = {
+        r.id: r.rank_scaled
+        for r in pagerank(e_df, n_df, n_iter=3).collect()
+    }
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += ranks[s] // deg[s]
+        ranks = {v: 150_000 + (85 * inflow[v]) // 100 for v in nodes}
+    assert got == ranks, (got, ranks)
+    assert all(r >= 150_000 for r in got.values())
+    assert got[2] > got[4]  # in-degree 3 vs in-degree 0
+
+
 def test_video_scene_detection_recovers_boundaries(spark):
     """The scene detector must recover exactly the generative cut
     positions — and a NAIVE exact-frame-equality detector must NOT
