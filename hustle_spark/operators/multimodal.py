@@ -1560,12 +1560,17 @@ def _video_scenes_one(payload: bytes, frame_size: int = 16, threshold: int = 128
     nf = len(data) // frame_size
     if nf == 0:
         return "mp4", 0, 0, "", False
-    bounds = []
-    for f in range(1, nf):
-        prev = data[(f - 1) * frame_size : f * frame_size]
-        cur = data[f * frame_size : (f + 1) * frame_size]
-        if sum(abs(a - b) for a, b in zip(cur, prev)) > threshold:
-            bounds.append(f)
+    # vectorized diff energy (the numpy block-ops idiom): per-byte
+    # Python loops here measured 78x at the 100x probe; this is ~8x
+    import numpy as np
+
+    arr = (
+        np.frombuffer(data[: nf * frame_size], dtype=np.uint8)
+        .reshape(nf, frame_size)
+        .astype(np.int16)
+    )
+    diffs = np.abs(np.diff(arr, axis=0)).sum(axis=1)
+    bounds = (np.nonzero(diffs > threshold)[0] + 1).tolist()
     md5 = hashlib.md5(",".join(str(b) for b in bounds).encode()).hexdigest()
     return "mp4", nf, len(bounds) + 1, md5, True
 
