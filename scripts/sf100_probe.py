@@ -115,6 +115,9 @@ DEFAULT_PROBES = [
     "text_curation_verdict",
     "multimodal_image_phash",
     "audio_pitch_probe",
+    "multimodal_exif_probe",
+    "multimodal_video_scenes",
+    "graph_pagerank",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
