@@ -1485,26 +1485,27 @@ def synthesize_mp4_scene_payloads(
             "00000002"
         ),
     )
-    fs = F.lit(frame_size).cast("long")
+    # frames OUTER, the 16 byte positions UNROLLED as literals: the
+    # per-byte sequence/lambda machinery (a transform element per
+    # BYTE) measured 47 s of a 48 s 100x probe run; hoisting the
+    # scene index per frame and unrolling j cut synthesis ~10x
+    def frame_hex(f):
+        sc = ((f - f % scene_len) / scene_len).cast("long")
+        base = mid * 3 + sc * 97
+        nbase = mid * 7 + f * 13
+        return F.concat(
+            *[
+                F.lpad(F.hex((base + j * 5) % 200 + (nbase + j * 3) % 4), 2, "0")
+                for j in range(frame_size)
+            ]
+        )
+
     mdat_hex = F.concat(
         be(n_frames * frame_size + 8, 4),
         F.lit("6D646174"),
         F.array_join(
             F.transform(
-                F.sequence(F.lit(0), (n_frames * frame_size - 1).cast("int")),
-                lambda b: F.lpad(
-                    F.hex(
-                        (
-                            mid * 3
-                            + F.floor(b.cast("long") / fs / scene_len).cast("long") * 97
-                            + (b % fs) * 5
-                        ) % 200
-                        + (mid * 7
-                           + F.floor(b.cast("long") / fs).cast("long") * 13
-                           + (b % fs) * 3) % 4
-                    ),
-                    2, "0",
-                ),
+                F.sequence(F.lit(0).cast("long"), n_frames - 1), frame_hex
             ),
             "",
         ),
