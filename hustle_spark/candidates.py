@@ -1173,6 +1173,68 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
 GRAPH_PAGERANK_ORACLE = _pagerank_oracle()
 
 
+_TFIDF_QUERIES = [
+    (1, "hash join"),
+    (2, "customer order"),
+    (3, "slow vector scan"),
+    (4, "merge group"),
+    (5, "big order key"),
+]
+
+
+def retrieval_tfidf_topk(spark, sf_dir):
+    """L43 corpus retrieval (operators/retrieval.py tfidf_topk):
+    targeted data selection / audit search — exact-integer TF-IDF
+    (idf_w = 1e6*(N+1) DIV (df+1), score = sum tf*idf_w) over a fixed
+    5-query set, top-5 per query with a total-order tiebreak. The
+    query-term filter prunes the token stream BEFORE the tf shuffle
+    (broadcast semi-join on ~12 terms), so the wide aggregation is
+    proportional to matches, not corpus postings; idf is a broadcast
+    join on the bounded matched-term table. BM25's float tf-curve and
+    log idf swap in behind the same (query_id, doc_id, score)
+    contract — the integer ladder exists so every rank is
+    oracle-replayable, and the oracle recomputes tf, df, idf, scores,
+    and the ranked cut verbatim."""
+    from .operators import retrieval as R
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    return R.tfidf_topk(d, _TFIDF_QUERIES, k=5)
+
+
+RETRIEVAL_TFIDF_TOPK_ORACLE = r"""
+    WITH nq(query_id, term) AS (VALUES
+        (1, 'hash'), (1, 'join'),
+        (2, 'customer'), (2, 'order'),
+        (3, 'scan'), (3, 'slow'), (3, 'vector'),
+        (4, 'group'), (4, 'merge'),
+        (5, 'big'), (5, 'key'), (5, 'order')),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    toks AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(coalesce(text, '')),
+                                              '\s+')) AS term
+             FROM documents),
+    mt AS (SELECT doc_id, term FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM nq)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM mt
+           GROUP BY doc_id, term),
+    idf AS (SELECT term,
+                   (1000000 * (nn.n + 1)) // (COUNT(DISTINCT doc_id) + 1)
+                     AS idf_w
+            FROM tf, nn GROUP BY term, nn.n),
+    sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(SUM(tf.tf * idf.idf_w) AS BIGINT) AS score
+           FROM tf JOIN idf USING (term) JOIN nq q USING (term)
+           GROUP BY q.query_id, tf.doc_id),
+    r AS (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM sc)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1292,6 +1354,7 @@ R8_CANDIDATES = {
         MULTIMODAL_VIDEO_SCENES_ORACLE,
     ),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_ORACLE),
+    "retrieval_tfidf_topk": (retrieval_tfidf_topk, RETRIEVAL_TFIDF_TOPK_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
