@@ -73,6 +73,11 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
 CANDIDATE_ALLOWED_PYTHON = {
     "multimodal_jpeg_progressive_probe",  # Annex G decode, mapInPandas
     "multimodal_image_ahash",             # pixel decode + aHash, same path
+    "multimodal_image_phash",             # pixel decode + integer DCT
+    "multimodal_png_probe",               # zlib inflate + un-filtering
+    "multimodal_exif_probe",              # TIFF IFD walk
+    "multimodal_video_scenes",            # mdat walk + numpy frame diffs
+    "audio_pitch_probe",                  # PCM autocorrelation
 }
 
 
