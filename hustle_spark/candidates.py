@@ -1235,6 +1235,66 @@ RETRIEVAL_TFIDF_TOPK_ORACLE = r"""
 """
 
 
+def csv_roundtrip_agg(spark, sf_dir):
+    """S10b CSV source/sink parity (closes the one readers.py format
+    with no driver row): customer plus an injected comma-bearing note
+    column is dumped to gzip CSV (sources.write_csv — header +
+    RFC-4180 quoting) and read back with an EXPLICIT schema
+    (sources.read_csv; schema-less CSV reads infer by scanning, the
+    same 100 TB anti-pattern as jsonl), then aggregated per nation.
+    n_notes_intact counts notes whose embedded ', ' survived — a
+    sink that mis-quotes the delimiter shears the column and cannot
+    match. The oracle aggregates the original parquet: the round
+    trip is lossless (doubles included — Java's shortest-round-trip
+    toString), so any mismatch is a sink/reader bug."""
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from .sources import readers as SRC2
+
+    cat = _cat(spark, sf_dir)
+    c = cat.table("customer").df.withColumn(
+        "c_note", F.concat_ws(", ", F.col("c_name"), F.col("c_mktsegment"))
+    )
+    dst = str(cat.scratch / "csv_customer")
+    # _SUCCESS gate, same rationale as orc_roundtrip_agg
+    if not (Path(dst) / "_SUCCESS").is_file():
+        SRC2.write_csv(c, dst)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_note", T.StringType()),
+        ]
+    )
+    back = SRC2.read_csv(spark, dst, schema=schema).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return back.groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double").alias("total_acctbal"),
+        F.count_if(F.col("c_note").like("%, %")).alias("n_notes_intact"),
+    )
+
+
+CSV_ROUNDTRIP_AGG_ORACLE = """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal,
+           COUNT(*) FILTER (WHERE (c_name || ', ' || c_mktsegment)
+                            LIKE '%, %') AS n_notes_intact
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY c_nationkey
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1355,6 +1415,7 @@ R8_CANDIDATES = {
     ),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_ORACLE),
     "retrieval_tfidf_topk": (retrieval_tfidf_topk, RETRIEVAL_TFIDF_TOPK_ORACLE),
+    "csv_roundtrip_agg": (csv_roundtrip_agg, CSV_ROUNDTRIP_AGG_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

@@ -112,6 +112,29 @@ def write_orc(
     writer.orc(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    delimiter: str = ",",
+    compression: str = "gzip",
+) -> None:
+    """CSV sink (header + RFC-4180 quoting — Spark quotes any field
+    containing the delimiter, which the round-trip row proves with a
+    comma-bearing column). gzip keeps parity with the jsonl sink;
+    note gzip CSV is NOT splittable, so a 100 TB export should use a
+    splittable codec or many files (this writer emits one file per
+    input partition, which is the many-files shape already)."""
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("compression", compression)
+        .csv(path)
+    )
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
