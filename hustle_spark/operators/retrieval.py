@@ -63,7 +63,12 @@ def tfidf_topk(
         .agg(F.countDistinct("doc_id").alias("df"))
         .select(
             "term",
-            F.expr(f"({IDF_SCALE} * ({n_docs} + 1)) div (df + 1)").alias("idf_w"),
+            # BIGINT literal up front: 1e6 * (N+1) overflows int32 at
+            # 5k docs under ANSI (caught by the sf0.1 probe — the
+            # sf0.01 gate fits in int32 and cannot see this)
+            F.expr(
+                f"(CAST({IDF_SCALE} AS BIGINT) * ({n_docs} + 1)) div (df + 1)"
+            ).alias("idf_w"),
         )
     )
     scored = (
