@@ -87,13 +87,30 @@ SHOWCASE = {
 }
 
 
+# staged candidate rows (hustle_spark/candidates.py) whose plans are
+# themselves evidence — resolved via R8_CANDIDATES until the r8 flip
+CANDIDATE_SHOWCASE = {
+    "graph_pagerank": "3 PageRank iterations: each a src equi-join + map-side DIV + dst hash-agg + left join back to nodes; zero cartesians, zero Python",
+    "retrieval_tfidf_topk": "query-term broadcast semi-join prunes tokens BEFORE the tf shuffle; idf broadcast; per-query top-k window on scored docs only",
+    "bpe_encode_corpus": "four greedy merge folds entirely map-only codegen: the only exchange is the single-split input spread",
+    "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_session(app_name="explain-report", extra_conf={"spark.ui.enabled": "false"})
     out = ["# EXPLAIN — physical plans of flagship queries",
            "", f"Generated by `scripts/explain_report.py` at `{sf_dir}`.", ""]
-    for name, why in SHOWCASE.items():
-        df = registry.QUERIES[name].fn(spark, sf_dir)
+    from hustle_spark.candidates import R8_CANDIDATES
+
+    def resolve(name):
+        if name in registry.QUERIES:
+            return registry.QUERIES[name].fn
+        return R8_CANDIDATES[name][0]
+
+    for name, why in {**SHOWCASE, **CANDIDATE_SHOWCASE}.items():
+        df = resolve(name)(spark, sf_dir)
         plan = explain_str(df)
         # keep the operator tree + the scan details, drop codegen noise
         tree = plan.split("\n\n")[0]
@@ -103,7 +120,7 @@ def main():
         )
         out += [f"## {name}", "", f"*{why}*", "", "```", tree.strip(), "", scans, "```", ""]
     Path("EXPLAIN.md").write_text("\n".join(out))
-    print(f"wrote EXPLAIN.md ({len(SHOWCASE)} plans)")
+    print(f"wrote EXPLAIN.md ({len(SHOWCASE) + len(CANDIDATE_SHOWCASE)} plans)")
 
 
 if __name__ == "__main__":
