@@ -118,6 +118,10 @@ DEFAULT_PROBES = [
     "multimodal_exif_probe",
     "multimodal_video_scenes",
     "graph_pagerank",
+    "retrieval_tfidf_topk",
+    # csv_roundtrip_agg deliberately absent: customer is a symlinked
+    # (non-replicated) table in the 100x corpus, so its ratio reads
+    # ~1.0 and proves nothing
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
