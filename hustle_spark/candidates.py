@@ -1295,6 +1295,96 @@ CSV_ROUNDTRIP_AGG_ORACLE = """
 """
 
 
+def dedup_image_phash_groups(spark, sf_dir):
+    """L5i3 perceptual near-duplicate GROUPING — the end-to-end use of
+    pHash (re-encodes/re-exposures of one image collapse to a group):
+    a corpus where 50 content groups each appear under ~10 different
+    global brightness shifts (synthesize_bmp_brightness_payloads) is
+    pHash-decoded in Arrow batches; the 63 AC bits (DC dropped — it
+    absorbs the brightness constant) form the group key and an exact
+    groupBy yields duplicate clusters. aHash or raw-byte equality
+    CANNOT group these (the shift flips their bits; proven in the
+    pHash unit test) — the spectral invariance is what makes the
+    composition work. Shape: one decode stage, ONE groupBy on a
+    63-char signature — the banded-equi-join generalization (hamming
+    > 0) is the documented simhash-shaped extension. At the gate SF
+    the 50 content groups collapse to 21 signature groups: the
+    smallest geometries (down to 4x1) alias in the spectrum —
+    expected pHash precision loss on tiny images, reproduced exactly
+    by the oracle, which recomputes every pHash from the generative
+    model (grid, integer DCT, ranked median, threshold votes)."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_bmp_brightness_payloads(d, "doc_id")
+    ph = multimodal.decode_image_phash(media)
+    sig = F.substring("phash_bits", 2, 63)
+    return (
+        ph.groupBy(sig.alias("__sig"))
+        .agg(
+            F.min("media_id").alias("min_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select(
+            "min_id", "group_size",
+            F.md5(F.encode(F.col("__sig"), "UTF-8")).alias("sig_md5"),
+        )
+    )
+
+
+def _phash_groups_oracle() -> str:
+    basis = ", ".join(
+        f"({u}, {x}, {t})"
+        for u, row in enumerate(multimodal.PHASH_DCT_BASIS)
+        for x, t in enumerate(row)
+    )
+    return f"""
+    WITH geo AS (SELECT doc_id, doc_id % 50 AS grp,
+                        (doc_id // 50) % 19 AS sh,
+                        CAST((doc_id % 50) % 4 + 1 AS BIGINT) * 4 AS w,
+                        CAST((doc_id % 50) % 6 + 1 AS BIGINT) AS h
+                 FROM documents),
+    cells AS (
+      SELECT g.doc_id, gj.j, gi.i,
+             (((g.grp + (gi.i * g.w // 8) + (gj.j * g.h // 8)) % 200)
+            + ((g.grp * 3 + (gi.i * g.w // 8) * 7) % 200)
+            + ((g.grp * 5 + (gj.j * g.h // 8) * 11) % 200)
+            + 9 * g.sh) // 3 AS v
+      FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+    basis(u, x, t) AS (VALUES {basis}),
+    coef AS (
+      SELECT c.doc_id, bv.u AS v, bu.u AS u,
+             SUM(c.v * bu.t * bv.t) AS s
+      FROM cells c
+      JOIN basis bu ON bu.x = c.i
+      JOIN basis bv ON bv.x = c.j
+      GROUP BY c.doc_id, bv.u, bu.u),
+    med AS (
+      SELECT doc_id, s AS m FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0))
+      WHERE rn = 32),
+    bits AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.s > m.m THEN '1' ELSE '0' END, ''
+                        ORDER BY c.v, c.u) AS b
+      FROM coef c JOIN med m USING (doc_id)
+      GROUP BY c.doc_id),
+    sig AS (SELECT doc_id, substr(b, 2) AS s FROM bits)
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           COUNT(*) AS group_size,
+           md5(s) AS sig_md5
+    FROM sig GROUP BY s HAVING COUNT(*) > 1
+    """
+
+
+DEDUP_IMAGE_PHASH_GROUPS_ORACLE = _phash_groups_oracle()
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1416,6 +1506,10 @@ R8_CANDIDATES = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_ORACLE),
     "retrieval_tfidf_topk": (retrieval_tfidf_topk, RETRIEVAL_TFIDF_TOPK_ORACLE),
     "csv_roundtrip_agg": (csv_roundtrip_agg, CSV_ROUNDTRIP_AGG_ORACLE),
+    "dedup_image_phash_groups": (
+        dedup_image_phash_groups,
+        DEDUP_IMAGE_PHASH_GROUPS_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

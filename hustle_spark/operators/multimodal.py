@@ -3242,6 +3242,72 @@ def decode_image_ahash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=AHASH_SCHEMA)
 
 
+def synthesize_bmp_brightness_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """BMPs whose CONTENT is shared within an id-group while global
+    brightness varies per member — the fixture for perceptual
+    near-duplicate grouping (re-encodes/re-exposures of one image):
+
+        group   = id % 50
+        shift   = (id DIV 50) % 19          (per-member brightness;
+                  19 caps 199 + 3*18 = 253 < 256 — one more and the
+                  2-char lpad(hex) silently truncates byte 256)
+        width   = (group % 4 + 1) * 4
+        height  = group % 6 + 1
+        B(x,y)  = (group + x + y) % 200 + 3*shift
+        G(x,y)  = (group*3 + x*7) % 200 + 3*shift
+        R(x,y)  = (group*5 + y*11) % 200 + 3*shift
+
+    All three channels shift by the SAME 3*shift (< 256 total, no
+    clipping), so gray = (B+G+R) DIV 3 shifts exactly by 3*shift and
+    the pHash AC bits are IDENTICAL across a group (the DCT constant
+    term absorbs the shift) — while aHash and raw-byte equality both
+    differ. Same BMP writer layout as synthesize_bmp_payloads."""
+    mid = F.col(id_col).cast("long")
+    grp = mid % 50
+    shift = (F.floor(mid / 50).cast("long") % 19) * 3
+    w = (grp % 4 + 1) * 4
+    h = grp % 6 + 1
+
+    def le(col, nbytes: int):
+        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+
+    def pix_hex(x, y):
+        return F.concat(
+            hx2((grp + x + y) % 200 + shift),       # B
+            hx2((grp * 3 + x * 7) % 200 + shift),   # G
+            hx2((grp * 5 + y * 11) % 200 + shift),  # R
+        )
+
+    rows_hex = F.transform(
+        F.sequence(F.lit(0), h - 1),
+        lambda r: F.array_join(
+            F.transform(F.sequence(F.lit(0), w - 1), lambda x: pix_hex(x, h - 1 - r)),
+            "",
+        ),
+    )
+    header_hex = F.concat(
+        F.lit("424D"),
+        le(F.lit(54) + w * h * 3, 4),
+        F.lit("00000000" "36000000"),
+        F.lit("28000000"),
+        le(w, 4), le(h, 4),
+        F.lit("0100" "1800" "00000000"),
+        le(w * h * 3, 4),
+        F.lit("00000000" "00000000" "00000000" "00000000"),
+    )
+    payload_hex = F.concat(header_hex, F.array_join(rows_hex, ""))
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/bmp").alias("media_type"),
+    )
+
+
 # Fixed-point DCT-II basis, T[u][x] = round(10000 * c_u *
 # cos((2x+1)u*pi/16)), c_0 = 1/sqrt(2) — INTEGER so the pHash below is
 # exactly replayable cross-engine (the oracle embeds this same table

@@ -1087,6 +1087,29 @@ def test_phash_brightness_invariant_ahash_not():
     assert a_base[-1] and len(a_base[4]) == 64
 
 
+def test_brightness_corpus_groups_by_phash_not_bytes(spark):
+    """Members of one content group (same id % 50, different
+    brightness shift) must share pHash AC bits while their raw bytes
+    — and therefore exact-hash dedup — differ. This is the property
+    dedup_image_phash_groups composes on."""
+    from hustle_spark.operators.multimodal import (
+        _phash_one,
+        synthesize_bmp_brightness_payloads,
+    )
+
+    # ids 7, 57, 107: group 7 under shifts 0, 1, 2
+    df = spark.createDataFrame([(7,), (57,), (107,)], "doc_id long")
+    rows = {
+        r.media_id: bytes(r.payload)
+        for r in synthesize_bmp_brightness_payloads(df, "doc_id").collect()
+    }
+    assert len({rows[7], rows[57], rows[107]}) == 3  # bytes all differ
+    hashes = {i: _phash_one(rows[i]) for i in rows}
+    assert all(h[-1] for h in hashes.values())
+    acs = {h[4][1:] for h in hashes.values()}
+    assert len(acs) == 1, "pHash AC bits must be brightness-invariant"
+
+
 def test_pagerank_matches_pure_python_replay(spark):
     """pagerank() vs an independent pure-Python replay of the integer
     recurrence on a hand-built graph with a sink-only node (3: no
