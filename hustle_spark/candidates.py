@@ -1320,18 +1320,17 @@ def dedup_image_phash_groups(spark, sf_dir):
     )
     media = multimodal.synthesize_bmp_brightness_payloads(d, "doc_id")
     ph = multimodal.decode_image_phash(media)
-    sig = F.substring("phash_bits", 2, 63)
+    # md5 computed MAP-SIDE so the groupBy shuffles 16-byte digests,
+    # not 63-char bit strings (the dedup_lines digest-key idiom)
+    sig_md5 = F.md5(F.encode(F.substring("phash_bits", 2, 63), "UTF-8"))
     return (
-        ph.groupBy(sig.alias("__sig"))
+        ph.groupBy(sig_md5.alias("sig_md5"))
         .agg(
             F.min("media_id").alias("min_id"),
             F.count(F.lit(1)).alias("group_size"),
         )
         .filter(F.col("group_size") > 1)
-        .select(
-            "min_id", "group_size",
-            F.md5(F.encode(F.col("__sig"), "UTF-8")).alias("sig_md5"),
-        )
+        .select("min_id", "group_size", "sig_md5")
     )
 
 
@@ -1383,6 +1382,74 @@ def _phash_groups_oracle() -> str:
 
 
 DEDUP_IMAGE_PHASH_GROUPS_ORACLE = _phash_groups_oracle()
+
+
+def audio_segments_probe(spark, sf_dir):
+    """L5a2 audio SEGMENTATION (ASR-corpus chunking — completes the
+    audio ladder: header -> samples -> pitch -> segments): WAVs
+    alternating speech/silence segments at generative boundaries
+    (synthesize_wav_speech_payloads), segmented by windowed abs-sum
+    energy thresholding in Arrow batches (_audio_segments_one;
+    WebRTC-VAD/Silero swap in as the window classifier). ``recovered``
+    compares detected count to the closed-form ceil(n/seg_len) ON THE
+    GUARANTEED SUBSET (tail 0 or >= 7 samples — 100% there by the
+    margin construction); short-tail docs carry recovered=NULL, the
+    honest quantization residual of grid-aligned windows. The oracle
+    replays samples, window classes, and the flip count exactly."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_wav_speech_payloads(d, "doc_id")
+    feats = multimodal.decode_audio_segments(media)
+    n = F.col("media_id") % 10 * 4 + 60
+    sl = F.col("media_id") % 11 + 8
+    tail = n % sl
+    expected = F.expr(
+        "(media_id % 10 * 4 + 60) div (media_id % 11 + 8)"
+    ) + F.when(tail >= 7, 1).otherwise(0)
+    return feats.select(
+        "media_id", "media_type", "n_samples", "n_windows", "n_segments",
+        "n_speech_windows",
+        F.when((tail == 0) | (tail >= 7), F.col("n_segments") == expected)
+        .alias("recovered"),
+        "ok",
+    )
+
+
+AUDIO_SEGMENTS_PROBE_ORACLE = """
+    WITH m AS (SELECT doc_id, (doc_id % 10) * 4 + 60 AS n,
+                      doc_id % 11 + 8 AS sl
+               FROM documents),
+    s AS (SELECT m.doc_id, g.i // 4 AS w,
+                 CASE WHEN (g.i // m.sl) % 2 = 0
+                      THEN (CASE WHEN g.i % 2 = 0 THEN 1 ELSE -1 END)
+                           * (500 + (m.doc_id * 7 + g.i * 13) % 1500)
+                      ELSE (m.doc_id * 3 + g.i * 5) % 7 - 3 END AS v
+          FROM m, generate_series(0, 95) g(i) WHERE g.i < m.n),
+    w AS (SELECT doc_id, w, SUM(ABS(v)) > 200 AS cls
+          FROM s GROUP BY doc_id, w),
+    f AS (SELECT doc_id, cls,
+                 LAG(cls) OVER (PARTITION BY doc_id ORDER BY w) AS prev
+          FROM w),
+    agg AS (SELECT doc_id,
+                   COUNT(*) FILTER (WHERE prev IS NOT NULL
+                                    AND cls != prev) AS flips,
+                   COUNT(*) FILTER (WHERE cls) AS nsw
+            FROM f GROUP BY doc_id)
+    SELECT m.doc_id AS media_id, 'wav' AS media_type,
+           CAST(m.n AS BIGINT) AS n_samples,
+           CAST(m.n // 4 AS BIGINT) AS n_windows,
+           CAST(a.flips + 1 AS BIGINT) AS n_segments,
+           CAST(a.nsw AS BIGINT) AS n_speech_windows,
+           CASE WHEN m.n % m.sl = 0 OR m.n % m.sl >= 7
+                THEN a.flips + 1 = m.n // m.sl
+                     + CASE WHEN m.n % m.sl >= 7 THEN 1 ELSE 0 END
+                ELSE NULL END AS recovered,
+           true AS ok
+    FROM m JOIN agg a ON a.doc_id = m.doc_id
+"""
 
 
 def text_curation_verdict(spark, sf_dir):
@@ -1510,6 +1577,7 @@ R8_CANDIDATES = {
         dedup_image_phash_groups,
         DEDUP_IMAGE_PHASH_GROUPS_ORACLE,
     ),
+    "audio_segments_probe": (audio_segments_probe, AUDIO_SEGMENTS_PROBE_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

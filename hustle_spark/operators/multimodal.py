@@ -1326,6 +1326,126 @@ def decode_audio_pitch(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=AUDIO_PITCH_SCHEMA)
 
 
+def synthesize_wav_speech_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Mono 16-bit PCM WAVs alternating SPEECH and SILENCE segments —
+    the fixture for energy-based segmentation (ASR-corpus chunking).
+    The sample model guarantees the detector's window classes:
+
+        n        = (id % 10) * 4 + 60     (multiple of the window 4)
+        seg_len  = id % 11 + 8            (>= 8: every segment holds
+                                           a full aligned 4-window)
+        g        = i DIV seg_len; speech when g % 2 = 0
+        speech   s[i] = sgn(i) * (500 + (id*7 + i*13) % 1500)
+        silence  s[i] = (id*3 + i*5) % 7 - 3
+
+    sgn(i) = +1 when i % 2 = 0 else -1. |speech| >= 500 so a pure
+    speech window's abs-sum >= 2000; |silence| <= 3 so a pure silence
+    window's <= 12 — both sides clear the 200 threshold with margin.
+    A mixed boundary window merges into a neighboring run without
+    creating spurious segments (boundaries are >= 8 > 4 apart, and
+    every FULL segment holds a pure window), so detected count ==
+    ceil(n / seg_len) whenever the tail segment is empty or >= 7
+    samples; a 1-6 sample tail may fold into the previous run — the
+    documented quantization residual of grid-aligned windowing (the
+    unit test pins the guaranteed subset exactly)."""
+    mid = F.col(id_col).cast("long")
+    n_samples = ((mid % 10) * 4 + 60).cast("long")
+    seg_len = mid % 11 + 8
+    data_size = n_samples * 2
+
+    def le(col, nbytes: int):
+        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+        )
+
+    def sample(i):
+        g = ((i - i % seg_len) / seg_len).cast("long")
+        mag = F.lit(500) + (mid * 7 + i * 13) % 1500
+        speech = F.when(i % 2 == 0, mag).otherwise(-mag)
+        silence = (mid * 3 + i * 5) % 7 - 3
+        return F.when(g % 2 == 0, speech).otherwise(silence)
+
+    sample_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_samples - 1),
+            lambda i: le((sample(i) + 65536) % 65536, 2),
+        ),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("52494646"), le(data_size + 36, 4),
+        F.lit("57415645" "666D7420" "10000000" "0100"),
+        le(F.lit(1), 2), le(F.lit(8000), 4), le(F.lit(16000), 4),
+        le(F.lit(2), 2), le(F.lit(16), 2),
+        F.lit("64617461"), le(data_size, 4), sample_hex,
+    )
+    return df.select(
+        mid.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+AUDIO_SEGMENTS_SCHEMA = (
+    "media_id long, media_type string, n_samples long, n_windows long, "
+    "n_segments long, n_speech_windows long, ok boolean"
+)
+
+
+def _audio_segments_one(payload: bytes, window: int = 4, threshold: int = 200):
+    """Energy-based speech/silence segmentation: abs-sum per aligned
+    sample window, class = sum > threshold, segments = class flips
+    between consecutive windows + 1. The WebRTC-VAD / Silero swap
+    point is this classifier; the flip-count segmentation on top is
+    model-agnostic."""
+    import numpy as np
+
+    parsed = parse_wav_header(payload)
+    if parsed is None or parsed[2] != 16:
+        return "unknown", 0, 0, 0, 0, False
+    pos = payload.find(b"data", 12)
+    if pos < 0 or pos + 8 > len(payload):
+        return "unknown", 0, 0, 0, 0, False
+    size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+    s = np.frombuffer(payload[pos + 8 : pos + 8 + size], dtype="<i2").astype(
+        np.int64
+    )
+    n = len(s)
+    nw = n // window
+    if nw == 0:
+        return "wav", n, 0, 0, 0, False
+    sums = np.abs(s[: nw * window]).reshape(nw, window).sum(axis=1)
+    cls = sums > threshold
+    flips = int(np.count_nonzero(cls[1:] != cls[:-1]))
+    return "wav", n, nw, flips + 1, int(cls.sum()), True
+
+
+def decode_audio_segments(media: DataFrame) -> DataFrame:
+    """Arrow-batched speech/silence segmentation over PCM WAV payloads
+    — decode_audio_pitch's sibling, same map-only plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _audio_segments_one(p if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "n_windows": [f[2] for f in feats],
+                    "n_segments": [f[3] for f in feats],
+                    "n_speech_windows": [f[4] for f in feats],
+                    "ok": [f[5] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SEGMENTS_SCHEMA)
+
+
 def _audio_samples_one(payload: bytes):
     """Parse a PCM WAV payload down to its SAMPLES: header via
     parse_wav_header, then the 'data' chunk bytes as little-endian

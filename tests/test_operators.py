@@ -1224,6 +1224,36 @@ def test_exif_parser_both_byte_orders_and_inline_ascii(spark):
     assert parse_jpeg_exif(b"not a jpeg") is None
 
 
+def test_audio_segmentation_recovers_guaranteed_tails(spark):
+    """Energy segmentation must recover ceil(n/seg_len) segments on
+    every doc whose tail segment is empty or >= 7 samples (the
+    construction guarantees a pure window per run there), and the
+    speech-window count must be positive and below the total. Garbage
+    payloads report ok=False."""
+    from hustle_spark.operators.multimodal import (
+        _audio_segments_one,
+        synthesize_wav_speech_payloads,
+    )
+
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    media = synthesize_wav_speech_payloads(df, "doc_id").collect()
+    checked = 0
+    for r in media:
+        i, p = r.media_id, bytes(r.payload)
+        fmt, n, nw, nseg, nsw, ok = _audio_segments_one(p)
+        assert ok and fmt == "wav"
+        assert n == (i % 10) * 4 + 60 and nw == n // 4
+        assert 0 < nsw < nw, (i, nsw, nw)
+        sl = i % 11 + 8
+        tail = n % sl
+        if tail == 0 or tail >= 7:
+            expected = n // sl + (1 if tail >= 7 else 0)
+            assert nseg == expected, (i, nseg, expected)
+            checked += 1
+    assert checked >= 20
+    assert _audio_segments_one(b"RIFFjunk")[-1] is False
+
+
 def test_wav_tone_synthesizer_and_pitch_detector(spark):
     """The tone WAVs must be files stdlib ``wave`` accepts (spec
     validity via a third-party parser, not our own), and the
