@@ -119,6 +119,8 @@ DEFAULT_PROBES = [
     "multimodal_video_scenes",
     "graph_pagerank",
     "retrieval_tfidf_topk",
+    "dedup_image_phash_groups",
+    "audio_segments_probe",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing
