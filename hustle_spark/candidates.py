@@ -1452,6 +1452,46 @@ AUDIO_SEGMENTS_PROBE_ORACLE = """
 """
 
 
+def text_lexical_diversity(spark, sf_dir):
+    """L44 lexical-diversity quality signal (functions.text
+    .lexical_diversity): Simpson's 1 - sum(p^2) in EXACT integer
+    micro-units — the log-free stand-in for unigram entropy and
+    compression-ratio repetitiveness signals (those need zlib/log and
+    go rows-only; Simpson is a pure rational both engines replay
+    bit-for-bit). Map-only: per-doc sorted-token run fold computes
+    sum-of-squared-counts AND distinct count in one codegen pass — no
+    explode, no shuffle beyond the single-split input spread. The
+    oracle recomputes counts with a plain GROUP BY."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    cols = TX.lexical_diversity(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["n_distinct"].alias("n_distinct"),
+        cols["simpson_scaled"].alias("simpson_scaled"),
+    )
+
+
+TEXT_LEXICAL_DIVERSITY_ORACLE = r"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(coalesce(text, ''))
+                             , '\s+')) AS term
+               FROM documents),
+    c AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+    a AS (SELECT doc_id, SUM(c) AS n, SUM(c * c) AS nsq,
+                 COUNT(*) AS ndist
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(ndist AS BIGINT) AS n_distinct,
+           CAST(1000000 - (CAST(1000000 AS BIGINT) * nsq) // (n * n)
+                AS BIGINT) AS simpson_scaled
+    FROM a
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1578,6 +1618,10 @@ R8_CANDIDATES = {
         DEDUP_IMAGE_PHASH_GROUPS_ORACLE,
     ),
     "audio_segments_probe": (audio_segments_probe, AUDIO_SEGMENTS_PROBE_ORACLE),
+    "text_lexical_diversity": (
+        text_lexical_diversity,
+        TEXT_LEXICAL_DIVERSITY_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

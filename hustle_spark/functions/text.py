@@ -1449,3 +1449,60 @@ def curation_verdict(
         "blocked",
         mask.alias("fail_mask"),
     ).withColumn("keep", F.col("fail_mask") == 0)
+
+
+def lexical_diversity(text) -> dict[str, Column]:
+    """Simpson-index lexical diversity in EXACT integer arithmetic —
+    the log-free cousin of unigram entropy (compressibility-style
+    repetitiveness signals need zlib or logs; Simpson's 1 - sum(p^2)
+    is a pure rational, so both engines replay it bit-for-bit):
+
+        simpson_scaled = 1_000_000 - (1_000_000 * sum(c_t^2)) DIV n^2
+
+    where c_t are per-token counts and n the token total. 0 for a
+    one-token or fully-repetitive doc, -> 1e6 for all-distinct.
+    Computed MAP-ONLY: tokens are sorted per doc and a single codegen
+    fold counts run lengths (sum of squares + distinct count in one
+    pass) — no explode, no shuffle, O(n log n)/doc. Returns columns
+    {n_tokens, n_distinct, simpson_scaled}."""
+    toks = F.sort_array(tokens(F.lower(F.coalesce(text, F.lit("")))))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("nsq"),
+        F.lit(0).cast("long").alias("ndist"),
+    )
+    folded = F.aggregate(
+        toks,
+        acc0,
+        lambda a, t: F.when(
+            a["prev"].eqNullSafe(t),
+            F.struct(
+                t.alias("prev"), (a["run"] + 1).alias("run"),
+                a["nsq"].alias("nsq"), a["ndist"].alias("ndist"),
+            ),
+        ).otherwise(
+            F.struct(
+                t.alias("prev"), F.lit(1).cast("long").alias("run"),
+                (a["nsq"] + a["run"] * a["run"]).alias("nsq"),
+                (a["ndist"] + 1).alias("ndist"),
+            )
+        ),
+        lambda a: F.struct(
+            a["prev"].alias("prev"), a["run"].alias("run"),
+            (a["nsq"] + a["run"] * a["run"]).alias("nsq"),
+            a["ndist"].alias("ndist"),
+        ),
+    )
+    n = F.size(toks).cast("long")
+    # BIGINT literal up front (the idf-overflow lesson); exact floor
+    # division via (a - a % b) / b — the subtraction makes the double
+    # division an exact integer, immune to truncation-boundary ULPs
+    a = F.lit(1_000_000).cast("long") * folded["nsq"]
+    b = n * n
+    q = ((a - a % b) / b).cast("long")
+    return {
+        "n_tokens": n,
+        "n_distinct": folded["ndist"],
+        "simpson_scaled": F.lit(1_000_000).cast("long") - q,
+    }
