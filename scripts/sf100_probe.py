@@ -121,6 +121,7 @@ DEFAULT_PROBES = [
     "retrieval_tfidf_topk",
     "dedup_image_phash_groups",
     "audio_segments_probe",
+    "text_lexical_diversity",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing
