@@ -1492,6 +1492,74 @@ TEXT_LEXICAL_DIVERSITY_ORACLE = r"""
 """
 
 
+_CODE_BLOCK = "def f(x):\n    y = x + 1;\n    return y\n}\nz = f(2);"
+_PROSE_BLOCK = "the quick brown fox\njumps over lazy dogs\nplain prose here"
+
+
+def text_code_detect(spark, sf_dir):
+    """L45 code-fraction detection (functions.text.code_line_stats)
+    — the Stack/StarCoder corpus-routing decision: a generative twin
+    appends a 5-line code block (variant 0), a 3-line prose block
+    (variant 1), or nothing (variant 2) to each document (the corpus
+    itself carries ZERO code signals — verified), and the detector's
+    line-level substring signals must separate them exactly: variant
+    0 -> 5/6 code lines (833 permille, is_code), 1 and 2 -> 0. All
+    signals are plain substring tests, so the oracle replays the
+    twin construction and every line vote with LIKE/contains — no
+    regex-dialect parity risk anywhere."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    variant = F.col("doc_id") % 3
+    text2 = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(variant == 0, F.lit("\n" + _CODE_BLOCK))
+        .when(variant == 1, F.lit("\n" + _PROSE_BLOCK))
+        .otherwise(F.lit("")),
+    )
+    cols = TX.code_line_stats(text2)
+    return d.select(
+        "doc_id",
+        variant.cast("bigint").alias("variant"),
+        cols["n_lines"].alias("n_lines"),
+        cols["n_code_lines"].alias("n_code_lines"),
+        cols["code_permille"].alias("code_permille"),
+        cols["is_code"].alias("is_code"),
+    )
+
+
+TEXT_CODE_DETECT_ORACLE = """
+    WITH t AS (SELECT doc_id, doc_id % 3 AS variant,
+                      coalesce(text, '') ||
+                      CASE doc_id % 3
+                        WHEN 0 THEN chr(10) || 'def f(x):' || chr(10)
+                             || '    y = x + 1;' || chr(10)
+                             || '    return y' || chr(10) || '}'
+                             || chr(10) || 'z = f(2);'
+                        WHEN 1 THEN chr(10) || 'the quick brown fox'
+                             || chr(10) || 'jumps over lazy dogs'
+                             || chr(10) || 'plain prose here'
+                        ELSE '' END AS text2
+               FROM documents),
+    l AS (SELECT doc_id, unnest(string_split(text2, chr(10))) AS line
+          FROM t),
+    v AS (SELECT doc_id, COUNT(*) AS n_lines,
+                 COUNT(*) FILTER (WHERE starts_with(line, '    ')
+                    OR starts_with(line, chr(9))
+                    OR line LIKE '%;' OR line LIKE '%{' OR line LIKE '%}'
+                    OR contains(line, 'def ') OR contains(line, ' = ')
+                    OR contains(line, 'return')) AS n_code
+          FROM l GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.variant AS BIGINT) AS variant,
+           CAST(v.n_lines AS BIGINT) AS n_lines,
+           CAST(v.n_code AS BIGINT) AS n_code_lines,
+           CAST((1000 * v.n_code) // v.n_lines AS BIGINT) AS code_permille,
+           (1000 * v.n_code) // v.n_lines >= 300 AS is_code
+    FROM t JOIN v ON v.doc_id = t.doc_id
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1622,6 +1690,7 @@ R8_CANDIDATES = {
         text_lexical_diversity,
         TEXT_LEXICAL_DIVERSITY_ORACLE,
     ),
+    "text_code_detect": (text_code_detect, TEXT_CODE_DETECT_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,

@@ -1506,3 +1506,40 @@ def lexical_diversity(text) -> dict[str, Column]:
         "n_distinct": folded["ndist"],
         "simpson_scaled": F.lit(1_000_000).cast("long") - q,
     }
+
+
+def code_line_stats(text) -> dict[str, Column]:
+    """Code-fraction detection for corpus routing (the Stack/StarCoder
+    split decision: code-looking documents go to the code pipeline,
+    not the prose one). Line-level signals chosen to be expressible
+    as plain substring tests in ANY engine (no regex-dialect parity
+    risk): 4-space or tab indent, ;/{/} terminators, 'def ',
+    ' = ', 'return'. Returns {n_lines, n_code_lines, code_permille,
+    is_code} with is_code = code_permille >= 300. A trained
+    classifier (e.g. the fastText-shaped quality model) swaps in
+    behind the same contract; these shallow signals are the
+    guesslang-style zero-dependency ladder."""
+    lines = F.split(F.coalesce(text, F.lit("")), "\n")
+
+    def signal(line):
+        return (
+            line.startswith("    ")
+            | line.startswith("\t")
+            | line.endswith(";")
+            | line.endswith("{")
+            | line.endswith("}")
+            | line.contains("def ")
+            | line.contains(" = ")
+            | line.contains("return")
+        )
+
+    total = F.size(lines).cast("long")
+    code = F.size(F.filter(lines, signal)).cast("long")
+    permille = (F.lit(1000).cast("long") * code - (F.lit(1000).cast("long") * code) % total) / total
+    permille = permille.cast("long")
+    return {
+        "n_lines": total,
+        "n_code_lines": code,
+        "code_permille": permille,
+        "is_code": permille >= 300,
+    }
