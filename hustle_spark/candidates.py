@@ -1560,6 +1560,70 @@ TEXT_CODE_DETECT_ORACLE = """
 """
 
 
+def embedding_matryoshka_audit(spark, sf_dir):
+    """L46 matryoshka-readiness audit (Kusupati et al. MRL): how much
+    of each label's embedding energy lives in the first k dims — the
+    number that decides whether truncated vectors are usable for
+    cheap first-stage retrieval. Embeddings are int8-quantized first
+    (similarity.quantize_int8, the established exact-integer bridge),
+    then per (label, k in 8/16/32/64): frac_micro = 1e6 * sum of
+    prefix squared q-values DIV total — pure integer, zero float
+    aggregation order risk. k=64 rows are the built-in sanity
+    (exactly 1e6). Map-only prefix folds; one label aggregate."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    qd = similarity.quantize_int8(e)
+
+    def sq(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long") * x.cast("long"),
+        )
+
+    agg = qd.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        *[
+            F.sum(sq(F.slice(F.col("q8"), 1, k))).alias(f"p{k}")
+            for k in (8, 16, 32, 64)
+        ],
+        F.sum(sq(F.col("q8"))).alias("tot"),
+    )
+    stacked = agg.select(
+        "label",
+        F.expr(
+            "stack(4, CAST(8 AS BIGINT), p8, CAST(16 AS BIGINT), p16, "
+            "CAST(32 AS BIGINT), p32, CAST(64 AS BIGINT), p64) AS (k, pref)"
+        ),
+        "tot",
+    )
+    return stacked.select(
+        "label", "k",
+        F.expr("(CAST(1000000 AS BIGINT) * pref) div tot").alias("frac_micro"),
+    )
+
+
+EMBEDDING_MATRYOSHKA_AUDIT_ORACLE = """
+    WITH v AS (SELECT label, vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                      list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+               FROM embeddings),
+    q AS (SELECT label, vec_id, g.i,
+                 CASE WHEN maxabs = 0 THEN 0
+                      ELSE CAST(floor(emb[g.i] * 127.0 / maxabs) AS BIGINT)
+                 END AS qv
+          FROM v, unnest(generate_series(1, 64)) AS g(i)),
+    s AS (SELECT label, kk.k,
+                 SUM(CASE WHEN q.i <= kk.k THEN qv * qv ELSE 0 END) AS pref,
+                 SUM(qv * qv) AS tot
+          FROM q, (VALUES (8), (16), (32), (64)) kk(k)
+          GROUP BY label, kk.k)
+    SELECT CAST(label AS BIGINT) AS label, CAST(k AS BIGINT) AS k,
+           CAST((CAST(1000000 AS BIGINT) * pref) // tot AS BIGINT)
+             AS frac_micro
+    FROM s
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1691,6 +1755,10 @@ R8_CANDIDATES = {
         TEXT_LEXICAL_DIVERSITY_ORACLE,
     ),
     "text_code_detect": (text_code_detect, TEXT_CODE_DETECT_ORACLE),
+    "embedding_matryoshka_audit": (
+        embedding_matryoshka_audit,
+        EMBEDDING_MATRYOSHKA_AUDIT_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
