@@ -78,6 +78,8 @@ CANDIDATE_ALLOWED_PYTHON = {
     "multimodal_exif_probe",              # TIFF IFD walk
     "multimodal_video_scenes",            # mdat walk + numpy frame diffs
     "audio_pitch_probe",                  # PCM autocorrelation
+    "audio_segments_probe",               # PCM energy windows
+    "dedup_image_phash_groups",           # pixel decode + integer DCT
 }
 
 
