@@ -1624,6 +1624,105 @@ EMBEDDING_MATRYOSHKA_AUDIT_ORACLE = """
 """
 
 
+def embedding_pq_audit(spark, sf_dir):
+    """L47 product quantization (Jegou et al.) — the last rung of the
+    ANN compression ladder (brute -> LSH -> IVF -> random projection
+    -> int8 -> PQ): 64-dim int8-quantized vectors split into M=8
+    subspaces of D=8; each subspace coded by its SIGN PATTERN (the
+    repo's deterministic stand-in for k-means codebooks — same
+    replayability argument as dedup_semantic's quantizer; a trained
+    codebook swaps in as a broadcast (m, code, centroid) table);
+    codebook centroids estimated as per-(subspace, code, dim) integer
+    truncated means (one shuffle), and reconstruction distortion
+    sum((q - centroid)^2) reported per label — every number exact
+    integer, every division truncated identically in both engines
+    (Spark `div` == DuckDB `//`, verified on negatives). 64-to-8-byte
+    code compression is the memory story that makes 100 TB ANN
+    indexes fit executor RAM."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    qd = similarity.quantize_int8(e).select("label", "vec_id", "q8")
+    sub = qd.select(
+        "label", "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda m: F.struct(
+                    m.cast("long").alias("m"),
+                    F.slice(F.col("q8"), m * 8 + 1, 8).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("label", "vec_id", "s.m", "s.sv")
+    # sign-bit code as a (code, weight) fold — bit j weights 2^j
+    code = F.aggregate(
+        F.col("sv"),
+        F.struct(
+            F.lit(0).cast("long").alias("code"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        lambda a, x: F.struct(
+            (a["code"] + F.when(x > 0, a["w"]).otherwise(F.lit(0).cast("long")))
+            .alias("code"),
+            (a["w"] * 2).alias("w"),
+        ),
+        lambda a: a["code"],
+    )
+    coded = sub.withColumn("code", code)
+    dims = coded.select(
+        "label", "vec_id", "m", "code",
+        F.posexplode(F.col("sv")).alias("j", "v"),
+    ).withColumn("v", F.col("v").cast("long"))
+    cent = dims.groupBy("m", "code", "j").agg(
+        F.expr("sum(v) div count(1)").alias("c")
+    )
+    dist = (
+        dims.join(cent, ["m", "code", "j"])
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.countDistinct("m", "code").alias("n_distinct_codes"),
+            F.sum(F.expr("(v - c) * (v - c)")).cast("long")
+            .alias("distortion_sum"),
+        )
+    )
+    return dist.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_vecs", "n_distinct_codes", "distortion_sum",
+    )
+
+
+EMBEDDING_PQ_AUDIT_ORACLE = """
+    WITH v AS (SELECT label, vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                      list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+               FROM embeddings),
+    q AS (SELECT label, vec_id, g.i,
+                 (g.i - 1) // 8 AS m, (g.i - 1) % 8 AS j,
+                 CASE WHEN maxabs = 0 THEN 0
+                      ELSE CAST(floor(emb[g.i] * 127.0 / maxabs) AS BIGINT)
+                 END AS qv
+          FROM v, unnest(generate_series(1, 64)) AS g(i)),
+    codes AS (SELECT label, vec_id, m,
+                     SUM(CASE WHEN qv > 0 THEN 1 << j ELSE 0 END) AS code
+              FROM q GROUP BY label, vec_id, m),
+    dims AS (SELECT q.label, q.vec_id, q.m, c.code, q.j, q.qv AS v
+             FROM q JOIN codes c
+               ON c.vec_id = q.vec_id AND c.m = q.m AND c.label = q.label),
+    cent AS (SELECT m, code, j, SUM(v) // COUNT(*) AS c
+             FROM dims GROUP BY m, code, j)
+    SELECT CAST(d.label AS BIGINT) AS label,
+           CAST(COUNT(DISTINCT d.vec_id) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT (d.m, d.code)) AS BIGINT)
+             AS n_distinct_codes,
+           CAST(SUM((d.v - ct.c) * (d.v - ct.c)) AS BIGINT)
+             AS distortion_sum
+    FROM dims d JOIN cent ct ON ct.m = d.m AND ct.code = d.code
+                             AND ct.j = d.j
+    GROUP BY d.label
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1759,6 +1858,7 @@ R8_CANDIDATES = {
         embedding_matryoshka_audit,
         EMBEDDING_MATRYOSHKA_AUDIT_ORACLE,
     ),
+    "embedding_pq_audit": (embedding_pq_audit, EMBEDDING_PQ_AUDIT_ORACLE),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
