@@ -122,6 +122,9 @@ DEFAULT_PROBES = [
     "dedup_image_phash_groups",
     "audio_segments_probe",
     "text_lexical_diversity",
+    "text_code_detect",
+    "embedding_matryoshka_audit",
+    "embedding_pq_audit",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing
