@@ -1110,6 +1110,53 @@ def test_brightness_corpus_groups_by_phash_not_bytes(spark):
     assert len(acs) == 1, "pHash AC bits must be brightness-invariant"
 
 
+def test_pagerank_bucketed_src_join_shuffle_free(spark):
+    """graph.py's 100 TB claim, pinned in the plan: with ranks and
+    edges both bucketed on the join key, the per-iteration rank join
+    is a SortMergeJoin with NO Exchange on either side, and the
+    bucketed contrib equals the plain-DataFrame contrib exactly."""
+    from pyspark.sql import functions as F
+
+    from hustle_spark.operators.graph import synthetic_link_edges
+    from hustle_spark.plans.scale import bucketize_table, explain_str
+
+    nodes = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    edges = synthetic_link_edges(nodes, "doc_id", F.lit(200))
+    ranks = nodes.select(
+        F.col("doc_id").alias("id"),
+        F.lit(1_000_000).cast("long").alias("rank_scaled"),
+    )
+    base = "/root/repo/.scratch/pagerank_buckets"
+    for name, df, key in [
+        ("pr_bucketed_edges", edges, "src"),
+        ("pr_bucketed_ranks", ranks, "id"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bucketize_table(df, name, key, buckets=8, path=f"{base}/{name}")
+    be = spark.table("pr_bucketed_edges")
+    br = spark.table("pr_bucketed_ranks")
+    joined = be.hint("merge").join(br, be["src"] == br["id"])
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed rank join must not shuffle"
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    plain = (
+        edges.join(deg, "src").join(ranks, F.col("src") == F.col("id"))
+        .select("dst", F.expr("rank_scaled div deg").alias("c"))
+        .groupBy("dst").agg(F.sum("c").alias("inflow"))
+    )
+    bdeg = be.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    bucketed = (
+        be.join(bdeg, "src").join(br, F.col("src") == F.col("id"))
+        .select("dst", F.expr("rank_scaled div deg").alias("c"))
+        .groupBy("dst").agg(F.sum("c").alias("inflow"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
+
+
 def test_pagerank_matches_pure_python_replay(spark):
     """pagerank() vs an independent pure-Python replay of the integer
     recurrence on a hand-built graph with a sink-only node (3: no
