@@ -842,8 +842,9 @@ def _bpe_fold_sql(src: str, a: str, b: str) -> str:
 
 BPE_ENCODE_CORPUS_ORACLE = f"""
     WITH t0 AS (SELECT doc_id,
-                       string_split_regex(text, '\\s+') AS tl,
-                       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                       string_split_regex(coalesce(text, ''), '\\s+') AS tl,
+                       CAST(len(string_split_regex(coalesce(text, ''),
+                                                   '\\s+')) AS BIGINT)
                          AS n_tokens
                 FROM documents),
     s1 AS ({_bpe_fold_sql('t0', 'table', 'hash')}),
@@ -926,22 +927,17 @@ def multimodal_image_phash(spark, sf_dir):
     return multimodal.decode_image_phash(media)
 
 
-def _phash_oracle() -> str:
+def _phash_core_ctes() -> str:
+    """The engine-shared half of every pHash oracle — integer-DCT
+    basis VALUES, coefficient product, and the ranked-median CTE —
+    so the two pHash rows cannot drift apart on what pHash IS.
+    Expects a preceding ``cells(doc_id, j, i, v)`` CTE."""
     basis = ", ".join(
         f"({u}, {x}, {t})"
         for u, row in enumerate(multimodal.PHASH_DCT_BASIS)
         for x, t in enumerate(row)
     )
     return f"""
-    WITH geo AS (SELECT doc_id, CAST((doc_id % 4 + 1) * 4 AS BIGINT) AS w,
-                        CAST(doc_id % 6 + 1 AS BIGINT) AS h
-                 FROM documents),
-    cells AS (
-      SELECT g.doc_id, g.w, g.h, gj.j, gi.i,
-             (((g.doc_id + (gi.i * g.w // 8) + (gj.j * g.h // 8)) % 256)
-            + ((g.doc_id * 3 + (gi.i * g.w // 8) * 7) % 256)
-            + ((g.doc_id * 5 + (gj.j * g.h // 8) * 11) % 256)) // 3 AS v
-      FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
     basis(u, x, t) AS (VALUES {basis}),
     coef AS (
       SELECT c.doc_id, bv.u AS v, bu.u AS u,
@@ -955,7 +951,21 @@ def _phash_oracle() -> str:
         SELECT doc_id, s,
                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
         FROM coef WHERE NOT (u = 0 AND v = 0))
-      WHERE rn = 32)
+      WHERE rn = 32)"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH geo AS (SELECT doc_id, CAST((doc_id % 4 + 1) * 4 AS BIGINT) AS w,
+                        CAST(doc_id % 6 + 1 AS BIGINT) AS h
+                 FROM documents),
+    cells AS (
+      SELECT g.doc_id, g.w, g.h, gj.j, gi.i,
+             (((g.doc_id + (gi.i * g.w // 8) + (gj.j * g.h // 8)) % 256)
+            + ((g.doc_id * 3 + (gi.i * g.w // 8) * 7) % 256)
+            + ((g.doc_id * 5 + (gj.j * g.h // 8) * 11) % 256)) // 3 AS v
+      FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+    {_phash_core_ctes().lstrip()}
     SELECT c.doc_id AS media_id, 'bmp' AS media_type,
            CAST(MAX(g.w) AS INT) AS width, CAST(MAX(g.h) AS INT) AS height,
            CAST(COUNT(*) FILTER (WHERE c.s > m.m) AS BIGINT) AS n_set_bits,
@@ -1335,11 +1345,6 @@ def dedup_image_phash_groups(spark, sf_dir):
 
 
 def _phash_groups_oracle() -> str:
-    basis = ", ".join(
-        f"({u}, {x}, {t})"
-        for u, row in enumerate(multimodal.PHASH_DCT_BASIS)
-        for x, t in enumerate(row)
-    )
     return f"""
     WITH geo AS (SELECT doc_id, doc_id % 50 AS grp,
                         (doc_id // 50) % 19 AS sh,
@@ -1353,20 +1358,7 @@ def _phash_groups_oracle() -> str:
             + ((g.grp * 5 + (gj.j * g.h // 8) * 11) % 200)
             + 9 * g.sh) // 3 AS v
       FROM geo g, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
-    basis(u, x, t) AS (VALUES {basis}),
-    coef AS (
-      SELECT c.doc_id, bv.u AS v, bu.u AS u,
-             SUM(c.v * bu.t * bv.t) AS s
-      FROM cells c
-      JOIN basis bu ON bu.x = c.i
-      JOIN basis bv ON bv.x = c.j
-      GROUP BY c.doc_id, bv.u, bu.u),
-    med AS (
-      SELECT doc_id, s AS m FROM (
-        SELECT doc_id, s,
-               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS rn
-        FROM coef WHERE NOT (u = 0 AND v = 0))
-      WHERE rn = 32),
+    {_phash_core_ctes().lstrip()},
     bits AS (
       SELECT c.doc_id,
              string_agg(CASE WHEN c.s > m.m THEN '1' ELSE '0' END, ''

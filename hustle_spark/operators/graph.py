@@ -48,10 +48,19 @@ def pagerank(
     rank_scaled in micro-units. Dangling mass is DROPPED (the
     simple-sink convention, documented; redistributing it adds one
     scalar agg per round)."""
+    from ..util import tracked_cache
+
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    ed = edges.join(deg, src)
-    ranks = nodes.select(F.col(id_col).alias("id"),
-                         F.lit(1_000_000).cast("long").alias("rank_scaled"))
+    # cache the degree-joined edge table and the node list: every
+    # iteration re-reads both, and without this the final plan embeds
+    # n_iter copies of the edges scan + degree shuffle (the docstring's
+    # "computed once and reused" would be a lie). For large n_iter add
+    # a periodic localCheckpoint on ranks to cut lineage growth.
+    ed = tracked_cache(edges.join(deg, src))
+    node_ids = tracked_cache(nodes.select(F.col(id_col).alias("id")))
+    ranks = node_ids.select(
+        "id", F.lit(1_000_000).cast("long").alias("rank_scaled")
+    )
     for _ in range(n_iter):
         contrib = (
             ed.join(ranks, ed[src] == ranks["id"])
@@ -63,7 +72,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         ranks = (
-            nodes.select(F.col(id_col).alias("id"))
+            node_ids
             .join(contrib, F.col("id") == F.col("__to"), "left")
             .select(
                 "id",

@@ -47,6 +47,17 @@ AUDIO_FEATURE_SCHEMA = (
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column: byte-reverse the
+    zero-padded big-endian hex string. Shared by every RIFF/BMP
+    synthesizer (was six identical local defs — one layout fix now
+    lands everywhere)."""
+    be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+    return F.concat(
+        *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+    )
+
+
 def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     """Parse (format, width, height) from the leading bytes of a PNG,
     JPEG, or GIF payload — pure Python, no imaging libraries.
@@ -341,13 +352,7 @@ def synthesize_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
     byte_rate = (sample_rate * block_align).cast("long")
     data_size = (n_frames * block_align).cast("long")
 
-    def le(col, nbytes: int):
-        # little-endian hex of an integer column: byte-reverse the
-        # zero-padded big-endian hex string
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     payload_hex = F.concat(
         F.lit("52494646"),            # 'RIFF'
@@ -444,11 +449,7 @@ def synthesize_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
     w = (mid % 4 + 1) * 4
     h = mid % 6 + 1
 
-    def le(col, nbytes: int):
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     hx2 = lambda c: F.lpad(F.hex(c % 256), 2, "0")  # noqa: E731
 
@@ -976,11 +977,7 @@ def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str) -> DataFrame:
     n_samples = (mid % 50 + 8).cast("long")
     data_size = n_samples * 2  # mono 16-bit
 
-    def le(col, nbytes: int):
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     # signed sample -> unsigned 16-bit two's complement -> LE hex
     sample_hex = F.array_join(
@@ -991,23 +988,31 @@ def synthesize_wav_pcm_payloads(df: DataFrame, id_col: str) -> DataFrame:
         "",
     )
     payload_hex = F.concat(
-        F.lit("52494646"),             # 'RIFF'
-        le(data_size + 36, 4),
-        F.lit("57415645" "666D7420"),  # 'WAVE' 'fmt '
-        F.lit("10000000" "0100"),      # fmt size 16, PCM
-        le(F.lit(1), 2),               # mono
-        le(F.lit(8000), 4),            # sample rate
-        le(F.lit(16000), 4),           # byte rate = sr * block_align
-        le(F.lit(2), 2),               # block align
-        le(F.lit(16), 2),              # bits
-        F.lit("64617461"),             # 'data'
-        le(data_size, 4),
-        sample_hex,
+        _wav_mono16_8k_header_hex(data_size), sample_hex
     )
     return df.select(
         mid.alias("media_id"),
         F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
         F.lit("audio/wav").alias("media_type"),
+    )
+
+
+def _wav_mono16_8k_header_hex(data_size):
+    """Complete 44-byte mono/16-bit/8 kHz PCM WAV header (through the
+    'data' chunk size) as a hex Column — shared by the pcm/tone/speech
+    synthesizers so the RIFF layout lives in exactly one place."""
+    return F.concat(
+        F.lit("52494646"),             # 'RIFF'
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645" "666D7420"),  # 'WAVE' 'fmt '
+        F.lit("10000000" "0100"),      # fmt size 16, PCM
+        _le_hex(F.lit(1), 2),          # mono
+        _le_hex(F.lit(8000), 4),       # sample rate
+        _le_hex(F.lit(16000), 4),      # byte rate = sr * block_align
+        _le_hex(F.lit(2), 2),          # block align
+        _le_hex(F.lit(16), 2),         # bits
+        F.lit("64617461"),             # 'data'
+        _le_hex(data_size, 4),
     )
 
 
@@ -1202,11 +1207,7 @@ def synthesize_wav_tone_payloads(df: DataFrame, id_col: str) -> DataFrame:
     period = mid % 13 + 4
     data_size = n_samples * 2
 
-    def le(col, nbytes: int):
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     def sample(i):
         saw = F.floor((i % period) * 4000 / period).cast("long") - 2000
@@ -1221,24 +1222,36 @@ def synthesize_wav_tone_payloads(df: DataFrame, id_col: str) -> DataFrame:
         "",
     )
     payload_hex = F.concat(
-        F.lit("52494646"),
-        le(data_size + 36, 4),
-        F.lit("57415645" "666D7420"),
-        F.lit("10000000" "0100"),
-        le(F.lit(1), 2),
-        le(F.lit(8000), 4),
-        le(F.lit(16000), 4),
-        le(F.lit(2), 2),
-        le(F.lit(16), 2),
-        F.lit("64617461"),
-        le(data_size, 4),
-        sample_hex,
+        _wav_mono16_8k_header_hex(data_size), sample_hex
     )
     return df.select(
         mid.alias("media_id"),
         F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
         F.lit("audio/wav").alias("media_type"),
     )
+
+
+def _wav_data_samples(payload: bytes):
+    """Locate the 'data' chunk of a 16-bit PCM WAV payload and return
+    (sample_rate, samples as int64 ndarray), or None. Shared by the
+    pitch and segmentation decoders; _audio_samples_one keeps its own
+    pure-Python walk because its per-sample checksum loop predates
+    this helper and its driver row is registered (unify at the next
+    _CHANGED promotion)."""
+    import numpy as np
+
+    parsed = parse_wav_header(payload)
+    if parsed is None or parsed[2] != 16:
+        return None
+    _ch, sr, _bits, _frames = parsed
+    pos = payload.find(b"data", 12)
+    if pos < 0 or pos + 8 > len(payload):
+        return None
+    size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+    s = np.frombuffer(
+        payload[pos + 8 : pos + 8 + size], dtype="<i2"
+    ).astype(np.int64)
+    return sr, s
 
 
 AUDIO_PITCH_SCHEMA = (
@@ -1270,17 +1283,10 @@ def _audio_pitch_one(payload: bytes):
     with the threshold rule on the tone fixtures."""
     import numpy as np
 
-    parsed = parse_wav_header(payload)
-    if parsed is None or parsed[2] != 16:
+    parsed = _wav_data_samples(payload)
+    if parsed is None:
         return "unknown", 0, 0, 0, 0, False
-    _ch, sr, _bits, _frames = parsed
-    pos = payload.find(b"data", 12)
-    if pos < 0 or pos + 8 > len(payload):
-        return "unknown", 0, 0, 0, 0, False
-    size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-    s = np.frombuffer(payload[pos + 8 : pos + 8 + size], dtype="<i2").astype(
-        np.int64
-    )
+    sr, s = parsed
     n = len(s)
     if n <= _PITCH_MAX_LAG:
         return "wav", sr, n, 0, 0, False
@@ -1353,11 +1359,7 @@ def synthesize_wav_speech_payloads(df: DataFrame, id_col: str) -> DataFrame:
     seg_len = mid % 11 + 8
     data_size = n_samples * 2
 
-    def le(col, nbytes: int):
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     def sample(i):
         g = ((i - i % seg_len) / seg_len).cast("long")
@@ -1374,11 +1376,7 @@ def synthesize_wav_speech_payloads(df: DataFrame, id_col: str) -> DataFrame:
         "",
     )
     payload_hex = F.concat(
-        F.lit("52494646"), le(data_size + 36, 4),
-        F.lit("57415645" "666D7420" "10000000" "0100"),
-        le(F.lit(1), 2), le(F.lit(8000), 4), le(F.lit(16000), 4),
-        le(F.lit(2), 2), le(F.lit(16), 2),
-        F.lit("64617461"), le(data_size, 4), sample_hex,
+        _wav_mono16_8k_header_hex(data_size), sample_hex
     )
     return df.select(
         mid.alias("media_id"),
@@ -1401,16 +1399,10 @@ def _audio_segments_one(payload: bytes, window: int = 4, threshold: int = 200):
     model-agnostic."""
     import numpy as np
 
-    parsed = parse_wav_header(payload)
-    if parsed is None or parsed[2] != 16:
+    parsed = _wav_data_samples(payload)
+    if parsed is None:
         return "unknown", 0, 0, 0, 0, False
-    pos = payload.find(b"data", 12)
-    if pos < 0 or pos + 8 > len(payload):
-        return "unknown", 0, 0, 0, 0, False
-    size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-    s = np.frombuffer(payload[pos + 8 : pos + 8 + size], dtype="<i2").astype(
-        np.int64
-    )
+    _sr, s = parsed
     n = len(s)
     nw = n // window
     if nw == 0:
@@ -1565,6 +1557,33 @@ def synthesize_mp4_frames_payloads(
     )
 
 
+def _find_mdat(payload: bytes):
+    """Walk top-level ISO-BMFF boxes and return the first ``mdat``
+    box's payload bytes, or None. Handles the spec's two special size
+    encodings (0 = to end of file, 1 = 64-bit largesize); malformed
+    sizes and truncated boxes end the walk cleanly. Shared by
+    _mdat_frames and _video_scenes_one so a box-walk fix lands in
+    both."""
+    pos, n = 0, len(payload)
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        header = 8
+        if size == 0:
+            size = n - pos
+        elif size == 1:
+            if pos + 16 > n:
+                return None
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            header = 16
+        if size < header or pos + size > n:
+            return None
+        if btype == b"mdat":
+            return payload[pos + header : pos + size]
+        pos += size
+    return None
+
+
 def synthesize_mp4_scene_payloads(
     df: DataFrame, id_col: str, frame_size: int = 16
 ) -> DataFrame:
@@ -1657,25 +1676,7 @@ def _video_scenes_one(payload: bytes, frame_size: int = 16, threshold: int = 128
     frame slicing cannot hash-match."""
     import hashlib
 
-    pos, n = 0, len(payload)
-    data = None
-    while pos + 8 <= n:
-        size = int.from_bytes(payload[pos : pos + 4], "big")
-        btype = payload[pos + 4 : pos + 8]
-        header = 8
-        if size == 0:
-            size = n - pos
-        elif size == 1:
-            if pos + 16 > n:
-                break
-            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
-            header = 16
-        if size < header or pos + size > n:
-            break
-        if btype == b"mdat":
-            data = payload[pos + header : pos + size]
-            break
-        pos += size
+    data = _find_mdat(payload)
     if data is None:
         return "unknown", 0, 0, "", False
     nf = len(data) // frame_size
@@ -1731,29 +1732,14 @@ def _mdat_frames(payload: bytes, every_n: int, frame_size: int):
     to end of file — common for a final streamed mdat) and size==1
     (64-bit largesize in the following 8 bytes, mdat > 4 GiB);
     malformed sizes and truncated boxes terminate the walk cleanly."""
-    pos, n = 0, len(payload)
-    while pos + 8 <= n:
-        size = int.from_bytes(payload[pos : pos + 4], "big")
-        btype = payload[pos + 4 : pos + 8]
-        header = 8
-        if size == 0:
-            size = n - pos  # to end of file
-        elif size == 1:
-            if pos + 16 > n:
-                return
-            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
-            header = 16
-        if size < header or pos + size > n:
-            return
-        if btype == b"mdat":
-            data = payload[pos + header : pos + size]
-            for f in range(0, len(data) // frame_size, every_n):
-                frame = data[f * frame_size : (f + 1) * frame_size]
-                fsum = sum(frame)
-                wfsum = sum((j + 1) * b for j, b in enumerate(frame))
-                yield f, fsum, wfsum
-            return
-        pos += size
+    data = _find_mdat(payload)
+    if data is None:
+        return
+    for f in range(0, len(data) // frame_size, every_n):
+        frame = data[f * frame_size : (f + 1) * frame_size]
+        fsum = sum(frame)
+        wfsum = sum((j + 1) * b for j, b in enumerate(frame))
+        yield f, fsum, wfsum
 
 
 def sample_video_frames(
@@ -3388,11 +3374,7 @@ def synthesize_bmp_brightness_payloads(df: DataFrame, id_col: str) -> DataFrame:
     w = (grp % 4 + 1) * 4
     h = grp % 6 + 1
 
-    def le(col, nbytes: int):
-        be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-        return F.concat(
-            *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-        )
+    le = _le_hex
 
     hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
 

@@ -1041,8 +1041,7 @@ def test_phash_brightness_invariant_ahash_not():
     rng = np.random.RandomState(7)
     w, h = 12, 9
     base = rng.randint(30, 180, size=(h, w, 3))
-    shifted = base + 40  # no clipping: max 219 + 40 = 259? keep < 256
-    shifted = np.clip(base + 40, 0, 255)
+    shifted = base + 40  # no clipping possible: max 179 + 40 = 219 < 256
     assert (shifted - base == 40).all()
 
     def to_png(arr):
