@@ -1779,6 +1779,20 @@ TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
+# Suggested r8 flip (31 staged rows cannot all be _NEW in one 50-slot
+# window at the >=90% re-confirmation norm — split r8/r9):
+#   r8 _CHANGED: the owed helper-refactor promotions
+#     (multimodal_frame_sample, multimodal_audio_samples,
+#      multimodal_audio_probe, multimodal_pixel_probe,
+#      multimodal_resize_probe — byte-identical refactors,
+#      oracle-reproven this session, promoted per protocol);
+#   r8 _NEW (first half, oldest-staged first): the 8 original entries
+#     + gopher pair + lines/classifier/noindex/ahash/curation;
+#   r9 _NEW: the session-3 batch (png, bpe, phash(+groups), pitch,
+#     segments, exif, scenes, pagerank, tfidf, csv, diversity,
+#     code_detect, matryoshka, pq).
+# Keep ~30 backfill slots per round from _QUEUED_NEXT so the
+# re-confirmation share stays documented and high.
 R8_CANDIDATES = {
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
