@@ -1715,6 +1715,43 @@ EMBEDDING_PQ_AUDIT_ORACLE = """
 """
 
 
+def events_rolling_actives(spark, sf_dir):
+    """L48 rolling active users (DAU / 7-day WAU) — the event-
+    analytics staple of the reference's original domain that the
+    funnel/cohort/sessionize family did not yet cover. Scale shape:
+    one (day, user) DISTINCT over the stream, then WAU via a BOUNDED
+    7-day fan-out (explode each daily-active row into the 7 windows
+    it serves) + countDistinct — never a day-range join against the
+    event stream, so the wide work is 7x the daily-active table, not
+    the raw events. Day arithmetic is the cohort row's integer
+    epoch-day idiom; the oracle computes WAU with the equivalent
+    BETWEEN join over the same distinct set."""
+    ev = _cat(spark, sf_dir).table("events").df
+    day = F.floor(F.col("ts").cast("double") / F.lit(86400)).cast("bigint")
+    daily = ev.select(day.alias("day"), "user_id").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+EVENTS_ROLLING_ACTIVES_ORACLE = """
+    WITH daily AS (SELECT DISTINCT
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     user_id
+                   FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM daily GROUP BY day),
+    wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+            FROM (SELECT DISTINCT day FROM daily) d
+            JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day)
+    SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w USING (day)
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1865,6 +1902,10 @@ R8_CANDIDATES = {
         EMBEDDING_MATRYOSHKA_AUDIT_ORACLE,
     ),
     "embedding_pq_audit": (embedding_pq_audit, EMBEDDING_PQ_AUDIT_ORACLE),
+    "events_rolling_actives": (
+        events_rolling_actives,
+        EVENTS_ROLLING_ACTIVES_ORACLE,
+    ),
     "text_curation_verdict": (
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
