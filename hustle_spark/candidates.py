@@ -1752,6 +1752,59 @@ EVENTS_ROLLING_ACTIVES_ORACLE = """
 """
 
 
+def sketch_rollup_actives(spark, sf_dir):
+    """L49 MERGEABLE-sketch rollup (DataSketches HLL via Spark's
+    hll_sketch_agg / hll_union_agg) — the production shape of
+    events_rolling_actives at 100 TB: per-DAY user sketches are
+    materialized once (a few KB each) and weekly actives come from
+    MERGING seven sketches, never re-touching the event stream — the
+    pattern that turns any distinct-count rollup into an incremental
+    O(days) job. Correctness gate per the approx_cardinality
+    precedent: the sketch estimate can never hash-match, so the row
+    emits the EXACT weekly distinct (oracle-verified) plus sketch_ok
+    = |estimate - exact| <= 5% exact; DataSketches HLL is
+    deterministic for fixed input, so the boolean is a stable
+    regression gate (measured max rel err well under 1% here)."""
+    ev = _cat(spark, sf_dir).table("events").df
+    day = F.floor(F.col("ts").cast("double") / F.lit(86400)).cast("bigint")
+    week = (F.col("day") - F.col("day") % 7) / 7
+    daily_sk = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est = (
+        daily_sk.withColumn("week", week.cast("bigint"))
+        .groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ev.select(day.alias("day"), "user_id")
+        .withColumn("week", week.cast("bigint"))
+        .select("week", "user_id").distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("exact_weekly"))
+    )
+    return exact.join(est, "week").select(
+        "week", "exact_weekly",
+        (F.abs(F.col("est") - F.col("exact_weekly")) * 100
+         <= F.col("exact_weekly") * 5).alias("sketch_ok"),
+    )
+
+
+SKETCH_ROLLUP_ACTIVES_ORACLE = """
+    WITH d AS (SELECT DISTINCT
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                 user_id
+               FROM events),
+    w AS (SELECT DISTINCT (day - day % 7) // 7 AS week, user_id FROM d)
+    SELECT CAST(week AS BIGINT) AS week,
+           COUNT(*) AS exact_weekly,
+           true AS sketch_ok
+    FROM w GROUP BY week
+"""
+
+
 def text_curation_verdict(spark, sf_dir):
     """L40 composed curation gate (RefinedWeb / FineWeb / MassiveText
     composition): unicode hygiene + Gopher quality + Gopher
@@ -1905,6 +1958,10 @@ R8_CANDIDATES = {
     "events_rolling_actives": (
         events_rolling_actives,
         EVENTS_ROLLING_ACTIVES_ORACLE,
+    ),
+    "sketch_rollup_actives": (
+        sketch_rollup_actives,
+        SKETCH_ROLLUP_ACTIVES_ORACLE,
     ),
     "text_curation_verdict": (
         text_curation_verdict,
