@@ -1883,6 +1883,64 @@ TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
 #     code_detect, matryoshka, pq).
 # Keep ~30 backfill slots per round from _QUEUED_NEXT so the
 # re-confirmation share stays documented and high.
+def corpus_build_pipeline(spark, sf_dir):
+    """L50 END-TO-END corpus build (the capstone composition): the
+    five-stage curation gate decides keep per document, the kept set
+    is token-counted, and each language's training budget is the
+    GPT-style pack-and-split arithmetic (ctx 512: n_sequences =
+    ceil(total_tokens / 512), waste_permille = padding share of the
+    final partial sequence) — ingestion-to-training-batch in ONE
+    driver row. Spark side composes the literal stage operators
+    (curation_verdict -> semi-join -> lang rollup); the oracle embeds
+    the verdict row's full five-stage SQL as a CTE and re-derives the
+    budget, so a drift in ANY stage, the keep semantics, the join, or
+    the packing arithmetic hash-mismatches. Gate docs move through
+    exactly one semi-join + one lang aggregate after the map-only
+    verdict scan."""
+    vd = text_curation_verdict(spark, sf_dir)
+    docs = _cat(spark, sf_dir).table("documents").df.select(
+        "doc_id", "lang", "text"
+    )
+    kept = docs.join(
+        vd.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    tok = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")).cast(
+        "long"
+    )
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum(tok).alias("total_tokens"),
+    )
+    n_seq = F.expr("(total_tokens + 511) div 512")
+    return agg.select(
+        "lang", "n_docs_kept", "total_tokens",
+        n_seq.alias("n_sequences"),
+        F.expr(
+            "(((total_tokens + 511) div 512) * 512 - total_tokens) * 1000"
+            " div (((total_tokens + 511) div 512) * 512)"
+        ).alias("waste_permille"),
+    )
+
+
+CORPUS_BUILD_PIPELINE_ORACLE = f"""
+    WITH v AS ({TEXT_CURATION_VERDICT_ORACLE}),
+    k AS (SELECT doc_id FROM v WHERE keep),
+    t AS (SELECT d.lang,
+                 CAST(len(string_split_regex(coalesce(d.text, ''),
+                                             '\\s+')) AS BIGINT) AS n_tok
+          FROM documents d JOIN k USING (doc_id)),
+    a AS (SELECT lang, COUNT(*) AS n_docs_kept, SUM(n_tok) AS total_tokens
+          FROM t GROUP BY lang)
+    SELECT lang, n_docs_kept,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens + 511) // 512 AS BIGINT) AS n_sequences,
+           CAST((((total_tokens + 511) // 512) * 512 - total_tokens) * 1000
+                // (((total_tokens + 511) // 512) * 512) AS BIGINT)
+             AS waste_permille
+    FROM a
+"""
+
+
 R8_CANDIDATES = {
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
@@ -1962,6 +2020,10 @@ R8_CANDIDATES = {
     "sketch_rollup_actives": (
         sketch_rollup_actives,
         SKETCH_ROLLUP_ACTIVES_ORACLE,
+    ),
+    "corpus_build_pipeline": (
+        corpus_build_pipeline,
+        CORPUS_BUILD_PIPELINE_ORACLE,
     ),
     "text_curation_verdict": (
         text_curation_verdict,
