@@ -1901,9 +1901,19 @@ def corpus_build_pipeline(spark, sf_dir):
     docs = _cat(spark, sf_dir).table("documents").df.select(
         "doc_id", "lang", "text"
     )
-    kept = docs.join(
-        vd.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    # localCheckpoint the WHOLE (thin) verdict frame before filtering:
+    # projecting just `keep` lets Catalyst collapse the five stage
+    # projections into one fused expression where the stages' shared
+    # sub-arrays (token lists, gram HOFs) are re-expanded per
+    # reference — measured 130-153 s at sf0.1 vs 7.5 s for the
+    # verdict row's own full-column materialization. The checkpoint
+    # pins the good stage-by-stage plan and the join side becomes a
+    # scalar-thin materialized set.
+    keep_ids = (
+        vd.localCheckpoint(eager=True)
+        .filter(F.col("keep")).select("doc_id")
     )
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
     tok = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+")).cast(
         "long"
     )
