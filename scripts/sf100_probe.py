@@ -127,6 +127,7 @@ DEFAULT_PROBES = [
     "text_code_detect",
     "embedding_matryoshka_audit",
     "embedding_pq_audit",
+    "corpus_build_pipeline",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing
