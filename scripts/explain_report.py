@@ -94,6 +94,8 @@ CANDIDATE_SHOWCASE = {
     "retrieval_tfidf_topk": "query-term broadcast semi-join prunes tokens BEFORE the tf shuffle; idf broadcast; per-query top-k window on scored docs only",
     "bpe_encode_corpus": "four greedy merge folds entirely map-only codegen: the only exchange is the single-split input spread",
     "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
+    "events_rolling_actives": "WAU via bounded 7-day fan-out explode + countDistinct — wide work is 7x the daily-active table, never a range join on raw events",
+    "corpus_build_pipeline": "five-stage gate checkpointed thin (the projection-collapse trap), scalar-id semi-join, one lang rollup",
 }
 
 
