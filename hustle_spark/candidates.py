@@ -1728,7 +1728,12 @@ def events_rolling_actives(spark, sf_dir):
     BETWEEN join over the same distinct set."""
     ev = _cat(spark, sf_dir).table("events").df
     day = F.floor(F.col("ts").cast("double") / F.lit(86400)).cast("bigint")
-    daily = ev.select(day.alias("day"), "user_id").distinct()
+    # cached: BOTH the dau and wau branches read this frame — without
+    # it the plan pays the raw-event scan + distinct shuffle twice
+    # (seen in EXPLAIN.md before the fix, no ReusedExchange)
+    daily = _util.tracked_cache(
+        ev.select(day.alias("day"), "user_id").distinct()
+    )
     dau = daily.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = daily.select(
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
@@ -1765,7 +1770,12 @@ def sketch_rollup_actives(spark, sf_dir):
     = |estimate - exact| <= 5% exact; DataSketches HLL is
     deterministic for fixed input, so the boolean is a stable
     regression gate (measured max rel err well under 1% here)."""
-    ev = _cat(spark, sf_dir).table("events").df
+    # NULL ts rows are EXCLUDED explicitly (both sides): a NULL week
+    # would survive the oracle's plain GROUP BY but never match
+    # Spark's equi-join — the r4 NULL-divergence class
+    ev = _cat(spark, sf_dir).table("events").df.filter(
+        F.col("ts").isNotNull()
+    )
     day = F.floor(F.col("ts").cast("double") / F.lit(86400)).cast("bigint")
     week = (F.col("day") - F.col("day") % 7) / 7
     daily_sk = (
@@ -1796,7 +1806,7 @@ SKETCH_ROLLUP_ACTIVES_ORACLE = """
     WITH d AS (SELECT DISTINCT
                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
                  user_id
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     w AS (SELECT DISTINCT (day - day % 7) // 7 AS week, user_id FROM d)
     SELECT CAST(week AS BIGINT) AS week,
            COUNT(*) AS exact_weekly,
@@ -1869,7 +1879,7 @@ TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
 # name -> (query fn, oracle SQL) — the exact pairs the r8 @query
 # registrations lift; tests/test_candidates.py drives every pair
 # against DuckDB at the gate SF.
-# Suggested r8 flip (31 staged rows cannot all be _NEW in one 50-slot
+# Suggested r8 flip (33 staged rows cannot all be _NEW in one 50-slot
 # window at the >=90% re-confirmation norm — split r8/r9):
 #   r8 _CHANGED: the owed helper-refactor promotions
 #     (multimodal_frame_sample, multimodal_audio_samples,
@@ -1880,9 +1890,11 @@ TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
 #     + gopher pair + lines/classifier/noindex/ahash/curation;
 #   r9 _NEW: the session-3 batch (png, bpe, phash(+groups), pitch,
 #     segments, exif, scenes, pagerank, tfidf, csv, diversity,
-#     code_detect, matryoshka, pq).
+#     code_detect, matryoshka, pq, rolling actives, sketch rollup,
+#     corpus_build_pipeline).
 # Keep ~30 backfill slots per round from _QUEUED_NEXT so the
-# re-confirmation share stays documented and high.
+# re-confirmation share stays documented and high; re-sync this
+# comment against len(R8_CANDIDATES) at every addition.
 def corpus_build_pipeline(spark, sf_dir):
     """L50 END-TO-END corpus build (the capstone composition): the
     five-stage curation gate decides keep per document, the kept set

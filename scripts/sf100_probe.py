@@ -69,8 +69,9 @@ EVENTS_PROBES = [
     "json_props_extract",
     "streaming_tumbling_hour",
     "rollup_view_requery",
-    # round-7 staged candidate (resolved via hustle_spark.candidates)
+    # round-7 staged candidates (resolved via hustle_spark.candidates)
     "events_rolling_actives",
+    "sketch_rollup_actives",
 ]
 
 # ops probed at 100x — LLM-pipeline surface (the headline/relational
