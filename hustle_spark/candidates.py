@@ -75,17 +75,21 @@ MULTIMODAL_JPEG_PROGRESSIVE_ORACLE = """
 
 
 def url_robots_filter(spark, sf_dir):
-    """L33 robots.txt politeness filtering (RFC 9309 rule core): the
-    messy-URL corpus's registrable domains each get a synthesized
-    robots body (variant = length(domain) % 4, the generative-replay
-    idiom), the bodies are parsed by the one-codegen-fold
-    robots_disallows, and robots_filter broadcasts the (domain,
-    disallows) table into a prefix test over every document URL. The
-    oracle never parses robots text — it replays the closed-form
-    blocked rule straight from the generative models, so the parser
-    AND the filter are both differentially pinned. Scale shape:
-    domains << documents, robots side broadcast, corpus scanned
-    once; the prefix test is an exists() HOF in codegen."""
+    """L33 robots.txt politeness filtering (full RFC 9309 precedence —
+    longest match wins, Allow wins length ties — plus Crawl-delay
+    extraction): the messy-URL corpus's registrable domains each get
+    a synthesized robots body (variant = length(domain) % 4, the
+    generative-replay idiom; every rule-bearing variant carries an
+    Allow-overrides-Disallow case or an equal-length tie), the bodies
+    are parsed by the one-codegen-fold robots_rules, and
+    robots_filter broadcasts the (domain, rules) table into a
+    longest-match decision over every document URL. The oracle never
+    parses robots text — it replays the closed-form blocked rule and
+    delay straight from the generative models, so the parser, the
+    precedence fold, AND the filter are all differentially pinned.
+    Scale shape: domains << documents, robots side broadcast, corpus
+    scanned once; match + precedence are filter()/aggregate() HOFs in
+    codegen."""
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
     urls = URLS.synthesize_messy_urls(d, "doc_id")
     domains = urls.select(
@@ -94,20 +98,31 @@ def url_robots_filter(spark, sf_dir):
     robots = URLS.synthesize_robots_bodies(domains)
     parsed = robots.select(
         "domain",
-        URLS.robots_disallows(F.col("robots_txt")).alias("disallows"),
+        URLS.robots_rules(F.col("robots_txt")).alias("rules"),
+        URLS.robots_crawl_delay(F.col("robots_txt")).alias("crawl_delay"),
     )
-    out = URLS.robots_filter(urls, parsed)
-    return out.select("doc_id", "domain", "blocked")
+    out = URLS.robots_filter(urls, parsed.select("domain", "rules"))
+    delays = parsed.select(
+        F.col("domain").alias("__ddom"), "crawl_delay"
+    )
+    return out.join(
+        F.broadcast(delays), out["domain"] == delays["__ddom"], "left"
+    ).select("doc_id", "domain", "blocked", "crawl_delay")
 
 
 URL_ROBOTS_FILTER_ORACLE = f"""
     WITH {_URL_MODEL_SQL}
     SELECT canon.doc_id, canon.domain,
            CASE CAST(length(canon.domain) % 4 AS INT)
-             WHEN 0 THEN (p.path LIKE '/p/1%' OR p.path LIKE '/q/%')
-             WHEN 1 THEN p.path LIKE '/p/2%'
+             WHEN 0 THEN (p.path LIKE '/p/1%'
+                          AND p.path NOT LIKE '/p/12%')
+             WHEN 1 THEN (p.path LIKE '/p/2%'
+                          AND p.path NOT LIKE '/p/22%')
              WHEN 2 THEN FALSE
-             ELSE p.path LIKE '/p/%' END AS blocked
+             ELSE p.path LIKE '/p/4%' END AS blocked,
+           CASE CAST(length(canon.domain) % 4 AS INT)
+             WHEN 0 THEN 2 WHEN 1 THEN 5
+             ELSE NULL END AS crawl_delay
     FROM canon JOIN p ON canon.doc_id = p.doc_id
 """
 

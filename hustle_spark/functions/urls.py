@@ -21,10 +21,13 @@ Canonicalization spec (applied in this order, each rule replayable):
      normalization — a documented non-goal; real crawls treat /a and
      /a/ as distinct fetches)
 
-Registrable-domain heuristic: the last two host labels, or three when
-the final two form a known multi-label suffix (_CC_SECOND_LEVEL — the
-public-suffix-list swap point; the PSL is a data file, the machinery
-is identical).
+Registrable-domain resolution: longest-matching PSL snapshot rule
+first — four labels when the final three form a known 3-label suffix
+(act.edu.au / k12.ca.us families), the wildcard-exception form for
+!www.ck, three labels when the final two form a 2-label suffix or the
+TLD carries a wildcard rule (*.ck), else the last-2-labels floor
+(functions/psl.py holds the snapshot + the full-PSL swap point; the
+PSL is a data file, the machinery is identical).
 
 Scale shape: all three functions are per-row expressions — zero
 shuffle; quota enforcement (domain_quota) is one window rank per
@@ -48,11 +51,16 @@ URL_REGEX = (
 # oracles, so both engines agree by construction)
 TRACKING_KEY_REGEX = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 
-# multi-label public suffixes the domain heuristic knows about — an
-# embedded ~380-entry snapshot of the 2-label ICANN suffixes from the
-# Public Suffix List (see functions/psl.py for scope + the full-PSL
-# swap point); compiled into the plan as a codegen InSet hash lookup.
+# multi-label public suffixes the domain heuristic knows about — the
+# embedded PSL snapshot (see functions/psl.py for scope + the full-PSL
+# swap point): ~380 2-label ICANN suffixes, the r8 3-label depth
+# expansion (act.edu.au / k12.ca.us families), and the TLD-level
+# wildcard rules (*.ck) with their exceptions (!www.ck); every set is
+# compiled into the plan as a codegen InSet hash lookup.
 from .psl import PUBLIC_SUFFIX_2LABEL as _CC_SECOND_LEVEL
+from .psl import PUBLIC_SUFFIX_3LABEL as _SFX3
+from .psl import WILDCARD_EXCEPTIONS as _WILD_EXC
+from .psl import WILDCARD_TLDS as _WILD_TLDS
 
 
 def _part(url, group: int) -> Column:
@@ -94,20 +102,44 @@ def canonicalize_url(url) -> Column:
 
 
 def url_domain(url) -> Column:
-    """Registrable domain of a URL (last-2-labels heuristic with the
-    _CC_SECOND_LEVEL multi-label suffixes); NULL when the URL does
-    not parse or the host has fewer than 2 labels."""
+    """Registrable domain of a URL per the embedded PSL snapshot
+    (functions/psl.py), longest-matching rule first, exactly the PSL
+    algorithm's precedence: a 3-label suffix beats a wildcard
+    exception beats a 2-label/wildcard suffix beats the last-2-labels
+    floor. NULL when the URL does not parse or the host has fewer
+    than 2 labels; a bare public suffix is returned as-is (documented
+    heuristic floor — the full-PSL swap point would reject it)."""
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    # try_element_at, not element_at: the isin() probes below sit in
+    # CASE predicates, so they are evaluated for SHORT hosts too and
+    # ANSI element_at would throw out-of-bounds. try_ returns NULL and
+    # concat_ws skips it — a too-short lastK degenerates to the
+    # shorter tail, which cannot spuriously match: every 3-label
+    # snapshot entry has exactly two dots.
+    last1 = F.try_element_at(labels, F.lit(-1))
     last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        ".", F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
     )
     last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
+        ".", F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
     )
-    is_cc = last2.isin(*_CC_SECOND_LEVEL)
+    last4 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-4)),
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    is_sfx3 = last3.isin(*_SFX3)
+    is_sfx2 = last2.isin(*_CC_SECOND_LEVEL)
+    # *.ck: any <label>.ck is a suffix — UNLESS the exception rule
+    # (!www.ck) re-opens it as a registrable domain
+    is_wild = last1.isin(*_WILD_TLDS)
+    is_exc = last2.isin(*_WILD_EXC)
     # concat_ws silently skips NULL parts, so a NULL input must be
     # short-circuited explicitly or it would canonicalize to ''
     return (
@@ -115,7 +147,9 @@ def url_domain(url) -> Column:
             host.isNull() | (host == F.lit("")) | (n < 2),
             F.lit(None).cast("string"),
         )
-        .when(is_cc & (n >= 3), last3)
+        .when(is_sfx3 & (n >= 4), last4)
+        .when(is_exc, last2)
+        .when((is_sfx2 | is_wild) & (n >= 3), last3)
         .otherwise(last2)
     )
 
@@ -145,13 +179,18 @@ def domain_quota(
 
 # host pool for the generative URL model: mixed case (lowering is
 # observable), subdomains (domain extraction collapses them), and
-# multi-label public suffixes across THREE ccTLDs (co.uk from the
-# original 8-entry heuristic, com.cn and gob.mx only present in the
-# r7 PSL snapshot — so the driver row proves the expanded list)
+# multi-label public suffixes across every snapshot depth (co.uk from
+# the original 8-entry heuristic; com.cn and gob.mx only present in
+# the r7 2-label PSL snapshot; the 3-label act.edu.au and wildcard
+# *.ck hosts only resolved by the r8 depth expansion — so the driver
+# rows prove each expansion). 11 hosts, deliberately COPRIME to the
+# scheme/port/query/fragment mod cycles (3/5/4/2) so every host meets
+# every variant of the other fields.
 _URL_MODEL_HOSTS = (
     "Example.COM", "news.example.com", "blog.Example.co.uk",
     "cdn.site.ORG", "shop.site.org", "www.Portal.NET", "api.portal.net",
     "WWW.Shop.COM.CN", "tienda.Ejemplo.gob.mx",
+    "Www.School.ACT.edu.au", "media.Port.Foo.CK",
 )
 
 
@@ -174,7 +213,7 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
     url = F.concat(
         pick(["HTTP", "https", "http"], 3),
         F.lit("://"),
-        pick(_URL_MODEL_HOSTS, 9),
+        pick(_URL_MODEL_HOSTS, 11),
         pick([":80", ":443", ":8080", "", ""], 5),
         F.lit("/p/"), (mid % 50).cast("string"),
         pick(["?utm_source=x&b=2&a=1", "?a=1&fbclid=zz", "?b=2&a=1", ""], 4),
@@ -185,24 +224,31 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
 
 # --- robots.txt politeness filtering (crawl curation stage) -----------
 
-def robots_disallows(robots_text, user_agent: str = "*") -> Column:
-    """Parse a robots.txt body into the array of Disallow path
-    prefixes that apply to ``user_agent`` — entirely in codegen (one
-    aggregate fold over the lines, no UDF). Implements the core of
-    the public robots exclusion protocol (RFC 9309) group semantics:
-    ``User-agent:`` lines open a group (several in a row share one
-    rule block); a group applies if it names the agent exactly or
-    ``*``; ``Disallow:`` lines inside an applying group contribute
-    their prefix; empty Disallow values (allow-all) and comment /
-    unknown lines are ignored. Crawl-delay/Allow precedence are out
-    of scope of this rule core (documented; a full matcher is a
-    drop-in over the same per-line fold). NULL text parses to an
-    empty array (no restrictions)."""
+def robots_rules(robots_text, user_agent: str = "*") -> Column:
+    """Parse a robots.txt body into the array of (pfx, allow) rules
+    that apply to ``user_agent`` — entirely in codegen (one aggregate
+    fold over the lines, no UDF). Implements the RFC 9309 group
+    semantics: ``User-agent:`` lines open a group (several in a row
+    share one rule block); a group applies if it names the agent
+    exactly or ``*``; ``Disallow:`` / ``Allow:`` lines inside an
+    applying group contribute a rule struct<pfx:string,
+    allow:boolean>; empty-value rules (RFC: ignored) and comment /
+    unknown lines are inert. Precedence between the collected rules
+    is the MATCHER's job (robots_filter: longest match wins, Allow
+    wins length ties) — rule ORDER inside the array therefore does
+    not matter, matching the RFC. Pattern wildcards (``*``/``$``
+    inside a path) are out of scope of this rule core (documented;
+    prefix semantics only). NULL text parses to an empty array (no
+    restrictions)."""
     lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
     ua = F.lit(user_agent.lower())
 
+    def rule(pfx, allow):
+        return F.struct(pfx.alias("pfx"), allow.alias("allow"))
+
     def step(acc, line):
-        # acc: struct<active:boolean, in_group:boolean, pfx:array<string>>
+        # acc: struct<active:bool, in_group:bool,
+        #             rules:array<struct<pfx:string, allow:boolean>>>
         t = F.trim(F.regexp_replace(line, r"#.*$", ""))
         low = F.lower(t)
         # value = everything after the FIRST colon (paths may contain
@@ -210,7 +256,7 @@ def robots_disallows(robots_text, user_agent: str = "*") -> Column:
         val = F.trim(F.regexp_replace(t, r"^[^:]*:", ""))
         is_ua = low.rlike(r"^user-agent\s*:")
         is_dis = low.rlike(r"^disallow\s*:")
-        pfx = val
+        is_allow = low.rlike(r"^allow\s*:")
         applies = (F.lower(val) == ua) | (val == F.lit("*"))
         return (
             F.when(
@@ -222,25 +268,25 @@ def robots_disallows(robots_text, user_agent: str = "*") -> Column:
                         acc["in_group"], acc["active"] | applies
                     ).otherwise(applies).alias("active"),
                     F.lit(True).alias("in_group"),
-                    acc["pfx"].alias("pfx"),
+                    acc["rules"].alias("rules"),
                 ),
             )
             .when(
-                is_dis,
+                is_dis | is_allow,
                 F.struct(
                     acc["active"].alias("active"),
                     F.lit(False).alias("in_group"),
                     F.when(
-                        acc["active"] & (pfx != F.lit("")),
-                        F.array_append(acc["pfx"], pfx),
-                    ).otherwise(acc["pfx"]).alias("pfx"),
+                        acc["active"] & (val != F.lit("")),
+                        F.array_append(acc["rules"], rule(val, is_allow)),
+                    ).otherwise(acc["rules"]).alias("rules"),
                 ),
             )
             .otherwise(
                 F.struct(
                     acc["active"].alias("active"),
                     F.lit(False).alias("in_group"),
-                    acc["pfx"].alias("pfx"),
+                    acc["rules"].alias("rules"),
                 )
             )
         )
@@ -248,9 +294,84 @@ def robots_disallows(robots_text, user_agent: str = "*") -> Column:
     init = F.struct(
         F.lit(False).alias("active"),
         F.lit(False).alias("in_group"),
-        F.array().cast("array<string>").alias("pfx"),
+        F.array().cast(
+            "array<struct<pfx:string, allow:boolean>>"
+        ).alias("rules"),
     )
-    return F.aggregate(lines, init, step, lambda acc: acc["pfx"])
+    return F.aggregate(lines, init, step, lambda acc: acc["rules"])
+
+
+def robots_disallows(robots_text, user_agent: str = "*") -> Column:
+    """Disallow-prefix view of robots_rules (the pre-r8 rule core's
+    shape, kept as the convenient projection for disallow-only
+    consumers): the array of Disallow path prefixes that apply to
+    ``user_agent``, in document order."""
+    return F.transform(
+        F.filter(
+            robots_rules(robots_text, user_agent), lambda r: ~r["allow"]
+        ),
+        lambda r: r["pfx"],
+    )
+
+
+def robots_crawl_delay(robots_text, user_agent: str = "*") -> Column:
+    """First ``Crawl-delay:`` value (seconds, INT) inside a group that
+    applies to ``user_agent``; NULL when no applying group sets one or
+    the text is NULL. Same one-fold shape as robots_rules (the
+    directive is a de-facto extension — not part of RFC 9309 — but
+    real crawl corpora carry it constantly, and a politeness scheduler
+    needs it next to the rule set)."""
+    lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
+    ua = F.lit(user_agent.lower())
+
+    def step(acc, line):
+        # acc: struct<active:bool, in_group:bool, delay:int>
+        t = F.trim(F.regexp_replace(line, r"#.*$", ""))
+        low = F.lower(t)
+        val = F.trim(F.regexp_replace(t, r"^[^:]*:", ""))
+        is_ua = low.rlike(r"^user-agent\s*:")
+        is_delay = low.rlike(r"^crawl-delay\s*:")
+        applies = (F.lower(val) == ua) | (val == F.lit("*"))
+        return (
+            F.when(
+                is_ua,
+                F.struct(
+                    F.when(
+                        acc["in_group"], acc["active"] | applies
+                    ).otherwise(applies).alias("active"),
+                    F.lit(True).alias("in_group"),
+                    acc["delay"].alias("delay"),
+                ),
+            )
+            .when(
+                is_delay,
+                F.struct(
+                    acc["active"].alias("active"),
+                    F.lit(False).alias("in_group"),
+                    F.coalesce(
+                        acc["delay"],
+                        F.when(
+                            acc["active"] & val.rlike(r"^[0-9]+$"),
+                            val.cast("int"),
+                        ),
+                    ).alias("delay"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    acc["active"].alias("active"),
+                    F.lit(False).alias("in_group"),
+                    acc["delay"].alias("delay"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(False).alias("in_group"),
+        F.lit(None).cast("int").alias("delay"),
+    )
+    return F.aggregate(lines, init, step, lambda acc: acc["delay"])
 
 
 def url_path(url) -> Column:
@@ -263,29 +384,57 @@ def robots_filter(
     robots: DataFrame,
     url_col: str = "url",
     domain_col: str = "domain",
-    disallow_col: str = "disallows",
+    rules_col: str = "rules",
 ) -> DataFrame:
-    """Filter crawled documents by robots.txt rules: a document is
-    blocked iff its URL's path starts with ANY disallowed prefix of
-    its registrable domain (prefix semantics of the robots exclusion
-    protocol's rule core). ``robots`` is (domain, disallows
-    array<string>) — one row per domain, e.g. robots_disallows over
-    fetched robots bodies. Returns the input plus (domain, blocked).
+    """Filter crawled documents by robots.txt rules with the RFC 9309
+    precedence: among the rules whose prefix matches the URL's path,
+    the LONGEST match decides, and an Allow wins a length tie — so an
+    ``Allow: /p/12`` overrides a shorter ``Disallow: /p/1`` exactly as
+    the RFC's most-specific-rule clause requires. No matching rule
+    (or no robots row for the domain) means allowed. ``robots`` is
+    (domain, rules array<struct<pfx:string, allow:boolean>>) — one
+    row per domain, e.g. robots_rules over fetched bodies. Returns
+    the input plus (domain, blocked).
 
-    Scale shape: domains number FAR fewer than documents and the
-    disallow arrays are tiny, so the robots side is an explicit
-    BROADCAST joined on the domain key — the corpus is scanned once,
-    never shuffled; the prefix test is an exists() HOF in codegen."""
+    Scale shape: domains number FAR fewer than documents and the rule
+    arrays are tiny, so the robots side is an explicit BROADCAST
+    joined on the domain key — the corpus is scanned once, never
+    shuffled; the longest-match scan is an aggregate() HOF over the
+    matching rules, all in codegen."""
     d = docs.withColumn("__dom", url_domain(F.col(url_col)))
     r = robots.select(
         F.col(domain_col).alias("__dom"),
-        F.col(disallow_col).alias("__dis"),
+        F.col(rules_col).alias("__rules"),
     )
     path = url_path(F.col(url_col))
-    blocked = F.coalesce(
-        F.exists("__dis", lambda p: path.startswith(p)),
-        F.lit(False),
+    matching = F.filter("__rules", lambda x: path.startswith(x["pfx"]))
+    # fold to the decisive rule: (best_len, allow); ties OR in the
+    # allow bit so Allow beats Disallow at equal specificity,
+    # independent of rule order (RFC 9309 precedence)
+    best = F.aggregate(
+        matching,
+        F.struct(
+            F.lit(-1).alias("len"), F.lit(True).alias("allow")
+        ),
+        lambda acc, x: (
+            F.when(
+                F.length(x["pfx"]) > acc["len"],
+                F.struct(
+                    F.length(x["pfx"]).alias("len"),
+                    x["allow"].alias("allow"),
+                ),
+            )
+            .when(
+                F.length(x["pfx"]) == acc["len"],
+                F.struct(
+                    acc["len"].alias("len"),
+                    (acc["allow"] | x["allow"]).alias("allow"),
+                ),
+            )
+            .otherwise(acc)
+        ),
     )
+    blocked = F.coalesce(~best["allow"], F.lit(False))
     return d.join(F.broadcast(r), "__dom", "left").select(
         *[F.col(c) for c in docs.columns],
         F.col("__dom").alias("domain"),
@@ -299,22 +448,30 @@ def synthesize_robots_bodies(
     """Deterministic robots.txt bodies from an integer generative
     model of the DOMAIN STRING (the messy-URL synthesizer idiom, so a
     DuckDB oracle replays the expected blocked set in closed form
-    without parsing any text): variant = length(domain) % 4.
+    without parsing any text): variant = length(domain) % 4. The r8
+    bodies exercise the full RFC 9309 precedence — every variant with
+    rules carries an Allow-overrides-Disallow case or an equal-length
+    tie (VERDICT r7 directive #3's done-criterion):
 
-      v0: ``User-agent: *`` with Disallow /p/1 and /q/ (+ comment and
-          a trailing-spaces line the parser must trim)
-      v1: a ``SomeOtherBot`` full-block group FOLLOWED by a ``*``
-          group disallowing /p/2 — group isolation: the /  of the
-          other agent must not leak into *
-      v2: comment + ``Disallow:`` with empty value — allow-all
+      v0: ``User-agent: *`` Disallow /p/1 + /q/, Allow /p/12
+          (longest match re-opens /p/12x), Crawl-delay 2 (+ comment
+          and a trailing-spaces line the parser must trim)
+      v1: a ``SomeOtherBot`` full-block group — whose ``Allow: /``
+          must not leak either — FOLLOWED by a ``*`` group with
+          Disallow /p/2, Allow /p/22, Crawl-delay 5
+      v2: comment + empty-value ``Disallow:`` / ``Allow:`` — both
+          inert, allow-all, no delay
       v3: consecutive ``User-agent: *`` / ``User-agent: FancyBot``
-          lines sharing one Disallow /p/ block — group OR semantics
+          lines sharing one block (group OR semantics) where
+          ``Allow: /p/3`` sits BETWEEN ``Disallow: /p/3`` and
+          ``Disallow: /p/4`` — the equal-length tie goes to Allow
+          and rule order must not matter
 
     Closed form for agent ``*``: blocked(path) =
-      v0: path LIKE '/p/1%' OR path LIKE '/q/%'
-      v1: path LIKE '/p/2%'
-      v2: false
-      v3: path LIKE '/p/%'
+      v0: path LIKE '/p/1%' AND path NOT LIKE '/p/12%'   (delay 2)
+      v1: path LIKE '/p/2%' AND path NOT LIKE '/p/22%'   (delay 5)
+      v2: false                                          (delay NULL)
+      v3: path LIKE '/p/4%'                              (delay NULL)
 
     Returns (domain_col, robots_txt)."""
     v = (F.length(F.col(domain_col)) % 4).cast("int")
@@ -323,20 +480,25 @@ def synthesize_robots_bodies(
             v == 0,
             F.lit(
                 "# generated\nUser-agent: *\nDisallow: /p/1\n"
-                "Disallow:   /q/   \nCrawl-delay: 2\n"
+                "Disallow:   /q/   \nAllow: /p/12\nCrawl-delay: 2\n"
             ),
         )
         .when(
             v == 1,
             F.lit(
-                "User-agent: SomeOtherBot\nDisallow: /\n\n"
-                "User-agent: *\nDisallow: /p/2\n"
+                "User-agent: SomeOtherBot\nDisallow: /\nAllow: /\n\n"
+                "User-agent: *\nDisallow: /p/2\nAllow: /p/22\n"
+                "Crawl-delay: 5\n"
             ),
         )
-        .when(v == 2, F.lit("# open site\nUser-agent: *\nDisallow:\n"))
+        .when(
+            v == 2,
+            F.lit("# open site\nUser-agent: *\nDisallow:\nAllow:\n"),
+        )
         .otherwise(
             F.lit(
-                "User-agent: *\nUser-agent: FancyBot\nDisallow: /p/\n"
+                "User-agent: *\nUser-agent: FancyBot\nDisallow: /p/3\n"
+                "Allow: /p/3\nDisallow: /p/4\n"
             )
         )
     )

@@ -6449,7 +6449,8 @@ _URL_MODEL_SQL = """
              ['Example.COM','news.example.com','blog.Example.co.uk',
               'cdn.site.ORG','shop.site.org','www.Portal.NET',
               'api.portal.net','WWW.Shop.COM.CN',
-              'tienda.Ejemplo.gob.mx'][doc_id % 9 + 1] AS host0,
+              'tienda.Ejemplo.gob.mx','Www.School.ACT.edu.au',
+              'media.Port.Foo.CK'][doc_id % 11 + 1] AS host0,
              [':80',':443',':8080','',''][doc_id % 5 + 1] AS portstr,
              '/p/' || CAST(doc_id % 50 AS VARCHAR) AS path0,
              ['?utm_source=x&b=2&a=1','?a=1&fbclid=zz','?b=2&a=1','']
@@ -6477,27 +6478,35 @@ _URL_MODEL_SQL = """
                    x -> x <> '' AND NOT regexp_matches(x, '{trk}'))), '&'),
                    '') AS qc
           FROM p),
+    lbl AS (SELECT *, string_split(host, '.') AS hp FROM c),
     canon AS (
       SELECT doc_id, url,
              scheme || '://' || host || portpart || path ||
                CASE WHEN qc = '' THEN '' ELSE '?' || qc END
                AS canonical_url,
-             CASE WHEN len(string_split(host, '.')) >= 3 AND
-                       (string_split(host, '.')[-2] || '.' ||
-                        string_split(host, '.')[-1])
-                       IN ({sfx})
-                  THEN string_split(host, '.')[-3] || '.' ||
-                       string_split(host, '.')[-2] || '.' ||
-                       string_split(host, '.')[-1]
-                  ELSE string_split(host, '.')[-2] || '.' ||
-                       string_split(host, '.')[-1] END AS domain
-      FROM c)
+             CASE WHEN len(hp) >= 4 AND
+                       hp[-3] || '.' || hp[-2] || '.' || hp[-1] IN ({sfx3})
+                  THEN hp[-4] || '.' || hp[-3] || '.' || hp[-2] || '.' ||
+                       hp[-1]
+                  WHEN hp[-2] || '.' || hp[-1] IN ({exc})
+                  THEN hp[-2] || '.' || hp[-1]
+                  WHEN len(hp) >= 3 AND
+                       (hp[-2] || '.' || hp[-1] IN ({sfx})
+                        OR hp[-1] IN ({wild}))
+                  THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+                  ELSE hp[-2] || '.' || hp[-1] END AS domain
+      FROM lbl)
 """.format(
     rx=URLS.URL_REGEX,
     trk=URLS.TRACKING_KEY_REGEX,
     # the SAME embedded PSL snapshot (functions/psl.py) drives both
-    # engines — one tuple edit updates Spark's InSet AND this IN-list
+    # engines — one tuple edit updates Spark's InSet AND these
+    # IN-lists, at every rule depth (2-label, 3-label, wildcard,
+    # exception — the r8 expansion)
     sfx=",".join(f"'{s}'" for s in sorted(URLS._CC_SECOND_LEVEL)),
+    sfx3=",".join(f"'{s}'" for s in sorted(URLS._SFX3)),
+    wild=",".join(f"'{s}'" for s in sorted(URLS._WILD_TLDS)),
+    exc=",".join(f"'{s}'" for s in sorted(URLS._WILD_EXC)),
 )
 
 
@@ -6513,9 +6522,11 @@ def url_canonicalize_stats(spark, sf_dir):
     (functions.urls — the Common Crawl curation stage between WARC
     ingestion and text processing): messy URLs (uppercase schemes,
     mixed-case hosts, default AND non-default ports, shuffled
-    tracking params, fragments, multi-label ccTLD hosts across three
-    suffix families — co.uk, com.cn, gob.mx, the latter two resolved
-    only by the r7 embedded PSL snapshot) synthesized
+    tracking params, fragments, multi-label hosts across EVERY PSL
+    rule depth — co.uk from the original heuristic; com.cn and gob.mx
+    resolved only by the r7 2-label snapshot; act.edu.au (3-label)
+    and the *.ck wildcard resolved only by the r8 depth expansion)
+    synthesized
     in codegen from a generative model of the id, then canonicalized
     and domain-extracted entirely in codegen regexp + array HOFs — no
     UDF, scan speed. The DuckDB oracle replays the model AND the
@@ -6544,9 +6555,9 @@ def url_canonicalize_stats(spark, sf_dir):
             FROM canon)
     SELECT domain,
            COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN rn <= 60 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN rn <= 60 THEN doc_id ELSE 0 END) AS BIGINT)
              AS sum_kept_ids
     FROM sel GROUP BY domain
     """,
@@ -6555,20 +6566,23 @@ def url_domain_quota(spark, sf_dir):
     """L32b per-domain quota cap (functions.urls.domain_quota — the
     C4-style per-site limit that stops one boilerplate-heavy domain
     from dominating a training corpus): registrable domains extracted
-    from the same messy-URL model, then at most 100 documents kept
+    from the same messy-URL model, then at most 60 documents kept
     per domain, deterministically lowest-id-first (replayable; the
-    rank key is the quality-score swap point). At sf0.01 the six
-    model domains hold ~55-112 docs each, so the cap genuinely cuts
-    three of them (example.com, site.org, portal.net) while the
-    single-host domains — including the two PSL-snapshot-only ones,
-    shop.com.cn and ejemplo.gob.mx — stay whole: the quota AND the
-    expanded suffix list are both demonstrably engaged. The oracle replays domain extraction and
-    the rank-cap with a window. Scale shape: ONE shuffle (window rank
-    on the domain key) — identical to source_quota_cap; skewed
-    mega-domains are precisely what the cap discards."""
+    rank key is the quality-score swap point). At sf0.01 the eight
+    model domains hold ~45 (single-host) or ~91 (two-host) docs, so
+    the cap genuinely cuts the three two-host domains (example.com,
+    site.org, portal.net) while the single-host domains — including
+    the PSL-snapshot-only ones: shop.com.cn, ejemplo.gob.mx (2-label,
+    r7), school.act.edu.au (3-label, r8) and the wildcard-resolved
+    port.foo.ck (r8) — stay whole: the quota AND every suffix-rule
+    depth are demonstrably engaged. The oracle replays domain
+    extraction and the rank-cap with a window. Scale shape: ONE
+    shuffle (window rank on the domain key) — identical to
+    source_quota_cap; skewed mega-domains are precisely what the cap
+    discards."""
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
     synth = URLS.synthesize_messy_urls(d, "doc_id")
-    q = URLS.domain_quota(synth, max_per_domain=100)
+    q = URLS.domain_quota(synth, max_per_domain=60)
     return q.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("is_kept"), 1).otherwise(0))

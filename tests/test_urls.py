@@ -1,7 +1,8 @@
 """functions.urls edge cases the differential oracle cannot see (the
 synthesized model is well-formed): NULL/garbage/schemeless inputs,
 single-label and bare-suffix hosts, empty queries, valueless params,
-and quota behavior under NULL domains."""
+quota behavior under NULL domains, and the robots.txt precedence
+corners (Allow ties, group leaks, malformed Crawl-delay)."""
 
 from pyspark.sql import functions as F
 
@@ -65,10 +66,15 @@ def test_url_canonicalize_edges(spark):
 
 
 def test_psl_snapshot_breadth(spark):
-    """The r7 embedded PSL snapshot (functions/psl.py): ≥20 multi-label
+    """The embedded PSL snapshot (functions/psl.py): ≥20 2-label
     suffixes beyond the original 8-entry heuristic resolve 3-label
-    registrable domains (VERDICT r6 'Next round' #4 done-criterion)."""
-    from hustle_spark.functions.psl import PUBLIC_SUFFIX_2LABEL
+    registrable domains (VERDICT r6 #4 done-criterion), and — the r8
+    depth expansion (VERDICT r7 #7 done-criterion) — ≥20 3-label
+    suffixes resolve 4-label registrable domains."""
+    from hustle_spark.functions.psl import (
+        PUBLIC_SUFFIX_2LABEL,
+        PUBLIC_SUFFIX_3LABEL,
+    )
 
     original8 = {"co.uk", "org.uk", "ac.uk", "gov.uk",
                  "com.au", "co.jp", "com.br", "co.in"}
@@ -84,6 +90,42 @@ def test_psl_snapshot_breadth(spark):
     out = _canon(spark, urls)
     assert [d for _, d in out] == [f"site.{s}" for s in probe]
 
+    # r8 depth expansion: 3-label suffixes yield 4-label domains
+    assert len(PUBLIC_SUFFIX_3LABEL) >= 20
+    probe3 = ["act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+              "wa.edu.au", "tas.edu.au", "sa.edu.au", "nt.edu.au",
+              "catholic.edu.au", "act.gov.au", "nsw.gov.au",
+              "vic.gov.au", "k12.ca.us", "k12.ny.us", "k12.tx.us",
+              "k12.ma.us", "k12.il.us", "cc.ca.us", "cc.ny.us",
+              "lib.ca.us", "lib.tx.us", "lib.wa.us"]
+    assert set(probe3) <= set(PUBLIC_SUFFIX_3LABEL) and len(probe3) >= 20
+    urls3 = [f"http://www.site.{s}/x" for s in probe3]
+    out3 = _canon(spark, urls3)
+    assert [d for _, d in out3] == [f"site.{s}" for s in probe3]
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    """TLD wildcard rules (*.ck → <x>.ck is a suffix, registrable
+    domains carry 3 labels) and the !www.ck exception (www.ck IS
+    registrable), per the PSL algorithm's exception-beats-wildcard
+    precedence."""
+    out = _canon(
+        spark,
+        [
+            "http://media.port.foo.ck/x",   # wildcard: foo.ck is suffix
+            "http://port.foo.ck/x",         # already registrable
+            "http://foo.ck/x",              # bare wildcard suffix: floor
+            "http://www.ck/x",              # exception: registrable
+            "http://shop.www.ck/x",         # under the exception domain
+            "http://a.b.gov.ck/x",          # another *.ck branch
+            "http://x.y.kh/x",              # *.kh: y.kh is the suffix
+        ],
+    )
+    assert [d for _, d in out] == [
+        "port.foo.ck", "port.foo.ck", "foo.ck", "www.ck", "www.ck",
+        "b.gov.ck", "x.y.kh",
+    ]
+
 
 def test_domain_quota_deterministic_and_null_safe(spark):
     rows = [(i, f"http://d{i % 2}.com/p") for i in range(10)]
@@ -98,7 +140,7 @@ def test_domain_quota_deterministic_and_null_safe(spark):
 
 
 def test_messy_url_model_is_parseable(spark):
-    df = spark.range(0, 210).selectExpr("id as doc_id")
+    df = spark.range(0, 330).selectExpr("id as doc_id")
     synth = synthesize_messy_urls(df, "doc_id")
     out = synth.select(
         canonicalize_url("url").alias("c"), url_domain("url").alias("d")
@@ -106,18 +148,21 @@ def test_messy_url_model_is_parseable(spark):
     assert out.filter(F.col("c").isNull() | F.col("d").isNull()).count() == 0
     doms = {r.d for r in out.select("d").distinct().collect()}
     assert doms == {"example.com", "example.co.uk", "site.org",
-                    "portal.net", "shop.com.cn", "ejemplo.gob.mx"}
+                    "portal.net", "shop.com.cn", "ejemplo.gob.mx",
+                    "school.act.edu.au", "port.foo.ck"}
 
 
-def test_robots_parse_and_filter(spark):
+def test_robots_rules_parse_and_filter(spark):
     """robots.txt rule core (RFC 9309 group semantics in one codegen
-    fold): consecutive User-agent lines share a group, only applying
-    groups contribute Disallow prefixes, comments/blank/empty-value
-    lines are inert; the filter blocks exactly the URLs whose path
-    starts with a disallowed prefix of their domain."""
+    fold) + precedence matcher: consecutive User-agent lines share a
+    group, only applying groups contribute rules, comments/blank/
+    empty-value lines are inert; the filter applies longest-match
+    with Allow winning length ties."""
     from hustle_spark.functions.urls import (
+        robots_crawl_delay,
         robots_disallows,
         robots_filter,
+        robots_rules,
         url_path,
     )
 
@@ -129,46 +174,69 @@ def test_robots_parse_and_filter(spark):
         "User-agent: goodbot\n"
         "User-agent: *\n"
         "Disallow: /private/\n"
+        "Allow: /private/press/\n"   # longest match re-opens a subtree
         "Disallow: /tmp\n"
-        "Disallow:\n"          # empty value = allow-all, inert
-        "Crawl-delay: 10\n"    # unknown directive, inert
-        "Disallow: /late\n"    # still in the same group's rule block
+        "Allow: /tmp\n"              # equal-length tie -> Allow wins
+        "Disallow:\n"                # empty value, inert
+        "Allow:\n"                   # empty value, inert
+        "Crawl-delay: 10\n"
+        "Disallow: /late\n"          # still in the same group's block
     )
     rdf = spark.createDataFrame(
         [("example.com", robots_txt),
          ("open.org", None),                      # no robots -> allow
-         ("strict.net", "User-agent: *\nDisallow: /\n")],
+         ("strict.net", "User-agent: *\nDisallow: /\nCrawl-delay: x\n")],
         "domain string, body string",
     )
     parsed = rdf.select(
-        "domain", robots_disallows(F.col("body")).alias("disallows")
+        "domain", robots_rules(F.col("body")).alias("rules")
     )
-    got = {r.domain: r.disallows for r in parsed.collect()}
-    assert got["example.com"] == ["/private/", "/tmp", "/late"]
+    got = {r.domain: [(x["pfx"], x["allow"]) for x in r.rules]
+           for r in parsed.collect()}
+    assert got["example.com"] == [
+        ("/private/", False), ("/private/press/", True),
+        ("/tmp", False), ("/tmp", True), ("/late", False),
+    ]
     assert got["open.org"] == []
-    assert got["strict.net"] == ["/"]
+    assert got["strict.net"] == [("/", False)]
+
+    # the disallow-only projection keeps the pre-r8 shape
+    dis = {r.domain: r.d for r in rdf.select(
+        "domain", robots_disallows(F.col("body")).alias("d")
+    ).collect()}
+    assert dis["example.com"] == ["/private/", "/tmp", "/late"]
+
     # the evilbot-only group must apply when asked for evilbot
     evil = rdf.filter("domain = 'example.com'").select(
-        robots_disallows(F.col("body"), user_agent="EvilBot").alias("d")
-    ).collect()[0].d
-    assert evil == ["/", "/private/", "/tmp", "/late"]
+        robots_rules(F.col("body"), user_agent="EvilBot").alias("r")
+    ).collect()[0].r
+    assert [(x["pfx"], x["allow"]) for x in evil][0] == ("/", False)
+
+    # crawl delay: applying group only; malformed values -> NULL
+    delays = {r.domain: r.cd for r in rdf.select(
+        "domain", robots_crawl_delay(F.col("body")).alias("cd")
+    ).collect()}
+    assert delays == {"example.com": 10, "open.org": None,
+                      "strict.net": None}
 
     docs = spark.createDataFrame(
         [
             (1, "http://www.example.com/private/x.html"),   # blocked
             (2, "http://example.com/public/x.html"),        # kept
-            (3, "http://example.com/tmpfile"),              # prefix: blocked
+            (3, "http://example.com/tmpfile"),              # tie->Allow
             (4, "https://strict.net:443/anything"),         # blocked
             (5, "http://open.org/private/whatever"),        # no rules
             (6, "http://unknown.io/x"),                     # no robots row
             (7, None),                                      # NULL url
+            (8, "http://example.com/private/press/release"),  # re-opened
+            (9, "http://example.com/latepost"),             # blocked
         ],
         "doc_id long, url string",
     )
     out = {r.doc_id: r.blocked
            for r in robots_filter(docs, parsed).collect()}
-    assert out == {1: True, 2: False, 3: True, 4: True,
-                   5: False, 6: False, 7: False}
+    assert out == {1: True, 2: False, 3: False, 4: True,
+                   5: False, 6: False, 7: False, 8: False, 9: True}
     assert docs.select(url_path(F.col("url")).alias("p")).collect()[0].p \
         == "/private/x.html"
 
@@ -176,11 +244,15 @@ def test_robots_parse_and_filter(spark):
 def test_robots_generative_model_closed_form(spark):
     """The synthesized robots corpus (variant = length(domain) % 4)
     parses to exactly the closed-form blocked rule the oracle will
-    replay: v0 /p/1|/q/, v1 /p/2 (the other agent's full block must
-    not leak), v2 allow-all, v3 /p/ via consecutive UA lines."""
+    replay — including the r8 Allow-precedence cases: v0 Disallow
+    /p/1|/q/ with Allow /p/12 carved out, v1 /p/2 minus /p/22 (the
+    other agent's full block and its Allow must not leak), v2
+    allow-all, v3 the equal-length /p/3 tie going to Allow with /p/4
+    still blocked."""
     from hustle_spark.functions.urls import (
-        robots_disallows,
+        robots_crawl_delay,
         robots_filter,
+        robots_rules,
         synthesize_robots_bodies,
     )
 
@@ -190,15 +262,24 @@ def test_robots_generative_model_closed_form(spark):
         spark.createDataFrame([(d,) for d in domains], "domain string")
     )
     parsed = rdf.select(
-        "domain", robots_disallows(F.col("robots_txt")).alias("disallows")
+        "domain",
+        robots_rules(F.col("robots_txt")).alias("rules"),
+        robots_crawl_delay(F.col("robots_txt")).alias("cd"),
     )
-    got = {r.domain: r.disallows for r in parsed.collect()}
-    assert got["a.co"] == ["/p/1", "/q/"]
-    assert got["a-site.io"] == ["/p/2"]
+    got = {r.domain: [(x["pfx"], x["allow"]) for x in r.rules]
+           for r in parsed.collect()}
+    assert got["a.co"] == [("/p/1", False), ("/q/", False),
+                           ("/p/12", True)]
+    assert got["a-site.io"] == [("/p/2", False), ("/p/22", True)]
     assert got["portal.net"] == []
-    assert got["example.com"] == ["/p/"]
+    assert got["example.com"] == [("/p/3", False), ("/p/3", True),
+                                  ("/p/4", False)]
+    delays = {r.domain: r.cd for r in parsed.collect()}
+    assert delays == {"a.co": 2, "a-site.io": 5, "portal.net": None,
+                      "example.com": None}
 
-    paths = ["/p/1x", "/p/2y", "/p/zz", "/q/k", "/r/ok"]
+    paths = ["/p/1x", "/p/12", "/p/2y", "/p/22", "/p/3z", "/p/4",
+             "/p/zz", "/q/k", "/r/ok"]
     docs = spark.createDataFrame(
         [
             (i * 10 + j, f"http://{d}{p}")
@@ -208,17 +289,21 @@ def test_robots_generative_model_closed_form(spark):
         "doc_id long, url string",
     )
     out = {r.doc_id: r.blocked
-           for r in robots_filter(docs, parsed).collect()}
+           for r in robots_filter(
+               docs, parsed.select("domain", "rules")).collect()}
 
     def closed_form(domain, path):
         v = len(domain) % 4
         if v == 0:
-            return path.startswith("/p/1") or path.startswith("/q/")
+            return (path.startswith("/p/1")
+                    and not path.startswith("/p/12")) \
+                or path.startswith("/q/")
         if v == 1:
-            return path.startswith("/p/2")
+            return path.startswith("/p/2") \
+                and not path.startswith("/p/22")
         if v == 2:
             return False
-        return path.startswith("/p/")
+        return path.startswith("/p/4")
 
     exp = {
         i * 10 + j: closed_form(d, p)
