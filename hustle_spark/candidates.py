@@ -1,21 +1,26 @@
-"""Round-8 driver-row CANDIDATES — registry-ready (query function +
-oracle SQL) but deliberately NOT registered yet.
+"""Driver-row CANDIDATES — registry-ready (query function + oracle
+SQL) pairs staged ahead of their driver-window flip.
 
-Why staged: the round-7 correctness window is the verdict-directed
-staleness rotation (all 21 r3-latest rows + the stalest r4 rows at
-exactly the >=90% re-confirmation floor), and
-tests/test_window_invariant.py rightly forces every REGISTERED new
-query into the 50-slot driver window — so these wait for round 8's
-``_NEW_THIS_ROUND`` flip instead of displacing the rotation. Each
-candidate's machinery is already unit-proven with a full differential
-oracle (tests/test_operators.py, tests/test_urls.py); this module
-pins the exact (query fn, oracle SQL) pair the r8 registration will
-lift verbatim, and tests/test_candidates.py runs every pair against
-DuckDB at the gate SF so the flip is a mechanical edit, not new work.
+Why staged at all: tests/test_window_invariant.py rightly forces
+every REGISTERED new query into the 50-slot driver window, and the
+window also owes >=90% re-confirmation of previously-proven rows per
+round — so new rows land in waves instead of displacing the
+staleness rotation wholesale. Each candidate's machinery is
+unit-proven with a full differential oracle before it ever appears
+here (tests/test_operators.py, tests/test_urls.py); this module pins
+the exact (query fn, oracle SQL) pair registration lifts verbatim,
+and tests/test_candidates.py runs every STILL-STAGED pair against
+DuckDB at the gate SF so each flip is a mechanical edit, not new
+work.
 
-To promote in r8: move each entry into registry.py under ``@query``,
-add the name to ``_NEW_THIS_ROUND``, move displaced backfill to
-``_QUEUED_NEXT``, re-run scripts/update_query_hashes.py.
+Round-8 state: ``FLIPPED_R8`` (17 rows — the verdict-directed wave 1:
+the whole curation chain, pagerank, TF-IDF retrieval, the
+suffix-array pair, CSV, progressive JPEG, robots, BPE encode) is
+registered by registry.py's flip block; ``R8_CANDIDATES`` holds the
+wave-2 remainder for r9. To promote in r9: move names from
+R8_CANDIDATES into the registry flip list, add them to
+``_NEW_THIS_ROUND``, displace backfill to ``_QUEUED_NEXT``, re-run
+scripts/update_query_hashes.py.
 """
 
 from __future__ import annotations
@@ -266,6 +271,129 @@ def dedup_substring_removal(spark, sf_dir):
 DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
     WITH docs AS (
       SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
+             text FROM docs WHERE length(text) > 0),
+    suf AS (
+      SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
+             substr(text, pos + 1, 16) AS prefix FROM pos),
+    ord AS (
+      SELECT doc_id, pos, prefix,
+             row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
+      FROM suf),
+    lagged AS (SELECT *, lag(prefix) OVER (ORDER BY rank) AS pprev FROM ord),
+    lcpd AS (
+      SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
+             SELECT COALESCE(MAX(k), 0)
+             FROM generate_series(1, 16) AS g(k)
+             WHERE k <= least(length(prefix), length(pprev))
+               AND substr(prefix, 1, k) = substr(pprev, 1, k))
+           END AS lcp_prev
+      FROM lagged),
+    edged AS (
+      SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
+    members AS (
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 10
+                     THEN 1 ELSE 0 END AS b
+      FROM edged WHERE lcp_prev >= 10 OR lcp_next >= 10),
+    runs AS (
+      SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
+      FROM members),
+    qual AS (SELECT g FROM runs GROUP BY g
+             HAVING COUNT(DISTINCT doc_id) >= 2),
+    m2 AS (
+      SELECT r.doc_id, r.pos AS lo,
+             least(r.pos + 9, length(d.text) - 1) AS hi
+      FROM runs r JOIN docs d USING (doc_id)
+      WHERE r.g IN (SELECT g FROM qual)),
+    isl AS (
+      SELECT *, CASE WHEN lo > COALESCE(MAX(hi) OVER (
+                       PARTITION BY doc_id ORDER BY lo
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -2) + 1
+                     THEN 1 ELSE 0 END AS nb
+      FROM m2),
+    isl2 AS (
+      SELECT *, SUM(nb) OVER (PARTITION BY doc_id ORDER BY lo
+                              ROWS UNBOUNDED PRECEDING) AS isle
+      FROM isl),
+    iv AS (SELECT doc_id, isle, MIN(lo) AS lo, MAX(hi) AS hi
+           FROM isl2 GROUP BY 1, 2),
+    gaps AS (
+      SELECT doc_id, lo AS cut_lo,
+             lag(hi, 1, -1) OVER (PARTITION BY doc_id ORDER BY lo)
+               AS prev_hi
+      FROM iv)
+    SELECT d.doc_id,
+           COALESCE((SELECT string_agg(
+               substr(d.text, g.prev_hi + 2, g.cut_lo - g.prev_hi - 1),
+               '' ORDER BY g.cut_lo)
+             FROM gaps g WHERE g.doc_id = d.doc_id), '')
+           || substr(d.text,
+                COALESCE((SELECT MAX(hi) FROM iv
+                          WHERE iv.doc_id = d.doc_id), -1) + 2) AS text,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(COALESCE((SELECT SUM(hi - lo + 1) FROM iv
+                          WHERE iv.doc_id = d.doc_id), 0) AS BIGINT)
+             AS n_removed
+    FROM docs d
+"""
+
+
+def dedup_exact_substr_combined(spark, sf_dir):
+    """L31+L34 FULL ExactSubstr coverage (VERDICT r7 directive #9 —
+    char-exact SA evidence composed with the token-window pass): the
+    cross-document token-window cut (dedup.repeated_span_removal,
+    16-token windows, >=2 docs — cheap at corpus scale, width-rounded
+    boundaries) runs FIRST; the suffix-array char-exact cut
+    (suffixes.repeated_substring_removal, >=10 chars, >=2 docs) then
+    runs over the SURVIVORS, catching the sub-window repeats the
+    token pass cannot see and trimming width-rounding residue with
+    exact boundaries. Output pins BOTH halves: n_chars is the length
+    of the stage-1 text (byte-exact stage-1 check), text/n_removed
+    are the stage-2 cut. The oracle chains the two proven oracles —
+    the window-digest replay feeding the ORDER-BY-suffixes replay —
+    so drift in either stage or in the hand-off hash-mismatches.
+    Scale shape: stage 1 is the (id, pos, md5) shuffle; stage 2 pays
+    one row per surviving character (the honest SA cost) — running it
+    AFTER the token pass is the right order, smaller input; the
+    localCheckpoint pins stage 1 so the SA stage's multi-branch
+    consumption (suffix explode + base rejoin) replays nothing."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    s1 = dedup.repeated_span_removal(d, span=16, min_docs=2)
+    mid = s1.select("doc_id", "text").localCheckpoint()
+    return suffixes.repeated_substring_removal(
+        mid, min_len=10, min_docs=2, prefix_cap=16
+    ).select("doc_id", "text", "n_chars", "n_removed")
+
+
+DEDUP_EXACT_SUBSTR_COMBINED_ORACLE = r"""
+    WITH tok AS (SELECT doc_id,
+                        string_split_regex(COALESCE(text, ''), '\s+') AS t
+                 FROM documents),
+    w AS (SELECT doc_id, g.i - 1 AS pos,
+                 md5(array_to_string(t[g.i : g.i + 15], ' ')) AS d
+          FROM tok, unnest(generate_series(1, GREATEST(len(t) - 15, 1))) g(i)),
+    hot AS (SELECT d FROM w GROUP BY d HAVING COUNT(DISTINCT doc_id) >= 2),
+    fl AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (d)),
+    cov AS (SELECT DISTINCT f.doc_id, j.j AS idx
+            FROM fl f JOIN tok t USING (doc_id),
+                 unnest(generate_series(f.pos, LEAST(f.pos + 15, len(t.t) - 1)))
+                   j(j)),
+    posn AS (SELECT t.doc_id, j.j AS idx, t.t[j.j + 1] AS token
+             FROM tok t, unnest(generate_series(0, len(t.t) - 1)) j(j)),
+    kept AS (SELECT p.doc_id, p.idx, p.token
+             FROM posn p LEFT JOIN cov c
+               ON c.doc_id = p.doc_id AND c.idx = p.idx
+             WHERE c.idx IS NULL),
+    docs AS (
+      SELECT t.doc_id, COALESCE(k.text, '') AS text
+      FROM tok t
+      LEFT JOIN (SELECT doc_id, string_agg(token, ' ' ORDER BY idx) AS text
+                 FROM kept GROUP BY doc_id) k USING (doc_id)),
     pos AS (
       SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS pos,
              text FROM docs WHERE length(text) > 0),
@@ -1978,7 +2106,11 @@ CORPUS_BUILD_PIPELINE_ORACLE = f"""
 """
 
 
-R8_CANDIDATES = {
+# Every staged pair, flipped or not — the registry's r8 flip block
+# registers the FLIPPED_R8 subset from here (the functions stay in
+# this module; registration is by reference, so the code, docstrings
+# and tests keep one home).
+ALL_CANDIDATES = {
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
         MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
@@ -2066,4 +2198,56 @@ R8_CANDIDATES = {
         text_curation_verdict,
         TEXT_CURATION_VERDICT_ORACLE,
     ),
+    # staged in r8 for the r9 wave (VERDICT r7 directive #9): the
+    # token-window + suffix-array ExactSubstr composition
+    "dedup_exact_substr_combined": (
+        dedup_exact_substr_combined,
+        DEDUP_EXACT_SUBSTR_COMBINED_ORACLE,
+    ),
 }
+
+# The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
+# are registered as driver-gate queries by registry.py's flip block
+# and are therefore no longer "staged". Wave 2 (the R8_CANDIDATES
+# remainder below) flips in r9.
+FLIPPED_R8 = (
+    # the user-facing curation chain, landed as a whole
+    "text_gopher_quality", "text_gopher_repetition",
+    "text_unicode_hygiene", "text_blocklist", "text_quality_classifier",
+    "text_curation_verdict", "dedup_lines_corpus", "text_lm_perplexity",
+    "corpus_build_pipeline",
+    # graph / retrieval / suffix-array / sources
+    "graph_pagerank", "retrieval_tfidf_topk",
+    "dedup_substring_groups", "dedup_substring_removal",
+    "csv_roundtrip_agg",
+    # directive #2: progressive JPEG under the gate
+    "multimodal_jpeg_progressive_probe",
+    # directive #3: robots with RFC 9309 Allow precedence
+    "url_robots_filter",
+    # directive #6: the BPE encode half (the composed roundtrip row is
+    # defined directly in registry.py)
+    "bpe_encode_corpus",
+)
+
+# Still-staged candidates — the r9 wave-2 pool (tests/test_candidates.py
+# keeps driving every entry against DuckDB at the gate SF).
+R8_CANDIDATES = {
+    k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED_R8
+}
+assert set(FLIPPED_R8) <= set(ALL_CANDIDATES)
+assert len(R8_CANDIDATES) == len(ALL_CANDIDATES) - len(FLIPPED_R8)
+
+
+# --- the r8 wave-1 registration itself ---------------------------------
+# Registration by reference (the pairs above are lifted verbatim, as
+# the staging contract promised). This runs at the END of this module
+# so it is circular-import-safe in both directions: registry.py's flip
+# block does ``from . import candidates``, and a direct
+# ``import hustle_spark.candidates`` first executes registry fully
+# (whose own flip import then binds this still-initializing module
+# WITHOUT touching attributes) before this tail runs.
+from . import registry as _registry  # noqa: E402
+
+for _name in FLIPPED_R8:
+    _fn, _oracle = ALL_CANDIDATES[_name]
+    _registry.QUERIES[_name] = _registry.Query(_name, _fn, _oracle)

@@ -10,15 +10,20 @@ Header parsing (PNG / JPEG / GIF / WAV / MP4) is REAL — pure Python
 over the bytes, no media libraries. So is PIXEL-level decoding for the
 formats pure Python can cover: uncompressed 24-bit BMP
 (parse_bmp_pixels), truecolor-8 PNG via stdlib zlib with all five
-scanline filters (parse_png_pixels), and — since round 5 — baseline
-GRAYSCALE JPEG with full entropy decode (parse_jpeg_pixels: canonical
-Huffman from the DHT bytes, DC/AC run-length decode, dequant, zigzag,
-float IDCT), feeding full decode (decode_pixel_features /
-decode_jpeg_features) and nearest-neighbor resize
-(resize_image_features). Color/subsampled/progressive JPEG, video
-codecs, and compressed audio remain the documented PIL/ffmpeg/
-torchaudio swap point; ``_decode_one`` falls back to deterministic
-pseudo-features for unrecognized payloads.
+scanline filters (parse_png_pixels), and JPEG with full entropy
+decode (parse_jpeg_pixels / parse_jpeg_planes: canonical Huffman from
+the DHT bytes, DC/AC run-length decode, dequant, zigzag, IDCT) —
+grayscale baseline (r5), 4:4:4 color and arbitrary legal SOF
+subsampling incl. 4:2:0 (r6), DRI/RSTn restart intervals with the
+T.81 A.2 single-component non-interleaved rule (r6-r7), and
+progressive SOF2 per Annex G — spectral selection, successive
+approximation, EOB runs, per-scan restarts (r7; driver row r8) —
+feeding full decode (decode_pixel_features / decode_jpeg_features)
+and nearest-neighbor resize (resize_image_features). What REMAINS the
+documented PIL/ffmpeg/torchaudio swap point: lossless/hierarchical
+JPEG, video codecs (MP4 parsing is box-level + raw-frame mdat), and
+compressed audio (WAV PCM decodes fully); ``_decode_one`` falls back
+to deterministic pseudo-features for unrecognized payloads.
 """
 
 from __future__ import annotations

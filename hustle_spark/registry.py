@@ -5648,6 +5648,82 @@ def bpe_merge_rounds(spark, sf_dir):
     )
 
 
+def _bpe_rt_round(src: str, k: int) -> str:
+    """One learn-round CTE block of the roundtrip oracle: pair count
+    over {src}, top-1 selection m{k} (ties on the 'a b' string), and
+    the greedy merge fold t{k} — the bpe_merge_rounds unrolled-round
+    idiom, but keyed by doc_id so the composed row can emit per-doc
+    encode results."""
+    return f"""
+    p{k} AS (SELECT g, COUNT(*) AS c FROM (
+            SELECT unnest(list_transform(generate_series(1, len(tl) - 1),
+                          i -> tl[i][1] || ' ' || tl[i+1][1])) AS g
+            FROM {src}) GROUP BY g),
+    m{k} AS (SELECT string_split(g, ' ')[1] AS a,
+                    string_split(g, ' ')[2] AS b
+             FROM p{k} ORDER BY c DESC, g ASC LIMIT 1),
+    t{k} AS (SELECT doc_id, list_transform(
+             reduce({src}.tl,
+                    (acc, x) -> CASE WHEN acc[-1] = m{k}.a
+                                      AND x[1] = m{k}.b
+                  THEN list_concat(acc[1:len(acc)-1],
+                                   [m{k}.a || '_' || m{k}.b])
+                  ELSE list_concat(acc, x) END), s -> [s]) AS tl
+           FROM {src}, m{k})"""
+
+
+@query(
+    "bpe_tokenizer_roundtrip",
+    oracle=rf"""
+    WITH t0 AS (SELECT doc_id,
+                       list_transform(
+                         string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> [x]) AS tl
+                FROM documents),{_bpe_rt_round('t0', 1)},{_bpe_rt_round('t1', 2)},{_bpe_rt_round('t2', 3)}
+    SELECT t3.doc_id,
+           CAST(len(t3.tl) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(list_transform(t3.tl, x -> x[1]), ' '))
+             AS tokens_md5,
+           m1.a || '+' || m1.b || ';' || m2.a || '+' || m2.b || ';' ||
+             m3.a || '+' || m3.b AS merges
+    FROM t3, m1, m2, m3
+    """,
+)
+def bpe_tokenizer_roundtrip(spark, sf_dir):
+    """L28c the COMPOSED tokenizer loop (VERDICT r7 directive #6):
+    learn merges on the corpus (functions.text.bpe_learn_merges, the
+    bpe_merge_rounds train half), EXPORT them as the (a, b) priority
+    list — the merges.txt contract — then re-encode the same corpus
+    with the exported list (functions.text.bpe_encode, the
+    bpe_encode_corpus apply half) and emit per-document token counts
+    + an md5 over the full encoded sequence, plus the exported merge
+    list itself as a pinned column. The oracle replays BOTH halves:
+    three unrolled learn rounds (pair count, tie-broken top-1, greedy
+    fold — the bpe_merge_rounds idiom, doc-keyed), whose final state
+    t3 must equal the ENCODE of the original corpus with the learned
+    list — the exhaustive-per-merge equivalence the bpe_encode
+    docstring proves — so a priority-order or boundary bug in either
+    half breaks the hash. Scale shape: learn = one map-side-combined
+    pair-count shuffle + a 1-row collect per round (bounded driver
+    state, loop control only); encode = map-only codegen folds;
+    nothing else shuffles."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    merges, final = TX.bpe_learn_merges(d, n_merges=3)
+    final.unpersist()
+    exported = [(m[1], m[2]) for m in merges]
+    enc = TX.bpe_encode(d, merges=exported)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.encode(F.concat_ws(" ", F.col("bpe_tokens")), "UTF-8"))
+        .alias("tokens_md5"),
+        F.lit(";".join(f"{a}+{b}" for a, b in exported)).alias("merges"),
+    )
+
+
 @query(
     "compact_requery",
     oracle="""
@@ -6633,6 +6709,17 @@ def rollup_view_requery(spark, sf_dir):
 
 
 # =====================================================================
+# round-8 wave-1 candidate flip
+# =====================================================================
+# The 17 FLIPPED_R8 pairs (hustle_spark/candidates.py) register into
+# QUERIES when the candidates module finishes importing — importing it
+# here is the flip. Registration is by reference: the staged (query,
+# oracle) pairs are lifted verbatim, exactly as the staging contract
+# and VERDICT r7 directive #1 specified; the code keeps its one home.
+from . import candidates as _candidates_flip  # noqa: E402, F401
+
+
+# =====================================================================
 # entry point
 # =====================================================================
 
@@ -6670,102 +6757,105 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # PSL snapshot: the 8-suffix domain heuristic replaced by the
-    # embedded ~380-entry 2-label ICANN list (functions/psl.py), two
-    # snapshot-only hosts added to the generative model so the driver
-    # row proves the expansion; valueless tracking keys now dropped
-    # (ADVICE r6 #2) — both rows re-proven (VERDICT r6 directive #4)
+    # r8 PSL depth expansion (VERDICT r7 directive #7): 3-label ICANN
+    # suffixes + wildcard TLD rules with exceptions (functions/psl.py),
+    # two depth-probing hosts added to the generative model (host pool
+    # 9 -> 11), quota cap 100 -> 60 so the cut path stays engaged —
+    # both rows re-proven through the expanded resolver
     "url_canonicalize_stats", "url_domain_quota",
-    # _parse_jpeg_planes_ex: DRI/RSTn restart support + the T.81 A.2
-    # single-component non-interleaved fix (ADVICE r6 #1) — all three
-    # previously-proven JPEG probes re-proven through the edited
-    # decoder (helper-level change -> manual promotion)
-    "multimodal_jpeg_probe", "multimodal_jpeg_color_probe",
-    "multimodal_jpeg_subsampled_probe",
-    # single-split input spread: the window-digest explode ran on ONE
-    # core of 32 at sf0.1 (measured 1.9 s explode-alone for the
-    # trigram sibling); the conditional input spread keeps it wide — re-proven
-    "dedup_repeated_spans",
-    # same input spread for the two rows-only sketches (2.1-2.2x
-    # measured; xxhash64 signatures partitioning-independent) — their
-    # promotion also retires the last r1-latest driver rows
-    "dedup_minhash_lsh", "dedup_simhash",
+    # the 5 owed session-3 HELPER-refactor promotions (byte-identical
+    # outputs, oracle-reproven at sf0.01 in-session, but protocol says
+    # helper edits promote manually): _find_mdat extraction
+    "multimodal_frame_sample",
+    # shared _wav_mono16_8k_header_hex / _le_hex WAV helpers
+    "multimodal_audio_samples", "multimodal_audio_probe",
+    # _le_hex alias in the BMP synthesizer
+    "multimodal_pixel_probe", "multimodal_resize_probe",
 ]
 
 # New queries registered this round — every addition goes here.
 # COUNT-SYNC RULE (ADVICE r6 #4): _window() asserts the three segments
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
+#
+# r8 is the verdict-directed WAVE-1 CANDIDATE FLIP (VERDICT r7
+# directives #1/#2/#3/#6 name every row below). Deliberate,
+# documented trade: 18 _NEW + 7 _CHANGED leaves 25 backfill slots, so
+# window re-confirmation is 32/50 = 64% — below the 90% norm — because
+# the four directives jointly demand 18 new driver rows; the
+# alternative (splitting to 5 new/round) would leave the
+# highest-user-value operators (the curation chain, corpus build,
+# pagerank, retrieval) outside the gate for three more rounds. The
+# r4-latest staleness payoff continues with every remaining slot;
+# wave 2 (the 16 still-staged R8_CANDIDATES) flips in r9.
 _NEW_THIS_ROUND = [
-    # VERDICT r6 directive #3: DRI/RSTn restart-interval JPEG —
-    # per-interval DC chains, byte-aligned RSTn cycle, observed
-    # restart count pinned to ceil(blocks/Ri)-1 in the oracle
-    "multimodal_jpeg_restart_probe",
-    # VERDICT r6 directive #5: within-document repeated spans
-    # (keep-first), generative self-repetition replayed in the oracle
-    "dedup_repeated_spans_withindoc",
-    # VERDICT r6 directive #7: Cavnar–Trenkle trigram-profile
-    # language ID, fit+predict replayed end-to-end in the oracle
-    "text_lang_id_trigram",
-    # VERDICT r6 stretch #8: layout-aware HTML main-text extraction
-    # (block split + WSDM'10 word-count/link-density rules), the
-    # generative page model replayed block-by-block in the oracle
-    "html_block_extract",
-    # r7 coverage widening (memory queue): SemDeDup embedding-space
-    # semantic dedup — cluster-partitioned cosine domination, replayed
-    # end-to-end by the oracle over the axis-sign quantizer
-    "dedup_semantic",
+    # the curation chain, landed as a driver-proven whole
+    "text_gopher_quality", "text_gopher_repetition",
+    "text_unicode_hygiene", "text_blocklist", "text_quality_classifier",
+    "text_curation_verdict", "dedup_lines_corpus", "text_lm_perplexity",
+    "corpus_build_pipeline",
+    # graph / retrieval / suffix-array ExactSubstr / CSV source
+    "graph_pagerank", "retrieval_tfidf_topk",
+    "dedup_substring_groups", "dedup_substring_removal",
+    "csv_roundtrip_agg",
+    # directive #2: Annex G progressive JPEG decode under the gate
+    "multimodal_jpeg_progressive_probe",
+    # directive #3: robots.txt with RFC 9309 Allow precedence +
+    # Crawl-delay, over the depth-expanded URL model
+    "url_robots_filter",
+    # directive #6: BPE encode half + the composed learn->export->
+    # encode roundtrip row
+    "bpe_encode_corpus", "bpe_tokenizer_roundtrip",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r7 pays the whole r3-latest staleness tail (VERDICT r6
-# directive #1): all 21 rows whose newest green row is CORRECTNESS_r03
-# (in r3 key order), then the stalest r4-latest rows in
-# CORRECTNESS_r04 key order. After this round no query's newest green
-# row predates r4. Re-confirmation share:
-# (50 - len(_NEW_THIS_ROUND))/50 — changed rows are re-provens of
-# previously-green queries.
+# stalest rows. r8 continues paying the r4-latest staleness tail in
+# CORRECTNESS_r04 key order (the r7 _QUEUED_NEXT head minus the four
+# rows promoted to _CHANGED above).
 _BACKFILL = [
-    # r3-latest tail (CORRECTNESS_r03 key order)
-    "source_quota_cap", "orc_roundtrip_agg",
-    "streaming_join_attribution", "sequence_packing", "doc_chunking",
-    "embedding_quantize_int8", "mixture_token_budget",
-    "dedup_incremental", "skew_profile", "table_profile",
-    "funnel_stages", "cohort_retention", "dedup_simhash_md5",
-    "jsonl_roundtrip_agg", "window_range_rolling_7d",
-    "percentile_approx_audit", "q1_pricing_summary",
-    "restrict_groupby_sum", "filter_bool_combinators",
-    "filter_comparisons", "join_multiway",
-    # r4-latest head (CORRECTNESS_r04 key order)
-    "embedding_near_dup", "dedup_minhash_md5", "dedup_minhash_audit",
-    "bigram_vocab_stats", "doc_rolling_fingerprint",
-    "contamination_scan", "contamination_ngram_scan",
-    "insert_jsonl_requery", "delete_partition_requery",
-    "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
-    "streaming_tumbling_hour", "streaming_stateful_totals",
-    "dedup_cluster_cc", "udf_token_count",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r4-latest remainder in
-# CORRECTNESS_r04 key order, the r8 backfill head.
-_QUEUED_NEXT = [
     "udaf_regression_slope", "udtf_shingle_stats",
     "q5_local_supplier_volume", "q7_volume_shipping",
     "q8_national_market_share", "q9_product_profit", "q14_promo_revenue",
     "q19_disjunctive_revenue", "q3_shipping_priority",
     "scalar_math_funcs", "dedup_ngram_jaccard",
     "streaming_static_enrich", "skew_salted_join_requery",
-    "bucketed_join_requery", "multimodal_pixel_probe",
-    "dedup_containment_pairs", "text_unigram_quality",
-    "boilerplate_removal", "dedup_pipeline_keepers",
-    "multimodal_resize_probe", "multimodal_audio_samples",
-    "multimodal_frame_sample", "corpus_diff",
+    "bucketed_join_requery", "dedup_containment_pairs",
+    "text_unigram_quality", "boilerplate_removal",
+    "dedup_pipeline_keepers", "corpus_diff",
     "embedding_random_projection", "streaming_ingest_dedup_requery",
     "bpe_merge_rounds", "compact_requery", "distinct_order_limit",
-    "star_scan_region", "topk_orders",
+    "star_scan_region",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r4-latest remainder, then the
+# stalest r5-latest rows in CORRECTNESS_r05 key order — the r9
+# backfill head.
+_QUEUED_NEXT = [
+    "topk_orders",
+    # the complete r5-latest pool (CORRECTNESS_r05 key order, computed
+    # from the seven CORRECTNESS files: newest green row == r5, not in
+    # the r8 window)
+    "padding_waste_buckets", "filter_isin",
+    "embedding_contamination_scan", "vocab_drift_top",
+    "text_bigram_quality", "sharded_export_requery",
+    "rollup_view_requery", "nest_requery", "semi_join_customers",
+    "anti_join_customers", "left_join_nation_suppliers",
+    "full_outer_nation_activity", "cross_join_pairs", "set_except",
+    "set_intersect", "set_union", "window_running_total",
+    "window_lag_delta", "rollup_status_priority", "cube_flags",
+    "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
+    "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
+    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
+    "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
+    "doc_fingerprint_prefix", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q11_important_stock", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q20_excess_quantity_suppliers",
 ]
 
 

@@ -70,11 +70,42 @@ BENCH_LLM = [
     "text_lang_id_trigram",
     "html_block_extract",
     "dedup_semantic",
+    # appended round 8 (append-only protocol): the wave-1 flip — the
+    # full curation chain, corpus build, PageRank, TF-IDF retrieval,
+    # suffix-array ExactSubstr, CSV, progressive JPEG, robots, BPE
+    "text_gopher_quality",
+    "text_gopher_repetition",
+    "text_unicode_hygiene",
+    "text_blocklist",
+    "text_quality_classifier",
+    "text_curation_verdict",
+    "dedup_lines_corpus",
+    "text_lm_perplexity",
+    "corpus_build_pipeline",
+    "graph_pagerank",
+    "retrieval_tfidf_topk",
+    "dedup_substring_groups",
+    "dedup_substring_removal",
+    "csv_roundtrip_agg",
+    "multimodal_jpeg_progressive_probe",
+    "url_robots_filter",
+    "bpe_encode_corpus",
+    "bpe_tokenizer_roundtrip",
 ]
 
 WARM_RUNS = 3
 EXTRA_RUNS_UNDER = 0.3
 EXTRA_RUNS = 2
+
+# Same-session drift correction (VERDICT r7 directive #5: BENCH_LLM
+# was the one artifact without it, so LLM-set regressions and session
+# drift were conflated — e.g. the r7 url_* "regressions" that were
+# mostly the PSL expansion plus a 4.9% slow session). Reuses bench.py's
+# sentinel instrument VERBATIM: same three non-member fixed-plan
+# queries, same calibration anchor, measured FIRST under the same
+# protocol. value_normalized estimates what the same code would have
+# measured in the round-7 calibration session.
+from bench import SENTINEL_CALIBRATION_TOTAL, SENTINELS  # noqa: E402
 
 
 def main() -> None:
@@ -98,8 +129,7 @@ def main() -> None:
     except Exception as exc:
         print(f"bench_llm: warmup failed: {exc}", file=sys.stderr)
 
-    per_query: dict[str, float] = {}
-    for name in BENCH_LLM:
+    def measure(name: str, out: dict[str, float]) -> None:
         try:
             fn = qs[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -113,25 +143,45 @@ def main() -> None:
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     times.append(time.perf_counter() - t0)
-            per_query[name] = round(statistics.median(times), 4)
+            out[name] = round(statistics.median(times), 4)
         except Exception as exc:
             print(f"bench_llm: {name} failed: {exc}", file=sys.stderr)
-            per_query[name] = -1.0
+            out[name] = -1.0
         finally:
             release_cached()
 
+    # sentinels first (bench.py protocol: the drift estimate must not
+    # absorb cache-state side effects of the measured sweep)
+    sentinel_times: dict[str, float] = {}
+    assert not set(SENTINELS) & set(BENCH_LLM)
+    for name in SENTINELS:
+        measure(name, sentinel_times)
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_LLM:
+        measure(name, per_query)
+
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "llm_pipeline_total_median_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "llm_pipeline_total_median_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "sentinel": {
+            "queries": sentinel_times,
+            "total": round(
+                sum(t for t in sentinel_times.values() if t >= 0), 4
+            ),
+            "calibration_total": SENTINEL_CALIBRATION_TOTAL,
+        },
+    }
+    ok = [t for t in sentinel_times.values() if t >= 0]
+    if SENTINEL_CALIBRATION_TOTAL and len(ok) == len(SENTINELS):
+        ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
+        result["sentinel"]["ratio"] = round(ratio, 4)
+        result["value_normalized"] = round(total / ratio, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,9 @@ ALLOWED_NESTED_LOOP = {
                                # thousands of rows, never corpus-scale)
     "vocab_drift_top",         # two 1-row corpus-total broadcasts
                                # (the unigram fppm pattern, per side)
+    "text_lm_perplexity",      # 1-row reference-LM total broadcast
+                               # (the unigram fppm pattern) — flipped
+                               # from the candidate pool in r8
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
@@ -46,6 +49,8 @@ ALLOWED_PYTHON = {
     "multimodal_jpeg_color_probe",  # 4:4:4 color JPEG decode, same path
     "multimodal_jpeg_subsampled_probe",  # 4:2:0 decode, same path
     "multimodal_jpeg_restart_probe",  # DRI/RSTn decode, same path
+    "multimodal_jpeg_progressive_probe",  # Annex G progressive decode,
+                                 # same path — flipped in r8
     "warc_ingest_records",       # WARC record parse + gzip member
                                  # decode, same mapInPandas path
 }
@@ -65,13 +70,10 @@ def test_plan_invariants(name, spark, catalog):
 
 
 # staged candidate rows (hustle_spark/candidates.py) face the same
-# plan bar BEFORE the r8 flip imports them into the driver window
-CANDIDATE_ALLOWED_NESTED_LOOP = {
-    "text_lm_perplexity",        # 1-row reference-LM total broadcast
-                                 # (the unigram fppm pattern)
-}
+# plan bar BEFORE their wave's flip imports them into the driver
+# window (r8 moved its wave-1 entries into the registry lists above)
+CANDIDATE_ALLOWED_NESTED_LOOP = set()
 CANDIDATE_ALLOWED_PYTHON = {
-    "multimodal_jpeg_progressive_probe",  # Annex G decode, mapInPandas
     "multimodal_image_ahash",             # pixel decode + aHash, same path
     "multimodal_image_phash",             # pixel decode + integer DCT
     "multimodal_png_probe",               # zlib inflate + un-filtering

@@ -83,3 +83,52 @@ def test_lifecycle_queries_rerun_stable(spark):
         second = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
         assert first == second, f"{name} not re-run stable"
         assert first, f"{name} returned no rows at sf0.001"
+
+
+def test_oracle_gate_dtype_directions(spark):
+    """The check_oracle dtype gate's WARN downgrade must apply ONLY
+    when BOTH engines emit a nested type (no canonical cross-engine
+    spelling); a Spark struct/map against a DuckDB scalar — or the
+    reverse — is a genuine value-class mismatch and must stay a HARD
+    failure (ADVICE r6 #3; VERDICT r7 directive #8 asked for this
+    test)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import duckdb
+    from check_oracle import dtype_problems
+
+    con = duckdb.connect()
+
+    struct_df = spark.createDataFrame(
+        [((1, "a"),)], "c struct<x:int, y:string>"
+    )
+    map_df = spark.createDataFrame([({"k": 1},)], "c map<string,int>")
+    scalar_df = spark.createDataFrame([(1,)], "c bigint")
+
+    duck_scalar = con.sql("SELECT 1::BIGINT AS c")
+    duck_struct = con.sql("SELECT {'x': 1, 'y': 'a'} AS c")
+    duck_map = con.sql("SELECT MAP(['k'], [1]) AS c")
+
+    # both nested -> WARN (no canonical spelling), never hard
+    hard, warns = dtype_problems(struct_df, duck_struct)
+    assert not hard and warns
+    hard, warns = dtype_problems(map_df, duck_map)
+    assert not hard and warns
+
+    # Spark nested vs DuckDB scalar -> HARD, never a warn
+    hard, warns = dtype_problems(struct_df, duck_scalar)
+    assert hard and not warns
+    hard, warns = dtype_problems(map_df, duck_scalar)
+    assert hard and not warns
+
+    # DuckDB nested vs Spark scalar -> HARD too (the reverse direction)
+    hard, warns = dtype_problems(scalar_df, duck_struct)
+    assert hard and not warns
+    hard, warns = dtype_problems(scalar_df, duck_map)
+    assert hard and not warns
+
+    # scalar/scalar equal types -> clean
+    hard, warns = dtype_problems(scalar_df, duck_scalar)
+    assert not hard and not warns
