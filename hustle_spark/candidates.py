@@ -1388,6 +1388,69 @@ RETRIEVAL_TFIDF_TOPK_ORACLE = r"""
 """
 
 
+def retrieval_bm25_topk(spark, sf_dir):
+    """L43b fixed-point BM25 retrieval (operators/retrieval.py
+    bm25_topk — VERDICT r7 "What's missing" #5, closing the retrieval
+    story): the REAL k1=1.2 / b=0.75 saturating-tf + document-length
+    normalization curve, cleared of rational denominators so it is
+    all-integer (w_tf = 44000*A*tf DIV (20*A*tf + 6*A + 18*N*dl)),
+    with a monotone rational idf surrogate in place of Robertson's
+    log (log is monotone — per-term orderings agree; the float curve
+    swaps in behind the same contract). Same fixed 5-query set and
+    top-5 contract as retrieval_tfidf_topk, so the two rows pin the
+    whole ladder: plain TF-IDF and BM25's tf-curve/length effects.
+    The oracle recomputes N, A, df, both integer curves, scores, and
+    the ranked cut verbatim. Scale shape: identical to tfidf_topk
+    (query-term broadcast prune before the tf shuffle; dl carried
+    through the tf aggregate, never a second corpus join)."""
+    from .operators import retrieval as R
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    return R.bm25_topk(d, _TFIDF_QUERIES, k=5)
+
+
+RETRIEVAL_BM25_TOPK_ORACLE = r"""
+    WITH nq(query_id, term) AS (VALUES
+        (1, 'hash'), (1, 'join'),
+        (2, 'customer'), (2, 'order'),
+        (3, 'scan'), (3, 'slow'), (3, 'vector'),
+        (4, 'group'), (4, 'merge'),
+        (5, 'big'), (5, 'key'), (5, 'order')),
+    lens AS (SELECT doc_id,
+                    string_split_regex(lower(coalesce(text, '')),
+                                       '\s+') AS tl
+             FROM documents),
+    nn AS (SELECT COUNT(*) AS n,
+                  CAST(SUM(len(tl)) AS BIGINT) AS a
+           FROM lens),
+    toks AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl,
+                    unnest(tl) AS term
+             FROM lens),
+    mt AS (SELECT doc_id, dl, term FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM nq)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM mt
+           GROUP BY doc_id, term),
+    idf AS (SELECT term,
+                   (1000000 * (2 * (nn.n - COUNT(DISTINCT doc_id)) + 1))
+                     // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_w
+            FROM tf, nn GROUP BY term, nn.n),
+    sc AS (SELECT q.query_id, tf.doc_id,
+                  CAST(SUM(idf.idf_w *
+                       ((44000 * nn.a * tf.tf) //
+                        (20 * nn.a * tf.tf + 6 * nn.a + 18 * nn.n * tf.dl)))
+                       AS BIGINT) AS score
+           FROM tf JOIN idf USING (term) JOIN nq q USING (term), nn
+           GROUP BY q.query_id, tf.doc_id),
+    r AS (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rnk
+          FROM sc)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+"""
+
+
 def csv_roundtrip_agg(spark, sf_dir):
     """S10b CSV source/sink parity (closes the one readers.py format
     with no driver row): customer plus an injected comma-bearing note
@@ -2204,6 +2267,9 @@ ALL_CANDIDATES = {
         dedup_exact_substr_combined,
         DEDUP_EXACT_SUBSTR_COMBINED_ORACLE,
     ),
+    # staged in r8 for the r9 wave (VERDICT r7 missing #5): fixed-point
+    # BM25 completing the retrieval ladder next to exact TF-IDF
+    "retrieval_bm25_topk": (retrieval_bm25_topk, RETRIEVAL_BM25_TOPK_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names

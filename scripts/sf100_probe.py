@@ -105,8 +105,8 @@ DEFAULT_PROBES = [
     "text_lang_id_trigram",
     "html_block_extract",
     "dedup_semantic",
-    # round-7 staged candidates (resolved via hustle_spark.candidates
-    # until the r8 registration flip)
+    # round-7 staged candidates (wave-1 names below resolve via the
+    # registry since the r8 flip; still-staged ones via candidates)
     "text_gopher_quality",
     "text_gopher_repetition",
     "text_quality_classifier",
@@ -129,9 +129,24 @@ DEFAULT_PROBES = [
     "embedding_matryoshka_audit",
     "embedding_pq_audit",
     "corpus_build_pipeline",
+    # appended round 8 (the flipped rows not yet probed at 100x)
+    "text_unicode_hygiene",
+    "text_blocklist",
+    "text_lm_perplexity",
+    "url_robots_filter",
+    "multimodal_jpeg_progressive_probe",
+    "bpe_tokenizer_roundtrip",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
-    # ~1.0 and proves nothing
+    # ~1.0 and proves nothing.
+    # dedup_substring_groups / dedup_substring_removal deliberately
+    # absent too — NOT silently: the suffix array pays one row per
+    # CHARACTER through O(log) global range sorts, so the 100x corpus
+    # means ~2B-row sort rounds in this single-node container (hours,
+    # not a probe). Their scale evidence is the 10x sf1 probe
+    # (scripts/scale_probe.py dedup_substring_groups ...), recorded in
+    # BASELINE.md; the cost model is linear-in-characters by
+    # construction (Lee et al. pay the same).
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
@@ -306,6 +321,15 @@ def main() -> None:
     else:
         gen(regen="--regen" in sys.argv)
         dst = DST
+    # session-drift sentinels (VERDICT r7 directive #5): the RATIO
+    # table is intra-session (drift cancels), but the absolute seconds
+    # are compared across rounds — record the same bench.py sentinel
+    # instrument so those comparisons can be normalized
+    from bench import SENTINEL_CALIBRATION_TOTAL, SENTINELS
+    sentinel = run_probe(SRC, SENTINELS)
+    sentinel_total = round(sum(sentinel.values()), 4)
+    print(f"sentinels: {sentinel_total:.2f}s "
+          f"(calibration {SENTINEL_CALIBRATION_TOTAL})")
     base = run_probe(SRC, names)
     print(f"sf0.1 done: {sum(base.values()):.1f}s")
     scaled = run_probe(str(dst), names)
@@ -344,6 +368,14 @@ def main() -> None:
             "ratios": ratios,
             "total_ratio": total_ratio,
             "flagged_super_linear": flagged,
+            "sentinel": {
+                "queries": sentinel,
+                "total": sentinel_total,
+                "calibration_total": SENTINEL_CALIBRATION_TOTAL,
+                "ratio": round(
+                    sentinel_total / SENTINEL_CALIBRATION_TOTAL, 4
+                ),
+            },
         }, indent=1) + "\n")
         print(f"wrote {out_path}")
 
