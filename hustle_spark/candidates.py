@@ -119,8 +119,9 @@ URL_ROBOTS_FILTER_ORACLE = f"""
     WITH {_URL_MODEL_SQL}
     SELECT canon.doc_id, canon.domain,
            CASE CAST(length(canon.domain) % 4 AS INT)
-             WHEN 0 THEN (p.path LIKE '/p/1%'
-                          AND p.path NOT LIKE '/p/12%')
+             WHEN 0 THEN ((p.path LIKE '/p/1%'
+                           AND p.path NOT LIKE '/p/12%')
+                          OR p.path LIKE '/q/%')
              WHEN 1 THEN (p.path LIKE '/p/2%'
                           AND p.path NOT LIKE '/p/22%')
              WHEN 2 THEN FALSE

@@ -273,9 +273,16 @@ assert len(PUBLIC_SUFFIX_2LABEL) == len(set(PUBLIC_SUFFIX_2LABEL)), (
 assert len(PUBLIC_SUFFIX_3LABEL) == len(set(PUBLIC_SUFFIX_3LABEL)), (
     "duplicate suffix in the 3-label PSL snapshot"
 )
-# every 3-label entry must resolve THROUGH a consistent parent rule:
-# its own last-2 tail is either a listed 2-label suffix or a plain TLD
-# scheme — guards against typos that would make the CASE branches
-# disagree between engines
+# shape guards (typo protection is the unit tests' job —
+# tests/test_urls.py resolves 20+ of these end-to-end): every 3-label
+# entry has exactly two dots, every wildcard rule names a bare TLD,
+# and entries are lowercase alnum/dot only so the codegen InSet and
+# the oracle IN-list can never disagree on case
 assert all(s.count(".") == 2 for s in PUBLIC_SUFFIX_3LABEL)
 assert all("." not in t for t in WILDCARD_TLDS)
+assert all(
+    s == s.lower() and s.replace(".", "").isalnum()
+    for group in (PUBLIC_SUFFIX_2LABEL, PUBLIC_SUFFIX_3LABEL,
+                  WILDCARD_TLDS, WILDCARD_EXCEPTIONS)
+    for s in group
+)

@@ -224,22 +224,18 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
 
 # --- robots.txt politeness filtering (crawl curation stage) -----------
 
-def robots_rules(robots_text, user_agent: str = "*") -> Column:
-    """Parse a robots.txt body into the array of (pfx, allow) rules
-    that apply to ``user_agent`` — entirely in codegen (one aggregate
-    fold over the lines, no UDF). Implements the RFC 9309 group
-    semantics: ``User-agent:`` lines open a group (several in a row
-    share one rule block); a group applies if it names the agent
-    exactly or ``*``; ``Disallow:`` / ``Allow:`` lines inside an
-    applying group contribute a rule struct<pfx:string,
-    allow:boolean>; empty-value rules (RFC: ignored) and comment /
-    unknown lines are inert. Precedence between the collected rules
-    is the MATCHER's job (robots_filter: longest match wins, Allow
-    wins length ties) — rule ORDER inside the array therefore does
-    not matter, matching the RFC. Pattern wildcards (``*``/``$``
-    inside a path) are out of scope of this rule core (documented;
-    prefix semantics only). NULL text parses to an empty array (no
-    restrictions)."""
+def _robots_fold(robots_text, user_agent: str) -> Column:
+    """THE robots.txt state machine — one aggregate fold over the
+    lines shared by every parse surface (rules, crawl-delay), so the
+    RFC 9309 group semantics live in exactly one place: ``User-agent:``
+    lines open a group (several in a row share one rule block); a
+    group applies if it names the agent exactly or ``*``; ``Disallow:``
+    / ``Allow:`` lines inside an applying group contribute a rule
+    struct<pfx:string, allow:boolean>; the first ``Crawl-delay:`` in
+    an applying group sets delay (non-numeric values ignored);
+    empty-value rules (RFC: ignored) and comment / unknown lines are
+    inert, but every non-UA directive CLOSES the consecutive-UA run.
+    Returns struct<rules:array<struct<pfx,allow>>, delay:int>."""
     lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
     ua = F.lit(user_agent.lower())
 
@@ -248,7 +244,7 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
 
     def step(acc, line):
         # acc: struct<active:bool, in_group:bool,
-        #             rules:array<struct<pfx:string, allow:boolean>>>
+        #             rules:array<struct<pfx,allow>>, delay:int>
         t = F.trim(F.regexp_replace(line, r"#.*$", ""))
         low = F.lower(t)
         # value = everything after the FIRST colon (paths may contain
@@ -257,6 +253,7 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
         is_ua = low.rlike(r"^user-agent\s*:")
         is_dis = low.rlike(r"^disallow\s*:")
         is_allow = low.rlike(r"^allow\s*:")
+        is_delay = low.rlike(r"^crawl-delay\s*:")
         applies = (F.lower(val) == ua) | (val == F.lit("*"))
         return (
             F.when(
@@ -269,6 +266,7 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
                     ).otherwise(applies).alias("active"),
                     F.lit(True).alias("in_group"),
                     acc["rules"].alias("rules"),
+                    acc["delay"].alias("delay"),
                 ),
             )
             .when(
@@ -280,6 +278,22 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
                         acc["active"] & (val != F.lit("")),
                         F.array_append(acc["rules"], rule(val, is_allow)),
                     ).otherwise(acc["rules"]).alias("rules"),
+                    acc["delay"].alias("delay"),
+                ),
+            )
+            .when(
+                is_delay,
+                F.struct(
+                    acc["active"].alias("active"),
+                    F.lit(False).alias("in_group"),
+                    acc["rules"].alias("rules"),
+                    F.coalesce(
+                        acc["delay"],
+                        F.when(
+                            acc["active"] & val.rlike(r"^[0-9]+$"),
+                            val.cast("int"),
+                        ),
+                    ).alias("delay"),
                 ),
             )
             .otherwise(
@@ -287,6 +301,7 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
                     acc["active"].alias("active"),
                     F.lit(False).alias("in_group"),
                     acc["rules"].alias("rules"),
+                    acc["delay"].alias("delay"),
                 )
             )
         )
@@ -297,8 +312,21 @@ def robots_rules(robots_text, user_agent: str = "*") -> Column:
         F.array().cast(
             "array<struct<pfx:string, allow:boolean>>"
         ).alias("rules"),
+        F.lit(None).cast("int").alias("delay"),
     )
-    return F.aggregate(lines, init, step, lambda acc: acc["rules"])
+    return F.aggregate(lines, init, step, lambda acc: acc)
+
+
+def robots_rules(robots_text, user_agent: str = "*") -> Column:
+    """The array of (pfx, allow) rules that apply to ``user_agent`` —
+    a projection of the one shared ``_robots_fold`` state machine.
+    Precedence between the collected rules is the MATCHER's job
+    (robots_filter: longest match wins, Allow wins length ties) —
+    rule ORDER inside the array therefore does not matter, matching
+    the RFC. Pattern wildcards (``*``/``$`` inside a path) are out of
+    scope of this rule core (documented; prefix semantics only).
+    NULL text parses to an empty array (no restrictions)."""
+    return _robots_fold(robots_text, user_agent)["rules"]
 
 
 def robots_disallows(robots_text, user_agent: str = "*") -> Column:
@@ -316,62 +344,13 @@ def robots_disallows(robots_text, user_agent: str = "*") -> Column:
 
 def robots_crawl_delay(robots_text, user_agent: str = "*") -> Column:
     """First ``Crawl-delay:`` value (seconds, INT) inside a group that
-    applies to ``user_agent``; NULL when no applying group sets one or
-    the text is NULL. Same one-fold shape as robots_rules (the
+    applies to ``user_agent``; NULL when no applying group sets one,
+    the value is non-numeric, or the text is NULL — the same shared
+    ``_robots_fold`` state machine, projected to its delay slot (the
     directive is a de-facto extension — not part of RFC 9309 — but
-    real crawl corpora carry it constantly, and a politeness scheduler
-    needs it next to the rule set)."""
-    lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
-    ua = F.lit(user_agent.lower())
-
-    def step(acc, line):
-        # acc: struct<active:bool, in_group:bool, delay:int>
-        t = F.trim(F.regexp_replace(line, r"#.*$", ""))
-        low = F.lower(t)
-        val = F.trim(F.regexp_replace(t, r"^[^:]*:", ""))
-        is_ua = low.rlike(r"^user-agent\s*:")
-        is_delay = low.rlike(r"^crawl-delay\s*:")
-        applies = (F.lower(val) == ua) | (val == F.lit("*"))
-        return (
-            F.when(
-                is_ua,
-                F.struct(
-                    F.when(
-                        acc["in_group"], acc["active"] | applies
-                    ).otherwise(applies).alias("active"),
-                    F.lit(True).alias("in_group"),
-                    acc["delay"].alias("delay"),
-                ),
-            )
-            .when(
-                is_delay,
-                F.struct(
-                    acc["active"].alias("active"),
-                    F.lit(False).alias("in_group"),
-                    F.coalesce(
-                        acc["delay"],
-                        F.when(
-                            acc["active"] & val.rlike(r"^[0-9]+$"),
-                            val.cast("int"),
-                        ),
-                    ).alias("delay"),
-                ),
-            )
-            .otherwise(
-                F.struct(
-                    acc["active"].alias("active"),
-                    F.lit(False).alias("in_group"),
-                    acc["delay"].alias("delay"),
-                )
-            )
-        )
-
-    init = F.struct(
-        F.lit(False).alias("active"),
-        F.lit(False).alias("in_group"),
-        F.lit(None).cast("int").alias("delay"),
-    )
-    return F.aggregate(lines, init, step, lambda acc: acc["delay"])
+    real crawl corpora carry it constantly, and a politeness
+    scheduler needs it next to the rule set)."""
+    return _robots_fold(robots_text, user_agent)["delay"]
 
 
 def url_path(url) -> Column:
@@ -468,7 +447,8 @@ def synthesize_robots_bodies(
           and rule order must not matter
 
     Closed form for agent ``*``: blocked(path) =
-      v0: path LIKE '/p/1%' AND path NOT LIKE '/p/12%'   (delay 2)
+      v0: (path LIKE '/p/1%' AND path NOT LIKE '/p/12%')
+          OR path LIKE '/q/%'                            (delay 2)
       v1: path LIKE '/p/2%' AND path NOT LIKE '/p/22%'   (delay 5)
       v2: false                                          (delay NULL)
       v3: path LIKE '/p/4%'                              (delay NULL)

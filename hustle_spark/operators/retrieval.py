@@ -128,13 +128,18 @@ def bm25_topk(
     per-doc constant — no second corpus join), final top-k one window
     per query. Two scalar driver collects (N, A) are loop-control
     state, the tfidf n_docs precedent."""
+    from ..util import tracked_cache
+
     spark = docs.sparkSession
-    base = docs.select(
+    # tracked-cache the tokenized frame: the N/A stats collect below
+    # AND the exploded term scan both read it — uncached, the
+    # lower+split over every document would run twice per invocation
+    base = tracked_cache(docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(
             F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"
         ).alias("__toks"),
-    )
+    ))
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("__toks")).cast("bigint").alias("a"),

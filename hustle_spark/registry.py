@@ -6787,7 +6787,8 @@ _CHANGED = [
 # highest-user-value operators (the curation chain, corpus build,
 # pagerank, retrieval) outside the gate for three more rounds. The
 # r4-latest staleness payoff continues with every remaining slot;
-# wave 2 (the 16 still-staged R8_CANDIDATES) flips in r9.
+# wave 2 (the still-staged R8_CANDIDATES — 18 after the two rows
+# staged later this round) flips in r9.
 _NEW_THIS_ROUND = [
     # the curation chain, landed as a driver-proven whole
     "text_gopher_quality", "text_gopher_repetition",
