@@ -84,18 +84,24 @@ SHOWCASE = {
     "text_lang_id_trigram": "doc frame spread once up front (3.1x measured: the explode ran single-threaded on single-split testdata); trigram explodes map-only with map-side partial aggs; 320-row profile broadcast; every later exchange is scalar-width",
     "html_block_extract": "block split + per-block WSDM'10 features entirely codegen regexp/HOFs, zero UDF; the id repartition input spread is the only exchange (3.2x measured on single-split testdata)",
     "dedup_semantic": "within-cluster cosine domination via cluster-key equi-join (pairs per task bounded by cluster size); dominated-id set joins back on the id; sign-quantizer assignment map-only",
+    # r8 wave-1 flips (resolved via the registry since the flip)
+    "graph_pagerank": "3 PageRank iterations: each a src equi-join + map-side DIV + dst hash-agg + left join back to nodes; zero cartesians, zero Python",
+    "retrieval_tfidf_topk": "query-term broadcast semi-join prunes tokens BEFORE the tf shuffle; idf broadcast; per-query top-k window on scored docs only",
+    "bpe_encode_corpus": "four greedy merge folds entirely map-only codegen: the only exchange is the single-split input spread",
+    "corpus_build_pipeline": "five-stage gate checkpointed thin (the projection-collapse trap), scalar-id semi-join, one lang rollup",
+    "url_robots_filter": "rules side broadcast on the domain key; RFC 9309 longest-match precedence as filter()+aggregate() HOFs in codegen; corpus scanned once, never shuffled",
+    "dedup_substring_removal": "cap-order SA = ONE global range sort (the r8 change that retired six doubling rounds); LCP self-join on the scalar rank key; everything after the member filter is proportional to true repeats",
+    "bpe_tokenizer_roundtrip": "learn = one map-side-combined pair-count shuffle + 1-row collect per round (loop control); encode = map-only fold chain over the exported merges",
 }
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
-# themselves evidence — resolved via R8_CANDIDATES until the r8 flip
+# themselves evidence — resolved via R8_CANDIDATES until their wave flips
 CANDIDATE_SHOWCASE = {
-    "graph_pagerank": "3 PageRank iterations: each a src equi-join + map-side DIV + dst hash-agg + left join back to nodes; zero cartesians, zero Python",
-    "retrieval_tfidf_topk": "query-term broadcast semi-join prunes tokens BEFORE the tf shuffle; idf broadcast; per-query top-k window on scored docs only",
-    "bpe_encode_corpus": "four greedy merge folds entirely map-only codegen: the only exchange is the single-split input spread",
     "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
     "events_rolling_actives": "WAU via bounded 7-day fan-out explode + countDistinct — wide work is 7x the daily-active table, never a range join on raw events",
-    "corpus_build_pipeline": "five-stage gate checkpointed thin (the projection-collapse trap), scalar-id semi-join, one lang rollup",
+    "retrieval_bm25_topk": "same broadcast-prune-before-tf-shuffle shape as tfidf; per-doc length rides the tf aggregate (max of a per-doc constant) — no second corpus join",
+    "dedup_exact_substr_combined": "token-window cut localCheckpointed, then the cap-order SA runs over SURVIVORS only — stage 2's one-row-per-char cost is paid on the deduped corpus",
 }
 
 
