@@ -311,3 +311,113 @@ def test_robots_generative_model_closed_form(spark):
         for j, p in enumerate(paths)
     }
     assert out == exp
+
+
+def test_robots_precedence_property_vs_python_model(spark):
+    """Property differential for the r8 precedence core: random robots
+    bodies (UA runs, Allow/Disallow/Crawl-delay/comment/junk lines,
+    empty values, mixed case) and random paths, checked against an
+    independent pure-Python RFC 9309 model (longest match wins, Allow
+    wins length ties, consecutive UA lines share a group, non-UA
+    directives close the run). One batched Spark job for ALL cases —
+    the hypothesis-over-Spark pattern would pay a job per example."""
+    import random
+
+    from hustle_spark.functions.urls import (
+        robots_crawl_delay,
+        robots_filter,
+        robots_rules,
+    )
+
+    rng = random.Random(80823)
+    prefixes = ["/", "/a", "/a/b", "/ab", "/b/", "/a/bc", "/q", ""]
+    agents = ["*", "goodbot", "OtherBot"]
+
+    def gen_body():
+        lines = []
+        for _ in range(rng.randint(1, 4)):  # groups
+            for _ in range(rng.randint(1, 2)):  # consecutive UA lines
+                lines.append(f"User-agent: {rng.choice(agents)}")
+            for _ in range(rng.randint(0, 4)):  # rule block
+                kind = rng.choice(
+                    ["Disallow", "Allow", "Crawl-delay", "# junk", "Foo"]
+                )
+                if kind == "Crawl-delay":
+                    lines.append(
+                        f"Crawl-delay: {rng.choice(['3', '15', 'x'])}"
+                    )
+                elif kind in ("Disallow", "Allow"):
+                    lines.append(f"{kind}: {rng.choice(prefixes)}")
+                elif kind == "# junk":
+                    lines.append("# comment line")
+                else:
+                    lines.append("Foo: bar")
+            if rng.random() < 0.5:
+                lines.append("")
+        return "\n".join(lines)
+
+    def py_model(body, ua="*"):
+        """Independent reference: collect (pfx, allow) rules + first
+        delay for applying groups, then longest-match per path."""
+        rules, delay = [], None
+        active, in_group = False, False
+        for raw in body.split("\n"):
+            t = raw.split("#", 1)[0].strip()
+            low = t.lower()
+            val = t.split(":", 1)[1].strip() if ":" in t else ""
+            if low.startswith("user-agent") and ":" in t:
+                applies = val.lower() == ua or val == "*"
+                active = (active or applies) if in_group else applies
+                in_group = True
+                continue
+            in_group = False
+            if low.startswith("disallow") and ":" in t:
+                if active and val:
+                    rules.append((val, False))
+            elif low.startswith("allow") and ":" in t:
+                if active and val:
+                    rules.append((val, True))
+            elif low.startswith("crawl-delay") and ":" in t:
+                if active and delay is None and val.isdigit():
+                    delay = int(val)
+        def blocked(path):
+            best_len, best_allow = -1, True
+            for pfx, allow in rules:
+                if path.startswith(pfx):
+                    if len(pfx) > best_len:
+                        best_len, best_allow = len(pfx), allow
+                    elif len(pfx) == best_len:
+                        best_allow = best_allow or allow
+            return not best_allow
+        return rules, delay, blocked
+
+    cases = [(i, gen_body()) for i in range(60)]
+    paths = ["/a/bc/x", "/ab", "/b/z", "/q1", "/zzz", "/a"]
+    rdf = spark.createDataFrame(cases, "rid long, body string")
+    parsed = rdf.select(
+        "rid",
+        robots_rules(F.col("body")).alias("rules"),
+        robots_crawl_delay(F.col("body")).alias("cd"),
+    )
+    got = {r.rid: ([(x["pfx"], x["allow"]) for x in r.rules], r.cd)
+           for r in parsed.collect()}
+    docs = spark.createDataFrame(
+        [(rid * 100 + j, f"http://d{rid}.com{p}")
+         for rid, _ in cases for j, p in enumerate(paths)],
+        "doc_id long, url string",
+    )
+    robots = parsed.select(
+        F.concat(F.lit("d"), F.col("rid").cast("string"), F.lit(".com"))
+        .alias("domain"),
+        "rules",
+    )
+    blocked = {r.doc_id: r.blocked
+               for r in robots_filter(docs, robots).collect()}
+
+    for rid, body in cases:
+        rules, delay, blk = py_model(body)
+        assert got[rid] == (rules, delay), f"case {rid}:\n{body}"
+        for j, p in enumerate(paths):
+            assert blocked[rid * 100 + j] == blk(p), (
+                f"case {rid} path {p}:\n{body}"
+            )
