@@ -132,10 +132,11 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             out[name] = -1.0
         finally:
-            # dedup queries cache signature frames; keep storage flat
-            from hustle_spark.operators.dedup import release_cached
+            # keep storage flat between queries: tracked caches AND
+            # lingering localCheckpoint blocks (the r8 sf1 OOM lesson)
+            from hustle_spark.util import release_all_persistent
 
-            release_cached()
+            release_all_persistent(spark)
 
     # sentinels first: the drift estimate must not absorb cache-state
     # side effects of the headline sweep (fixed order = fixed protocol)

@@ -178,8 +178,16 @@ def suffix_array_capped(
 
     Consumers that need the TRUE full-suffix order beyond the cap
     (none in this module's public surface) use ``suffix_array``."""
+    from pyspark import StorageLevel
+
     base = suffix_positions(df, text=text, id_col=id_col, prefix_cap=prefix_cap)
-    return _global_dense_rank(base, ["__prefix", id_col, "pos"], "rank")
+    # DISK_ONLY: one row per character with the carried prefix is the
+    # module's one corpus-sized frame — in memory it crowds out the 32
+    # concurrent sort buffers (the r8 sf1 OOM in the 8g local heap)
+    return _global_dense_rank(
+        base, ["__prefix", id_col, "pos"], "rank",
+        checkpoint_storage=StorageLevel.DISK_ONLY,
+    )
 
 
 def _capped_lcp(a, b):
@@ -301,10 +309,14 @@ def _repeat_runs(
     # lcp_adjacent's self-join and lcped feeds its own reverse join —
     # without truncation each action would replay the pipeline per
     # branch
+    from pyspark import StorageLevel
+
     sa = suffix_array_capped(
         df, text=text, id_col=id_col, prefix_cap=prefix_cap
     )
-    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint()
+    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     # a suffix is a member iff it shares >= min_len with a rank
     # neighbor on either side; lcp_next via the reverse join
     nxt = lcped.select(

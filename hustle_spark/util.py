@@ -61,6 +61,30 @@ def release_cached() -> int:
     return n
 
 
+def release_all_persistent(spark) -> int:
+    """BETWEEN-QUERY cleanup for benches/probes: unpersist every RDD
+    the context still tracks — tracked caches AND the block footprint
+    of localCheckpoint()ed frames, which otherwise free only when the
+    lazy ContextCleaner gets to them after GC. The r8 sf1 lesson: two
+    suffix-array queries back-to-back in one 8g JVM OOMed because the
+    first query's checkpoint blocks were still being cleaned while the
+    second query's sort buffers grew (each query alone fit). NOT safe
+    mid-query — a live localCheckpoint consumer would recompute a
+    NON-DETERMINISTIC partition splice (the freeze-before-collect
+    contract in global_dense_rank); callers use it only at query
+    boundaries, where every consumer is done."""
+    n = release_cached()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(True)
+            n += 1
+    except Exception:
+        pass
+    return n
+
+
 def spread_input(df, spark):
     """Repartition ``df`` to the session's core count ONLY when the
     source scan under-parallelizes (fewer splits than cores) — the
@@ -91,14 +115,22 @@ def spread_input(df, spark):
 # corpus-wide rank (LM quality bucketing).
 
 
-def global_dense_rank(df, cols: list, out: str):
+def global_dense_rank(df, cols: list, out: str, checkpoint_storage=None):
     """Dense rank (0-based) over the WHOLE frame by ``cols`` without a
     single-partition window: range-repartition on the key, dense_rank
     inside each partition, then add per-partition offsets computed
     from the (<= shuffle_partitions)-row distinct-count collect.
     RangePartitioner puts equal keys in one partition, so
     per-partition dense ranks splice into a global dense rank
-    exactly."""
+    exactly.
+
+    ``checkpoint_storage``: optional StorageLevel for the frozen
+    materialization. The default (None -> MEMORY_AND_DISK) is right
+    for the typical bounded frame; callers ranking CORPUS-SIZED frames
+    (one row per suffix position) pass DISK_ONLY so the checkpoint
+    cannot crowd the executor heap — the r8 sf1 OOM lesson: two 15M-row
+    string-carrying checkpoints + 32 task sort buffers do not coexist
+    in the measured-best 8g local heap."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -114,7 +146,9 @@ def global_dense_rank(df, cols: list, out: str):
     # the offsets job and every later consumer MUST read one frozen
     # materialization of (__pid, __lr) — recomputing the shuffle could
     # assign different partition ids and splice garbage ranks
-    d = d.withColumn("__lr", F.dense_rank().over(w)).localCheckpoint()
+    d = d.withColumn("__lr", F.dense_rank().over(w)).localCheckpoint(
+        eager=True, storageLevel=checkpoint_storage
+    )
     # bounded collect: one row per non-empty partition
     per = sorted(
         (r["__pid"], r["__cnt"])

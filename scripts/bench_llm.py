@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from hustle_spark.session import get_session  # noqa: E402
 from hustle_spark import registry  # noqa: E402
-from hustle_spark.util import release_cached  # noqa: E402
+from hustle_spark.util import release_all_persistent  # noqa: E402
 
 BENCH_LLM = [
     # dedup family
@@ -148,7 +148,7 @@ def main() -> None:
             print(f"bench_llm: {name} failed: {exc}", file=sys.stderr)
             out[name] = -1.0
         finally:
-            release_cached()
+            release_all_persistent(spark)
 
     # sentinels first (bench.py protocol: the drift estimate must not
     # absorb cache-state side effects of the measured sweep)

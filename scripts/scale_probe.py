@@ -22,7 +22,7 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
     from pyspark.sql import functions as F
     from hustle_spark.session import get_session
     from hustle_spark import registry
-    from hustle_spark.util import release_cached
+    from hustle_spark.util import release_all_persistent
 
     spark = get_session(app_name=f"scale-probe", extra_conf={"spark.ui.enabled": "false"})
     out: dict[str, float] = {}
@@ -53,7 +53,9 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
                 action = None
             (action.collect() if action is not None else df.collect())
             best = min(best, time.monotonic() - t0)
-            release_cached()
+            # full sweep incl. lingering localCheckpoint blocks (the r8
+            # sf1 OOM: back-to-back SA queries in one 8g JVM)
+            release_all_persistent(spark)
         out[name] = round(best, 3)
     spark.stop()
     return out
@@ -73,11 +75,14 @@ def main() -> None:
         return
 
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
-    unknown = [n for n in names if n not in registry.QUERIES]
+    from hustle_spark.candidates import R8_CANDIDATES
+
+    valid = set(registry.QUERIES) | set(R8_CANDIDATES)
+    unknown = [n for n in names if n not in valid]
     if unknown or not names:
         sys.exit(
             f"unknown queries: {unknown or '(none given)'}\n"
-            f"valid names: {', '.join(registry.QUERIES)}"
+            f"valid names: {', '.join(sorted(valid))}"
         )
     gen(regen=False)
     base = time_queries(SRC, names)
