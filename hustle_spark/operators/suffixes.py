@@ -329,14 +329,23 @@ def _repeat_runs(
     # islands: consecutive ranks with a qualifying SHARED edge stay in
     # one group; split on rank gaps (automatic: a gapped rank has a
     # sub-threshold or absent lcp_prev edge) and on sub-threshold edges
-    idx = _global_dense_rank(members, ["rank"], "__mi")
+    # DISK_ONLY here too: members are ~7% of positions on a natural
+    # corpus but CORPUS-SIZED on repeat-heavy ones (the 10x replica
+    # study's injected corpus) — the honest assumption for a dedup op
+    idx = _global_dense_rank(
+        members, ["rank"], "__mi",
+        checkpoint_storage=StorageLevel.DISK_ONLY,
+    )
     boundary = (
         F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
     ).cast("bigint")
     flagged = idx.withColumn("__b", boundary)
     # group seed = running count of boundaries up to each member, a
     # prefix sum over the member index — same range-partition scan
-    return _running_sum(flagged, "__mi", "__b", "__g")
+    return _running_sum(
+        flagged, "__mi", "__b", "__g",
+        checkpoint_storage=StorageLevel.DISK_ONLY,
+    )
 
 
 def repeated_substring_removal(

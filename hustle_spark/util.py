@@ -172,11 +172,12 @@ def global_dense_rank(df, cols: list, out: str, checkpoint_storage=None):
     )
 
 
-def global_running_sum(df, order_col: str, val_col: str, out: str):
+def global_running_sum(df, order_col: str, val_col: str, out: str,
+                       checkpoint_storage=None):
     """Inclusive prefix sum of ``val_col`` in ``order_col`` order
     without a single-partition window: range repartition, local
     cumulative sum, per-partition totals (bounded collect) as
-    offsets."""
+    offsets. ``checkpoint_storage`` as in global_dense_rank."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -191,7 +192,9 @@ def global_running_sum(df, order_col: str, val_col: str, out: str):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # same freeze-before-collect contract as _global_dense_rank
-    d = d.withColumn("__ls", F.sum(val_col).over(w)).localCheckpoint()
+    d = d.withColumn("__ls", F.sum(val_col).over(w)).localCheckpoint(
+        eager=True, storageLevel=checkpoint_storage
+    )
     per = sorted(
         (r["__pid"], r["__tot"])
         for r in d.groupBy("__pid").agg(F.sum(val_col).alias("__tot")).collect()
