@@ -342,6 +342,28 @@ def robots_disallows(robots_text, user_agent: str = "*") -> Column:
     )
 
 
+def robots_sitemaps(robots_text) -> Column:
+    """Array of ``Sitemap:`` URLs in a robots.txt body — per RFC 9309
+    / sitemaps.org these are GROUP-INDEPENDENT (they apply regardless
+    of User-agent, so no state machine is needed): one codegen
+    filter+transform over the lines, comments stripped, empty values
+    dropped. NULL text yields an empty array. Feeds crawl frontier
+    seeding next to the (rules, crawl_delay) politeness pair."""
+    lines = F.split(F.coalesce(robots_text, F.lit("")), r"\r?\n")
+
+    def clean(line):
+        return F.trim(F.regexp_replace(line, r"#.*$", ""))
+
+    return F.transform(
+        F.filter(
+            lines,
+            lambda x: F.lower(clean(x)).rlike(r"^sitemap\s*:")
+            & (F.trim(F.regexp_replace(clean(x), r"^[^:]*:", "")) != ""),
+        ),
+        lambda x: F.trim(F.regexp_replace(clean(x), r"^[^:]*:", "")),
+    )
+
+
 def robots_crawl_delay(robots_text, user_agent: str = "*") -> Column:
     """First ``Crawl-delay:`` value (seconds, INT) inside a group that
     applies to ``user_agent``; NULL when no applying group sets one,

@@ -421,3 +421,26 @@ def test_robots_precedence_property_vs_python_model(spark):
             assert blocked[rid * 100 + j] == blk(p), (
                 f"case {rid} path {p}:\n{body}"
             )
+
+
+def test_robots_sitemaps_group_independent(spark):
+    """Sitemap: lines are group-independent (sitemaps.org): collected
+    from anywhere in the body, comments stripped, empty values and
+    non-sitemap lines dropped, URL-internal colons preserved."""
+    from hustle_spark.functions.urls import robots_sitemaps
+
+    body = (
+        "User-agent: somebot\n"
+        "Disallow: /\n"
+        "Sitemap: https://example.com/sitemap.xml\n"
+        "User-agent: *\n"
+        "sitemap:https://example.com/s2.xml  # trailing comment\n"
+        "Sitemap:\n"                      # empty value dropped
+        "Sitemapx: https://nope.example\n"  # near-miss key dropped
+    )
+    rdf = spark.createDataFrame([(body,), (None,)], "body string")
+    got = [r.s for r in rdf.select(
+        robots_sitemaps(F.col("body")).alias("s")).collect()]
+    assert got[0] == ["https://example.com/sitemap.xml",
+                      "https://example.com/s2.xml"]
+    assert got[1] == []
