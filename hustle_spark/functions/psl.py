@@ -242,7 +242,9 @@ _US_STATES = (
 )
 PUBLIC_SUFFIX_3LABEL: tuple[str, ...] = (
     tuple(f"{st}.edu.au" for st in _AU_STATES)
-    + ("catholic.edu.au",)
+    # eq.edu.au (Education Queensland) and catholic.edu.au are the two
+    # non-state AU education second-levels on the current PSL
+    + ("catholic.edu.au", "eq.edu.au")
     + tuple(f"{st}.gov.au" for st in _AU_STATES)
     + tuple(f"{scheme}.{st}.us" for st in _US_STATES
             for scheme in ("k12", "cc", "lib"))
@@ -251,11 +253,17 @@ PUBLIC_SUFFIX_3LABEL: tuple[str, ...] = (
 # TLD-level wildcard rules from the PSL (``*.ck`` means every
 # ``<label>.ck`` is itself a public suffix, so registrable domains
 # under them carry three labels) and their exception rules (``!www.ck``
-# re-opens www.ck as a registrable domain). ``bd`` also has explicit
-# 2-label entries above; the wildcard supersedes and yields the same
-# outcome for them, so the overlap is harmless by construction.
+# re-opens www.ck as a registrable domain). SNAPSHOT CAVEAT for the
+# full-PSL swap point: the modern PSL replaced ``*.bd`` with explicit
+# second-level entries, so keeping ``bd`` here OVER-WIDENS — every
+# ``<label>.bd`` is treated as a suffix, when the real list names only
+# ~10 (com.bd, edu.bd, ...); for quota purposes that only makes bd
+# domains finer-grained, never dropped, and the explicit 2-label bd
+# entries above yield the same outcome where they overlap. ``np`` is a
+# genuine current-PSL TLD-level wildcard (every ``<label>.np`` is a
+# suffix — ADVICE r8).
 WILDCARD_TLDS: tuple[str, ...] = (
-    "bd", "ck", "er", "fk", "jm", "kh", "mm", "pg",
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
 )
 WILDCARD_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
 

@@ -31,19 +31,27 @@ array algorithm whose inner loop IS a distributed sort:
 LCP between rank-adjacent suffixes is computed from the carried
 ``prefix_cap``-character prefixes (codegen zip_with; exact up to the
 cap, reported as min(true LCP, cap)) — the bounded-LCP contract that
-keeps the frame at ~(id, pos, rank, cap chars) per row instead of
-Kasai's sequential pass or per-level rank matrices. Repeats longer
-than the cap still group correctly (their capped LCP saturates at the
-cap >= min_len); only the REPORTED length saturates.
+avoids Kasai's sequential pass and per-level rank matrices.
 
-Scale shape: one row per character position is the honest ExactSubstr
-cost (Lee et al. pay the same 8 bytes/byte for the SA). Every wide
-operation is an equi-join or a range sort on scalar keys; per-round
-frames are localCheckpoint'ed (the connected_components lineage
-idiom) so plans stay flat across rounds. Within-doc windows mean one
-task sees one document's positions — shard pathologically long
-documents upstream (the module treats a document as the parallelism
-atom, exactly like the token-window passes).
+Carried-bytes-per-position accounting (the r9 width cut): the prefix
+rides exactly TWO stages — the one SA range sort (where it is the
+sort key) and the LCP self-join — at ~(24 + prefix_cap) bytes/row;
+every stage after the LCP projection (the frozen member frame, the
+member dense rank, the boundary running sum, the group/mark
+aggregations) carries only (id, pos, rank, lcp_prev) scalars,
+~24 bytes/row — a ~2-3x shuffle/spill cut at cap 24-40 on the
+corpus-sized scans, and the group sample text is re-derived at the
+end from a broadcast join of the (few) groups against one docs scan.
+Lee et al. pay 8 bytes/byte for the in-memory SA; one scalar row per
+character position is the same honest cost, distributed.
+
+Scale shape: every wide operation is an equi-join or a range sort on
+scalar keys; per-round frames are localCheckpoint'ed (the
+connected_components lineage idiom) so plans stay flat across rounds.
+Within-doc windows mean one task sees one document's positions —
+shard pathologically long documents upstream (the module treats a
+document as the parallelism atom, exactly like the token-window
+passes).
 """
 
 from __future__ import annotations
@@ -273,7 +281,17 @@ def repeated_substring_groups(
             F.min(F.when(F.col("__b") == 0, F.col("lcp_prev"))).alias(
                 "repeat_len"
             ),
-            F.min(F.struct("rank", "__prefix")).alias("__first"),
+            # first member by rank (ranks are unique, so min(struct)
+            # picks the group_id row); carry its (id, pos) so the
+            # sample text can be re-derived from the docs table below
+            # instead of hauling the prefix through the group shuffle
+            F.min(
+                F.struct(
+                    F.col("rank").alias("r"),
+                    F.col(id_col).alias("i"),
+                    F.col("pos").alias("p"),
+                )
+            ).alias("__first"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .select(
@@ -281,12 +299,31 @@ def repeated_substring_groups(
             "n_occ",
             "n_docs",
             F.col("repeat_len").cast("int").alias("repeat_len"),
-            F.expr("substring(__first.__prefix, 1, repeat_len)").alias(
+            F.col("__first.i").alias("__fid"),
+            F.col("__first.p").alias("__fpos"),
+        )
+    )
+    # sample re-derivation: groups are FEW (bounded by true repeats),
+    # so broadcast them against one docs scan — substring(text,
+    # pos+1, repeat_len) of the first member is byte-identical to the
+    # prefix slice the group shuffle used to carry
+    docs = df.select(
+        F.col(id_col).alias("__fid"),
+        F.coalesce(F.col(text), F.lit("")).alias("__ftext"),
+    )
+    return (
+        F.broadcast(groups)
+        .join(docs, "__fid")
+        .select(
+            "group_id",
+            "n_occ",
+            "n_docs",
+            "repeat_len",
+            F.expr("substring(__ftext, __fpos + 1, repeat_len)").alias(
                 "sample"
             ),
         )
     )
-    return groups
 
 
 def _repeat_runs(
@@ -300,8 +337,9 @@ def _repeat_runs(
     inside some repeated region (an adjacent capped LCP >= min_len on
     either side), each carrying its island key ``__g`` (split on rank
     gaps and sub-threshold edges — membership alone is not
-    edge-transitivity), boundary flag ``__b``, rank, prefix, and
-    (id, pos)."""
+    edge-transitivity), boundary flag ``__b``, rank, lcp_prev, and
+    (id, pos) — scalars only; the carried prefix is dropped at the
+    LCP stage (see the width-cut note below)."""
     # cap-order SA (suffix_array_capped): equivalent to the full order
     # for everything downstream — see its docstring — at ONE global
     # sort instead of the doubling loop (measured 27.6 s -> the sort's
@@ -314,8 +352,20 @@ def _repeat_runs(
     sa = suffix_array_capped(
         df, text=text, id_col=id_col, prefix_cap=prefix_cap
     )
-    lcped = lcp_adjacent(sa, id_col=id_col).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    # WIDTH CUT (r9): the carried prefix is needed by exactly two
+    # stages — the SA range sort (it IS the sort key) and the LCP
+    # self-join. Everything downstream operates on scalars, so the
+    # prefix is dropped HERE, before the checkpoint: the frozen frame,
+    # the member filter, the member dense rank, and the boundary
+    # running sum all carry (id, pos, rank, lcp_prev) ≈ 24 bytes per
+    # position instead of + prefix_cap chars — a ~2-3x shuffle/spill
+    # cut on the two corpus-sized range scans below (group sample text
+    # is re-derived from the docs table at the end, where groups are
+    # few — repeated_substring_groups).
+    lcped = (
+        lcp_adjacent(sa, id_col=id_col)
+        .select(id_col, "pos", "rank", "lcp_prev")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # a suffix is a member iff it shares >= min_len with a rank
     # neighbor on either side; lcp_next via the reverse join

@@ -6757,20 +6757,22 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r8 PSL depth expansion (VERDICT r7 directive #7): 3-label ICANN
-    # suffixes + wildcard TLD rules with exceptions (functions/psl.py),
-    # two depth-probing hosts added to the generative model (host pool
-    # 9 -> 11), quota cap 100 -> 60 so the cut path stays engaged —
-    # both rows re-proven through the expanded resolver
-    "url_canonicalize_stats", "url_domain_quota",
-    # the 5 owed session-3 HELPER-refactor promotions (byte-identical
-    # outputs, oracle-reproven at sf0.01 in-session, but protocol says
-    # helper edits promote manually): _find_mdat extraction
-    "multimodal_frame_sample",
-    # shared _wav_mono16_8k_header_hex / _le_hex WAV helpers
-    "multimodal_audio_samples", "multimodal_audio_probe",
-    # _le_hex alias in the BMP synthesizer
-    "multimodal_pixel_probe", "multimodal_resize_probe",
+    # r9 PSL snapshot additions (ADVICE r8 #1): *.np is a genuine
+    # current-PSL TLD wildcard, eq.edu.au joins the AU 3-label family,
+    # and the *.bd over-widening is documented at the swap point
+    # (functions/psl.py). The snapshot feeds the generated IN-lists in
+    # _URL_MODEL_SQL, so all three URL rows' oracle text moved —
+    # outputs are byte-identical (no model host resolves under np /
+    # eq.edu.au; tests/test_urls.py covers the new rules directly)
+    "url_canonicalize_stats", "url_domain_quota", "url_robots_filter",
+    # r9 SA width cut (VERDICT r8 directive #4): operators/suffixes.py
+    # drops the carried prefix at the LCP stage — the member frame,
+    # member dense rank, and boundary running sum now move scalars
+    # only, and the group sample is re-derived from a broadcast join
+    # against one docs scan. Oracle-reproven at sf0.01 AND sf0.1
+    # in-session; same-session A/B at sf0.1 shows no wall regression
+    # (groups 8.25 vs 8.44 s, removal 9.05 vs 9.10 s, avg of 2)
+    "dedup_substring_groups", "dedup_substring_removal",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6778,67 +6780,41 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r8 is the verdict-directed WAVE-1 CANDIDATE FLIP (VERDICT r7
-# directives #1/#2/#3/#6 name every row below). Deliberate,
-# documented trade: 18 _NEW + 7 _CHANGED leaves 25 backfill slots, so
-# window re-confirmation is 32/50 = 64% — below the 90% norm — because
-# the four directives jointly demand 18 new driver rows; the
-# alternative (splitting to 5 new/round) would leave the
-# highest-user-value operators (the curation chain, corpus build,
-# pagerank, retrieval) outside the gate for three more rounds. The
-# r4-latest staleness payoff continues with every remaining slot;
-# wave 2 (the still-staged R8_CANDIDATES — 18 after the two rows
-# staged later this round) flips in r9.
+# r9 is the WAVE-2 flip AT the protocol floor (VERDICT r8 directives
+# #1/#2/#8): the nine wave-2 rows the verdict named, plus the new
+# BM25 float-vs-fixed rank-agreement audit — 10 _NEW + 5 _CHANGED
+# leaves 35 backfill slots, so window re-confirmation is 40/50 = 80%,
+# exactly the floor directive #1 set ("hold the window at >=80%
+# backfill+changed share"). The backfill head clears topk_orders (the
+# last r4-latest row) and the first 34 rows of the r5-latest pool;
+# the 11-row r5 remainder is QUEUED (not dropped) and drains in r10
+# alongside the 9-row wave-2b media flip.
 _NEW_THIS_ROUND = [
-    # the curation chain, landed as a driver-proven whole
-    "text_gopher_quality", "text_gopher_repetition",
-    "text_unicode_hygiene", "text_blocklist", "text_quality_classifier",
-    "text_curation_verdict", "dedup_lines_corpus", "text_lm_perplexity",
-    "corpus_build_pipeline",
-    # graph / retrieval / suffix-array ExactSubstr / CSV source
-    "graph_pagerank", "retrieval_tfidf_topk",
-    "dedup_substring_groups", "dedup_substring_removal",
-    "csv_roundtrip_agg",
-    # directive #2: Annex G progressive JPEG decode under the gate
-    "multimodal_jpeg_progressive_probe",
-    # directive #3: robots.txt with RFC 9309 Allow precedence +
-    # Crawl-delay, over the depth-expanded URL model
-    "url_robots_filter",
-    # directive #6: BPE encode half + the composed learn->export->
-    # encode roundtrip row
-    "bpe_encode_corpus", "bpe_tokenizer_roundtrip",
+    # retrieval ladder: the real saturating-tf curve + the float twin
+    # driven through the all-integer agreement audit (directive #8)
+    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
+    # the token-window -> suffix-array ExactSubstr composition
+    "dedup_exact_substr_combined",
+    # the reference's own event-analytics domain: DAU/WAU rolling
+    # actives + the mergeable HLL sketch rollup
+    "events_rolling_actives", "sketch_rollup_actives",
+    # ANN compression ladder: 8x8 sign-code product quantization
+    "embedding_pq_audit",
+    # sources/media: spec-valid PNG synthesis + all five filter paths
+    "multimodal_png_probe",
+    # text analysis: exact Simpson diversity + code-fence detection
+    "text_lexical_diversity", "text_code_detect",
+    # WARC meta-noindex honor (robots meta, the ingestion gap)
+    "warc_meta_noindex",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r8 continues paying the r4-latest staleness tail in
-# CORRECTNESS_r04 key order (the r7 _QUEUED_NEXT head minus the four
-# rows promoted to _CHANGED above).
+# stalest rows. r9 retires the LAST r4-latest row (topk_orders, the
+# oldest row in the ledger) and the first 34 rows of the r5-latest
+# pool in CORRECTNESS_r05 key order (the r8 _QUEUED_NEXT head).
 _BACKFILL = [
-    "udaf_regression_slope", "udtf_shingle_stats",
-    "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_national_market_share", "q9_product_profit", "q14_promo_revenue",
-    "q19_disjunctive_revenue", "q3_shipping_priority",
-    "scalar_math_funcs", "dedup_ngram_jaccard",
-    "streaming_static_enrich", "skew_salted_join_requery",
-    "bucketed_join_requery", "dedup_containment_pairs",
-    "text_unigram_quality", "boilerplate_removal",
-    "dedup_pipeline_keepers", "corpus_diff",
-    "embedding_random_projection", "streaming_ingest_dedup_requery",
-    "bpe_merge_rounds", "compact_requery", "distinct_order_limit",
-    "star_scan_region",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r4-latest remainder, then the
-# stalest r5-latest rows in CORRECTNESS_r05 key order — the r9
-# backfill head.
-_QUEUED_NEXT = [
     "topk_orders",
-    # the complete r5-latest pool (CORRECTNESS_r05 key order, computed
-    # from the seven CORRECTNESS files: newest green row == r5, not in
-    # the r8 window)
     "padding_waste_buckets", "filter_isin",
     "embedding_contamination_scan", "vocab_drift_top",
     "text_bigram_quality", "sharded_export_requery",
@@ -6852,6 +6828,15 @@ _QUEUED_NEXT = [
     "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
     "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
     "doc_fingerprint_prefix", "q2_min_cost_supplier",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r5-latest remainder (11 rows, in
+# CORRECTNESS_r05 key order) — the r10 backfill head. After these
+# drain, the stalest pool is r6-latest (docs/CHECKED.md holds the
+# manifest).
+_QUEUED_NEXT = [
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q11_important_stock", "q12_late_shipment_priority",
     "q13_customer_distribution", "q15_top_supplier",

@@ -96,7 +96,7 @@ SHOWCASE = {
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
-# themselves evidence — resolved via R8_CANDIDATES until their wave flips
+# themselves evidence — resolved via STAGED_CANDIDATES until their wave flips
 CANDIDATE_SHOWCASE = {
     "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
     "events_rolling_actives": "WAU via bounded 7-day fan-out explode + countDistinct — wide work is 7x the daily-active table, never a range join on raw events",
@@ -110,12 +110,12 @@ def main():
     spark = get_session(app_name="explain-report", extra_conf={"spark.ui.enabled": "false"})
     out = ["# EXPLAIN — physical plans of flagship queries",
            "", f"Generated by `scripts/explain_report.py` at `{sf_dir}`.", ""]
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
     def resolve(name):
         if name in registry.QUERIES:
             return registry.QUERIES[name].fn
-        return R8_CANDIDATES[name][0]
+        return STAGED_CANDIDATES[name][0]
 
     for name, why in {**SHOWCASE, **CANDIDATE_SHOWCASE}.items():
         df = resolve(name)(spark, sf_dir)

@@ -30,9 +30,9 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
         if name in registry.QUERIES:
             fn = registry.QUERIES[name].fn
         else:  # staged candidate rows are probe-able before the flip
-            from hustle_spark.candidates import R8_CANDIDATES
+            from hustle_spark.candidates import STAGED_CANDIDATES
 
-            fn = R8_CANDIDATES[name][0]
+            fn = STAGED_CANDIDATES[name][0]
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()
@@ -75,9 +75,9 @@ def main() -> None:
         return
 
     names = [a for a in sys.argv[1:] if not a.startswith("-")]
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
-    valid = set(registry.QUERIES) | set(R8_CANDIDATES)
+    valid = set(registry.QUERIES) | set(STAGED_CANDIDATES)
     unknown = [n for n in names if n not in valid]
     if unknown or not names:
         sys.exit(

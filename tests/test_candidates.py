@@ -5,7 +5,7 @@ these pairs verbatim, so this is the same bar the driver will apply."""
 
 import pytest
 
-from hustle_spark.candidates import R8_CANDIDATES
+from hustle_spark.candidates import STAGED_CANDIDATES
 from tests.conftest import SF_DIR
 
 
@@ -18,9 +18,9 @@ def _norm(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-@pytest.mark.parametrize("name", sorted(R8_CANDIDATES))
+@pytest.mark.parametrize("name", sorted(STAGED_CANDIDATES))
 def test_candidate_matches_oracle(spark, duck, name):
-    fn, oracle = R8_CANDIDATES[name]
+    fn, oracle = STAGED_CANDIDATES[name]
     df = fn(spark, SF_DIR)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]

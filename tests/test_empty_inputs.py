@@ -280,9 +280,9 @@ def test_round5_operators_null_and_empty_inputs(spark):
 
 
 def _candidate_names():
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
-    return sorted(R8_CANDIDATES)
+    return sorted(STAGED_CANDIDATES)
 
 
 @pytest.mark.parametrize("name", _candidate_names())
@@ -290,9 +290,9 @@ def test_candidate_handles_empty_input(name, spark, empty_dir):
     """Staged candidate rows face the same degenerate-input bar as
     registered queries — the r8 flip must not import an empty-input
     crash into the driver window."""
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
-    fn, _ = R8_CANDIDATES[name]
+    fn, _ = STAGED_CANDIDATES[name]
     if name in EXPECTED_ERROR:
         with pytest.raises(EXPECTED_ERROR[name]):
             fn(spark, empty_dir).count()

@@ -86,16 +86,16 @@ CANDIDATE_ALLOWED_PYTHON = {
 
 
 def _candidates():
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
-    return sorted(R8_CANDIDATES)
+    return sorted(STAGED_CANDIDATES)
 
 
 @pytest.mark.parametrize("name", _candidates())
 def test_candidate_plan_invariants(name, spark, catalog):
-    from hustle_spark.candidates import R8_CANDIDATES
+    from hustle_spark.candidates import STAGED_CANDIDATES
 
-    df = R8_CANDIDATES[name][0](spark, "/root/testdata/sf0.001")
+    df = STAGED_CANDIDATES[name][0](spark, "/root/testdata/sf0.001")
     plan = explain_str(df)
     if name not in CANDIDATE_ALLOWED_NESTED_LOOP:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
