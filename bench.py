@@ -88,6 +88,26 @@ SENTINELS = ["q4_order_priority", "q7_volume_shipping", "q14_promo_revenue"]
 SENTINEL_CALIBRATION_TOTAL = 1.7422
 
 
+def validate_artifact(artifact: dict, query_maps: list) -> dict:
+    """Dead-reading guard (VERDICT r8 directive #3): the r8 sf1 LLM
+    bench once recorded a dead JVM as data — a query OOMed, every
+    later query inherited -1.0, and the artifact published a
+    fictitious ratio that silently excluded seven rows. Any negative
+    per-query reading now marks the WHOLE artifact ``"valid": false``
+    with the failing names listed, so no consumer (sf1_bench ratios,
+    BASELINE tables, round-over-round deltas) can mistake a crashed
+    suite for a fast one. Totals/ratios computed before this call are
+    only meaningful when ``valid`` is true."""
+    bad = sorted({
+        name
+        for m in query_maps
+        for name, v in (m or {}).items()
+        if isinstance(v, (int, float)) and v < 0
+    })
+    artifact["valid"] = not bad
+    if bad:
+        artifact["invalid_queries"] = bad
+    return artifact
 
 
 def main() -> None:
@@ -167,6 +187,7 @@ def main() -> None:
         ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
         result["sentinel"]["ratio"] = round(ratio, 4)
         result["value_normalized"] = round(total / ratio, 4)
+    validate_artifact(result, [per_query, sentinel_times])
     print(json.dumps(result))
 
 

@@ -105,7 +105,11 @@ EXTRA_RUNS = 2
 # queries, same calibration anchor, measured FIRST under the same
 # protocol. value_normalized estimates what the same code would have
 # measured in the round-7 calibration session.
-from bench import SENTINEL_CALIBRATION_TOTAL, SENTINELS  # noqa: E402
+from bench import (  # noqa: E402
+    SENTINEL_CALIBRATION_TOTAL,
+    SENTINELS,
+    validate_artifact,
+)
 
 
 def main() -> None:
@@ -181,6 +185,7 @@ def main() -> None:
         ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
         result["sentinel"]["ratio"] = round(ratio, 4)
         result["value_normalized"] = round(total / ratio, 4)
+    validate_artifact(result, [per_query, sentinel_times])
     print(json.dumps(result))
 
 

@@ -355,6 +355,17 @@ def main() -> None:
     if flagged:
         print(f"plan-audit these (> {FLAG_RATIO}): {', '.join(flagged)}")
 
+    # dead-reading guard (VERDICT r8 directive #3): negative readings
+    # poison the artifact; ratios over survivors are withheld
+    from bench import validate_artifact
+    dead = validate_artifact({}, [base, scaled, sentinel])
+    if not dead["valid"]:
+        print(
+            "INVALID RUN: dead per-query readings "
+            f"{dead['invalid_queries']} — ratios withheld",
+            file=sys.stderr,
+        )
+
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
@@ -365,14 +376,26 @@ def main() -> None:
             "corpus": "unique-token-injected replicas (no synthetic dup cliques)",
             "sf01_sec": base,
             "sf100_sec": scaled,
-            "ratios": ratios,
-            "total_ratio": total_ratio,
+            "ratios": ratios if dead["valid"] else {},
+            "total_ratio": total_ratio if dead["valid"] else None,
             "flagged_super_linear": flagged,
+            "valid": dead["valid"],
+            **(
+                {"invalid_queries": dead["invalid_queries"]}
+                if not dead["valid"] else {}
+            ),
             "sentinel": {
                 "queries": sentinel,
                 "total": sentinel_total,
                 "calibration_total": SENTINEL_CALIBRATION_TOTAL,
-                "ratio": round(
+                # PROTOCOL-MIXED (ADVICE r8 #2): this ratio divides a
+                # scale_probe measurement (fresh subprocess, best-of-N)
+                # by bench.py's in-process warm-median calibration
+                # anchor, so it conflates protocol bias with session
+                # drift — use it only to compare sf100 artifacts to
+                # EACH OTHER, never to normalize absolute seconds
+                # against bench.py numbers
+                "ratio_protocol_mixed": round(
                     sentinel_total / SENTINEL_CALIBRATION_TOTAL, 4
                 ),
             },

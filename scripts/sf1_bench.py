@@ -166,6 +166,27 @@ def main() -> None:
     if flagged:
         print(f"plan-audit these (ratio > 12): {', '.join(flagged)}")
 
+    # dead-reading guard (VERDICT r8 directive #3 — THE r8 incident was
+    # exactly here: an OOM'd JVM wrote -1.0 tails and this artifact
+    # published a fictitious ratio over the survivors). Any negative
+    # per-query value, or an inner bench that declared itself invalid,
+    # poisons the whole artifact and withholds the headline ratio.
+    from bench import validate_artifact
+    dead = validate_artifact(
+        {}, [base.get("queries"), scaled.get("queries")]
+    )
+    is_valid = (
+        dead["valid"]
+        and base.get("valid", True)
+        and scaled.get("valid", True)
+    )
+    if not is_valid:
+        print(
+            "INVALID RUN: dead per-query readings "
+            f"{dead.get('invalid_queries', [])} — ratios withheld",
+            file=sys.stderr,
+        )
+
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
@@ -175,13 +196,16 @@ def main() -> None:
             "factor": FACTOR,
             "sf01_total_sec": base["value"],
             "sf1_total_sec": scaled["value"],
-            "total_ratio": total_ratio,
+            "total_ratio": total_ratio if is_valid else None,
             "sf01_queries": base["queries"],
             "sf1_queries": scaled["queries"],
-            "ratios": ratios,
+            "ratios": ratios if is_valid else {},
             "pair_output_excluded": sorted(PAIR_OUTPUT),
             "flagged_super_linear": flagged,
+            "valid": is_valid,
         }
+        if not is_valid:
+            artifact["invalid_queries"] = dead.get("invalid_queries", [])
         Path(out_path).write_text(json.dumps(artifact, indent=1) + "\n")
         print(f"wrote {out_path}")
 

@@ -3209,3 +3209,64 @@ def test_blocklist_filter_matches_duckdb(spark, catalog, duck):
         for r in blocklist_filter(inline, terms).collect()
     }
     assert got2 == {1: 0, 2: 3}
+
+
+def test_bm25_float_topk_python_differential(spark):
+    """bm25_float_topk vs an independent pure-Python replay of the
+    textbook formula (ln idf, k1=1.2 / b=0.75 curve, sorted-term
+    summation) on a hand-built corpus: scores to 1e-12 and exact
+    ranks. Also pins the doc_id tiebreak on exactly-equal scores."""
+    import math
+
+    from hustle_spark.operators.retrieval import bm25_float_topk
+
+    docs = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta"),
+        (3, "gamma gamma gamma delta"),
+        (4, "beta beta alpha beta"),
+        (5, "delta epsilon"),
+        (6, "alpha beta"),          # identical to doc 2: tie -> id order
+        (7, None),                  # NULL text contributes dl via '' split
+    ]
+    queries = [(1, "alpha gamma"), (2, "beta delta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.query_id, r.rnk): (r.doc_id, r.score)
+        for r in bm25_float_topk(df, queries, k=3).collect()
+    }
+
+    # independent replay; NULL folds to '' whose split yields one
+    # empty token in Spark, so the empty doc still carries dl = 1
+    toks = {d: (t or "").lower().split() for d, t in docs}
+    dls = {d: (len(tl) if tl else 1) for d, tl in toks.items()}
+    N = len(docs)
+    A = sum(dls.values())
+    avg = A / N
+
+    def topk(qid, terms, k=3):
+        scores = {}
+        for d, tl in toks.items():
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = tl.count(t)
+                if tf == 0:
+                    continue
+                dfq = sum(1 for tl2 in toks.values() if t in tl2)
+                idf = math.log((2 * (N - dfq) + 1) / (2 * dfq + 1) + 1.0)
+                s += idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dls[d] * N) / A)))
+            if s > 0:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {i + 1: dv for i, dv in enumerate(ranked)}
+
+    for qid, qtext in queries:
+        exp = topk(qid, qtext.split())
+        for rnk, (d, s) in exp.items():
+            gd, gs = got[(qid, rnk)]
+            assert gd == d, (qid, rnk, gd, d)
+            assert abs(gs - s) < 1e-12 * max(abs(s), 1.0), (qid, rnk, gs, s)
+    # ties: docs 2 and 6 are identical texts; if both ranked, 2 first
+    q1 = [got[(1, r)][0] for r in (1, 2, 3) if (1, r) in got]
+    if 2 in q1 and 6 in q1:
+        assert q1.index(2) < q1.index(6)

@@ -127,6 +127,27 @@ def test_psl_wildcard_and_exception_rules(spark):
     ]
 
 
+def test_psl_r9_additions(spark):
+    """ADVICE r8 #1: *.np is a genuine current-PSL TLD wildcard (every
+    <label>.np is a suffix) and eq.edu.au (Education Queensland) joins
+    the AU 3-label family."""
+    out = _canon(
+        spark,
+        [
+            "http://www.site.com.np/x",     # *.np: com.np is a suffix
+            "http://site.com.np/x",         # already registrable
+            "http://a.b.gov.np/x",          # another *.np branch
+            "http://school.eq.edu.au/x",    # 3-label: eq.edu.au suffix
+            "http://www.school.eq.edu.au/x",
+            "http://dept.edu.au/x",         # plain 2-label edu.au
+        ],
+    )
+    assert [d for _, d in out] == [
+        "site.com.np", "site.com.np", "b.gov.np",
+        "school.eq.edu.au", "school.eq.edu.au", "dept.edu.au",
+    ]
+
+
 def test_domain_quota_deterministic_and_null_safe(spark):
     rows = [(i, f"http://d{i % 2}.com/p") for i in range(10)]
     rows += [(100, None), (101, "garbage")]
