@@ -2292,6 +2292,79 @@ CORPUS_BUILD_PIPELINE_ORACLE = f"""
 """
 
 
+def data_selection_dsir(spark, sf_dir):
+    """L50 DSIR importance resampling (Xie et al. 2023) — the
+    domain-targeted data-selection stage: docs with doc_id % 7 == 0
+    act as the (small) TARGET sample, every other doc is the RAW pool;
+    hashed unigram+bigram bucket counts give per-bucket smoothed
+    log-probability ratios (floor-scaled to integers ONCE per bucket —
+    1024 ln() calls total, each on a ratio of exactly-representable
+    products, the bm25_float cross-engine contract), and each raw
+    doc's importance score is the exact integer sum of its grams'
+    bucket weights; top-100 by (score desc, doc_id) are selected.
+    The oracle replays hashing, profiles, weights, scores, and the
+    ranked cut verbatim (functions/text.py dsir_importance; ranking
+    via the range-partitioned global dense rank, never a
+    single-partition window). spread_input: the gram explode is the
+    map-heavy stage and sf parquet is one split."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
+    return TX.dsir_importance(
+        d, (F.col("doc_id") % 7 == 0), n_buckets=1024, k=100
+    )
+
+
+DATA_SELECTION_DSIR_ORACLE = r"""
+    WITH t AS (SELECT doc_id, doc_id % 7 = 0 AS tgt,
+                      string_split_regex(coalesce(text, ''), '\s+') AS toks
+               FROM documents),
+    feats AS (
+      SELECT doc_id, tgt, tok AS f FROM t, unnest(toks) u(tok)
+      UNION ALL
+      SELECT doc_id, tgt, toks[g.i] || ' ' || toks[g.i + 1] AS f
+      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+    h AS (SELECT doc_id, tgt, md5(f) AS m FROM feats),
+    b AS (SELECT doc_id, tgt,
+            ((CASE WHEN substring(m, 1, 1) <= '9'
+                   THEN ascii(substring(m, 1, 1)) - 48
+                   ELSE ascii(substring(m, 1, 1)) - 87 END) * 256
+           + (CASE WHEN substring(m, 2, 1) <= '9'
+                   THEN ascii(substring(m, 2, 1)) - 48
+                   ELSE ascii(substring(m, 2, 1)) - 87 END) * 16
+           + (CASE WHEN substring(m, 3, 1) <= '9'
+                   THEN ascii(substring(m, 3, 1)) - 48
+                   ELSE ascii(substring(m, 3, 1)) - 87 END)) % 1024 AS bkt
+          FROM h),
+    prof AS (SELECT bkt,
+                    COUNT(*) FILTER (WHERE tgt) AS t_b,
+                    COUNT(*) FILTER (WHERE NOT tgt) AS r_b
+             FROM b GROUP BY bkt),
+    tot AS (SELECT CAST(SUM(t_b) AS BIGINT) AS tt,
+                   CAST(SUM(r_b) AS BIGINT) AS rr
+            FROM prof),
+    w AS (SELECT bkt,
+                 CAST(floor(1000000 * ln(
+                     (CAST(t_b + 1 AS DOUBLE) * CAST(rr + 1024 AS DOUBLE))
+                   / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + 1024 AS DOUBLE))))
+                   AS BIGINT) AS w
+          FROM prof, tot),
+    sc AS (SELECT b.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_feats,
+                  CAST(SUM(w.w) AS BIGINT) AS score
+           FROM b JOIN w USING (bkt) WHERE NOT b.tgt
+           GROUP BY b.doc_id),
+    r AS (SELECT doc_id, n_feats, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) - 1
+                   AS rnk
+          FROM sc)
+    SELECT doc_id, n_feats, score, CAST(rnk AS BIGINT) AS rnk,
+           rnk < 100 AS selected
+    FROM r
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2400,6 +2473,8 @@ ALL_CANDIDATES = {
         retrieval_bm25_rank_agreement,
         RETRIEVAL_BM25_RANK_AGREEMENT_ORACLE,
     ),
+    # staged in r9 for the r10 wave-3 flip: DSIR importance resampling
+    "data_selection_dsir": (data_selection_dsir, DATA_SELECTION_DSIR_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names

@@ -1543,3 +1543,125 @@ def code_line_stats(text) -> dict[str, Column]:
         "code_permille": permille,
         "is_code": permille >= 300,
     }
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    k: int = 100,
+) -> DataFrame:
+    """L50 DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate per-document
+    importance weights of the RAW pool under a hashed bag-of-ngrams
+    model of a small TARGET sample, then keep the top ``k`` — the
+    importance-resampling stage behind domain-targeted pretraining
+    mixes (the paper resamples with Gumbel noise; the deterministic
+    engine ranks by the weight itself, and hash-derived pseudo-Gumbel
+    keys swap in behind the same (score, rank, selected) contract —
+    the stratified-sampling md5 idiom).
+
+    Model (exactly the paper's shape, fit-free): unigram + bigram
+    features hashed into ``n_buckets`` buckets via the first 3 md5
+    nibbles (the quality-classifier hash, replayable in any engine);
+    per-bucket gram-instance counts t_b over target docs and r_b over
+    raw docs with +1 smoothing give
+
+        w_b = floor(scale * ln( ((t_b+1) * (R+B))
+                              / ((r_b+1) * (T+B)) ))
+
+    (T/R = total target/raw gram instances, B = n_buckets — the
+    log-ratio of smoothed bucket probabilities, floor-scaled to an
+    integer ONCE per bucket); a raw doc's score is the exact integer
+    SUM of its grams' w_b. Cross-engine contract: everything except
+    one ln() per bucket is integer-exact, and the ln input is a ratio
+    of exactly-representable products — the bm25_float precedent; the
+    floor lands on the same integer in both engines for this corpus
+    (verified at the gate SFs).
+
+    Returns raw-pool rows (id, n_feats, score, rnk, selected): rnk is
+    the 0-based global rank by (score desc, id asc) via the
+    range-partitioned global dense rank (ranks are unique — no
+    single-partition window), selected = rnk < k.
+
+    Scale shape: hashing is map-only; profiles are a 1024-key
+    map-side-combined aggregate; the weight table is a broadcast
+    join; the doc score is ONE doc-keyed shuffle; selection is the
+    range-partitioned rank. Nothing grows with the corpus except the
+    two linear scans."""
+    from ..util import global_dense_rank
+
+    t = F.coalesce(F.col(text), F.lit(""))
+    nib = (
+        "(CASE WHEN substring(m, {i}, 1) <= '9'"
+        " THEN ascii(substring(m, {i}, 1)) - 48"
+        " ELSE ascii(substring(m, {i}, 1)) - 87 END)"
+    )
+    bucket = (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16"
+        f" + {nib.format(i=3)}) % {int(n_buckets)})"
+    )
+    base = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.split(t, WS).alias("toks"),
+    )
+    ex = (
+        base.select(
+            id_col,
+            "__tgt",
+            F.explode(
+                F.concat(F.col("toks"), sliding_grams(F.col("toks"), 2))
+            ).alias("f"),
+        )
+        # stage the digest so the three nibble reads share ONE md5
+        # (the classifier does the same inside its transform)
+        .select(id_col, "__tgt", F.md5("f").alias("m"))
+        .select(id_col, "__tgt", F.expr(bucket).cast("int").alias("bkt"))
+    )
+    prof = ex.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("bigint").alias(
+            "t_b"
+        ),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).cast("bigint").alias(
+            "r_b"
+        ),
+    )
+    tot = prof.agg(
+        F.sum("t_b").cast("bigint").alias("tt"),
+        F.sum("r_b").cast("bigint").alias("rr"),
+    )
+    w = (
+        prof.crossJoin(F.broadcast(tot))  # 1-row scalar broadcast
+        .select(
+            "bkt",
+            F.expr(
+                f"CAST(floor({int(scale)} * ln("
+                f" (CAST(t_b + 1 AS DOUBLE) * CAST(rr + {int(n_buckets)} AS DOUBLE))"
+                f" / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + {int(n_buckets)} AS DOUBLE))"
+                ")) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    scored = (
+        ex.filter(~F.col("__tgt"))
+        .join(F.broadcast(w), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )
+    ranked = global_dense_rank(
+        scored.withColumn("__ns", -F.col("score")), ["__ns", id_col], "rnk"
+    )
+    return ranked.select(
+        id_col,
+        "n_feats",
+        "score",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        (F.col("rnk") < k).alias("selected"),
+    )

@@ -91,6 +91,20 @@ BENCH_LLM = [
     "url_robots_filter",
     "bpe_encode_corpus",
     "bpe_tokenizer_roundtrip",
+    # appended round 9 (append-only protocol): the wave-2 flip — BM25
+    # (fixed-point + the float rank-agreement audit), combined
+    # ExactSubstr, rolling actives + HLL rollup, PQ, PNG decode,
+    # lexical diversity, code detection, meta-noindex
+    "retrieval_bm25_topk",
+    "retrieval_bm25_rank_agreement",
+    "dedup_exact_substr_combined",
+    "events_rolling_actives",
+    "sketch_rollup_actives",
+    "embedding_pq_audit",
+    "multimodal_png_probe",
+    "text_lexical_diversity",
+    "text_code_detect",
+    "warc_meta_noindex",
 ]
 
 WARM_RUNS = 3

@@ -136,6 +136,16 @@ DEFAULT_PROBES = [
     "url_robots_filter",
     "multimodal_jpeg_progressive_probe",
     "bpe_tokenizer_roundtrip",
+    # appended round 9: BM25 (fixed-point + the float agreement audit —
+    # both are query-term-broadcast-pruned, so the probe pins that the
+    # pre-tf-shuffle prune holds at 100x); dedup_exact_substr_combined
+    # deliberately absent for the same SA row-per-character reason as
+    # dedup_substring_* below (its stage 2 IS that machinery)
+    "retrieval_bm25_topk",
+    "retrieval_bm25_rank_agreement",
+    # staged wave-3 (r9): DSIR — explode + 1024-key profile + broadcast
+    # weights + doc-sum; the probe pins the profile agg stays bounded
+    "data_selection_dsir",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.
