@@ -2365,6 +2365,105 @@ DATA_SELECTION_DSIR_ORACLE = r"""
 """
 
 
+def ann_ivf_pq_search(spark, sf_dir):
+    """L51 IVF+PQ two-stage ANN search (similarity.ivf_pq_topk — the
+    FAISS IVFPQ shape): 5 fixed query vectors (vec_id < 5 — capped,
+    never derived from corpus size, the contamination-scan scaling
+    lesson) probe their axis-sign coarse list plus its four Hamming-1
+    neighbors; candidates are scored by asymmetric distance against
+    8x8 sign-code PQ centroids via a per-query broadcast lookup table;
+    the ADC top-40 shortlist is reranked by exact int8 L2 (the FAISS
+    refine step), and the final top-5 per query carries an
+    in_exact_topk audit bit vs the exact int8 L2 top-5 over the whole
+    corpus. Every stage is exact integer after int8 quantization, so
+    the oracle replays rank-for-rank — approximation here is a
+    DETERMINISTIC property of the index, not noise."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    corpus = e.select("vec_id", "embedding")
+    qs = corpus.filter(F.col("vec_id") < 5)
+    return similarity.ivf_pq_topk(corpus, qs, k=5)
+
+
+ANN_IVF_PQ_SEARCH_ORACLE = """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                      list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+               FROM embeddings),
+    q AS (SELECT vec_id, g.i,
+                 (g.i - 1) // 8 AS m, (g.i - 1) % 8 AS j,
+                 CASE WHEN maxabs = 0 THEN 0
+                      ELSE CAST(floor(emb[g.i] * 127.0 / maxabs) AS BIGINT)
+                 END AS qv
+          FROM v, unnest(generate_series(1, 64)) AS g(i)),
+    lists AS (SELECT vec_id,
+                (CASE WHEN emb[1] >= 0 THEN 8 ELSE 0 END
+               + CASE WHEN emb[2] >= 0 THEN 4 ELSE 0 END
+               + CASE WHEN emb[3] >= 0 THEN 2 ELSE 0 END
+               + CASE WHEN emb[4] >= 0 THEN 1 ELSE 0 END) AS list_id
+              FROM v),
+    codes AS (SELECT vec_id, m,
+                     SUM(CASE WHEN qv > 0 THEN 1 << j ELSE 0 END) AS code
+              FROM q GROUP BY vec_id, m),
+    cent AS (SELECT q.m, c.code, q.j, SUM(q.qv) // COUNT(*) AS c
+             FROM q JOIN codes c ON c.vec_id = q.vec_id AND c.m = q.m
+             GROUP BY q.m, c.code, q.j),
+    qry AS (SELECT vec_id AS query_id FROM v WHERE vec_id < 5),
+    qdims AS (SELECT r.query_id, q.m, q.j, q.qv
+              FROM qry r JOIN q ON q.vec_id = r.query_id),
+    lut AS (SELECT d.query_id, ct.m, ct.code,
+                   SUM((d.qv - ct.c) * (d.qv - ct.c)) AS l2
+            FROM qdims d JOIN cent ct ON ct.m = d.m AND ct.j = d.j
+            GROUP BY d.query_id, ct.m, ct.code),
+    probes AS (SELECT l.vec_id AS query_id, xor(l.list_id, f.fl) AS list_id
+               FROM lists l, unnest([0, 1, 2, 4, 8]) AS f(fl)
+               WHERE l.vec_id < 5),
+    cand AS (SELECT p.query_id, l.vec_id
+             FROM probes p JOIN lists l ON l.list_id = p.list_id
+             WHERE l.vec_id <> p.query_id),
+    adc AS (SELECT c.query_id, c.vec_id, CAST(SUM(t.l2) AS BIGINT) AS adc
+            FROM cand c
+            JOIN codes k ON k.vec_id = c.vec_id
+            JOIN lut t ON t.query_id = c.query_id AND t.m = k.m
+                      AND t.code = k.code
+            GROUP BY c.query_id, c.vec_id),
+    short AS (SELECT query_id, vec_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc ASC, vec_id ASC)
+                       AS srnk
+              FROM adc),
+    ref AS (SELECT s.query_id, s.vec_id, s.adc,
+                   CAST(SUM((q2.qv - qd.qv) * (q2.qv - qd.qv)) AS BIGINT)
+                     AS l2
+            FROM short s
+            JOIN q q2 ON q2.vec_id = s.vec_id
+            JOIN q qd ON qd.vec_id = s.query_id AND qd.i = q2.i
+            WHERE s.srnk <= 40
+            GROUP BY s.query_id, s.vec_id, s.adc),
+    hits AS (SELECT query_id, vec_id, adc, l2,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY l2 ASC, vec_id ASC) AS rnk
+             FROM ref),
+    ex AS (SELECT r.query_id, q2.vec_id,
+                  SUM((q2.qv - qd.qv) * (q2.qv - qd.qv)) AS l2
+           FROM qry r
+           JOIN q qd ON qd.vec_id = r.query_id
+           JOIN q q2 ON q2.i = qd.i AND q2.vec_id <> r.query_id
+           GROUP BY r.query_id, q2.vec_id),
+    etop AS (SELECT query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY l2 ASC, vec_id ASC) AS ernk
+             FROM ex)
+    SELECT h.query_id, h.vec_id, h.adc, h.l2,
+           CAST(h.rnk AS BIGINT) AS rnk,
+           COALESCE(e.ernk <= 5, FALSE) AS in_exact_topk
+    FROM hits h
+    LEFT JOIN (SELECT * FROM etop WHERE ernk <= 5) e
+      ON e.query_id = h.query_id AND e.vec_id = h.vec_id
+    WHERE h.rnk <= 5
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2475,6 +2574,8 @@ ALL_CANDIDATES = {
     ),
     # staged in r9 for the r10 wave-3 flip: DSIR importance resampling
     "data_selection_dsir": (data_selection_dsir, DATA_SELECTION_DSIR_ORACLE),
+    # staged in r9 for the r10 wave-3 flip: IVF+PQ two-stage ANN
+    "ann_ivf_pq_search": (ann_ivf_pq_search, ANN_IVF_PQ_SEARCH_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names

@@ -859,3 +859,232 @@ def semantic_dedup_centroid(
         quantize=quantize,
         ascending=True,
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    m_subs: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """L51 IVF+PQ two-stage ANN search — the FAISS IVFPQ shape, the
+    production answer to "find neighbors in 100 TB of embeddings":
+    a coarse inverted file bounds WHICH vectors are scanned, product-
+    quantization codes bound WHAT is read per scanned vector (8 bytes,
+    not 256), and scoring is asymmetric distance computation (ADC):
+    the query is NOT quantized; per query a (subspace, code) -> partial
+    L2 lookup table is built against the codebook and each candidate
+    costs m_subs table lookups.
+
+    Deterministic, engine-replayable construction (every stage exact
+    integer after int8 quantization, so a SQL oracle replays rank-for-
+    rank — no measured-recall contract needed):
+    - coarse lists: axis-sign bits of the first ``n_bits`` raw dims
+      (sign_quantize — the replayable stand-in; build_ivf's sampled
+      k-means swaps in behind the same (id, vec, list) shape);
+    - PQ codes: int8-quantized vectors split into m_subs x d_sub
+      subspaces, each coded by its sign pattern (the embedding_pq_audit
+      codebook stand-in; trained codebooks swap in as the same
+      broadcast (m, code, centroid) table);
+    - codebook: per-(m, code, j) integer truncated-mean centroids
+      (one bounded shuffle, <= m_subs * 2^d_sub * d_sub rows);
+    - probes: the query's own list plus its ``n_bits`` Hamming-1
+      neighbors (multi-probe LSH's deterministic core);
+    - ADC: candidate score = sum over subspaces of the query-LUT entry
+      for the candidate's code; ties broken by id;
+    - refine (the FAISS IVFPQ+refine step): the ADC top-(8k) shortlist
+      is reranked by EXACT int8 L2 — 8k full-vector reads per query
+      recover the PQ quantization loss.
+
+    Output per (query, rank<=k): (query_id, vec_id, adc, l2, rnk,
+    in_exact_topk) — the last column audits each hit against the
+    EXACT int8 L2 top-k over the whole corpus, so the row carries its
+    own recall evidence. Honesty note for the synthetic corpus: these
+    embeddings are random/untrained, so coarse lists are distance-
+    UNCORRELATED and recall is ceilinged near the scanned fraction
+    ((n_bits+1)/2^n_bits ≈ 0.31) — the audit bit measures exactly
+    that; on trained embeddings the same index concentrates neighbors
+    into probed lists and the ceiling lifts.
+
+    Scale shape: codebook and per-query LUT are bounded broadcasts;
+    the probe equi-join scans ~(n_bits+1)/2^n_bits of the corpus with
+    the query side broadcast; ADC is an 8-row explode per candidate
+    joined to the broadcast LUT, map-side; per-query top-k is a
+    window over candidates (queries are few by contract — a large
+    query set would swap in the global rank). The exact-topk audit
+    column is a gate-SF diagnostic: at production scale it is sampled
+    or dropped, exactly like any recall measurement."""
+    q8c = quantize_int8(corpus, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("q8")
+    )
+    # PQ codes ride the corpus frame as ONE array column — never a
+    # corpus-corpus rejoin: only vectors that survive the probe filter
+    # pay the per-subspace explode below
+    sign_code = lambda sv: F.aggregate(  # noqa: E731
+        sv,
+        F.struct(
+            F.lit(0).cast("long").alias("code"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        lambda a, x: F.struct(
+            (
+                a["code"]
+                + F.when(x > 0, a["w"]).otherwise(F.lit(0).cast("long"))
+            ).alias("code"),
+            (a["w"] * 2).alias("w"),
+        ),
+        lambda a: a["code"],
+    )
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_subs - 1)),
+        lambda m: F.struct(
+            m.cast("long").alias("m"),
+            sign_code(F.slice(F.col("q8"), m * d_sub + 1, d_sub)).alias(
+                "code"
+            ),
+        ),
+    )
+    listed = sign_quantize(q8c, vec_col=vec_col, n_bits=n_bits).withColumn(
+        "__codes", codes_arr
+    )
+    # codebook: per-(m, code, j) integer truncated means — ONE bounded
+    # corpus pass (explode to dims, <= m_subs * 2^d_sub * d_sub output)
+    dims = listed.select(
+        id_col,
+        F.explode("__codes").alias("s"),
+        F.col("q8"),
+    ).select(
+        id_col, "s.m", "s.code",
+        F.posexplode(
+            F.expr(f"slice(q8, s.m * {d_sub} + 1, {d_sub})")
+        ).alias("j", "v"),
+    ).withColumn("v", F.col("v").cast("long"))
+    cent = dims.groupBy("m", "code", "j").agg(
+        F.expr("sum(v) div count(1)").alias("c")
+    )
+
+    # query side: int8 sub-dims + probe lists (own + Hamming-1 flips)
+    q8q = quantize_int8(queries, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col), F.col("q8")
+    )
+    qlisted = sign_quantize(q8q, vec_col=vec_col, n_bits=n_bits)
+    flips = [0] + [1 << b for b in range(n_bits)]
+    qprobes = qlisted.select(
+        "query_id", "q8",
+        F.explode(
+            F.array(*[F.expr(f"list_id ^ {fl}") for fl in flips])
+        ).alias("list_id"),
+    )
+    qdims = qlisted.select(
+        "query_id",
+        F.posexplode(
+            F.transform(F.col("q8"), lambda x: x.cast("long"))
+        ).alias("i", "qv"),
+    ).select(
+        "query_id",
+        (F.col("i") / d_sub).cast("long").alias("m"),
+        (F.col("i") % d_sub).cast("long").alias("j"),
+        "qv",
+    )
+    # per-query ADC lookup table: bounded (queries x m x codes-present)
+    lut = (
+        qdims.join(F.broadcast(cent), ["m", "j"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.expr("(qv - c) * (qv - c)")).alias("l2"))
+    )
+
+    cand = listed.select(id_col, "list_id", "__codes").join(
+        F.broadcast(qprobes.select("query_id", "list_id").distinct()),
+        "list_id",
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
+    adc = (
+        cand.select(
+            "query_id", id_col, F.explode("__codes").alias("s")
+        )
+        .select("query_id", id_col, "s.m", "s.code")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("l2").cast("long").alias("adc"))
+    )
+    # FAISS-style refine: exact int8 L2 rerank of the ADC top-(8k)
+    # shortlist — recovers the PQ quantization loss at the cost of
+    # reading 8k full vectors per query instead of the whole probe set
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        adc.withColumn("__srnk", F.row_number().over(w_adc))
+        .filter(F.col("__srnk") <= 8 * k)
+        .drop("__srnk")
+    )
+    qvecs = q8q.select("query_id", F.col("q8").alias("__qq8"))
+    refined = (
+        F.broadcast(shortlist)  # <= 8k rows per query, plan-guaranteed
+        .join(q8c.select(id_col, "q8"), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    "q8", "__qq8",
+                    lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col(id_col).asc()
+    )
+    hits = (
+        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+    # exact int8 L2 top-k audit (brute force over the corpus)
+    qfull = q8q.select(
+        "query_id", F.col("q8").alias("__qq8")
+    )
+    pairs = q8c.select(id_col, "q8").crossJoin(F.broadcast(qfull))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    exact = pairs.select(
+        "query_id", id_col,
+        F.aggregate(
+            F.zip_with(
+                "q8", "__qq8",
+                lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("l2"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col(id_col).asc()
+    )
+    etop = (
+        exact.withColumn("ernk", F.row_number().over(we))
+        .filter(F.col("ernk") <= k)
+        .select("query_id", id_col, F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        hits.join(etop, ["query_id", id_col], "left")
+        .select(
+            "query_id",
+            id_col,
+            "adc",
+            "l2",
+            "rnk",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+    )

@@ -146,6 +146,9 @@ DEFAULT_PROBES = [
     # staged wave-3 (r9): DSIR — explode + 1024-key profile + broadcast
     # weights + doc-sum; the probe pins the profile agg stays bounded
     "data_selection_dsir",
+    # staged wave-3 (r9): IVF+PQ ANN — probes pin the bounded scanned
+    # fraction + broadcast LUT shape (queries fixed at 5 by contract)
+    "ann_ivf_pq_search",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.

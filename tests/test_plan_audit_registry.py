@@ -53,6 +53,9 @@ ALLOWED_PYTHON = {
                                  # same path — flipped in r8
     "warc_ingest_records",       # WARC record parse + gzip member
                                  # decode, same mapInPandas path
+    "multimodal_png_probe",      # zlib inflate + un-filtering, same
+                                 # path — flipped from the candidate
+                                 # pool in r9
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
@@ -72,11 +75,15 @@ def test_plan_invariants(name, spark, catalog):
 # staged candidate rows (hustle_spark/candidates.py) face the same
 # plan bar BEFORE their wave's flip imports them into the driver
 # window (r8 moved its wave-1 entries into the registry lists above)
-CANDIDATE_ALLOWED_NESTED_LOOP = set()
+CANDIDATE_ALLOWED_NESTED_LOOP = {
+    "ann_ivf_pq_search",                  # broadcast tiny fixed query
+                                          # set: per-query LUT + the
+                                          # exact-topk audit brute
+                                          # force, by design
+}
 CANDIDATE_ALLOWED_PYTHON = {
     "multimodal_image_ahash",             # pixel decode + aHash, same path
     "multimodal_image_phash",             # pixel decode + integer DCT
-    "multimodal_png_probe",               # zlib inflate + un-filtering
     "multimodal_exif_probe",              # TIFF IFD walk
     "multimodal_video_scenes",            # mdat walk + numpy frame diffs
     "audio_pitch_probe",                  # PCM autocorrelation
