@@ -90,8 +90,16 @@ SHOWCASE = {
     "bpe_encode_corpus": "four greedy merge folds entirely map-only codegen: the only exchange is the single-split input spread",
     "corpus_build_pipeline": "five-stage gate checkpointed thin (the projection-collapse trap), scalar-id semi-join, one lang rollup",
     "url_robots_filter": "rules side broadcast on the domain key; RFC 9309 longest-match precedence as filter()+aggregate() HOFs in codegen; corpus scanned once, never shuffled",
-    "dedup_substring_removal": "cap-order SA = ONE global range sort (the r8 change that retired six doubling rounds); LCP self-join on the scalar rank key; everything after the member filter is proportional to true repeats",
+    "dedup_substring_removal": "cap-order SA = ONE global range sort (the r8 change that retired six doubling rounds); LCP self-join on the scalar rank key; r9 width cut: everything after the LCP stage moves (id, pos, rank, lcp_prev) scalars only",
     "bpe_tokenizer_roundtrip": "learn = one map-side-combined pair-count shuffle + 1-row collect per round (loop control); encode = map-only fold chain over the exported merges",
+    # r9 wave-2 flips (resolved via the registry since the flip)
+    "events_rolling_actives": "WAU via bounded 7-day fan-out explode + countDistinct — wide work is 7x the daily-active table, never a range join on raw events",
+    "sketch_rollup_actives": "per-day HLL sketches materialized once; weekly actives MERGE seven sketches (hll_union_agg) — the O(days) incremental rollup, never a re-scan",
+    "retrieval_bm25_topk": "same broadcast-prune-before-tf-shuffle shape as tfidf; per-doc length rides the tf aggregate (max of a per-doc constant) — no second corpus join",
+    "retrieval_bm25_rank_agreement": "both curves share one tokenized scan; float side folds per-term weights in sorted order; agreement join is 25x25 rows",
+    "dedup_exact_substr_combined": "token-window cut localCheckpointed, then the cap-order SA runs over SURVIVORS only — stage 2's one-row-per-char cost is paid on the deduped corpus",
+    "text_lexical_diversity": "exact Simpson via one sorted-run fold per doc: map-only, zero explode, zero shuffle before the rollup",
+    "multimodal_png_probe": "spec-valid PNGs (stored-deflate IDAT, aggregate adler32, crc32 chunks) synthesized in codegen; one Arrow-batched inflate+unfilter stage (id repartition is the only exchange)",
 }
 
 
@@ -99,9 +107,8 @@ SHOWCASE = {
 # themselves evidence — resolved via STAGED_CANDIDATES until their wave flips
 CANDIDATE_SHOWCASE = {
     "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
-    "events_rolling_actives": "WAU via bounded 7-day fan-out explode + countDistinct — wide work is 7x the daily-active table, never a range join on raw events",
-    "retrieval_bm25_topk": "same broadcast-prune-before-tf-shuffle shape as tfidf; per-doc length rides the tf aggregate (max of a per-doc constant) — no second corpus join",
-    "dedup_exact_substr_combined": "token-window cut localCheckpointed, then the cap-order SA runs over SURVIVORS only — stage 2's one-row-per-char cost is paid on the deduped corpus",
+    "data_selection_dsir": "gram explode map-only (input spread); 1024-key profile agg map-side-combines; weight table broadcast; ONE doc-keyed shuffle + the range-partitioned rank",
+    "ann_ivf_pq_search": "PQ codes ride the corpus frame as one array column; probe join broadcast on the query side bounds the scanned fraction; ADC via broadcast LUT; refine shortlist is a plan-guaranteed-small broadcast",
 }
 
 
