@@ -2464,6 +2464,64 @@ ANN_IVF_PQ_SEARCH_ORACLE = """
 """
 
 
+def streaming_curation_requery(spark, sf_dir):
+    """S7/L40 the composed curation gate as a STRUCTURED STREAMING
+    stage (the incremental corpus-build shape: score documents as
+    they arrive, not in a nightly batch): the documents corpus is
+    split into three id-range parquet files, read back through a REAL
+    availableNow file-source stream FORCED onto the multi-batch path
+    (maxFilesPerTrigger=1), each micro-batch scored by the SAME
+    functions.text.curation_verdict the batch row uses — the gate is
+    map-only/stateless, which is exactly the property that makes it
+    streamable with a plain append sink and batch-identical output —
+    and appended to parquet. The requery reads the sink back (explicit
+    schema — empty-stream reads must not infer) and the oracle is the
+    batch composition oracle VERBATIM: agreement proves the streaming
+    path changes nothing per-document. Scale shape: each micro-batch
+    pays the single-scan zero-shuffle gate cost; no state store, no
+    watermark needed (stateless projection)."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "text")
+    base = Path(str(cat.scratch)) / "stream_curation"
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = base / "src"
+    # three id-range slices -> three genuine micro-batches
+    for lo, hi, name in ((0, 170, "b1"), (170, 340, "b2"), (340, 10**9, "b3")):
+        d.filter((F.col("doc_id") % 1000000 >= lo)
+                 & (F.col("doc_id") % 1000000 < hi)).coalesce(1).write.parquet(
+            str(src_dir / name)
+        )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    scored = TX.curation_verdict(
+        stream.withColumn("__hyg", _hygiene_dirty_expr()),
+        hygiene_col="__hyg",
+        blocklist_terms=("dup",),
+        max_hits=0,
+        margin_threshold=-5000,
+    )
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", str(base / "out"))
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "curation stream did not finish within 300s"
+    out = spark.read.schema(scored.schema).parquet(str(base / "out"))
+    return out.select(
+        "doc_id", "is_clean", "passes", "is_repetitive", "quality_ok",
+        "blocked", "fail_mask", "keep",
+    )
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2576,6 +2634,12 @@ ALL_CANDIDATES = {
     "data_selection_dsir": (data_selection_dsir, DATA_SELECTION_DSIR_ORACLE),
     # staged in r9 for the r10 wave-3 flip: IVF+PQ two-stage ANN
     "ann_ivf_pq_search": (ann_ivf_pq_search, ANN_IVF_PQ_SEARCH_ORACLE),
+    # staged in r9 for the r10 wave-3 flip: the curation gate as a
+    # Structured Streaming stage, oracled by the batch composition
+    "streaming_curation_requery": (
+        streaming_curation_requery,
+        TEXT_CURATION_VERDICT_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
