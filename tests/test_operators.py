@@ -3270,3 +3270,51 @@ def test_bm25_float_topk_python_differential(spark):
     q1 = [got[(1, r)][0] for r in (1, 2, 3) if (1, r) in got]
     if 2 in q1 and 6 in q1:
         assert q1.index(2) < q1.index(6)
+
+
+def test_ivf_pq_topk_null_and_zero_vectors(spark):
+    """ANSI-mode hardening for the new ANN path: a NULL embedding and
+    an all-zero embedding must not crash quantization, coarse listing,
+    coding, or scoring. The NULL row drops out (no list), the zero row
+    quantizes to all-zero and participates."""
+    from hustle_spark.operators.similarity import ivf_pq_topk
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [float((i * 7 + d) % 13 - 6) for d in range(64)]))
+    rows.append((100, None))
+    rows.append((101, [0.0] * 64))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id < 2")
+    out = ivf_pq_topk(df, qs, k=3).collect()
+    assert len(out) > 0
+    ids = {r.vec_id for r in out}
+    assert 100 not in ids  # NULL embedding contributes no candidate
+    for r in out:
+        assert r.adc is not None and r.l2 is not None and r.rnk >= 1
+
+
+def test_dsir_importance_null_and_empty_text(spark):
+    """NULL / empty documents fold to one empty token and score like
+    any raw doc; target docs never appear in the output."""
+    from pyspark.sql import functions as F
+
+    from hustle_spark.functions.text import dsir_importance
+
+    rows = [
+        (0, "the target domain text sample"),
+        (7, "another target document here"),
+        (1, "raw pool document about spark joins"),
+        (2, None),
+        (3, ""),
+        (4, "raw pool text near the target domain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_importance(
+        df, (F.col("doc_id") % 7 == 0), n_buckets=64, k=2
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {1, 2, 3, 4}  # raw pool only, NULL/empty included
+    assert sum(1 for r in out if r.selected) == 2
+    ranks = sorted(r.rnk for r in out)
+    assert ranks == [0, 1, 2, 3]
