@@ -2324,7 +2324,14 @@ DATA_SELECTION_DSIR_ORACLE = r"""
       SELECT doc_id, tgt, tok AS f FROM t, unnest(toks) u(tok)
       UNION ALL
       SELECT doc_id, tgt, toks[g.i] || ' ' || toks[g.i + 1] AS f
-      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)),
+      FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+      WHERE len(toks) >= 2
+      UNION ALL
+      -- sliding_grams' short-array convention: arrays shorter than n
+      -- yield ONE gram, the whole array joined (a 1-token doc emits
+      -- its token twice: once as unigram, once as the degenerate gram)
+      SELECT doc_id, tgt, array_to_string(toks, ' ') AS f
+      FROM t WHERE len(toks) < 2),
     h AS (SELECT doc_id, tgt, md5(f) AS m FROM feats),
     b AS (SELECT doc_id, tgt,
             ((CASE WHEN substring(m, 1, 1) <= '9'
@@ -2389,7 +2396,8 @@ ANN_IVF_PQ_SEARCH_ORACLE = """
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
                       list_max(list_transform(embedding,
                                x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id, g.i,
                  (g.i - 1) // 8 AS m, (g.i - 1) % 8 AS j,
                  CASE WHEN maxabs = 0 THEN 0

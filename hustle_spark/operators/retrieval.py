@@ -92,6 +92,57 @@ def tfidf_topk(
     )
 
 
+def _bm25_tf_frame(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    text: str,
+    id_col: str,
+):
+    """The tokenize/prune/tf pipeline BOTH BM25 curves score over —
+    shared so the rank-agreement audit's premise (identical tokenized,
+    pruned, dl-carrying tf frame under both curves) is structural, not
+    a copy-paste invariant. Returns (tf, qdf, n_docs, total_tokens):
+    tf = (doc_id, term, tf, dl) for query-term matches only (the
+    broadcast prune runs BEFORE the tf shuffle), qdf = the broadcast
+    (query_id, term) table, and the two scalar corpus stats (declared
+    loop-control collects, the tfidf n_docs precedent)."""
+    from ..util import tracked_cache
+
+    spark = docs.sparkSession
+    # tracked-cache the tokenized frame: the N/A stats collect below
+    # AND the exploded term scan both read it — uncached, the
+    # lower+split over every document would run twice per invocation
+    base = tracked_cache(docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"
+        ).alias("__toks"),
+    ))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__toks")).cast("bigint").alias("a"),
+    ).collect()[0]
+    n_docs, total_tokens = int(stats["n"] or 0), int(stats["a"] or 0)
+    q_terms = [
+        (qid, t)
+        for qid, qtext in queries
+        for t in sorted(set(qtext.lower().split()))
+    ]
+    qdf = F.broadcast(
+        spark.createDataFrame(q_terms, "query_id long, term string")
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("dl"),
+        F.explode("__toks").alias("term"),
+    ).join(qdf.select("term").distinct(), "term")  # prune BEFORE the tf shuffle
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.max("dl").alias("dl"),  # per-doc constant, carried not joined
+    )
+    return tf, qdf, n_docs, total_tokens
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -128,39 +179,8 @@ def bm25_topk(
     per-doc constant — no second corpus join), final top-k one window
     per query. Two scalar driver collects (N, A) are loop-control
     state, the tfidf n_docs precedent."""
-    from ..util import tracked_cache
-
-    spark = docs.sparkSession
-    # tracked-cache the tokenized frame: the N/A stats collect below
-    # AND the exploded term scan both read it — uncached, the
-    # lower+split over every document would run twice per invocation
-    base = tracked_cache(docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(
-            F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"
-        ).alias("__toks"),
-    ))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("__toks")).cast("bigint").alias("a"),
-    ).collect()[0]
-    n_docs, total_tokens = int(stats["n"] or 0), int(stats["a"] or 0)
-    q_terms = [
-        (qid, t)
-        for qid, qtext in queries
-        for t in sorted(set(qtext.lower().split()))
-    ]
-    qdf = F.broadcast(
-        spark.createDataFrame(q_terms, "query_id long, term string")
-    )
-    toks = base.select(
-        "doc_id",
-        F.size("__toks").cast("bigint").alias("dl"),
-        F.explode("__toks").alias("term"),
-    ).join(qdf.select("term").distinct(), "term")  # prune BEFORE the tf shuffle
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.max("dl").alias("dl"),  # per-doc constant, carried not joined
+    tf, qdf, n_docs, total_tokens = _bm25_tf_frame(
+        docs, queries, text, id_col
     )
     idf = (
         tf.groupBy("term")
@@ -229,37 +249,10 @@ def bm25_float_topk(
     identical to ``bm25_topk`` — query-term broadcast prune before the
     tf shuffle, dl carried through the tf aggregate, one window per
     query for the cut; the N/A collects are the same declared scalar
-    loop-control state."""
-    from ..util import tracked_cache
-
-    spark = docs.sparkSession
-    base = tracked_cache(docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(
-            F.lower(F.coalesce(F.col(text), F.lit(""))), r"\s+"
-        ).alias("__toks"),
-    ))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("__toks")).cast("bigint").alias("a"),
-    ).collect()[0]
-    n_docs, total_tokens = int(stats["n"] or 0), int(stats["a"] or 0)
-    q_terms = [
-        (qid, t)
-        for qid, qtext in queries
-        for t in sorted(set(qtext.lower().split()))
-    ]
-    qdf = F.broadcast(
-        spark.createDataFrame(q_terms, "query_id long, term string")
-    )
-    toks = base.select(
-        "doc_id",
-        F.size("__toks").cast("bigint").alias("dl"),
-        F.explode("__toks").alias("term"),
-    ).join(qdf.select("term").distinct(), "term")
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.max("dl").alias("dl"),
+    loop-control state. Both curves call the SAME ``_bm25_tf_frame``,
+    so the agreement row's identical-input premise is structural."""
+    tf, qdf, n_docs, total_tokens = _bm25_tf_frame(
+        docs, queries, text, id_col
     )
     idf = (
         tf.groupBy("term")

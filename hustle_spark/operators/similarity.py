@@ -919,8 +919,16 @@ def ivf_pq_topk(
     query set would swap in the global rank). The exact-topk audit
     column is a gate-SF diagnostic: at production scale it is sampled
     or dropped, exactly like any recall measurement."""
-    q8c = quantize_int8(corpus, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("q8")
+    # NULL embeddings are unsearchable — drop them ONCE, up front, so
+    # the coarse lists, codebook, candidates, AND the exact-top-k
+    # audit all see the same universe (a NULL l2 in the audit would
+    # otherwise rank FIRST under Spark's ASC NULLS FIRST and silently
+    # deflate in_exact_topk for genuine neighbors); the oracle's
+    # `WHERE embedding IS NOT NULL` mirrors this exactly
+    q8c = (
+        quantize_int8(corpus, vec_col=vec_col)
+        .filter(F.col("q8").isNotNull())
+        .select(F.col(id_col), F.col(vec_col), F.col("q8"))
     )
     # PQ codes ride the corpus frame as ONE array column — never a
     # corpus-corpus rejoin: only vectors that survive the probe filter
@@ -968,9 +976,12 @@ def ivf_pq_topk(
         F.expr("sum(v) div count(1)").alias("c")
     )
 
-    # query side: int8 sub-dims + probe lists (own + Hamming-1 flips)
-    q8q = quantize_int8(queries, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col), F.col("q8")
+    # query side: int8 sub-dims + probe lists (own + Hamming-1 flips);
+    # same NULL drop as the corpus side
+    q8q = (
+        quantize_int8(queries, vec_col=vec_col)
+        .filter(F.col("q8").isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col), F.col("q8"))
     )
     qlisted = sign_quantize(q8q, vec_col=vec_col, n_bits=n_bits)
     flips = [0] + [1 << b for b in range(n_bits)]

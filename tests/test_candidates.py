@@ -38,3 +38,99 @@ def test_candidate_matches_oracle(spark, duck, name):
     diffs = [(x, y) for x, y in zip(a, b) if x != y]
     assert not diffs, f"{name}: {len(diffs)} differing rows, first {diffs[:2]}"
     assert len(spark_rows) > 0, f"{name}: empty result"
+
+
+def test_dsir_oracle_short_doc_convention(spark, duck):
+    """The DSIR oracle must replicate sliding_grams' short-array
+    convention (arrays shorter than n yield ONE whole-array gram) —
+    a 1-token or empty doc emits its token twice (unigram + the
+    degenerate gram). Differential on a tiny corpus that the fixed
+    testdata cannot exercise (review finding r9)."""
+    from hustle_spark.candidates import (
+        DATA_SELECTION_DSIR_ORACLE,
+        data_selection_dsir,
+    )
+
+    rows = [
+        (0, "target domain sample text"),
+        (7, "more target text"),
+        (1, "single"),                      # 1 token: degenerate gram
+        (2, None),                          # NULL -> [''] one empty token
+        (3, ""),                            # empty -> same
+        (4, "regular raw pool document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events embeddings").split():
+            duck.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT 1 AS x WHERE 0")
+        p = str(Path(td) / "documents.parquet")
+        df.toPandas().to_parquet(p)
+        duck.execute(
+            f"CREATE OR REPLACE VIEW documents AS"
+            f" SELECT * FROM read_parquet('{p}')"
+        )
+        try:
+            from hustle_spark.functions.text import dsir_importance
+            from pyspark.sql import functions as F
+
+            got = sorted(
+                tuple(r)
+                for r in dsir_importance(
+                    df, (F.col("doc_id") % 7 == 0), n_buckets=1024, k=100
+                ).collect()
+            )
+            exp = sorted(
+                tuple(r)
+                for r in duck.execute(DATA_SELECTION_DSIR_ORACLE).fetchall()
+            )
+            assert got == exp, f"first diff: {next((a, b) for a, b in zip(got, exp) if a != b)}"
+            # the 1-token doc must carry n_feats == 2 (token + gram)
+            nf = {r[0]: r[1] for r in got}
+            assert nf[1] == 2 and nf[2] == 2 and nf[3] == 2
+        finally:
+            duck.execute("DROP VIEW IF EXISTS documents")
+
+
+def test_ann_oracle_null_embedding_parity(spark, duck):
+    """A NULL embedding must be invisible to BOTH engines — dropped
+    from lists, codebook, candidates, and the exact-top-k audit
+    (review finding r9: Spark dropped it, the oracle coded it as a
+    real all-zero vector; and NULL l2 ranked FIRST in the audit under
+    ASC NULLS FIRST)."""
+    from hustle_spark.candidates import ANN_IVF_PQ_SEARCH_ORACLE
+    from hustle_spark.operators.similarity import ivf_pq_topk
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [float((i * 11 + d) % 17 - 8) for d in range(64)]))
+    rows.append((50, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+        p = str(Path(td) / "embeddings.parquet")
+        df.toPandas().to_parquet(p)
+        duck.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS"
+            f" SELECT * FROM read_parquet('{p}')"
+        )
+        try:
+            got = sorted(
+                tuple(r)
+                for r in ivf_pq_topk(
+                    df, df.filter("vec_id < 5"), k=5
+                ).collect()
+            )
+            exp = sorted(
+                tuple(r)
+                for r in duck.execute(ANN_IVF_PQ_SEARCH_ORACLE).fetchall()
+            )
+            assert got == exp
+            assert all(r[1] != 50 for r in got)  # NULL row never a hit
+        finally:
+            duck.execute("DROP VIEW IF EXISTS embeddings")
