@@ -2530,6 +2530,98 @@ def streaming_curation_requery(spark, sf_dir):
     )
 
 
+def text_unicode_repair(spark, sf_dir):
+    """L36b encoding repair at driver grade — the FIX half of the
+    hygiene pair (CCNet/ftfy: repair mechanically recoverable
+    mojibake instead of discarding the document): the corpus dirtied
+    by the SAME closed-form pathology twin text_unicode_hygiene uses
+    (every 5th doc a mojibake e-acute, every 7th a U+FFFD, every 11th
+    an ETX) flows through functions.text.unicode_repair — the
+    cp1252-round-trip artifact map derived at import from the
+    detector's own MOJIBAKE_ARTIFACTS list, so detect and repair can
+    never drift — and the output pins per-doc fix counts, the md5 of
+    the repaired text (byte-exact repair evidence), and clean_after =
+    the detector re-run on the repaired text (repair must actually
+    satisfy the detector). Map-only codegen, zero shuffle; the oracle
+    replays dirtying, the replace chain in the same order, the
+    strips, and the re-detection verbatim."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    dirty = d.withColumn("text", _hygiene_dirty_expr())
+    rep = TX.unicode_repair(dirty).withColumn("__md5", F.md5(F.col("text")))
+    h = TX.unicode_hygiene_stats(
+        rep,
+        keep=(
+            "n_mojibake_fixed",
+            "n_replacement_stripped",
+            "n_control_stripped",
+            "__md5",
+        ),
+    )
+    return h.select(
+        "doc_id",
+        "n_mojibake_fixed",
+        "n_replacement_stripped",
+        "n_control_stripped",
+        F.col("__md5").alias("repaired_md5"),
+        F.col("is_clean").alias("clean_after"),
+    )
+
+
+def _sql_moji_count(var: str) -> str:
+    """occurrence sum of every mojibake artifact in SQL column
+    ``var`` (the hygiene oracle's __MOJI__ idiom, parameterized)."""
+    return " + ".join(
+        "(length({v}) - length(replace({v}, '{p}', ''))) // {n}".format(
+            v=var, p=p.replace("'", "''"), n=len(p)
+        )
+        for p in TX.MOJIBAKE_ARTIFACTS
+    )
+
+
+def _sql_repair_chain(var: str) -> str:
+    """the repair replace chain in MOJIBAKE_REPAIRS order."""
+    out = var
+    for artifact, fixed in TX.MOJIBAKE_REPAIRS:
+        out = "replace({o}, '{a}', '{f}')".format(
+            o=out, a=artifact.replace("'", "''"),
+            f=fixed.replace("'", "''"),
+        )
+    return out
+
+
+TEXT_UNICODE_REPAIR_ORACLE = r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 5 = 0 THEN 'caf' || chr(195) || chr(169)
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN chr(3) ELSE '' END AS t
+      FROM documents),
+    rep AS (SELECT doc_id, t, __REPAIR__ AS r0 FROM dirty),
+    r2 AS (SELECT doc_id, t, r0, replace(r0, chr(65533), '') AS r1
+           FROM rep),
+    r3 AS (SELECT doc_id, t, r0, r1,
+                  regexp_replace(r1, '[\x00-\x08\x0b\x0c\x0e-\x1f]',
+                                 '', 'g') AS rr
+           FROM r2)
+    SELECT doc_id,
+           CAST(__MOJI_T__ AS BIGINT) AS n_mojibake_fixed,
+           CAST(length(r0) - length(r1) AS BIGINT)
+             AS n_replacement_stripped,
+           CAST(length(r1) - length(rr) AS BIGINT) AS n_control_stripped,
+           md5(rr) AS repaired_md5,
+           ((length(rr) - length(replace(rr, chr(65533), ''))) = 0
+            AND (__MOJI_RR__) = 0
+            AND (length(rr) - length(regexp_replace(rr,
+                   '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))) * 100
+                < greatest(length(rr), 1)) AS clean_after
+    FROM r3
+""".replace("__REPAIR__", _sql_repair_chain("t")).replace(
+    "__MOJI_T__", _sql_moji_count("t")
+).replace("__MOJI_RR__", _sql_moji_count("rr"))
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2648,6 +2740,8 @@ ALL_CANDIDATES = {
         streaming_curation_requery,
         TEXT_CURATION_VERDICT_ORACLE,
     ),
+    # staged in r9 for the r10 wave-3 flip: the hygiene pair's FIX half
+    "text_unicode_repair": (text_unicode_repair, TEXT_UNICODE_REPAIR_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names

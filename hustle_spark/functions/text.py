@@ -1665,3 +1665,63 @@ def dsir_importance(
         F.col("rnk").cast("bigint").alias("rnk"),
         (F.col("rnk") < k).alias("selected"),
     )
+
+
+# Derived at import from MOJIBAKE_ARTIFACTS: each artifact is the
+# UTF-8 byte sequence of its true character mis-decoded as
+# Windows-1252, so re-encoding cp1252 and re-decoding UTF-8 recovers
+# the original (the ftfy core trick) — one stdlib round-trip, no
+# tables to maintain, and detector + repairer can never drift apart.
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = tuple(
+    (a, a.encode("cp1252").decode("utf-8")) for a in MOJIBAKE_ARTIFACTS
+)
+
+
+def unicode_repair(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple = (),
+) -> DataFrame:
+    """L36b encoding REPAIR — the fix half of the hygiene stage
+    (CCNet runs exactly this pair: detect mojibake, then repair what
+    is mechanically recoverable instead of discarding the document;
+    ftfy is the reference tool, and ``MOJIBAKE_REPAIRS`` is its core
+    cp1252-round-trip rule derived from the SAME artifact list the
+    detector scans, so the two can never drift):
+
+      n_mojibake_fixed       — artifact occurrences rewritten to
+                               their true characters (prefix-free
+                               list: counts disjoint, order-free)
+      n_replacement_stripped — U+FFFD chars removed (nothing to
+                               recover — the byte is gone)
+      n_control_stripped     — C0 controls removed (except \\t \\n \\r)
+      text                   — the repaired text
+
+    Entirely codegen (a replace chain + two regexp_replace), map-only,
+    zero shuffle, zero UDF; full-file ftfy swaps in behind the same
+    (id, counts, text) contract for the long tail (mixed encodings,
+    HTML entities) this closed rule set does not attempt."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    moji = F.lit(0).cast("bigint")
+    repaired = t
+    for artifact, fixed in MOJIBAKE_REPAIRS:
+        moji = moji + (
+            (F.length(t) - F.length(F.replace(t, F.lit(artifact), F.lit(""))))
+            / F.lit(len(artifact))
+        ).cast("bigint")
+        repaired = F.replace(repaired, F.lit(artifact), F.lit(fixed))
+    n_repl = F.length(repaired) - F.length(
+        F.replace(repaired, F.lit("�"), F.lit(""))
+    )
+    no_repl = F.replace(repaired, F.lit("�"), F.lit(""))
+    cleaned = F.regexp_replace(no_repl, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    n_ctrl = F.length(no_repl) - F.length(cleaned)
+    return df.select(
+        F.col(id_col),
+        moji.alias("n_mojibake_fixed"),
+        n_repl.cast("bigint").alias("n_replacement_stripped"),
+        n_ctrl.cast("bigint").alias("n_control_stripped"),
+        cleaned.alias(text),
+        *[F.col(c) for c in keep],
+    )

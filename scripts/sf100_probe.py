@@ -149,6 +149,9 @@ DEFAULT_PROBES = [
     # staged wave-3 (r9): IVF+PQ ANN — probes pin the bounded scanned
     # fraction + broadcast LUT shape (queries fixed at 5 by contract)
     "ann_ivf_pq_search",
+    # staged wave-3 (r9): mojibake repair — a pure map-only replace
+    # chain, the cheapest possible scaling class
+    "text_unicode_repair",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.
