@@ -10,11 +10,16 @@ Scope of the snapshot (documented, deliberate):
   state education/government second-levels plus the US k12/cc/lib
   state schemes), and the TLD-level wildcard rules (``*.ck`` etc.,
   ``WILDCARD_TLDS``) with their exception rules (``!www.ck``,
-  ``WILDCARD_EXCEPTIONS``). Deeper entries (4-label such as
-  ``pvt.k12.ma.us``, non-TLD wildcards such as ``*.kawasaki.jp``)
-  remain out of snapshot scope; hosts under them fall back to the
-  3-label resolution, which for a training-data domain-quota stage
-  degrades gracefully (quotas get slightly coarser, never dropped).
+  ``WILDCARD_EXCEPTIONS``), 4-label ICANN suffixes
+  (``pvt.k12.<st>.us``, ``PUBLIC_SUFFIX_4LABEL`` — the r9 depth
+  completion), and the non-TLD wildcard family (``*.kawasaki.jp``
+  et al, ``WILDCARD_2LABEL``) with its ``!city.<base>`` exceptions
+  (``WILDCARD_2LABEL_EXCEPTIONS``). Every rule SHAPE on the current
+  PSL is now resolved; what remains snapshot-bounded is breadth
+  (which ccTLDs/states are enumerated), and hosts under unlisted
+  entries fall back one depth, which for a training-data domain-quota
+  stage degrades gracefully (quotas get slightly coarser, never
+  dropped).
 - PRIVATE-section suffixes (``github.io``, ``blogspot.com``, ...) are
   excluded on purpose: for corpus curation you usually WANT
   ``github.io`` quota'd as one site; flipping that choice is a
@@ -267,6 +272,30 @@ WILDCARD_TLDS: tuple[str, ...] = (
 )
 WILDCARD_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
 
+# 4-label ICANN public suffixes (the r9 depth completion): the US
+# private-k12 scheme ``pvt.k12.<st>.us`` for the same embedded state
+# subset — the deepest rule family on the current PSL.
+PUBLIC_SUFFIX_4LABEL: tuple[str, ...] = tuple(
+    f"pvt.k12.{st}.us" for st in _US_STATES
+)
+
+# NON-TLD wildcard rules (``*.kawasaki.jp`` — every <label>.kawasaki.jp
+# is itself a public suffix, so registrable domains under them carry
+# FOUR labels) and their exception rules (``!city.kawasaki.jp`` —
+# city.kawasaki.jp IS registrable). These are the seven Japanese
+# city-domain wildcards on the current PSL, its only 2-label-base
+# wildcard family.
+_JP_CITY_WILDCARDS = (
+    "kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo", "sendai",
+    "yokohama",
+)
+WILDCARD_2LABEL: tuple[str, ...] = tuple(
+    f"{c}.jp" for c in _JP_CITY_WILDCARDS
+)
+WILDCARD_2LABEL_EXCEPTIONS: tuple[str, ...] = tuple(
+    f"city.{c}.jp" for c in _JP_CITY_WILDCARDS
+)
+
 # Seed for the PRIVATE-section flip described in the module docstring —
 # NOT consulted by url_domain by default (corpus curation wants these
 # quota'd as single sites).
@@ -287,10 +316,15 @@ assert len(PUBLIC_SUFFIX_3LABEL) == len(set(PUBLIC_SUFFIX_3LABEL)), (
 # and entries are lowercase alnum/dot only so the codegen InSet and
 # the oracle IN-list can never disagree on case
 assert all(s.count(".") == 2 for s in PUBLIC_SUFFIX_3LABEL)
+assert all(s.count(".") == 3 for s in PUBLIC_SUFFIX_4LABEL)
 assert all("." not in t for t in WILDCARD_TLDS)
+assert all(s.count(".") == 1 for s in WILDCARD_2LABEL)
+assert all(s.count(".") == 2 for s in WILDCARD_2LABEL_EXCEPTIONS)
 assert all(
     s == s.lower() and s.replace(".", "").isalnum()
     for group in (PUBLIC_SUFFIX_2LABEL, PUBLIC_SUFFIX_3LABEL,
-                  WILDCARD_TLDS, WILDCARD_EXCEPTIONS)
+                  PUBLIC_SUFFIX_4LABEL, WILDCARD_TLDS,
+                  WILDCARD_EXCEPTIONS, WILDCARD_2LABEL,
+                  WILDCARD_2LABEL_EXCEPTIONS)
     for s in group
 )

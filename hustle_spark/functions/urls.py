@@ -59,6 +59,9 @@ TRACKING_KEY_REGEX = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 # compiled into the plan as a codegen InSet hash lookup.
 from .psl import PUBLIC_SUFFIX_2LABEL as _CC_SECOND_LEVEL
 from .psl import PUBLIC_SUFFIX_3LABEL as _SFX3
+from .psl import PUBLIC_SUFFIX_4LABEL as _SFX4
+from .psl import WILDCARD_2LABEL as _WILD2
+from .psl import WILDCARD_2LABEL_EXCEPTIONS as _WILD2_EXC
 from .psl import WILDCARD_EXCEPTIONS as _WILD_EXC
 from .psl import WILDCARD_TLDS as _WILD_TLDS
 
@@ -134,19 +137,39 @@ def url_domain(url) -> Column:
         F.try_element_at(labels, F.lit(-2)),
         F.try_element_at(labels, F.lit(-1)),
     )
+    last5 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-5)),
+        F.try_element_at(labels, F.lit(-4)),
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    is_sfx4 = last4.isin(*_SFX4)
     is_sfx3 = last3.isin(*_SFX3)
     is_sfx2 = last2.isin(*_CC_SECOND_LEVEL)
     # *.ck: any <label>.ck is a suffix — UNLESS the exception rule
     # (!www.ck) re-opens it as a registrable domain
     is_wild = last1.isin(*_WILD_TLDS)
     is_exc = last2.isin(*_WILD_EXC)
+    # *.kawasaki.jp: any <label>.kawasaki.jp is a suffix — UNLESS the
+    # !city.kawasaki.jp exception re-opens city.kawasaki.jp
+    is_wild2 = last2.isin(*_WILD2)
+    is_exc3 = last3.isin(*_WILD2_EXC)
     # concat_ws silently skips NULL parts, so a NULL input must be
     # short-circuited explicitly or it would canonicalize to ''
+    # (precedence = the PSL algorithm: exception beats its wildcard,
+    # longer matching rule beats shorter)
     return (
         F.when(
             host.isNull() | (host == F.lit("")) | (n < 2),
             F.lit(None).cast("string"),
         )
+        .when(is_exc3 & (n >= 3), last3)
+        .when(is_sfx4 & (n >= 5), last5)
+        .when(is_wild2 & (n >= 4), last4)
+        # bare <x>.kawasaki.jp: a public suffix itself, returned as-is
+        # (the same documented heuristic floor as bare *.ck suffixes)
+        .when(is_wild2 & (n == 3), last3)
         .when(is_sfx3 & (n >= 4), last4)
         .when(is_exc, last2)
         .when((is_sfx2 | is_wild) & (n >= 3), last3)
@@ -191,6 +214,9 @@ _URL_MODEL_HOSTS = (
     "cdn.site.ORG", "shop.site.org", "www.Portal.NET", "api.portal.net",
     "WWW.Shop.COM.CN", "tienda.Ejemplo.gob.mx",
     "Www.School.ACT.edu.au", "media.Port.Foo.CK",
+    # r9 depth-completion probes: a 4-label ICANN suffix and a
+    # non-TLD wildcard — every PSL rule SHAPE is now driver-exercised
+    "Www.Site.PVT.K12.MA.US", "Blog.Ward.Kawasaki.JP",
 )
 
 
@@ -213,7 +239,7 @@ def synthesize_messy_urls(df: DataFrame, id_col: str) -> DataFrame:
     url = F.concat(
         pick(["HTTP", "https", "http"], 3),
         F.lit("://"),
-        pick(_URL_MODEL_HOSTS, 11),
+        pick(_URL_MODEL_HOSTS, 13),
         pick([":80", ":443", ":8080", "", ""], 5),
         F.lit("/p/"), (mid % 50).cast("string"),
         pick(["?utm_source=x&b=2&a=1", "?a=1&fbclid=zz", "?b=2&a=1", ""], 4),

@@ -148,6 +148,33 @@ def test_psl_r9_additions(spark):
     ]
 
 
+def test_psl_depth_completion_4label_and_city_wildcards(spark):
+    """The r9 depth completion: 4-label ICANN suffixes
+    (pvt.k12.<st>.us -> registrable carries FIVE labels) and non-TLD
+    wildcards (*.kawasaki.jp -> <x>.kawasaki.jp is a suffix,
+    registrable carries four) with their !city.<base> exceptions —
+    exception beats wildcard, longest rule beats shorter."""
+    out = _canon(
+        spark,
+        [
+            "http://www.site.pvt.k12.ma.us/x",   # 4-label suffix
+            "http://site.pvt.k12.ma.us/x",       # already registrable
+            "http://pvt.k12.ma.us/x",            # bare suffix: floor
+            "http://a.k12.ma.us/x",              # 3-label rule still wins
+            "http://blog.ward.kawasaki.jp/x",    # *.kawasaki.jp
+            "http://ward.kawasaki.jp/x",         # bare wildcard suffix
+            "http://city.kawasaki.jp/x",         # exception: registrable
+            "http://www.city.kawasaki.jp/x",     # under the exception
+            "http://x.y.sendai.jp/x",            # another city wildcard
+        ],
+    )
+    assert [d for _, d in out] == [
+        "site.pvt.k12.ma.us", "site.pvt.k12.ma.us", "pvt.k12.ma.us",
+        "a.k12.ma.us", "blog.ward.kawasaki.jp", "ward.kawasaki.jp",
+        "city.kawasaki.jp", "city.kawasaki.jp", "x.y.sendai.jp",
+    ]
+
+
 def test_domain_quota_deterministic_and_null_safe(spark):
     rows = [(i, f"http://d{i % 2}.com/p") for i in range(10)]
     rows += [(100, None), (101, "garbage")]
@@ -170,7 +197,9 @@ def test_messy_url_model_is_parseable(spark):
     doms = {r.d for r in out.select("d").distinct().collect()}
     assert doms == {"example.com", "example.co.uk", "site.org",
                     "portal.net", "shop.com.cn", "ejemplo.gob.mx",
-                    "school.act.edu.au", "port.foo.ck"}
+                    "school.act.edu.au", "port.foo.ck",
+                    # r9 depth-completion hosts (pool 11 -> 13)
+                    "site.pvt.k12.ma.us", "blog.ward.kawasaki.jp"}
 
 
 def test_robots_rules_parse_and_filter(spark):
