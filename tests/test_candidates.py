@@ -40,7 +40,7 @@ def test_candidate_matches_oracle(spark, duck, name):
     assert len(spark_rows) > 0, f"{name}: empty result"
 
 
-def test_dsir_oracle_short_doc_convention(spark, duck):
+def test_dsir_oracle_short_doc_convention(spark):
     """The DSIR oracle must replicate sliding_grams' short-array
     convention (arrays shorter than n yield ONE whole-array gram) —
     a 1-token or empty doc emits its token twice (unigram + the
@@ -63,39 +63,38 @@ def test_dsir_oracle_short_doc_convention(spark, duck):
     import tempfile
     from pathlib import Path
 
+    import duckdb as _duckdb
+
+    # a PRIVATE connection — the shared session-scoped `duck` fixture's
+    # views must never be touched (clobbering them poisons every later
+    # test in the session; found the hard way in r9)
+    con = _duckdb.connect()
     with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
-        for t in ("region nation customer supplier part orders lineitem "
-                  "events embeddings").split():
-            duck.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT 1 AS x WHERE 0")
         p = str(Path(td) / "documents.parquet")
         df.toPandas().to_parquet(p)
-        duck.execute(
-            f"CREATE OR REPLACE VIEW documents AS"
-            f" SELECT * FROM read_parquet('{p}')"
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
         )
-        try:
-            from hustle_spark.functions.text import dsir_importance
-            from pyspark.sql import functions as F
+        from hustle_spark.functions.text import dsir_importance
+        from pyspark.sql import functions as F
 
-            got = sorted(
-                tuple(r)
-                for r in dsir_importance(
-                    df, (F.col("doc_id") % 7 == 0), n_buckets=1024, k=100
-                ).collect()
-            )
-            exp = sorted(
-                tuple(r)
-                for r in duck.execute(DATA_SELECTION_DSIR_ORACLE).fetchall()
-            )
-            assert got == exp, f"first diff: {next((a, b) for a, b in zip(got, exp) if a != b)}"
-            # the 1-token doc must carry n_feats == 2 (token + gram)
-            nf = {r[0]: r[1] for r in got}
-            assert nf[1] == 2 and nf[2] == 2 and nf[3] == 2
-        finally:
-            duck.execute("DROP VIEW IF EXISTS documents")
+        got = sorted(
+            tuple(r)
+            for r in dsir_importance(
+                df, (F.col("doc_id") % 7 == 0), n_buckets=1024, k=100
+            ).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(DATA_SELECTION_DSIR_ORACLE).fetchall()
+        )
+        assert got == exp, f"first diff: {next((a, b) for a, b in zip(got, exp) if a != b)}"
+        # the 1-token doc must carry n_feats == 2 (token + gram)
+        nf = {r[0]: r[1] for r in got}
+        assert nf[1] == 2 and nf[2] == 2 and nf[3] == 2
 
 
-def test_ann_oracle_null_embedding_parity(spark, duck):
+def test_ann_oracle_null_embedding_parity(spark):
     """A NULL embedding must be invisible to BOTH engines — dropped
     from lists, codebook, candidates, and the exact-top-k audit
     (review finding r9: Spark dropped it, the oracle coded it as a
@@ -112,25 +111,24 @@ def test_ann_oracle_null_embedding_parity(spark, duck):
     import tempfile
     from pathlib import Path
 
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()  # private connection — see the DSIR test
     with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
         p = str(Path(td) / "embeddings.parquet")
         df.toPandas().to_parquet(p)
-        duck.execute(
-            f"CREATE OR REPLACE VIEW embeddings AS"
-            f" SELECT * FROM read_parquet('{p}')"
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')"
         )
-        try:
-            got = sorted(
-                tuple(r)
-                for r in ivf_pq_topk(
-                    df, df.filter("vec_id < 5"), k=5
-                ).collect()
-            )
-            exp = sorted(
-                tuple(r)
-                for r in duck.execute(ANN_IVF_PQ_SEARCH_ORACLE).fetchall()
-            )
-            assert got == exp
-            assert all(r[1] != 50 for r in got)  # NULL row never a hit
-        finally:
-            duck.execute("DROP VIEW IF EXISTS embeddings")
+        got = sorted(
+            tuple(r)
+            for r in ivf_pq_topk(
+                df, df.filter("vec_id < 5"), k=5
+            ).collect()
+        )
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(ANN_IVF_PQ_SEARCH_ORACLE).fetchall()
+        )
+        assert got == exp
+        assert all(r[1] != 50 for r in got)  # NULL row never a hit
