@@ -387,3 +387,44 @@ def test_padding_waste_invariants_property(spark):
             assert lo.max_tokens < hi.min_tokens  # contiguous, disjoint ranges
 
     check()
+
+
+@settings(max_examples=15, deadline=None)
+@given(s=text_strat, picks=st.lists(st.integers(0, 14), max_size=4))
+def test_unicode_repair_matches_python_reference(s, picks, spark):
+    """unicode_repair vs an independent pure-Python replay: inject a
+    random selection of mojibake artifacts plus a U+FFFD and a C0
+    control into random text; the repaired string and the strip
+    counts must match the reference exactly, and re-detection must
+    find no replacement chars or controls."""
+    import re as _re
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from hustle_spark.functions import text as TX
+
+    arts = [TX.MOJIBAKE_ARTIFACTS[i] for i in picks]
+    loaded = s + "".join(arts) + "\ufffd mid \x03 tail"
+    out = TX.unicode_repair(
+        spark.createDataFrame([(1, loaded)], "doc_id long, text string")
+    ).collect()[0]
+
+    # pure-Python reference: the same chain order
+    ref = loaded
+    for a, fixed in TX.MOJIBAKE_REPAIRS:
+        ref = ref.replace(a, fixed)
+    n_repl = ref.count("\ufffd")
+    ref = ref.replace("\ufffd", "")
+    n_ctrl = len(_re.findall(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ref))
+    ref = _re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", ref)
+
+    assert out.text == ref
+    assert out.n_replacement_stripped == n_repl
+    assert out.n_control_stripped == n_ctrl
+    # re-detection on the repaired text: no replacement chars, no
+    # controls (mojibake can legitimately survive if hypothesis built
+    # an artifact by CONCATENATION across the random text boundary —
+    # the operator and reference agree on the string either way)
+    det = TX.unicode_hygiene_stats(
+        spark.createDataFrame([(1, ref)], "doc_id long, text string")
+    ).collect()[0]
+    assert det.n_replacement == 0 and det.n_control == 0
