@@ -10,16 +10,19 @@ Scope of the snapshot (documented, deliberate):
   state education/government second-levels plus the US k12/cc/lib
   state schemes), and the TLD-level wildcard rules (``*.ck`` etc.,
   ``WILDCARD_TLDS``) with their exception rules (``!www.ck``,
-  ``WILDCARD_EXCEPTIONS``), 4-label ICANN suffixes
-  (``pvt.k12.<st>.us``, ``PUBLIC_SUFFIX_4LABEL`` — the r9 depth
-  completion), and the non-TLD wildcard family (``*.kawasaki.jp``
-  et al, ``WILDCARD_2LABEL``) with its ``!city.<base>`` exceptions
-  (``WILDCARD_2LABEL_EXCEPTIONS``). Every rule SHAPE on the current
-  PSL is now resolved; what remains snapshot-bounded is breadth
-  (which ccTLDs/states are enumerated), and hosts under unlisted
-  entries fall back one depth, which for a training-data domain-quota
-  stage degrades gracefully (quotas get slightly coarser, never
-  dropped).
+  ``WILDCARD_EXCEPTIONS``), the 4- and 5-label ICANN entries
+  (``pvt.k12.ma.us`` / ``chtr.k12.ma.us`` / ``paroch.pvt.k12.ma.us``
+  — the r9 depth completion, exactly the deep entries the real PSL
+  carries, no generalization), and the non-TLD wildcard family
+  (``*.kawasaki.jp`` et al, ``WILDCARD_2LABEL``) with its
+  ``!city.<base>`` exceptions (``WILDCARD_2LABEL_EXCEPTIONS``).
+  Every rule SHAPE on the current PSL is now resolved — plain
+  suffixes at depths 1-5, TLD and 2-label-base wildcards, exception
+  rules; what remains snapshot-bounded is breadth (which ccTLDs are
+  enumerated), and hosts under unlisted entries fall back one depth,
+  which for a training-data domain-quota stage degrades gracefully
+  (quotas get slightly coarser, never dropped — the over-widening
+  direction, which would SPLIT quotas, is deliberately avoided).
 - PRIVATE-section suffixes (``github.io``, ``blogspot.com``, ...) are
   excluded on purpose: for corpus curation you usually WANT
   ``github.io`` quota'd as one site; flipping that choice is a
@@ -272,12 +275,21 @@ WILDCARD_TLDS: tuple[str, ...] = (
 )
 WILDCARD_EXCEPTIONS: tuple[str, ...] = ("www.ck",)
 
-# 4-label ICANN public suffixes (the r9 depth completion): the US
-# private-k12 scheme ``pvt.k12.<st>.us`` for the same embedded state
-# subset — the deepest rule family on the current PSL.
-PUBLIC_SUFFIX_4LABEL: tuple[str, ...] = tuple(
-    f"pvt.k12.{st}.us" for st in _US_STATES
+# 4-label ICANN public suffixes (the r9 depth completion): the real
+# PSL carries exactly TWO — Massachusetts' private and charter school
+# schemes. Review-corrected: an earlier draft generalized
+# pvt.k12.<st>.us to every embedded state, which the real PSL does
+# NOT do, and over-widening here is the HARMFUL direction for quotas
+# (it splits one true registrable domain into one pseudo-domain per
+# subdomain, making the C4-style cap evadable by subdomain spraying).
+PUBLIC_SUFFIX_4LABEL: tuple[str, ...] = (
+    "pvt.k12.ma.us", "chtr.k12.ma.us",
 )
+
+# 5-label ICANN public suffix — the single deepest entry on the
+# current PSL (Massachusetts parochial schools); registrable domains
+# under it carry SIX labels.
+PUBLIC_SUFFIX_5LABEL: tuple[str, ...] = ("paroch.pvt.k12.ma.us",)
 
 # NON-TLD wildcard rules (``*.kawasaki.jp`` — every <label>.kawasaki.jp
 # is itself a public suffix, so registrable domains under them carry
@@ -317,14 +329,15 @@ assert len(PUBLIC_SUFFIX_3LABEL) == len(set(PUBLIC_SUFFIX_3LABEL)), (
 # the oracle IN-list can never disagree on case
 assert all(s.count(".") == 2 for s in PUBLIC_SUFFIX_3LABEL)
 assert all(s.count(".") == 3 for s in PUBLIC_SUFFIX_4LABEL)
+assert all(s.count(".") == 4 for s in PUBLIC_SUFFIX_5LABEL)
 assert all("." not in t for t in WILDCARD_TLDS)
 assert all(s.count(".") == 1 for s in WILDCARD_2LABEL)
 assert all(s.count(".") == 2 for s in WILDCARD_2LABEL_EXCEPTIONS)
 assert all(
     s == s.lower() and s.replace(".", "").isalnum()
     for group in (PUBLIC_SUFFIX_2LABEL, PUBLIC_SUFFIX_3LABEL,
-                  PUBLIC_SUFFIX_4LABEL, WILDCARD_TLDS,
-                  WILDCARD_EXCEPTIONS, WILDCARD_2LABEL,
+                  PUBLIC_SUFFIX_4LABEL, PUBLIC_SUFFIX_5LABEL,
+                  WILDCARD_TLDS, WILDCARD_EXCEPTIONS, WILDCARD_2LABEL,
                   WILDCARD_2LABEL_EXCEPTIONS)
     for s in group
 )

@@ -1675,6 +1675,11 @@ def dsir_importance(
 MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = tuple(
     (a, a.encode("cp1252").decode("utf-8")) for a in MOJIBAKE_ARTIFACTS
 )
+# the single-pass count-by-length-delta trick in unicode_repair
+# requires: artifacts are 2 or 3 chars, every repair is ONE char
+assert all(
+    len(a) in (2, 3) and len(f) == 1 for a, f in MOJIBAKE_REPAIRS
+), "unicode_repair's delta-count arithmetic needs 2/3->1 char repairs"
 
 
 def unicode_repair(
@@ -1703,14 +1708,28 @@ def unicode_repair(
     (id, counts, text) contract for the long tail (mixed encodings,
     HTML entities) this closed rule set does not attempt."""
     t = F.coalesce(F.col(text), F.lit(""))
-    moji = F.lit(0).cast("bigint")
-    repaired = t
+    # ONE replace pass per artifact, with the fix COUNT recovered from
+    # length deltas instead of a second count-only pass (review r9:
+    # the count-then-repair form compiled 30 replaces per row): every
+    # repaired character is 1 char, so a 3-char artifact shrinks the
+    # string by 2 and a 2-char one by 1 — repairing the two length
+    # classes in separate stages makes each stage's delta a pure count.
+    # No artifact overlaps another and no repaired output can form part
+    # of a later artifact (they start Ã/â/Â; outputs are
+    # single accented/punctuation chars), so stage order cannot change
+    # totals and the count equals occurrences in the ORIGINAL text —
+    # exactly what the oracle's __MOJI__ replay computes.
+    rep3 = t
     for artifact, fixed in MOJIBAKE_REPAIRS:
-        moji = moji + (
-            (F.length(t) - F.length(F.replace(t, F.lit(artifact), F.lit(""))))
-            / F.lit(len(artifact))
-        ).cast("bigint")
-        repaired = F.replace(repaired, F.lit(artifact), F.lit(fixed))
+        if len(artifact) == 3:
+            rep3 = F.replace(rep3, F.lit(artifact), F.lit(fixed))
+    n_moji3 = ((F.length(t) - F.length(rep3)) / F.lit(2)).cast("bigint")
+    repaired = rep3
+    for artifact, fixed in MOJIBAKE_REPAIRS:
+        if len(artifact) == 2:
+            repaired = F.replace(repaired, F.lit(artifact), F.lit(fixed))
+    n_moji2 = (F.length(rep3) - F.length(repaired)).cast("bigint")
+    moji = (n_moji3 + n_moji2).cast("bigint")
     n_repl = F.length(repaired) - F.length(
         F.replace(repaired, F.lit("�"), F.lit(""))
     )

@@ -60,6 +60,7 @@ TRACKING_KEY_REGEX = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 from .psl import PUBLIC_SUFFIX_2LABEL as _CC_SECOND_LEVEL
 from .psl import PUBLIC_SUFFIX_3LABEL as _SFX3
 from .psl import PUBLIC_SUFFIX_4LABEL as _SFX4
+from .psl import PUBLIC_SUFFIX_5LABEL as _SFX5
 from .psl import WILDCARD_2LABEL as _WILD2
 from .psl import WILDCARD_2LABEL_EXCEPTIONS as _WILD2_EXC
 from .psl import WILDCARD_EXCEPTIONS as _WILD_EXC
@@ -144,6 +145,15 @@ def url_domain(url) -> Column:
         F.try_element_at(labels, F.lit(-2)),
         F.try_element_at(labels, F.lit(-1)),
     )
+    last6 = F.concat_ws(
+        ".", F.try_element_at(labels, F.lit(-6)),
+        F.try_element_at(labels, F.lit(-5)),
+        F.try_element_at(labels, F.lit(-4)),
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.try_element_at(labels, F.lit(-1)),
+    )
+    is_sfx5 = last5.isin(*_SFX5)
     is_sfx4 = last4.isin(*_SFX4)
     is_sfx3 = last3.isin(*_SFX3)
     is_sfx2 = last2.isin(*_CC_SECOND_LEVEL)
@@ -165,6 +175,7 @@ def url_domain(url) -> Column:
             F.lit(None).cast("string"),
         )
         .when(is_exc3 & (n >= 3), last3)
+        .when(is_sfx5 & (n >= 6), last6)
         .when(is_sfx4 & (n >= 5), last5)
         .when(is_wild2 & (n >= 4), last4)
         # bare <x>.kawasaki.jp: a public suffix itself, returned as-is

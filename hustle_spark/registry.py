@@ -6564,6 +6564,11 @@ _URL_MODEL_SQL = """
              CASE WHEN len(hp) >= 3 AND
                        hp[-3] || '.' || hp[-2] || '.' || hp[-1] IN ({exc3})
                   THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+                  WHEN len(hp) >= 6 AND
+                       hp[-5] || '.' || hp[-4] || '.' || hp[-3] || '.' ||
+                       hp[-2] || '.' || hp[-1] IN ({sfx5})
+                  THEN hp[-6] || '.' || hp[-5] || '.' || hp[-4] || '.' ||
+                       hp[-3] || '.' || hp[-2] || '.' || hp[-1]
                   WHEN len(hp) >= 5 AND
                        hp[-4] || '.' || hp[-3] || '.' || hp[-2] || '.' ||
                        hp[-1] IN ({sfx4})
@@ -6598,6 +6603,7 @@ _URL_MODEL_SQL = """
     sfx=",".join(f"'{s}'" for s in sorted(URLS._CC_SECOND_LEVEL)),
     sfx3=",".join(f"'{s}'" for s in sorted(URLS._SFX3)),
     sfx4=",".join(f"'{s}'" for s in sorted(URLS._SFX4)),
+    sfx5=",".join(f"'{s}'" for s in sorted(URLS._SFX5)),
     wild=",".join(f"'{s}'" for s in sorted(URLS._WILD_TLDS)),
     wild2=",".join(f"'{s}'" for s in sorted(URLS._WILD2)),
     exc=",".join(f"'{s}'" for s in sorted(URLS._WILD_EXC)),

@@ -64,9 +64,12 @@ def time_queries(sf_dir: str, names: list[str]) -> dict[str, float]:
             # directive #3 — without this, any failure killed the whole
             # probe and the guard could never see a negative) and the
             # remaining probes still run; a JVM death still aborts the
-            # subprocess, which run_probe surfaces as "produced no JSON"
+            # subprocess, which run_probe surfaces as "produced no JSON".
+            # A failure on the SECOND iteration keeps the first
+            # iteration's genuine reading — only a query that never
+            # completed is a dead reading (review r9)
             print(f"scale_probe: {name} failed: {exc}", file=sys.stderr)
-            out[name] = -1.0
+            out[name] = round(best, 3) if best != float("inf") else -1.0
             try:
                 release_all_persistent(spark)
             except Exception:

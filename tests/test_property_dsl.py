@@ -420,6 +420,12 @@ def test_unicode_repair_matches_python_reference(s, picks, spark):
     assert out.text == ref
     assert out.n_replacement_stripped == n_repl
     assert out.n_control_stripped == n_ctrl
+    # fix count = occurrences in the ORIGINAL text (no artifact
+    # overlaps another and no repair output can form part of a later
+    # artifact, so count-on-original == sequential-chain replacements)
+    assert out.n_mojibake_fixed == sum(
+        loaded.count(a) for a, _ in TX.MOJIBAKE_REPAIRS
+    )
     # re-detection on the repaired text: no replacement chars, no
     # controls (mojibake can legitimately survive if hypothesis built
     # an artifact by CONCATENATION across the random text boundary —

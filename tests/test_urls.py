@@ -161,6 +161,11 @@ def test_psl_depth_completion_4label_and_city_wildcards(spark):
             "http://site.pvt.k12.ma.us/x",       # already registrable
             "http://pvt.k12.ma.us/x",            # bare suffix: floor
             "http://a.k12.ma.us/x",              # 3-label rule still wins
+            "http://x.chtr.k12.ma.us/x",         # the OTHER real 4-label
+            "http://s.paroch.pvt.k12.ma.us/x",   # the PSL's one 5-label
+            # the review-caught over-widening: pvt.k12 is MA-only on
+            # the real PSL — CA resolves via the 3-label k12.ca.us
+            "http://district.pvt.k12.ca.us/x",
             "http://blog.ward.kawasaki.jp/x",    # *.kawasaki.jp
             "http://ward.kawasaki.jp/x",         # bare wildcard suffix
             "http://city.kawasaki.jp/x",         # exception: registrable
@@ -170,7 +175,9 @@ def test_psl_depth_completion_4label_and_city_wildcards(spark):
     )
     assert [d for _, d in out] == [
         "site.pvt.k12.ma.us", "site.pvt.k12.ma.us", "pvt.k12.ma.us",
-        "a.k12.ma.us", "blog.ward.kawasaki.jp", "ward.kawasaki.jp",
+        "a.k12.ma.us", "x.chtr.k12.ma.us", "s.paroch.pvt.k12.ma.us",
+        "pvt.k12.ca.us",
+        "blog.ward.kawasaki.jp", "ward.kawasaki.jp",
         "city.kawasaki.jp", "city.kawasaki.jp", "x.y.sendai.jp",
     ]
 
