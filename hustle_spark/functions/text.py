@@ -1672,14 +1672,67 @@ def dsir_importance(
 # Windows-1252, so re-encoding cp1252 and re-decoding UTF-8 recovers
 # the original (the ftfy core trick) — one stdlib round-trip, no
 # tables to maintain, and detector + repairer can never drift apart.
-MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = tuple(
-    (a, a.encode("cp1252").decode("utf-8")) for a in MOJIBAKE_ARTIFACTS
-)
+#
+# CHAIN ORDER (round-10 fix, ADVICE r9 #1): a repair output that is a
+# character of a LATER artifact lets one repair manufacture a new
+# occurrence of the next — the left-double-quote fix U+201C is the
+# third char of the en-dash artifact 'â€“', so 'â€' + 'â€œ' repaired
+# in artifact-list order chained TWO replaces while the oracle counts
+# ONE occurrence in the original text. The chain is therefore ordered
+# so that is impossible: 3-char artifacts first (so unicode_repair's
+# stage split preserves exactly this order, and the oracle's plain
+# list-order replay is the identical chain), and within the list a
+# greedy topological pick — never emit a pair whose fix character
+# still appears inside an unplaced artifact. The assertion below is
+# the mechanical proof; it fails at import if a future artifact
+# addition re-introduces a cascade.
+def _cascade_safe_repairs() -> tuple[tuple[str, str], ...]:
+    pairs = [
+        (a, a.encode("cp1252").decode("utf-8")) for a in MOJIBAKE_ARTIFACTS
+    ]
+    ordered: list[tuple[str, str]] = []
+    # 3-char stage first, then 2-char — unicode_repair executes the
+    # two length classes as separate replace stages in this order
+    for ln in (3, 2):
+        remaining = [p for p in pairs if len(p[0]) == ln]
+        while remaining:
+            for cand in remaining:
+                if not any(
+                    cand[1] in other[0]
+                    for other in remaining
+                    if other is not cand
+                ):
+                    ordered.append(cand)
+                    remaining.remove(cand)
+                    break
+            else:  # pragma: no cover - unreachable on the current list
+                raise AssertionError(
+                    f"mojibake repair cascade cycle: {remaining}"
+                )
+    return tuple(ordered)
+
+
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = _cascade_safe_repairs()
 # the single-pass count-by-length-delta trick in unicode_repair
 # requires: artifacts are 2 or 3 chars, every repair is ONE char
 assert all(
     len(a) in (2, 3) and len(f) == 1 for a, f in MOJIBAKE_REPAIRS
 ), "unicode_repair's delta-count arithmetic needs 2/3->1 char repairs"
+# cascade freedom, proven mechanically: no fix char occurs in any
+# LATER artifact, so every replace in the chain only ever matches
+# occurrences present in the ORIGINAL text — the length-delta counts
+# equal count-on-original, which is what the oracle replays
+assert not any(
+    f1 in a2
+    for i, (_a1, f1) in enumerate(MOJIBAKE_REPAIRS)
+    for a2, _f2 in MOJIBAKE_REPAIRS[i + 1 :]
+), "mojibake repair chain has a cascade: reorder MOJIBAKE_REPAIRS"
+# stage order: all 3-char artifacts precede all 2-char ones, so the
+# stage-split execution in unicode_repair IS the list order the
+# oracle's _sql_repair_chain replays
+assert [len(a) for a, _ in MOJIBAKE_REPAIRS] == sorted(
+    (len(a) for a, _ in MOJIBAKE_REPAIRS), reverse=True
+), "MOJIBAKE_REPAIRS must be stage-ordered (3-char before 2-char)"
 
 
 def unicode_repair(
@@ -1714,11 +1767,14 @@ def unicode_repair(
     # repaired character is 1 char, so a 3-char artifact shrinks the
     # string by 2 and a 2-char one by 1 — repairing the two length
     # classes in separate stages makes each stage's delta a pure count.
-    # No artifact overlaps another and no repaired output can form part
-    # of a later artifact (they start Ã/â/Â; outputs are
-    # single accented/punctuation chars), so stage order cannot change
-    # totals and the count equals occurrences in the ORIGINAL text —
-    # exactly what the oracle's __MOJI__ replay computes.
+    # No artifact overlaps another and MOJIBAKE_REPAIRS is cascade-safe
+    # by construction (import-time assertion: no fix char occurs in a
+    # later artifact — the U+201C-into-'â€“' chain ADVICE r9 #1 found
+    # is ordered out), so no replace ever matches text an earlier
+    # replace created and the count equals occurrences in the ORIGINAL
+    # text — exactly what the oracle's __MOJI__ replay computes. The
+    # stage split below preserves list order (3-char entries lead the
+    # list), so this chain is char-for-char the oracle's.
     rep3 = t
     for artifact, fixed in MOJIBAKE_REPAIRS:
         if len(artifact) == 3:

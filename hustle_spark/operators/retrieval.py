@@ -92,16 +92,20 @@ def tfidf_topk(
     )
 
 
-def _bm25_tf_frame(
+def bm25_tf_frame(
     docs: DataFrame,
     queries: list[tuple[int, str]],
-    text: str,
-    id_col: str,
+    text: str = "text",
+    id_col: str = "doc_id",
 ):
     """The tokenize/prune/tf pipeline BOTH BM25 curves score over —
     shared so the rank-agreement audit's premise (identical tokenized,
     pruned, dl-carrying tf frame under both curves) is structural, not
-    a copy-paste invariant. Returns (tf, qdf, n_docs, total_tokens):
+    a copy-paste invariant; PUBLIC so the agreement audit can build it
+    ONCE and score both curves over the same physical frame (ADVICE r9
+    #2 — calling the two top-k entry points re-ran the lower+split
+    scan, the cache, and the stats collect twice per invocation).
+    Returns (tf, qdf, n_docs, total_tokens):
     tf = (doc_id, term, tf, dl) for query-term matches only (the
     broadcast prune runs BEFORE the tf shuffle), qdf = the broadcast
     (query_id, term) table, and the two scalar corpus stats (declared
@@ -179,9 +183,14 @@ def bm25_topk(
     per-doc constant — no second corpus join), final top-k one window
     per query. Two scalar driver collects (N, A) are loop-control
     state, the tfidf n_docs precedent."""
-    tf, qdf, n_docs, total_tokens = _bm25_tf_frame(
-        docs, queries, text, id_col
-    )
+    return bm25_score_fixed(bm25_tf_frame(docs, queries, text, id_col), k)
+
+
+def bm25_score_fixed(frame, k: int = 5) -> DataFrame:
+    """The fixed-point scoring half of ``bm25_topk`` over a prebuilt
+    ``bm25_tf_frame`` tuple — split out so the rank-agreement audit
+    scores both curves over ONE tokenized frame."""
+    tf, qdf, n_docs, total_tokens = frame
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -249,11 +258,16 @@ def bm25_float_topk(
     identical to ``bm25_topk`` — query-term broadcast prune before the
     tf shuffle, dl carried through the tf aggregate, one window per
     query for the cut; the N/A collects are the same declared scalar
-    loop-control state. Both curves call the SAME ``_bm25_tf_frame``,
+    loop-control state. Both curves call the SAME ``bm25_tf_frame``,
     so the agreement row's identical-input premise is structural."""
-    tf, qdf, n_docs, total_tokens = _bm25_tf_frame(
-        docs, queries, text, id_col
-    )
+    return bm25_score_float(bm25_tf_frame(docs, queries, text, id_col), k)
+
+
+def bm25_score_float(frame, k: int = 5) -> DataFrame:
+    """The float scoring half of ``bm25_float_topk`` over a prebuilt
+    ``bm25_tf_frame`` tuple — the audit-row twin of
+    ``bm25_score_fixed``."""
+    tf, qdf, n_docs, total_tokens = frame
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -3,10 +3,22 @@
 BEFORE it is ever registered — the r8 ``_NEW_THIS_ROUND`` flip lifts
 these pairs verbatim, so this is the same bar the driver will apply."""
 
+import os
+import tempfile
+
 import pytest
 
 from hustle_spark.candidates import STAGED_CANDIDATES
 from tests.conftest import SF_DIR
+
+
+def _scratch_tmpdir():
+    """TemporaryDirectory under the repo scratch dir — created on
+    demand so a clean checkout (no .scratch) still runs the test
+    instead of erroring at setup (ADVICE r9 #3)."""
+    root = "/root/repo/.scratch"
+    os.makedirs(root, exist_ok=True)
+    return tempfile.TemporaryDirectory(dir=root)
 
 
 def _norm(rows, cols):
@@ -60,7 +72,6 @@ def test_dsir_oracle_short_doc_convention(spark):
         (4, "regular raw pool document"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    import tempfile
     from pathlib import Path
 
     import duckdb as _duckdb
@@ -69,7 +80,7 @@ def test_dsir_oracle_short_doc_convention(spark):
     # views must never be touched (clobbering them poisons every later
     # test in the session; found the hard way in r9)
     con = _duckdb.connect()
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+    with _scratch_tmpdir() as td:
         p = str(Path(td) / "documents.parquet")
         df.toPandas().to_parquet(p)
         con.execute(
@@ -108,13 +119,12 @@ def test_ann_oracle_null_embedding_parity(spark):
         rows.append((i, [float((i * 11 + d) % 17 - 8) for d in range(64)]))
     rows.append((50, None))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    import tempfile
     from pathlib import Path
 
     import duckdb as _duckdb
 
     con = _duckdb.connect()  # private connection — see the DSIR test
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+    with _scratch_tmpdir() as td:
         p = str(Path(td) / "embeddings.parquet")
         df.toPandas().to_parquet(p)
         con.execute(

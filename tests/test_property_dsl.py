@@ -389,6 +389,29 @@ def test_padding_waste_invariants_property(spark):
     check()
 
 
+def test_unicode_repair_cascade_counts_original_only(spark):
+    """ADVICE r9 #1 regression: text 'â€' + ldquo-artifact. In the old
+    artifact-list order the ldquo repair emitted U+201C, completing the
+    en-dash artifact, and the chain fired TWICE while the oracle counts
+    ONE occurrence in the original text. The cascade-safe chain order
+    (en-dash before ldquo, proven by the import-time assertion) makes
+    the count exactly count-on-original; the manufactured artifact is
+    deliberately left in the text — identically in both engines."""
+    from hustle_spark.functions import text as TX
+
+    loaded = "â€" + "â€œ" + " tail"
+    out = TX.unicode_repair(
+        spark.createDataFrame([(1, loaded)], "doc_id long, text string")
+    ).collect()[0]
+    assert out.n_mojibake_fixed == 1  # was 2 under the cascading order
+    # the repair manufactures the en-dash artifact and leaves it
+    assert out.text == "â€“ tail"
+    ref = loaded
+    for a, f in TX.MOJIBAKE_REPAIRS:
+        ref = ref.replace(a, f)
+    assert out.text == ref  # list order == Spark's stage-split order
+
+
 @settings(max_examples=15, deadline=None)
 @given(s=text_strat, picks=st.lists(st.integers(0, 14), max_size=4))
 def test_unicode_repair_matches_python_reference(s, picks, spark):
