@@ -70,22 +70,93 @@ EXTRA_RUNS = 2
 # --- same-session drift correction (VERDICT r6 directive #6) ---------
 # Wall-clock in this container drifts 10-22% between sessions on
 # IDENTICAL plans (BASELINE.md), so the raw total alone conflates code
-# changes with session luck. Three SENTINEL queries — fixed plans,
-# deliberately NOT in HEADLINE (a sentinel must not collect extra warm
-# runs a headline peer doesn't get) — run first under the same
-# cold+median protocol. Their total, divided by the pinned
-# calibration-session total below, estimates this session's speed
-# ratio; the headline total divided by that ratio is what the same
-# code would have measured in the calibration session. Both raw and
-# normalized totals are reported; the raw number remains the driver
-# contract's "value".
-SENTINELS = ["q4_order_priority", "q7_volume_shipping", "q14_promo_revenue"]
-# Sum of the three sentinel medians measured in the round-7
-# calibration session (q4 0.6523 + q7 0.7690 + q14 0.3209), whose
-# headline raw total was 13.3024 s — the normalization anchor, also
-# recorded in BASELINE.md. value_normalized estimates what the same
-# code would have measured in THAT session.
-SENTINEL_CALIBRATION_TOTAL = 1.7422
+# changes with session luck. SENTINEL queries — fixed plans,
+# deliberately NOT in HEADLINE or BENCH_LLM (a sentinel must not
+# collect extra warm runs a member peer doesn't get) — run first under
+# the same cold+median protocol. Their total, divided by the pinned
+# calibration total below, estimates this session's speed ratio; the
+# headline total divided by that ratio is what the same code would
+# have measured in the calibration session. Both raw and normalized
+# totals are reported; the raw number remains the driver contract's
+# "value".
+#
+# r10 (VERDICT r9 directive #3): the basket grew from 3 queries
+# (1.8 s — too small an anchor for a 14 s 33-query total; sentinel and
+# headline drift DISAGREED materially in r8/r9) to 7 spanning the
+# plan shapes the headline mixes, and every artifact now carries a
+# per-shape breakdown next to the blended ratio, so a shape-local
+# drift (e.g. window state vs scan throughput) is visible instead of
+# averaged away.
+SENTINELS = [
+    "q4_order_priority",       # scan + semi-join + agg (also warmup)
+    "q7_volume_shipping",      # multiway join
+    "q14_promo_revenue",       # broadcast join + agg
+    "window_running_total",    # window function over a wide frame
+    "histogram_totalprice",    # pure scan + bucketing agg
+    "text_quality_topk",       # map-heavy text scoring + top-k
+    "doc_fingerprint_prefix",  # rolling-hash text map + groupBy
+]
+SENTINEL_SHAPES = {
+    "q4_order_priority": "scan_agg_semijoin",
+    "q7_volume_shipping": "multiway_join",
+    "q14_promo_revenue": "broadcast_join",
+    "window_running_total": "window",
+    "histogram_totalprice": "scan_agg",
+    "text_quality_topk": "text_map",
+    "doc_fingerprint_prefix": "hash_groupby",
+}
+# Per-sentinel calibration medians, expressed in ROUND-7
+# CALIBRATION-SESSION units so value_normalized stays comparable to
+# every artifact since r7 (anchor: headline raw 13.3024 s, 3-sentinel
+# total 1.7422 s — BASELINE.md). Measured in the r10 calibration
+# session (headline raw 13.6127 that session) and CHAINED to the old
+# anchor through the 3-query subset: the r10 session measured the old
+# trio at 1.7717 s = 1.0169x the r7 anchor, so every r10 median below
+# is divided by that session ratio. Recorded in BASELINE.md next to
+# the raw r10 readings. The four new sentinels are sub-0.3 s
+# (median-of-5) — individually job-floor-heavy, which is why the
+# BLENDED ratio stays the normalizer and the per-shape ratios are a
+# diagnostic, not divisors.
+SENTINEL_CALIBRATION = {
+    "q4_order_priority": 0.6805,
+    "q7_volume_shipping": 0.7187,
+    "q14_promo_revenue": 0.3430,
+    "window_running_total": 0.1923,
+    "histogram_totalprice": 0.2198,
+    "text_quality_topk": 0.1765,
+    "doc_fingerprint_prefix": 0.1564,
+}
+SENTINEL_CALIBRATION_TOTAL = round(sum(SENTINEL_CALIBRATION.values()), 4)
+
+
+def sentinel_block(sentinel_times: dict[str, float]) -> dict:
+    """The sentinel section every bench artifact carries: measured
+    per-query times, blended total + ratio vs the pinned calibration,
+    and the per-shape breakdown (VERDICT r9 directive #3). Returns a
+    dict; ``ratio`` is present only when every sentinel ran."""
+    ok = {k: v for k, v in sentinel_times.items() if v >= 0}
+    block: dict = {
+        "queries": sentinel_times,
+        "total": round(sum(ok.values()), 4),
+        "calibration_total": SENTINEL_CALIBRATION_TOTAL,
+        "shapes": {
+            SENTINEL_SHAPES[name]: {
+                "measured": sentinel_times.get(name, -1.0),
+                "calibration": SENTINEL_CALIBRATION[name],
+                "ratio": (
+                    round(sentinel_times[name] / SENTINEL_CALIBRATION[name], 4)
+                    if sentinel_times.get(name, -1.0) >= 0
+                    else None
+                ),
+            }
+            for name in SENTINELS
+        },
+    }
+    if len(ok) == len(SENTINELS):
+        block["ratio"] = round(
+            block["total"] / SENTINEL_CALIBRATION_TOTAL, 4
+        )
+    return block
 
 
 def validate_artifact(artifact: dict, query_maps: list) -> dict:
@@ -170,23 +241,17 @@ def main() -> None:
         measure(name, per_query)
 
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
+    sent = sentinel_block(sentinel_times)
     result = {
         "metric": "headline_total_median_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "sentinel": {
-            "queries": sentinel_times,
-            "total": round(sum(t for t in sentinel_times.values() if t >= 0), 4),
-            "calibration_total": SENTINEL_CALIBRATION_TOTAL,
-        },
+        "sentinel": sent,
     }
-    ok = [t for t in sentinel_times.values() if t >= 0]
-    if SENTINEL_CALIBRATION_TOTAL and len(ok) == len(SENTINELS):
-        ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
-        result["sentinel"]["ratio"] = round(ratio, 4)
-        result["value_normalized"] = round(total / ratio, 4)
+    if "ratio" in sent:
+        result["value_normalized"] = round(total / sent["ratio"], 4)
     validate_artifact(result, [per_query, sentinel_times])
     print(json.dumps(result))
 

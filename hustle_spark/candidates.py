@@ -2787,13 +2787,33 @@ FLIPPED_R9 = (
     "retrieval_bm25_rank_agreement",
 )
 
-FLIPPED = FLIPPED_R8 + FLIPPED_R9
+# The r10 WAVE-2b flip (VERDICT r9 directive #1, the named ten): the
+# nine media/ANN rows staged since r7 behind the shared
+# generative-replay harness, plus DSIR — data selection joining the
+# driver gate. ann_ivf_pq_search, streaming_curation_requery and
+# text_unicode_repair are HELD for r11 exactly as the directive
+# ordered (10 new = 20% of the window, the ceiling the 80%
+# re-confirmation floor implies; 13 would have breached it).
+FLIPPED_R10 = (
+    "multimodal_image_ahash",
+    "multimodal_image_phash",
+    "dedup_image_phash_groups",
+    "multimodal_exif_probe",
+    "multimodal_video_scenes",
+    "audio_pitch_probe",
+    "audio_segments_probe",
+    "dedup_semantic_centroid",
+    "embedding_matryoshka_audit",
+    "data_selection_dsir",
+)
 
-# Still-staged candidates — the r10 wave-2b pool (VERDICT r8 directive
-# #6: the remaining media probes behind the shared generative-replay
-# harness, plus the ANN-compression and centroid-keeper variants;
-# tests/test_candidates.py keeps driving every entry against DuckDB at
-# the gate SF).
+FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
+
+# Still-staged candidates — the r11 wave-3 remainder (VERDICT r9
+# directive #1's hold-three: ann_ivf_pq_search,
+# streaming_curation_requery, text_unicode_repair — each already
+# oracle-proven at sf0.01; tests/test_candidates.py keeps driving
+# every entry against DuckDB at the gate SF until its flip round).
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }

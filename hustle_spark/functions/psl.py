@@ -341,3 +341,59 @@ assert all(
                   WILDCARD_2LABEL_EXCEPTIONS)
     for s in group
 )
+
+
+def parse_psl(lines) -> dict[str, tuple[str, ...]]:
+    """THE documented full-PSL swap path, made executable: parse
+    publicsuffix.org's data-file format (one rule per line; ``//``
+    comments; ``*.`` wildcard rules; ``!`` exception rules — the
+    format is specified on the PSL site and stable for a decade) into
+    the snapshot's eight tuple groups. Deploy-time swap:
+
+        parsed = parse_psl(open("public_suffix_list.dat"))
+        urls.swap_psl(parsed)   # rebind the lookup sets
+
+    Shapes beyond the snapshot's reach (wildcards on 3+-label bases,
+    exceptions under them — none exist on the current PSL) raise
+    rather than silently mis-resolving. 1-label plain rules (``com``)
+    are accepted and dropped: the last-2-labels floor already handles
+    them. Grouping is by the same depth classes url_domain probes, so
+    a fuller file only ADDS members to existing InSet probes — the
+    lookup machinery is unchanged, which is the whole point of the
+    tuple representation."""
+    groups: dict[str, list[str]] = {
+        "PUBLIC_SUFFIX_2LABEL": [], "PUBLIC_SUFFIX_3LABEL": [],
+        "PUBLIC_SUFFIX_4LABEL": [], "PUBLIC_SUFFIX_5LABEL": [],
+        "WILDCARD_TLDS": [], "WILDCARD_EXCEPTIONS": [],
+        "WILDCARD_2LABEL": [], "WILDCARD_2LABEL_EXCEPTIONS": [],
+    }
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("*."):
+            base = line[2:]
+            dots = base.count(".")
+            if dots == 0:
+                groups["WILDCARD_TLDS"].append(base)
+            elif dots == 1:
+                groups["WILDCARD_2LABEL"].append(base)
+            else:
+                raise ValueError(f"unsupported wildcard depth: {line}")
+        elif line.startswith("!"):
+            base = line[1:]
+            dots = base.count(".")
+            if dots == 1:
+                groups["WILDCARD_EXCEPTIONS"].append(base)
+            elif dots == 2:
+                groups["WILDCARD_2LABEL_EXCEPTIONS"].append(base)
+            else:
+                raise ValueError(f"unsupported exception depth: {line}")
+        else:
+            dots = line.count(".")
+            if dots == 0:
+                continue  # plain TLD rule == the last-2-labels floor
+            if dots > 4:
+                raise ValueError(f"unsupported suffix depth: {line}")
+            groups[f"PUBLIC_SUFFIX_{dots + 1}LABEL"].append(line)
+    return {k: tuple(v) for k, v in groups.items()}

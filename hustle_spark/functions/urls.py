@@ -66,6 +66,35 @@ from .psl import WILDCARD_2LABEL_EXCEPTIONS as _WILD2_EXC
 from .psl import WILDCARD_EXCEPTIONS as _WILD_EXC
 from .psl import WILDCARD_TLDS as _WILD_TLDS
 
+# alias -> psl.py group name, the rebind map swap_psl() walks
+_PSL_BINDINGS = {
+    "_CC_SECOND_LEVEL": "PUBLIC_SUFFIX_2LABEL",
+    "_SFX3": "PUBLIC_SUFFIX_3LABEL",
+    "_SFX4": "PUBLIC_SUFFIX_4LABEL",
+    "_SFX5": "PUBLIC_SUFFIX_5LABEL",
+    "_WILD2": "WILDCARD_2LABEL",
+    "_WILD2_EXC": "WILDCARD_2LABEL_EXCEPTIONS",
+    "_WILD_EXC": "WILDCARD_EXCEPTIONS",
+    "_WILD_TLDS": "WILDCARD_TLDS",
+}
+
+
+def swap_psl(parsed: dict[str, tuple[str, ...]]) -> dict[str, tuple[str, ...]]:
+    """Deploy-time full-PSL swap (the contract psl.py documents):
+    rebind url_domain's lookup sets to ``psl.parse_psl(...)`` output.
+    url_domain reads these module globals at CALL time, so plans built
+    after the swap carry the fuller InSets — machinery unchanged, only
+    breadth grows. Returns the PREVIOUS bindings so a caller (or test)
+    can restore them. Empty groups keep the snapshot's floor semantics
+    (an empty isin() is simply never true)."""
+    g = globals()
+    prev = {alias: g[alias] for alias in _PSL_BINDINGS}
+    for alias, group in _PSL_BINDINGS.items():
+        g[alias] = tuple(parsed.get(group, ()))
+    return {
+        _PSL_BINDINGS[alias]: vals for alias, vals in prev.items()
+    }
+
 
 def _part(url, group: int) -> Column:
     return F.regexp_extract(url, URL_REGEX, group)

@@ -6782,25 +6782,13 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r9 PSL work, two waves: (a) snapshot additions (ADVICE r8 #1 —
-    # the *.np TLD wildcard, eq.edu.au, the *.bd over-widening note);
-    # (b) the DEPTH COMPLETION (VERDICT r8 missing #3): 4-label ICANN
-    # suffixes (pvt.k12.<st>.us) and non-TLD wildcards (*.kawasaki.jp
-    # et al) with !city exceptions — every rule SHAPE on the current
-    # PSL now resolves, and the generative host pool grew 11 -> 13 to
-    # drive both new depths through all three rows (oracle IN-lists +
-    # host array + CASE depth updated in _URL_MODEL_SQL; re-proven at
-    # sf0.01 and sf0.1 in-session; tests/test_urls.py covers every
-    # new rule incl. the exception-beats-wildcard precedence)
-    "url_canonicalize_stats", "url_domain_quota", "url_robots_filter",
-    # r9 SA width cut (VERDICT r8 directive #4): operators/suffixes.py
-    # drops the carried prefix at the LCP stage — the member frame,
-    # member dense rank, and boundary running sum now move scalars
-    # only, and the group sample is re-derived from a broadcast join
-    # against one docs scan. Oracle-reproven at sf0.01 AND sf0.1
-    # in-session; same-session A/B at sf0.1 shows no wall regression
-    # (groups 8.25 vs 8.44 s, removal 9.05 vs 9.10 s, avg of 2)
-    "dedup_substring_groups", "dedup_substring_removal",
+    # r10 (ADVICE r9 #2): retrieval.bm25_topk/bm25_float_topk split
+    # into frame + scoring halves so the rank-agreement audit builds
+    # the tokenized/pruned/cached tf frame ONCE and scores both curves
+    # over it — the audit row's fn source changed (hash moved) and
+    # bm25_topk's helper body moved (manual promotion, plans logically
+    # identical). Both re-proven vs DuckDB at sf0.01 in-session.
+    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6808,68 +6796,72 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r9 is the WAVE-2 flip AT the protocol floor (VERDICT r8 directives
-# #1/#2/#8): the nine wave-2 rows the verdict named, plus the new
-# BM25 float-vs-fixed rank-agreement audit — 10 _NEW + 5 _CHANGED
-# leaves 35 backfill slots, so window re-confirmation is 40/50 = 80%,
-# exactly the floor directive #1 set ("hold the window at >=80%
-# backfill+changed share"). The backfill head clears topk_orders (the
-# last r4-latest row) and the first 34 rows of the r5-latest pool;
-# the 11-row r5 remainder is QUEUED (not dropped) and drains in r10
-# alongside the 9-row wave-2b media flip.
+# r10 is the WAVE-2b flip at the 20% ceiling (VERDICT r9 directive
+# #1, decided up front: flip EXACTLY these ten, hold ann_ivf_pq_search
+# / streaming_curation_requery / text_unicode_repair for r11 — 13 new
+# would have been 26% of the window, breaching the ceiling the 80%
+# re-confirmation floor implies). 10 _NEW + 2 _CHANGED leaves 38
+# backfill slots = 40/50 = 80% re-confirmation, at the floor. The
+# backfill head drains the ENTIRE 11-row r5-latest remainder (zero
+# r5-latest rows remain after r10) plus the first 27 rows of the
+# 43-row r6-latest pool in CORRECTNESS_r06 key order; the 16-row r6
+# remainder is QUEUED (not dropped) as the r11 backfill head.
 _NEW_THIS_ROUND = [
-    # retrieval ladder: the real saturating-tf curve + the float twin
-    # driven through the all-integer agreement audit (directive #8)
-    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
-    # the token-window -> suffix-array ExactSubstr composition
-    "dedup_exact_substr_combined",
-    # the reference's own event-analytics domain: DAU/WAU rolling
-    # actives + the mergeable HLL sketch rollup
-    "events_rolling_actives", "sketch_rollup_actives",
-    # ANN compression ladder: 8x8 sign-code product quantization
-    "embedding_pq_audit",
-    # sources/media: spec-valid PNG synthesis + all five filter paths
-    "multimodal_png_probe",
-    # text analysis: exact Simpson diversity + code-fence detection
-    "text_lexical_diversity", "text_code_detect",
-    # WARC meta-noindex honor (robots meta, the ingestion gap)
-    "warc_meta_noindex",
+    # media probes behind the shared generative-replay harness:
+    # image perceptual hashes (+ the pHash-signature dedup group row),
+    # Exif IFD walk, video scene cuts, audio pitch (YIN) + energy-VAD
+    "multimodal_image_ahash", "multimodal_image_phash",
+    "dedup_image_phash_groups", "multimodal_exif_probe",
+    "multimodal_video_scenes", "audio_pitch_probe",
+    "audio_segments_probe",
+    # SemDeDup with the paper's centroid keeper policy
+    "dedup_semantic_centroid",
+    # ANN compression ladder: matryoshka prefix-energy audit
+    "embedding_matryoshka_audit",
+    # data selection: DSIR importance resampling (Xie et al.)
+    "data_selection_dsir",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r9 retires the LAST r4-latest row (topk_orders, the
-# oldest row in the ledger) and the first 34 rows of the r5-latest
-# pool in CORRECTNESS_r05 key order (the r8 _QUEUED_NEXT head).
+# stalest rows. r10 drains the ENTIRE r5-latest remainder (the 11
+# TPC-H shapes, r9's _QUEUED_NEXT head — after this round no row's
+# newest driver check predates r6) plus the first 27 rows of the
+# 43-row r6-latest pool in CORRECTNESS_r06 key order.
 _BACKFILL = [
-    "topk_orders",
-    "padding_waste_buckets", "filter_isin",
-    "embedding_contamination_scan", "vocab_drift_top",
-    "text_bigram_quality", "sharded_export_requery",
-    "rollup_view_requery", "nest_requery", "semi_join_customers",
-    "anti_join_customers", "left_join_nation_suppliers",
-    "full_outer_nation_activity", "cross_join_pairs", "set_except",
-    "set_intersect", "set_union", "window_running_total",
-    "window_lag_delta", "rollup_status_priority", "cube_flags",
-    "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
-    "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
-    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
-    "embedding_label_stats", "text_stats_by_lang", "text_quality_topk",
-    "doc_fingerprint_prefix", "q2_min_cost_supplier",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r5-latest remainder (11 rows, in
-# CORRECTNESS_r05 key order) — the r10 backfill head. After these
-# drain, the stalest pool is r6-latest (docs/CHECKED.md holds the
-# manifest).
-_QUEUED_NEXT = [
     "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
     "q11_important_stock", "q12_late_shipment_priority",
     "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_volume_customer", "q20_excess_quantity_suppliers",
+    "warc_ingest_records", "window_topk_per_group",
+    "scalar_string_funcs", "similarity_topk_exact",
+    "similarity_ann_lsh", "tfidf_top_terms", "window_rank_ties",
+    "similarity_ivf", "dedup_containment_guarded",
+    "q21_waiting_orders", "q22_global_sales_opportunity",
+    "sql_api_exists", "grouping_sets_sql", "percentile_exact",
+    "variance_manual", "correlation_manual", "unpivot_measures",
+    "union_all_counts", "range_join_purchase_errors",
+    "streaming_session_windows", "streaming_dedupe_count",
+    "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
+    "curation_filter", "approx_cardinality", "text_lang_id",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r6-latest remainder (16 rows, in
+# CORRECTNESS_r06 key order) — the r11 backfill head. After these
+# drain, the stalest pool is r7-latest (docs/CHECKED.md holds the
+# manifest).
+_QUEUED_NEXT = [
+    "collect_set_sorted", "dedup_simhash_audit",
+    "ntile_customer_quartiles", "histogram_totalprice",
+    "markov_transitions", "stratified_sample_stats",
+    "length_profile_by_source", "top_customer_share",
+    "window_cume_dist", "nullsafe_join_probe", "time_rollup_hierarchy",
+    "multimodal_video_probe", "grouping_marker_rollup",
+    "dataset_split_stats", "pii_redaction_stats",
+    "repetition_top_bigram",
 ]
 
 

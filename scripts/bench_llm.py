@@ -105,6 +105,20 @@ BENCH_LLM = [
     "text_lexical_diversity",
     "text_code_detect",
     "warc_meta_noindex",
+    # appended round 10 (append-only protocol): the wave-2b flip —
+    # perceptual image hashes + pHash dedup groups, Exif, video scene
+    # cuts, audio pitch + VAD segments, centroid SemDeDup, matryoshka
+    # audit, DSIR data selection
+    "multimodal_image_ahash",
+    "multimodal_image_phash",
+    "dedup_image_phash_groups",
+    "multimodal_exif_probe",
+    "multimodal_video_scenes",
+    "audio_pitch_probe",
+    "audio_segments_probe",
+    "dedup_semantic_centroid",
+    "embedding_matryoshka_audit",
+    "data_selection_dsir",
 ]
 
 WARM_RUNS = 3
@@ -115,15 +129,22 @@ EXTRA_RUNS = 2
 # was the one artifact without it, so LLM-set regressions and session
 # drift were conflated — e.g. the r7 url_* "regressions" that were
 # mostly the PSL expansion plus a 4.9% slow session). Reuses bench.py's
-# sentinel instrument VERBATIM: same three non-member fixed-plan
-# queries, same calibration anchor, measured FIRST under the same
-# protocol. value_normalized estimates what the same code would have
-# measured in the round-7 calibration session.
+# sentinel instrument VERBATIM: same non-member fixed-plan basket
+# (7 queries spanning plan shapes since r10), same calibration
+# anchor, measured FIRST under the same protocol. value_normalized
+# estimates what the same code would have measured in the round-7
+# calibration session (the r10 basket is chained to that anchor).
 from bench import (  # noqa: E402
-    SENTINEL_CALIBRATION_TOTAL,
     SENTINELS,
+    sentinel_block,
     validate_artifact,
 )
+
+# Per-query first-green baseline (VERDICT r9 directive #5): frozen
+# normalized sf0.1 readings, regenerated ONLY when a new row gets its
+# first green reading (append-only, like the list above). Ratios
+# against it are ADVISORY — the binding 2x gate stays on the headline.
+_LLM_BASELINE_PATH = Path(__file__).resolve().parents[1] / "docs" / "llm_baseline.json"
 
 
 def main() -> None:
@@ -180,25 +201,32 @@ def main() -> None:
         measure(name, per_query)
 
     total = round(sum(t for t in per_query.values() if t >= 0), 4)
+    sent = sentinel_block(sentinel_times)
     result = {
         "metric": "llm_pipeline_total_median_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-        "sentinel": {
-            "queries": sentinel_times,
-            "total": round(
-                sum(t for t in sentinel_times.values() if t >= 0), 4
-            ),
-            "calibration_total": SENTINEL_CALIBRATION_TOTAL,
-        },
+        "sentinel": sent,
     }
-    ok = [t for t in sentinel_times.values() if t >= 0]
-    if SENTINEL_CALIBRATION_TOTAL and len(ok) == len(SENTINELS):
-        ratio = sum(ok) / SENTINEL_CALIBRATION_TOTAL
-        result["sentinel"]["ratio"] = round(ratio, 4)
+    if "ratio" in sent:
+        ratio = sent["ratio"]
         result["value_normalized"] = round(total / ratio, 4)
+        # advisory per-query regression check vs the frozen
+        # first-green baseline (normalized on both sides)
+        try:
+            base = json.loads(_LLM_BASELINE_PATH.read_text())["queries"]
+            result["vs_first_green"] = {
+                q: round((v / ratio) / base[q]["normalized"], 4)
+                for q, v in per_query.items()
+                if v >= 0 and q in base and base[q]["normalized"] > 0
+            }
+            over = {q: r for q, r in result["vs_first_green"].items() if r > 2.0}
+            if over:
+                result["vs_first_green_over_2x"] = over
+        except (OSError, KeyError, ValueError) as exc:
+            print(f"bench_llm: baseline unavailable: {exc}", file=sys.stderr)
     validate_artifact(result, [per_query, sentinel_times])
     print(json.dumps(result))
 

@@ -501,3 +501,83 @@ def test_robots_sitemaps_group_independent(spark):
     assert got[0] == ["https://example.com/sitemap.xml",
                       "https://example.com/s2.xml"]
     assert got[1] == []
+
+
+def test_full_psl_swap_refines_only(spark):
+    """VERDICT r9 directive #7: exercise the documented full-PSL swap
+    point ONCE with a synthetic 'full file' and prove the promise —
+    breadth-only change. A fuller PSL must (a) leave every host at a
+    snapshot-covered depth with an IDENTICAL url_domain, and (b) only
+    REFINE hosts previously at the fallback floor: the new domain
+    extends the old one label-ward (old is a dot-suffix of new), so
+    quota groups can split finer but never merge or relabel across
+    old groups."""
+    from hustle_spark.functions import psl, urls
+
+    # synthetic full file = the snapshot re-serialized in PSL data-file
+    # format + ~50 entries the snapshot does not carry (made-up TLDs,
+    # so nothing here implies real-PSL membership)
+    lines = ["// synthetic full PSL (test fixture)"]
+    lines += list(psl.PUBLIC_SUFFIX_2LABEL)
+    lines += list(psl.PUBLIC_SUFFIX_3LABEL)
+    lines += list(psl.PUBLIC_SUFFIX_4LABEL)
+    lines += list(psl.PUBLIC_SUFFIX_5LABEL)
+    lines += [f"*.{t}" for t in psl.WILDCARD_TLDS]
+    lines += [f"!{e}" for e in psl.WILDCARD_EXCEPTIONS]
+    lines += [f"*.{b}" for b in psl.WILDCARD_2LABEL]
+    lines += [f"!{e}" for e in psl.WILDCARD_2LABEL_EXCEPTIONS]
+    lines += [f"co.x{i}" for i in range(25)]          # new 2-label
+    lines += [f"s{i}.edu.zz" for i in range(15)]      # new 3-label
+    lines += ["pvt.k12.zz.us", "paroch.pvt.k12.zz.us",  # new depths
+              "*.zm", "!www.zm",                        # new TLD wildcard
+              "*.fukuoka.jp", "!city.fukuoka.jp"]       # new 2L wildcard
+    parsed = psl.parse_psl(lines)
+
+    hosts = [
+        # covered depths: outputs must be byte-identical post-swap
+        "shop.co.uk", "a.shop.co.uk", "x.act.edu.au", "www.ck",
+        "foo.ck", "bar.baz.ck", "city.kawasaki.jp", "x.y.kawasaki.jp",
+        "school.pvt.k12.ma.us", "x.paroch.pvt.k12.ma.us",
+        "example.com", "deep.a.b.example.com", "localhost",
+        # floor-fallback hosts the fuller file refines
+        "a.b.co.x3", "x.s2.edu.zz", "a.b.zm", "www.zm", "foo.zm",
+        "x.y.fukuoka.jp", "city.fukuoka.jp", "sch.pvt.k12.zz.us",
+        "x.paroch.pvt.k12.zz.us",
+    ]
+    covered = set(hosts[:13])
+    df = spark.createDataFrame(
+        [(f"http://{h}/p",) for h in hosts], "url string"
+    )
+
+    def domains():
+        rows = df.select(
+            F.col("url"), url_domain("url").alias("d")
+        ).collect()
+        return {r.url.split("//")[1].removesuffix("/p"): r.d for r in rows}
+
+    before = domains()
+    prev = urls.swap_psl(parsed)
+    try:
+        after = domains()
+    finally:
+        urls.swap_psl(prev)
+    assert domains() == before  # restore round-trips
+
+    for h in hosts:
+        if h in covered:
+            assert after[h] == before[h], (h, before[h], after[h])
+        else:
+            ok = after[h] == before[h] or (
+                before[h] is not None
+                and after[h] is not None
+                and after[h].endswith("." + before[h])
+            )
+            assert ok, f"non-refining swap: {h}: {before[h]} -> {after[h]}"
+    # quota-grouping view: new groups are sub-partitions of old groups
+    # (splits fine, merges never)
+    group_of = {}
+    for h in hosts:
+        if after[h] is None:
+            continue
+        group_of.setdefault(after[h], set()).add(before[h])
+    assert all(len(olds) == 1 for olds in group_of.values()), group_of
