@@ -2626,6 +2626,57 @@ TEXT_UNICODE_REPAIR_ORACLE = r"""
 ).replace("__MOJI_RR__", _sql_moji_count("rr"))
 
 
+def dedup_jaccard_ngram(spark, sf_dir):
+    """L2e EXACT n-gram Jaccard near-dup pairs (staged r10 for the r11
+    window): the set statistic the MinHash sketch row estimates,
+    computed exactly over distinct word-3-gram sets
+    (operators/dedup.py jaccard_ngram_pairs) — J emitted as the
+    all-integer micro-unit floor (1e6*shared) div union, so every
+    value replays bit-for-bit. max_df=64 is the hot-shingle guard (the
+    guarded-containment precedent): ubiquitous grams leave the join
+    BEFORE the candidate self-join, set sizes still come from the full
+    distinct sets. threshold 0.30 in micro-units; min_shared=2 keeps
+    single-gram coincidences out. Completes the dedup ladder's
+    estimate-vs-exact audit pairing with dedup_minhash_md5."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    return dedup.jaccard_ngram_pairs(
+        d, shingle_n=3, min_shared=2, threshold_u=300_000, max_df=64
+    )
+
+
+DEDUP_JACCARD_NGRAM_ORACLE = r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(coalesce(text, ''), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sizes AS (SELECT doc_id, len(sh) AS n_fp FROM s),
+    ex0 AS (SELECT doc_id, md5(u.g) AS fp FROM s, unnest(sh) AS u(g)),
+    dfc AS (SELECT fp, COUNT(*) AS c FROM ex0 GROUP BY fp),
+    ex AS (SELECT ex0.doc_id, ex0.fp
+           FROM ex0 JOIN dfc USING (fp) WHERE dfc.c <= 64),
+    shr AS (SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM ex l JOIN ex r
+              ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT shr.a, shr.b, shr.shared,
+           CAST(na.n_fp AS BIGINT) AS n_a,
+           CAST(nb.n_fp AS BIGINT) AS n_b,
+           CAST((1000000 * shr.shared)
+                // (na.n_fp + nb.n_fp - shr.shared) AS BIGINT) AS jaccard_u
+    FROM shr JOIN sizes na ON na.doc_id = shr.a
+             JOIN sizes nb ON nb.doc_id = shr.b
+    WHERE (1000000 * shr.shared) // (na.n_fp + nb.n_fp - shr.shared)
+          >= 300000
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2746,6 +2797,9 @@ ALL_CANDIDATES = {
     ),
     # staged in r9 for the r10 wave-3 flip: the hygiene pair's FIX half
     "text_unicode_repair": (text_unicode_repair, TEXT_UNICODE_REPAIR_ORACLE),
+    # staged in r10 for the r11 window: exact n-gram Jaccard pairs —
+    # the estimate-vs-exact twin of the MinHash sketch rows
+    "dedup_jaccard_ngram": (dedup_jaccard_ngram, DEDUP_JACCARD_NGRAM_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names

@@ -609,6 +609,83 @@ def containment_pairs(
     )
 
 
+def jaccard_ngram_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    threshold_u: int = 500_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs — the set statistic
+    ``minhash_lsh_pairs`` ESTIMATES, computed exactly over the distinct
+    word-``shingle_n``-gram sets:
+
+        J(a, b) = |S(a) ∩ S(b)| / |S(a) ∪ S(b)|
+
+    Returns (a, b, shared, n_a, n_b, jaccard_u) with a < b, shared >=
+    ``min_shared`` and jaccard_u >= ``threshold_u``; ``jaccard_u`` is
+    the exact integer floor of 1e6·J (``(1_000_000 * shared) div
+    union`` — all-integer, so every emitted value replays bit-for-bit
+    in DuckDB; no float leaves the operator). Next to the MinHash row
+    this completes the estimate-vs-exact audit pairing: run both at
+    the same threshold and the estimate's error distribution is
+    directly measurable.
+
+    Scale shape: same as ``containment_pairs`` — distinct shingles
+    digest to md5 per row (map-only), candidate generation is a self
+    equi-join ON THE DIGEST (never a cross product), and both wide
+    shuffles carry 16-byte digests. ``max_df`` drops shingles present
+    in more than that many documents BEFORE the join (ubiquitous
+    boilerplate grams are exactly the hot buckets that would drive a
+    quadratic blowup); set sizes are re-joined from the FULL distinct
+    set, so dropped grams shrink ``shared`` (reported honestly) but
+    never corrupt |S(a)| or |S(b)|."""
+    sh = F.array_distinct(
+        shingles(F.coalesce(F.col(text), F.lit("")), shingle_n)
+    )
+    fps = _tracked_cache(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(sh, lambda s: F.md5(s)).alias("__fps"),
+        )
+    )
+    sizes = fps.select("id", F.size("__fps").cast("bigint").alias("n_fp"))
+    ex = fps.select("id", F.explode("__fps").alias("fp"))
+    if max_df is not None:
+        w = Window.partitionBy("fp")
+        ex = ex.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+            F.col("__df") <= max_df
+        ).drop("__df")
+    left, right = ex.alias("L"), ex.alias("R")
+    shared = (
+        left.join(
+            right,
+            (F.col("L.fp") == F.col("R.fp"))
+            & (F.col("L.id") < F.col("R.id")),
+        )
+        .groupBy(F.col("L.id").alias("a"), F.col("R.id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard_u",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * shared)"
+                " div (n_a + n_b - shared)"
+            ),
+        )
+        .filter(F.col("jaccard_u") >= threshold_u)
+        .select("a", "b", "shared", "n_a", "n_b", "jaccard_u")
+    )
+
+
 def dedup_pipeline(
     df: DataFrame,
     text: str = "text",

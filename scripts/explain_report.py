@@ -100,14 +100,18 @@ SHOWCASE = {
     "dedup_exact_substr_combined": "token-window cut localCheckpointed, then the cap-order SA runs over SURVIVORS only — stage 2's one-row-per-char cost is paid on the deduped corpus",
     "text_lexical_diversity": "exact Simpson via one sorted-run fold per doc: map-only, zero explode, zero shuffle before the rollup",
     "multimodal_png_probe": "spec-valid PNGs (stored-deflate IDAT, aggregate adler32, crc32 chunks) synthesized in codegen; one Arrow-batched inflate+unfilter stage (id repartition is the only exchange)",
+    # r10 wave-2b flips
+    "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
+    "data_selection_dsir": "gram explode map-only (input spread); 1024-key profile agg map-side-combines; weight table broadcast; ONE doc-keyed shuffle + the range-partitioned rank",
+    "multimodal_image_phash": "codegen BMP synthesis + one Arrow pHash stage; the integer DCT rides the same MapInPandas — no per-coefficient shuffle",
+    "dedup_image_phash_groups": "group key = map-side md5 digest of the 63 AC bits; ONE groupBy shuffle moves 16-byte digests, never payloads",
+    "dedup_semantic_centroid": "cluster-key equi-join (lists ~n/32) + one (cluster, dim) aggregation for centroid directions — no all-pairs stage anywhere",
 }
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
 # themselves evidence — resolved via STAGED_CANDIDATES until their wave flips
 CANDIDATE_SHOWCASE = {
-    "multimodal_video_scenes": "mdat synthesis + Arrow scene detection: one id repartition, one MapInPandas, no shuffle after decode",
-    "data_selection_dsir": "gram explode map-only (input spread); 1024-key profile agg map-side-combines; weight table broadcast; ONE doc-keyed shuffle + the range-partitioned rank",
     "ann_ivf_pq_search": "PQ codes ride the corpus frame as one array column; probe join broadcast on the query side bounds the scanned fraction; ADC via broadcast LUT; refine shortlist is a plan-guaranteed-small broadcast",
 }
 

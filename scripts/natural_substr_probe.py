@@ -40,12 +40,17 @@ DST = Path("/root/repo/.scratch/natsubstr")
 FACTOR = 10
 DIRTY_MOD = 10      # doc_id % 10 == 0 -> carries an injected repeat
 VARIANTS = 25       # rotating repeat paragraphs (many medium groups)
-PARA_TOKENS = 90    # ~avg sf0.1 doc length, re-measured at gen time
+# 48 SHORT tokens (~7 chars each): 3x the 16-token window, but only
+# ~45% of a dirty doc's chars — the sf0.1 docs average ~54 tokens /
+# ~455 chars, and a 90-long-token draft paragraph dominated the corpus
+# (stage-1 cut 31-41%, outside the 5-15% target band the directive
+# set; measured, then corrected)
+PARA_TOKENS = 48
 
 
 def _paragraph(v: int, n_tokens: int) -> str:
-    # deterministic, whitespace-tokenized, >= 5x the 16-token window
-    return " ".join(f"repeatspan{v}tok{i}" for i in range(n_tokens))
+    # deterministic, whitespace-tokenized, >= 3x the 16-token window
+    return " ".join(f"rs{v}t{i}" for i in range(n_tokens))
 
 
 def gen(regen: bool = False) -> None:
@@ -68,7 +73,7 @@ def gen(regen: bool = False) -> None:
             F.avg(F.size(F.split(F.coalesce("text", F.lit("")), r"\s+")))
         ).collect()[0][0]
     )
-    para_tokens = max(PARA_TOKENS, avg_tokens)
+    para_tokens = PARA_TOKENS  # fixed; see the band note above
     stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     paras = [  # broadcast-size lookup: 25 fixed paragraphs
         (v, _paragraph(v, para_tokens)) for v in range(VARIANTS)

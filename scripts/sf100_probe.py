@@ -152,6 +152,17 @@ DEFAULT_PROBES = [
     # staged wave-3 (r9): mojibake repair — a pure map-only replace
     # chain, the cheapest possible scaling class
     "text_unicode_repair",
+    # appended round 10: the centroid-keeper SemDeDup variant (same
+    # cluster-key equi-join cost model as dedup_semantic plus one
+    # (cluster, dim) aggregation — the probe pins that the reduction
+    # stays cluster-bounded; registered in the r10 wave-2b flip)
+    "dedup_semantic_centroid",
+    # staged r10 for the r11 window: exact n-gram Jaccard — the probe
+    # pins that the max_df hot-shingle guard keeps the digest
+    # self-join sub-quadratic on the 100x corpus (sub-10-token grams
+    # partially collide across replicas by construction, which is
+    # exactly the boilerplate-shaped load the guard exists for)
+    "dedup_jaccard_ngram",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.
