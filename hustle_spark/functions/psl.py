@@ -343,7 +343,7 @@ assert all(
 )
 
 
-def parse_psl(lines) -> dict[str, tuple[str, ...]]:
+def parse_psl(lines, icann_only: bool = True) -> dict[str, tuple[str, ...]]:
     """THE documented full-PSL swap path, made executable: parse
     publicsuffix.org's data-file format (one rule per line; ``//``
     comments; ``*.`` wildcard rules; ``!`` exception rules — the
@@ -353,13 +353,20 @@ def parse_psl(lines) -> dict[str, tuple[str, ...]]:
         parsed = parse_psl(open("public_suffix_list.dat"))
         urls.swap_psl(parsed)   # rebind the lookup sets
 
-    Shapes beyond the snapshot's reach (wildcards on 3+-label bases,
-    exceptions under them — none exist on the current PSL) raise
+    ``icann_only=True`` (default) stops at the file's
+    ``===END ICANN DOMAINS===`` section marker — matching the
+    snapshot's deliberate scope (the PRIVATE section's github.io-style
+    suffixes are excluded on purpose for corpus curation, see the
+    module docstring) AND what makes the real current file parseable:
+    the private section carries wildcard rules with multi-label bases
+    (``*.compute.amazonaws.com``) that url_domain's depth probes do
+    not model (review r10 — the default-everything draft crashed on
+    the real file). With ``icann_only=False`` those shapes still raise
     rather than silently mis-resolving. 1-label plain rules (``com``)
     are accepted and dropped: the last-2-labels floor already handles
     them. Grouping is by the same depth classes url_domain probes, so
-    a fuller file only ADDS members to existing InSet probes — the
-    lookup machinery is unchanged, which is the whole point of the
+    a fuller ICANN file only ADDS members to existing InSet probes —
+    the lookup machinery is unchanged, which is the whole point of the
     tuple representation."""
     groups: dict[str, list[str]] = {
         "PUBLIC_SUFFIX_2LABEL": [], "PUBLIC_SUFFIX_3LABEL": [],
@@ -369,6 +376,10 @@ def parse_psl(lines) -> dict[str, tuple[str, ...]]:
     }
     for raw in lines:
         line = raw.strip()
+        if icann_only and line.startswith("//") and (
+            "===END ICANN DOMAINS===" in line
+        ):
+            break
         if not line or line.startswith("//"):
             continue
         if line.startswith("*."):

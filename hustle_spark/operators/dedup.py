@@ -580,10 +580,35 @@ def containment_pairs(
     fps = _tracked_cache(
         winnowing_fingerprints(df, text, id_col, k, window, hash)
     )
-    sizes = fps.select(
-        F.col(id_col).alias("id"), F.size("fingerprints").alias("n_fp")
+    shared = _digest_pair_counts(
+        fps.select(F.col(id_col).alias("id"), F.col("fingerprints")),
+        "fingerprints", min_shared, max_df,
     )
-    ex = fps.select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    return (
+        shared.withColumn(
+            "containment", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "shared", "n_a", "n_b", "containment")
+    )
+
+
+def _digest_pair_counts(
+    fps: DataFrame, digests_col: str, min_shared: int, max_df: int | None
+) -> DataFrame:
+    """The candidate-pair machinery ``containment_pairs`` and
+    ``jaccard_ngram_pairs`` share (split out by the r10 review — the
+    two had diverge-prone near-verbatim copies, the same reason
+    retrieval.py grew ``bm25_tf_frame``): from an (id, <digest array>)
+    frame, return (a, b, shared, n_a, n_b) with a < b and shared >=
+    ``min_shared``. Sizes come from the FULL per-doc array; ``max_df``
+    drops digests present in more than that many documents BEFORE the
+    self-join (the hot-bucket guard), so dropped digests shrink
+    ``shared`` but never corrupt the set sizes. Both wide shuffles
+    move (id, digest) scalars only — never payloads, never a cross
+    product."""
+    sizes = fps.select("id", F.size(digests_col).alias("n_fp"))
+    ex = fps.select("id", F.explode(digests_col).alias("fp"))
     if max_df is not None:
         w = Window.partitionBy("fp")
         ex = ex.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
@@ -598,15 +623,7 @@ def containment_pairs(
     )
     na = sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_a"))
     nb = sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_b"))
-    return (
-        shared.join(na, "a")
-        .join(nb, "b")
-        .withColumn(
-            "containment", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
-        )
-        .filter(F.col("containment") >= threshold)
-        .select("a", "b", "shared", "n_a", "n_b", "containment")
-    )
+    return shared.join(na, "a").join(nb, "b")
 
 
 def jaccard_ngram_pairs(
@@ -651,29 +668,14 @@ def jaccard_ngram_pairs(
             F.transform(sh, lambda s: F.md5(s)).alias("__fps"),
         )
     )
-    sizes = fps.select("id", F.size("__fps").cast("bigint").alias("n_fp"))
-    ex = fps.select("id", F.explode("__fps").alias("fp"))
-    if max_df is not None:
-        w = Window.partitionBy("fp")
-        ex = ex.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
-            F.col("__df") <= max_df
-        ).drop("__df")
-    left, right = ex.alias("L"), ex.alias("R")
-    shared = (
-        left.join(
-            right,
-            (F.col("L.fp") == F.col("R.fp"))
-            & (F.col("L.id") < F.col("R.id")),
-        )
-        .groupBy(F.col("L.id").alias("a"), F.col("R.id").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
-        .filter(F.col("shared") >= min_shared)
-    )
-    na = sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_b"))
+    shared = _digest_pair_counts(fps, "__fps", min_shared, max_df)
     return (
-        shared.join(na, "a")
-        .join(nb, "b")
+        shared.select(
+            "a", "b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
         .withColumn(
             "jaccard_u",
             F.expr(

@@ -6789,6 +6789,14 @@ _CHANGED = [
     # bm25_topk's helper body moved (manual promotion, plans logically
     # identical). Both re-proven vs DuckDB at sf0.01 in-session.
     "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
+    # r10 review: containment_pairs' candidate machinery extracted
+    # into the shared _digest_pair_counts helper (the new exact-
+    # Jaccard operator had copied it near-verbatim) — outputs
+    # byte-identical, but helper edits require manual promotion.
+    # dedup_containment_guarded moved here FROM this round's backfill
+    # (it was r6-latest); dedup_containment_pairs displaces the
+    # backfill tail (text_lang_id -> _QUEUED_NEXT head).
+    "dedup_containment_pairs", "dedup_containment_guarded",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6837,14 +6845,14 @@ _BACKFILL = [
     "warc_ingest_records", "window_topk_per_group",
     "scalar_string_funcs", "similarity_topk_exact",
     "similarity_ann_lsh", "tfidf_top_terms", "window_rank_ties",
-    "similarity_ivf", "dedup_containment_guarded",
+    "similarity_ivf",
     "q21_waiting_orders", "q22_global_sales_opportunity",
     "sql_api_exists", "grouping_sets_sql", "percentile_exact",
     "variance_manual", "correlation_manual", "unpivot_measures",
     "union_all_counts", "range_join_purchase_errors",
     "streaming_session_windows", "streaming_dedupe_count",
     "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
-    "curation_filter", "approx_cardinality", "text_lang_id",
+    "curation_filter", "approx_cardinality",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -6854,6 +6862,7 @@ _BACKFILL = [
 # drain, the stalest pool is r7-latest (docs/CHECKED.md holds the
 # manifest).
 _QUEUED_NEXT = [
+    "text_lang_id",
     "collect_set_sorted", "dedup_simhash_audit",
     "ntile_customer_quartiles", "histogram_totalprice",
     "markov_transitions", "stratified_sample_stats",

@@ -213,8 +213,13 @@ def main() -> None:
     if "ratio" in sent:
         ratio = sent["ratio"]
         result["value_normalized"] = round(total / ratio, 4)
-        # advisory per-query regression check vs the frozen
-        # first-green baseline (normalized on both sides)
+    # advisory per-query regression check vs the frozen first-green
+    # baseline (normalized on both sides) — ONLY meaningful on the
+    # sf0.1 corpus the baseline was frozen at: the sf1 runner reuses
+    # this script on the 10x copy, where comparing to sf0.1 readings
+    # would flag the whole suite as fictitious >2x regressions
+    # (review r10)
+    if "ratio" in sent and result["sf"] == 0.1:
         try:
             base = json.loads(_LLM_BASELINE_PATH.read_text())["queries"]
             result["vs_first_green"] = {

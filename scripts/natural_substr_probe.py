@@ -59,7 +59,10 @@ def gen(regen: bool = False) -> None:
     from hustle_spark.catalog import Catalog
     from hustle_spark.session import get_session
 
-    if (DST / "x10").exists() and not regen:
+    # guard on the LAST write's _SUCCESS marker, not the pre-created
+    # directory — a crashed first run must regenerate, never hand the
+    # probe a partial corpus (review r10)
+    if (DST / "x10" / "documents.parquet" / "_SUCCESS").exists() and not regen:
         print(f"corpus already at {DST} (use --regen to rebuild)")
         return
     spark = get_session(

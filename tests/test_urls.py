@@ -581,3 +581,27 @@ def test_full_psl_swap_refines_only(spark):
             continue
         group_of.setdefault(after[h], set()).add(before[h])
     assert all(len(olds) == 1 for olds in group_of.values()), group_of
+
+
+def test_parse_psl_icann_boundary_and_unsupported_shapes():
+    """Review r10: the real PSL file's PRIVATE section carries wildcard
+    rules with multi-label bases (*.compute.amazonaws.com) that
+    url_domain's depth probes do not model. Default parsing stops at
+    the ===END ICANN DOMAINS=== marker (matching the snapshot's
+    deliberate private-section exclusion), so the documented swap path
+    runs on the real file; opting into the private section still
+    raises loudly on unsupported shapes instead of mis-resolving."""
+    import pytest as _pytest
+
+    from hustle_spark.functions import psl
+
+    lines = [
+        "// comment", "com", "co.uk", "*.ck", "!www.ck",
+        "// ===END ICANN DOMAINS===",
+        "github.io", "*.compute.amazonaws.com",
+    ]
+    parsed = psl.parse_psl(lines)  # default: ICANN only — must succeed
+    assert parsed["PUBLIC_SUFFIX_2LABEL"] == ("co.uk",)
+    assert "github.io" not in parsed["PUBLIC_SUFFIX_2LABEL"]
+    with _pytest.raises(ValueError, match="unsupported wildcard depth"):
+        psl.parse_psl(lines, icann_only=False)
