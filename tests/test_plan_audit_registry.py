@@ -56,6 +56,15 @@ ALLOWED_PYTHON = {
     "multimodal_png_probe",      # zlib inflate + un-filtering, same
                                  # path — flipped from the candidate
                                  # pool in r9
+    # the r10 wave-2b flip (moved here from CANDIDATE_ALLOWED_PYTHON,
+    # the r8/r9 flip precedent):
+    "multimodal_image_ahash",    # pixel decode + aHash, same path
+    "multimodal_image_phash",    # pixel decode + integer DCT
+    "multimodal_exif_probe",     # TIFF IFD walk
+    "multimodal_video_scenes",   # mdat walk + numpy frame diffs
+    "audio_pitch_probe",         # PCM autocorrelation
+    "audio_segments_probe",      # PCM energy windows
+    "dedup_image_phash_groups",  # pixel decode + integer DCT
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
@@ -81,15 +90,9 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
                                           # exact-topk audit brute
                                           # force, by design
 }
-CANDIDATE_ALLOWED_PYTHON = {
-    "multimodal_image_ahash",             # pixel decode + aHash, same path
-    "multimodal_image_phash",             # pixel decode + integer DCT
-    "multimodal_exif_probe",              # TIFF IFD walk
-    "multimodal_video_scenes",            # mdat walk + numpy frame diffs
-    "audio_pitch_probe",                  # PCM autocorrelation
-    "audio_segments_probe",               # PCM energy windows
-    "dedup_image_phash_groups",           # pixel decode + integer DCT
-}
+CANDIDATE_ALLOWED_PYTHON: set[str] = set()  # r10 flip moved the
+# media entries into ALLOWED_PYTHON above; the 4 staged rows are
+# pure-codegen plans
 
 
 def _candidates():
