@@ -2677,6 +2677,89 @@ DEDUP_JACCARD_NGRAM_ORACLE = r"""
 """
 
 
+def dedup_jaccard_minhash_agreement(spark, sf_dir):
+    """L2f MinHash-vs-exact-Jaccard AGREEMENT audit (staged r10; the
+    BM25 rank-agreement idiom applied to the dedup ladder): for every
+    pair the 12-hash/4-band md5 MinHash twin reports (>= 6/12 slots,
+    est J >= 0.5), emit the sketch's matching-slot count NEXT TO the
+    exact n-gram Jaccard in integer micro-units — the sketch's error
+    becomes a measured column instead of a trusted property.
+
+    Scale shape: the exact side is computed ONLY over the audited
+    docs — exact J(a,b) depends on docs a and b alone, so a semi-join
+    of the corpus to the pair-set's ids BEFORE jaccard_ngram_pairs is
+    lossless for the audited pairs and bounds the exact side's
+    digest self-join by the sketch's output size, not the corpus.
+    All-integer output: match_cnt (0-12) + jaccard_u (micro-units;
+    0 when the banded pair shares no 3-gram at all)."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    est = dedup.minhash_lsh_pairs(
+        d, n_hashes=12, bands=4, threshold=0.5, hash="md5"
+    ).select(
+        "a", "b",
+        F.round(F.col("est_jaccard") * 12).cast("bigint").alias("match_cnt"),
+    )
+    audited = est.select(F.explode(F.array("a", "b")).alias("doc_id")).distinct()
+    dd = d.join(F.broadcast(audited), "doc_id")  # pair-set-sized side
+    exact = dedup.jaccard_ngram_pairs(
+        dd, shingle_n=3, min_shared=1, threshold_u=0, max_df=None
+    ).select("a", "b", "jaccard_u")
+    return est.join(exact, ["a", "b"], "left").select(
+        "a", "b", "match_cnt",
+        F.coalesce("jaccard_u", F.lit(0)).cast("bigint").alias("jaccard_u"),
+    )
+
+
+DEDUP_JACCARD_MINHASH_AGREEMENT_ORACLE = r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sig AS (SELECT doc_id,
+              list_transform(generate_series(0, 11), seed ->
+                list_min(list_transform(sh,
+                  g -> md5(g || ':' || CAST(seed AS VARCHAR))))) AS m
+            FROM s),
+    bands AS (SELECT doc_id, u.b AS b,
+                     list_slice(m, u.b * 3 + 1, u.b * 3 + 3) AS bsig
+              FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.bsig = r.bsig AND l.doc_id < r.doc_id),
+    est AS (SELECT a, b,
+              len(list_filter(generate_series(1, 12),
+                              i -> sa.m[i] = sb.m[i])) AS match_cnt
+            FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                      JOIN sig sb ON sb.doc_id = cand.b),
+    hits AS (SELECT a, b, CAST(match_cnt AS BIGINT) AS match_cnt
+             FROM est WHERE match_cnt >= 6),
+    aud AS (SELECT DISTINCT doc_id FROM (
+              SELECT a AS doc_id FROM hits
+              UNION ALL SELECT b FROM hits) u),
+    sz AS (SELECT s.doc_id, len(sh) AS n_fp
+           FROM s JOIN aud USING (doc_id)),
+    ex AS (SELECT s.doc_id, md5(g.g) AS fp
+           FROM s JOIN aud USING (doc_id), unnest(sh) AS g(g)),
+    shr AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS shared
+            FROM ex l JOIN ex r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2),
+    exact AS (SELECT shr.a, shr.b,
+                     (1000000 * shr.shared)
+                       // (na.n_fp + nb.n_fp - shr.shared) AS jaccard_u
+              FROM shr JOIN sz na ON na.doc_id = shr.a
+                       JOIN sz nb ON nb.doc_id = shr.b)
+    SELECT hits.a, hits.b, hits.match_cnt,
+           CAST(coalesce(exact.jaccard_u, 0) AS BIGINT) AS jaccard_u
+    FROM hits LEFT JOIN exact
+      ON hits.a = exact.a AND hits.b = exact.b
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2800,6 +2883,12 @@ ALL_CANDIDATES = {
     # staged in r10 for the r11 window: exact n-gram Jaccard pairs —
     # the estimate-vs-exact twin of the MinHash sketch rows
     "dedup_jaccard_ngram": (dedup_jaccard_ngram, DEDUP_JACCARD_NGRAM_ORACLE),
+    # staged in r10 for the r11 window: the sketch-error audit over
+    # exactly the pairs the banded MinHash twin reports
+    "dedup_jaccard_minhash_agreement": (
+        dedup_jaccard_minhash_agreement,
+        DEDUP_JACCARD_MINHASH_AGREEMENT_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -2863,11 +2952,13 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 wave-3 remainder (VERDICT r9
-# directive #1's hold-three: ann_ivf_pq_search,
-# streaming_curation_requery, text_unicode_repair — each already
-# oracle-proven at sf0.01; tests/test_candidates.py keeps driving
-# every entry against DuckDB at the gate SF until its flip round).
+# Still-staged candidates — the r11 pool: the VERDICT r9 hold-three
+# (ann_ivf_pq_search, streaming_curation_requery, text_unicode_repair
+# — each already oracle-proven at sf0.01) plus the two NEW r10 rows
+# (dedup_jaccard_ngram: proven sf0.001/sf0.01/sf0.1;
+# dedup_jaccard_minhash_agreement: the sketch-error audit).
+# tests/test_candidates.py keeps driving every entry against DuckDB
+# at the gate SF until its flip round.
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }
