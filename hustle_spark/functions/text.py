@@ -1380,6 +1380,81 @@ def quality_classifier_scores(
     )
 
 
+def quality_classifier_scores_weighted(
+    df: DataFrame,
+    weights: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    margin_threshold: int = 0,
+) -> DataFrame:
+    """The EXECUTABLE weight-swap seam ``quality_classifier_scores``
+    documents (r10, the parse_psl/swap_psl precedent): identical
+    tokenize → unigram+bigram → md5-nibble feature hashing, but the
+    linear layer's weights come from a ``weights`` DataFrame
+    ``(bucket int, weight bigint)`` — the shape a real exported
+    fastText / logistic-regression model ships in — broadcast-joined
+    on the bucket. Same ``(id, n_feats, n_pos_feats, margin,
+    quality_ok)`` output contract; buckets absent from the table
+    weigh 0 (a real export is total over ``n_buckets``, the coalesce
+    is belt-and-braces). Fed the closed-form stand-in's own table,
+    this is bit-identical to the inline path
+    (tests/test_text_curation.py pins it), so swapping trained
+    weights changes SCORES only — never the machinery.
+
+    Scale shape: the explode moves (id, bucket int) pairs, the weight
+    table is a broadcast (4096 rows ~ 64 KB), and the per-doc
+    aggregate map-side combines — one shuffle of scalar pairs where
+    the inline path has zero; that is the honest price of
+    table-driven weights (the alternative, a 4096-literal array in
+    the plan, is the janino-bloat trap)."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    nib = (
+        "(CASE WHEN substring(m, {i}, 1) <= '9'"
+        " THEN ascii(substring(m, {i}, 1)) - 48"
+        " ELSE ascii(substring(m, {i}, 1)) - 87 END)"
+    )
+    bucket = (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16"
+        f" + {nib.format(i=3)}) % {n_buckets})"
+    )
+    feats = df.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.split(t, WS), sliding_grams(F.split(t, WS), 2)
+            )
+        ).alias("f"),
+    ).select(
+        id_col, F.md5("f").alias("m")
+    ).select(
+        id_col, F.expr(bucket).cast("int").alias("bucket")
+    )
+    w = weights.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("bigint").alias("__w"),
+    )
+    scored = (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .withColumn("__w", F.coalesce("__w", F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum(F.when(F.col("__w") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos_feats"),
+            F.sum("__w").cast("bigint").alias("margin"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_feats",
+        "n_pos_feats",
+        "margin",
+        (F.col("margin") > margin_threshold).alias("quality_ok"),
+    )
+
+
 def curation_verdict(
     df: DataFrame,
     text: str = "text",
@@ -1740,6 +1815,7 @@ def unicode_repair(
     text: str = "text",
     id_col: str = "doc_id",
     keep: tuple = (),
+    repairs: tuple[tuple[str, str], ...] | None = None,
 ) -> DataFrame:
     """L36b encoding REPAIR — the fix half of the hygiene stage
     (CCNet runs exactly this pair: detect mojibake, then repair what
@@ -1757,9 +1833,30 @@ def unicode_repair(
       text                   — the repaired text
 
     Entirely codegen (a replace chain + two regexp_replace), map-only,
-    zero shuffle, zero UDF; full-file ftfy swaps in behind the same
-    (id, counts, text) contract for the long tail (mixed encodings,
-    HTML entities) this closed rule set does not attempt."""
+    zero shuffle, zero UDF. ``repairs`` is the EXECUTABLE swap seam
+    (r10, the parse_psl/swap_psl precedent): pass a fuller
+    (artifact, fixed) table — e.g. one derived from ftfy's complete
+    cp1252 round-trip map — and the same chain machinery runs it; the
+    table must satisfy the SAME contracts the default does (2/3->1
+    char repairs, 3-char stage first, no fix char inside a later
+    artifact), asserted per call so a bad table fails loudly at plan
+    build instead of miscounting. Full-file ftfy proper (mixed
+    encodings, HTML entities) still swaps in behind the same
+    (id, counts, text) contract for the long tail a closed rule set
+    cannot express."""
+    reps = MOJIBAKE_REPAIRS if repairs is None else tuple(repairs)
+    if repairs is not None:
+        assert all(
+            len(a) in (2, 3) and len(f) == 1 for a, f in reps
+        ), "unicode_repair: repairs must be 2/3->1 char"
+        assert not any(
+            f1 in a2
+            for i, (_a1, f1) in enumerate(reps)
+            for a2, _f2 in reps[i + 1 :]
+        ), "unicode_repair: supplied repair table has a cascade"
+        assert [len(a) for a, _ in reps] == sorted(
+            (len(a) for a, _ in reps), reverse=True
+        ), "unicode_repair: repairs must be stage-ordered (3 before 2)"
     t = F.coalesce(F.col(text), F.lit(""))
     # ONE replace pass per artifact, with the fix COUNT recovered from
     # length deltas instead of a second count-only pass (review r9:
@@ -1776,12 +1873,12 @@ def unicode_repair(
     # stage split below preserves list order (3-char entries lead the
     # list), so this chain is char-for-char the oracle's.
     rep3 = t
-    for artifact, fixed in MOJIBAKE_REPAIRS:
+    for artifact, fixed in reps:
         if len(artifact) == 3:
             rep3 = F.replace(rep3, F.lit(artifact), F.lit(fixed))
     n_moji3 = ((F.length(t) - F.length(rep3)) / F.lit(2)).cast("bigint")
     repaired = rep3
-    for artifact, fixed in MOJIBAKE_REPAIRS:
+    for artifact, fixed in reps:
         if len(artifact) == 2:
             repaired = F.replace(repaired, F.lit(artifact), F.lit(fixed))
     n_moji2 = (F.length(rep3) - F.length(repaired)).cast("bigint")

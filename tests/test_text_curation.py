@@ -215,3 +215,79 @@ class TestNullText:
             r.doc_id: r for r in TX.quality_classifier_scores(d).collect()
         }
         assert cls[7].n_feats >= 1 and cls[8].n_feats == 9
+
+
+def test_quality_classifier_weight_swap_seam(spark):
+    """r10: the weight-swap seam quality_classifier_scores documents,
+    exercised end-to-end (the PSL swap-path precedent). Fed the
+    closed-form stand-in's OWN (bucket, weight) table, the
+    table-driven variant must be bit-identical to the inline path —
+    proving a trained fastText/regression export changes SCORES only,
+    never the hashing/pooling machinery. A uniformly +1-shifted table
+    must then move every margin by exactly n_feats (the model is
+    linear in the weights) with feature counts untouched."""
+    from hustle_spark.functions import text as TX
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "table scan merge table scan merge table scan"),
+        (3, "single"),
+        (4, None),
+        (5, ""),
+        (6, "a b c d e f g h i j k l m n o p q r s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = sorted(
+        tuple(r) for r in TX.quality_classifier_scores(df).collect()
+    )
+    table = [(b, (b * 2654435761) % 1001 - 500) for b in range(4096)]
+    wdf = spark.createDataFrame(table, "bucket int, weight long")
+    swapped = sorted(
+        tuple(r)
+        for r in TX.quality_classifier_scores_weighted(df, wdf).collect()
+    )
+    assert swapped == inline  # bit-identical under the stand-in's table
+
+    shifted = spark.createDataFrame(
+        [(b, w + 1) for b, w in table], "bucket int, weight long"
+    )
+    sh = {
+        r.doc_id: r
+        for r in TX.quality_classifier_scores_weighted(df, shifted).collect()
+    }
+    for doc_id, n_feats, _npos, margin, _ok in inline:
+        assert sh[doc_id].n_feats == n_feats          # machinery untouched
+        assert sh[doc_id].margin == margin + n_feats  # linear in weights
+
+
+def test_unicode_repair_table_swap_seam(spark):
+    """r10: unicode_repair's repair-table swap seam, exercised. A
+    fuller table (the default + the ellipsis artifact ftfy's complete
+    cp1252 map carries) must repair strictly more while leaving every
+    default-artifact repair byte-identical; a table violating the
+    chain contracts (a cascade) must fail loudly at plan build."""
+    import pytest as _pytest
+
+    from hustle_spark.functions import text as TX
+
+    ell = "â€¦"  # 'â€¦' = U+2026 mis-decoded
+    fuller = (ell, "…")
+    assert fuller not in TX.MOJIBAKE_REPAIRS
+    table = (fuller,) + TX.MOJIBAKE_REPAIRS  # 3-char leads: stage order ok
+
+    df = spark.createDataFrame(
+        [(1, "wait" + ell + " cafÃ© end")],
+        "doc_id long, text string",
+    )
+    base = TX.unicode_repair(df).collect()[0]
+    swapped = TX.unicode_repair(df, repairs=table).collect()[0]
+    # default: only the e-acute artifact repairs; ellipsis survives
+    assert base.n_mojibake_fixed == 1 and ell in base.text
+    # fuller table: both repair — strictly more, nothing else moves
+    assert swapped.n_mojibake_fixed == 2
+    assert swapped.text == "wait… café end"
+    # a cascading table fails loudly: a fix char inside a later artifact
+    bad = (("â€œ", "“"),  # ldquo BEFORE endash
+           ("â€“", "–"))
+    with _pytest.raises(AssertionError, match="cascade"):
+        TX.unicode_repair(df, repairs=bad)
