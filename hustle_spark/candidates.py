@@ -25,7 +25,7 @@ scripts/update_query_hashes.py.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from . import util as _util
 from .functions import text as TX
@@ -2677,6 +2677,86 @@ DEDUP_JACCARD_NGRAM_ORACLE = r"""
 """
 
 
+def dedup_jaccard_clusters(spark, sf_dir):
+    """L2g exact-Jaccard duplicate CLUSTERS + keepers (staged r10):
+    the composition a user actually runs over the exact pair row —
+    jaccard_ngram_pairs (3-gram md5 digests, max_df=64 guard,
+    J >= 0.30) -> connected_components (min-label pointer jumping,
+    O(log diameter) rounds) -> one keeper per cluster (longest text,
+    ties to the lowest doc_id; singletons keep themselves). Same
+    output contract as dedup_pipeline_keepers, but every edge comes
+    from the EXACT set statistic instead of the MinHash sketch, so
+    the whole composition — shingles, digests, guard, pair join,
+    transitive closure, keeper window — is one DuckDB replay with no
+    rows-only step anywhere."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    pairs = dedup.jaccard_ngram_pairs(
+        d, shingle_n=3, min_shared=2, threshold_u=300_000, max_df=64
+    )
+    cc = dedup.connected_components(pairs.select("a", "b"))
+    docs = d.select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("bigint").alias(
+            "__n_chars"
+        ),
+    )
+    lab = cc.select(F.col("id").alias("doc_id"), "cluster_id")
+    j = docs.join(lab, "doc_id", "left").select(
+        "doc_id",
+        "__n_chars",
+        F.coalesce("cluster_id", "doc_id").cast("bigint").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__n_chars").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+DEDUP_JACCARD_CLUSTERS_ORACLE = r"""
+    WITH RECURSIVE t AS (SELECT doc_id,
+                      string_split_regex(coalesce(text, ''), '\s+') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sizes AS (SELECT doc_id, len(sh) AS n_fp FROM s),
+    ex0 AS (SELECT doc_id, md5(u.g) AS fp FROM s, unnest(sh) AS u(g)),
+    dfc AS (SELECT fp, COUNT(*) AS c FROM ex0 GROUP BY fp),
+    ex AS (SELECT ex0.doc_id, ex0.fp
+           FROM ex0 JOIN dfc USING (fp) WHERE dfc.c <= 64),
+    shr AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS shared
+            FROM ex l JOIN ex r
+              ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    prs AS (SELECT shr.a, shr.b
+            FROM shr JOIN sizes na ON na.doc_id = shr.a
+                     JOIN sizes nb ON nb.doc_id = shr.b
+            WHERE (1000000 * shr.shared)
+                  // (na.n_fp + nb.n_fp - shr.shared) >= 300000),
+    und AS (SELECT a AS x, b AS y FROM prs UNION ALL SELECT b, a FROM prs),
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM und)
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+    lab AS (SELECT x AS id, MIN(y) AS cluster_id FROM reach GROUP BY x)
+    SELECT d.doc_id,
+           CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY COALESCE(l.cluster_id, d.doc_id)
+             ORDER BY length(coalesce(d.text, '')) DESC, d.doc_id ASC
+           ) = 1 AS is_kept
+    FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+"""
+
+
 def dedup_jaccard_minhash_agreement(spark, sf_dir):
     """L2f MinHash-vs-exact-Jaccard AGREEMENT audit (staged r10; the
     BM25 rank-agreement idiom applied to the dedup ladder): for every
@@ -2888,6 +2968,13 @@ ALL_CANDIDATES = {
     "dedup_jaccard_minhash_agreement": (
         dedup_jaccard_minhash_agreement,
         DEDUP_JACCARD_MINHASH_AGREEMENT_ORACLE,
+    ),
+    # staged in r10 for the r11 window: exact-Jaccard clusters +
+    # keepers — the fully-replayable composition of the exact pair
+    # row with connected components and the keeper window
+    "dedup_jaccard_clusters": (
+        dedup_jaccard_clusters,
+        DEDUP_JACCARD_CLUSTERS_ORACLE,
     ),
 }
 

@@ -163,6 +163,9 @@ DEFAULT_PROBES = [
     # partially collide across replicas by construction, which is
     # exactly the boilerplate-shaped load the guard exists for)
     "dedup_jaccard_ngram",
+    # staged r10: the exact-Jaccard clusters+keepers composition —
+    # probes that CC over the guarded pair graph stays edge-bounded
+    "dedup_jaccard_clusters",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.
