@@ -30,7 +30,7 @@ from pyspark.sql import Window, functions as F
 from . import util as _util
 from .functions import text as TX
 from .functions import urls as URLS
-from .operators import dedup, multimodal, similarity, suffixes
+from .operators import dedup, multimodal, similarity, sketches, suffixes
 from .registry import _URL_MODEL_SQL, _cat
 
 
@@ -2840,6 +2840,166 @@ DEDUP_JACCARD_MINHASH_AGREEMENT_ORACLE = r"""
 """
 
 
+def events_heavy_hitters_cms(spark, sf_dir):
+    """L52 count–min-sketch heavy hitters (staged r10-cont for a
+    later window; Cormode–Muthukrishnan 2005): the FREQUENCY twin of
+    the HLL rollup row. The sketch is built as per-DAY partial
+    (d, bucket, cnt) cell frames merged by cell-wise SUM — the
+    executable incremental shape: at 100 TB each day contributes at
+    most depth×width (4×32 = 128) cells, weekly/monthly heavy hitters
+    merge KB-sized frames without re-touching the event stream, and
+    estimates broadcast the merged frame against the candidate keys.
+    Hashes are md5-derived (first 8 hex chars base-16 — the
+    write_sharded idiom), so the ENTIRE machinery — row hashing,
+    cell counts, min-over-rows estimate, the top-10 — replays
+    bit-for-bit in DuckDB. Audit anchoring follows the repo's
+    sketch-audit idiom (minhash agreement, HLL rollup): the top-10 is
+    ranked by the EXACT count (ground truth), with the CM estimate,
+    the signed error and the ``never_under`` guarantee bit
+    (estimate >= exact, always — the CM one-sided-error theorem)
+    measured next to it, so sketch error is a value, not a trusted
+    property. The event stream here is near-uniform per user, the
+    sketch's worst case — the err_cnt column SHOWS that instead of
+    hiding it."""
+    ev = _cat(spark, sf_dir).table("events").df.filter(
+        F.col("user_id").isNotNull()
+    )
+    day = F.floor(F.col("ts").cast("double") / F.lit(86400)).cast("bigint")
+    sk = sketches.cms_build(
+        ev, "user_id", depth=4, width=256, partial_by=day
+    )
+    keys = ev.select("user_id").distinct()
+    est = sketches.cms_estimate(keys, sk, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("err_cnt"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+EVENTS_HEAVY_HITTERS_CMS_ORACLE = """
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    d AS (SELECT * FROM generate_series(0, 3) AS t(d)),
+    cells AS (SELECT d.d,
+                ('0x' || substr(md5(CAST(ev.user_id AS VARCHAR)
+                                   || ':' || CAST(d.d AS VARCHAR)),
+                                1, 8))::BIGINT % 256 AS bucket,
+                COUNT(*) AS cnt
+              FROM ev CROSS JOIN d GROUP BY 1, 2),
+    k AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1),
+    kb AS (SELECT k.user_id, k.exact_cnt, d.d,
+                  ('0x' || substr(md5(CAST(k.user_id AS VARCHAR)
+                                     || ':' || CAST(d.d AS VARCHAR)),
+                                  1, 8))::BIGINT % 256 AS bucket
+           FROM k CROSS JOIN d),
+    est AS (SELECT kb.user_id, kb.exact_cnt,
+                   MIN(COALESCE(c.cnt, 0)) AS est_cnt
+            FROM kb LEFT JOIN cells c
+              ON c.d = kb.d AND c.bucket = kb.bucket
+            GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS err_cnt,
+           est_cnt >= exact_cnt AS never_under
+    FROM est
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 10
+"""
+
+
+def embedding_hard_negatives(spark, sf_dir):
+    """L53 hard-negative mining for contrastive training (staged
+    r10-cont; the public DPR / sentence-transformers batch-mining
+    recipe): for each of 5 anchor vectors, the top-3 highest-cosine
+    corpus vectors whose LABEL differs from the anchor's — the
+    near-boundary negatives that carry the gradient signal in an
+    embedding fine-tune. Anchors broadcast (the declared nested-loop:
+    a 5-row build side with a label-inequality predicate), corpus
+    streamed once, scores floor-quantized to micro-units BEFORE the
+    per-anchor rank (the similarity_topk_exact cross-engine
+    contract). At 100 TB this exact pass is the rerank stage over an
+    ivf_pq_topk shortlist; the operator shape is identical."""
+    e = _cat(spark, sf_dir).table("embeddings").df.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    anchors = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    out = similarity.hard_negatives(e, anchors, k=3, quantize=6)
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("bigint").alias("query_label"),
+        "vec_id",
+        F.col("neg_label").cast("bigint").alias("neg_label"),
+        "cosine_u",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+EMBEDDING_HARD_NEGATIVES_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT q.qid AS query_id, CAST(q.qlabel AS BIGINT) AS query_label,
+             e.vec_id, CAST(e.label AS BIGINT) AS neg_label,
+             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.qv::DOUBLE[])
+                        * 1000000) AS BIGINT) AS cosine_u
+      FROM embeddings e CROSS JOIN q WHERE e.label != q.qlabel)
+    SELECT query_id, query_label, vec_id, neg_label, cosine_u, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_u DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+"""
+
+
+def text_token_fertility(spark, sf_dir):
+    """L54 tokenizer fertility / compression diagnostics (staged
+    r10-cont; the bytes-per-token readout of the tokenizer-fairness
+    literature): per language, UTF-8 byte, whitespace-token and
+    BPE-ish-token totals with two exact integer micro-unit ratios —
+    bytes per BPE token (compression rate) and BPE tokens per word
+    (subword fan-out). One map-only scan + one map-side-combined
+    grouped agg (functions.text.token_fertility_stats); the ratios
+    are integer DIV on the group totals, so every value replays
+    bit-for-bit in DuckDB."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.token_fertility_stats(d, text="text", group_by="lang")
+
+
+TEXT_TOKEN_FERTILITY_ORACLE = r"""
+    WITH per AS (
+      SELECT lang,
+             strlen(coalesce(text, '')) AS nb,
+             len(string_split_regex(coalesce(text, ''), '\s+')) AS ws,
+             len(regexp_extract_all(coalesce(text, ''),
+                 '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1)) AS bpe
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS total_bytes,
+           CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(CASE WHEN SUM(bpe) = 0 THEN 0
+                     ELSE (1000000 * SUM(nb)) // SUM(bpe) END AS BIGINT)
+             AS bytes_per_bpe_u,
+           CAST(CASE WHEN SUM(ws) = 0 THEN 0
+                     ELSE (1000000 * SUM(bpe)) // SUM(ws) END AS BIGINT)
+             AS bpe_per_ws_u
+    FROM per GROUP BY lang
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -2976,6 +3136,24 @@ ALL_CANDIDATES = {
         dedup_jaccard_clusters,
         DEDUP_JACCARD_CLUSTERS_ORACLE,
     ),
+    # staged in r10-cont: count-min heavy hitters — the frequency
+    # twin of the HLL rollup, md5-replayable cells, per-day partials
+    # merged by cell-wise sum
+    "events_heavy_hitters_cms": (
+        events_heavy_hitters_cms,
+        EVENTS_HEAVY_HITTERS_CMS_ORACLE,
+    ),
+    # staged in r10-cont: contrastive hard-negative mining over the
+    # exact cosine machinery (label-inequality broadcast join)
+    "embedding_hard_negatives": (
+        embedding_hard_negatives,
+        EMBEDDING_HARD_NEGATIVES_ORACLE,
+    ),
+    # staged in r10-cont: tokenizer fertility diagnostics per lang
+    "text_token_fertility": (
+        text_token_fertility,
+        TEXT_TOKEN_FERTILITY_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3039,11 +3217,16 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool: the VERDICT r9 hold-three
-# (ann_ivf_pq_search, streaming_curation_requery, text_unicode_repair
-# — each already oracle-proven at sf0.01) plus the two NEW r10 rows
-# (dedup_jaccard_ngram: proven sf0.001/sf0.01/sf0.1;
-# dedup_jaccard_minhash_agreement: the sketch-error audit).
+# Still-staged candidates — the r11 pool (9 rows): the VERDICT r9
+# hold-three (ann_ivf_pq_search, streaming_curation_requery,
+# text_unicode_repair — each already oracle-proven at sf0.01), the
+# three r10 jaccard-family rows (dedup_jaccard_ngram:
+# sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
+# dedup_jaccard_clusters), and the three r10-continuation rows
+# (events_heavy_hitters_cms, embedding_hard_negatives,
+# text_token_fertility — each proven at sf0.001 AND sf0.01). 9 new =
+# 18% of a 50-row window — all nine fit under the 20% ceiling if the
+# r11 builder wants them in one wave.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -262,6 +262,60 @@ def text_stats(df: DataFrame, text: str = "text", group_by: str | None = None) -
     )
 
 
+def token_fertility_stats(
+    df: DataFrame, text: str = "text", group_by: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility / compression diagnostics per group — the
+    standard pre-training readout for "how expensive is this language
+    under this tokenizer" (bytes per token; public provenance: the
+    fertility metric of the mBERT/XLM-R tokenizer-fairness literature
+    and every tokenizer report since): UTF-8 bytes, whitespace-token
+    and BPE-ish-token totals, plus two exact integer micro-unit
+    ratios — ``bytes_per_bpe_u`` (1e6·bytes div bpe_tokens, the
+    compression rate) and ``bpe_per_ws_u`` (1e6·bpe div ws_tokens,
+    subword fan-out per word). Map-only scan + one grouped agg
+    (map-side combined); ratios are computed AFTER the agg on the
+    group totals, so every emitted value is a bit-exact integer in
+    any engine. NULL text contributes 0 bytes and, per the repo's
+    split('')→[''] convention, one empty token to both counters —
+    identical in the DuckDB replay."""
+    base = df.select(
+        F.col(group_by),
+        F.octet_length(F.coalesce(F.col(text), F.lit(""))).alias("__nb"),
+        token_count(F.coalesce(F.col(text), F.lit(""))).alias("__ws"),
+        bpe_ish_token_count(F.coalesce(F.col(text), F.lit(""))).alias(
+            "__bpe"
+        ),
+    )
+    return (
+        base.groupBy(group_by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nb").cast("bigint").alias("total_bytes"),
+            F.sum("__ws").cast("bigint").alias("total_ws_tokens"),
+            F.sum("__bpe").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "bytes_per_bpe_u",
+            # zero-divisor guard: a group of only empty/NULL docs has 0
+            # BPE tokens; emit 0 instead of an ANSI DIVIDE_BY_ZERO
+            F.expr(
+                "CASE WHEN total_bpe_tokens = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (CAST(1000000 AS BIGINT) * total_bytes)"
+                " div total_bpe_tokens END"
+            ),
+        )
+        .withColumn(
+            "bpe_per_ws_u",
+            F.expr(
+                "CASE WHEN total_ws_tokens = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (CAST(1000000 AS BIGINT) * total_bpe_tokens)"
+                " div total_ws_tokens END"
+            ),
+        )
+    )
+
+
 def contaminated_doc_ids(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -112,6 +112,56 @@ def _rank_topk(scored: DataFrame, k: int, id_col: str, quantize: int | None) -> 
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the batch-mining
+    pass of a retrieval/embedding fine-tune, per the public DPR /
+    sentence-transformers recipe): for each anchor vector, the top-k
+    most-cosine-similar corpus vectors whose ``label_col`` DIFFERS
+    from the anchor's — the negatives closest to the decision
+    boundary, which carry most of the gradient signal.
+
+    Same physical shape as :func:`cosine_topk` — anchors broadcast,
+    corpus streamed exactly once, per-anchor top-k window — with the
+    label-inequality predicate folded into the (nested-loop, by
+    design) broadcast join. At 100 TB the exact scan is the rerank
+    stage: candidate generation goes through ivf_pq_topk first and
+    this runs over its shortlist.
+
+    Returns (query_id, query_label, vec_id, neg_label, cosine_u|cosine,
+    rank); ties broken by corpus id, scores floor-quantized before the
+    rank when ``quantize`` is set (the cross-engine contract
+    cosine_topk documents).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        id_col,
+        "neg_label",
+        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    return _rank_topk(scored, k, id_col, quantize)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic unit-normal hyperplanes for signed random projection."""
     rng = random.Random(seed)

@@ -72,6 +72,10 @@ EVENTS_PROBES = [
     # round-7 staged candidates (resolved via hustle_spark.candidates)
     "events_rolling_actives",
     "sketch_rollup_actives",
+    # staged r10-cont: count-min heavy hitters — the probe pins that
+    # the sketch stays cell-bounded (depth x width) while the exact
+    # twin's groupBy carries the 100x stream
+    "events_heavy_hitters_cms",
 ]
 
 # ops probed at 100x — LLM-pipeline surface (the headline/relational
@@ -166,6 +170,11 @@ DEFAULT_PROBES = [
     # staged r10: the exact-Jaccard clusters+keepers composition —
     # probes that CC over the guarded pair graph stays edge-bounded
     "dedup_jaccard_clusters",
+    # staged r10-cont: hard-negative mining (broadcast anchors, one
+    # corpus stream — the cosine_topk scaling class) and tokenizer
+    # fertility (map-only scan + one combined agg)
+    "embedding_hard_negatives",
+    "text_token_fertility",
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.

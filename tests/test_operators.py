@@ -3318,3 +3318,124 @@ def test_dsir_importance_null_and_empty_text(spark):
     assert sum(1 for r in out if r.selected) == 2
     ranks = sorted(r.rnk for r in out)
     assert ranks == [0, 1, 2, 3]
+
+
+# --- count-min sketch (operators/sketches.py, r10-cont) -----------------
+
+
+@pytest.fixture(scope="module")
+def cms_stream(spark):
+    # skewed stream: key "hot" x12, "warm" x5, singles a..e
+    rows = (
+        [("hot",)] * 12 + [("warm",)] * 5
+        + [(k,) for k in ["a", "b", "c", "d", "e"]]
+    )
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_hash_matches_md5_reference(spark):
+    """The Spark-side bucket must equal int(md5(key:d)[:8], 16) % w —
+    the cross-engine contract the DuckDB oracle relies on."""
+    import hashlib
+
+    from hustle_spark.operators.sketches import _md5_bucket
+
+    df = spark.createDataFrame([("42",), ("hello",)], "k string")
+    got = {
+        (r.k, r.d): r.bucket
+        for r in df.select(
+            "k", F.lit(3).alias("d"), _md5_bucket(F.col("k"), F.lit(3), 64)
+        ).collect()
+    }
+    for k in ["42", "hello"]:
+        want = int(hashlib.md5(f"{k}:3".encode()).hexdigest()[:8], 16) % 64
+        assert got[(k, 3)] == want
+
+
+def test_cms_merge_equals_direct(spark, cms_stream):
+    """Per-group partial sketches merged by cell-wise sum must be
+    value-identical to the direct build (counter addition commutes) —
+    the executable incremental-merge claim."""
+    from hustle_spark.operators.sketches import cms_build
+
+    df = cms_stream.withColumn(
+        "grp", (F.monotonically_increasing_id() % 3).cast("bigint")
+    )
+    direct = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(df, "k", depth=3, width=16).collect()
+    }
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_build(
+            df, "k", depth=3, width=16, partial_by=F.col("grp")
+        ).collect()
+    }
+    assert direct == merged and sum(direct.values()) == 22 * 3
+
+
+def test_cms_estimate_never_under_and_hot_key(spark, cms_stream):
+    from hustle_spark.operators.sketches import cms_build, cms_estimate
+
+    sk = cms_build(cms_stream, "k", depth=4, width=16)
+    exact = {"hot": 12, "warm": 5, "a": 1, "b": 1, "c": 1, "d": 1, "e": 1}
+    keys = spark.createDataFrame([(k,) for k in exact], "k string")
+    est = {
+        r.k: r.est_cnt
+        for r in cms_estimate(keys, sk, "k", depth=4, width=16).collect()
+    }
+    assert set(est) == set(exact)
+    for k, v in exact.items():
+        assert est[k] >= v, (k, est[k], v)
+    # the hot key's estimate is still bounded by the stream size
+    assert est["hot"] <= 22
+
+
+def test_cms_estimate_unseen_key_is_cm_bounded(spark, cms_stream):
+    """An unseen key gets the standard CM overestimate: >= 0, <= the
+    total stream count; an absent cell counts as 0 via the left join."""
+    from hustle_spark.operators.sketches import cms_build, cms_estimate
+
+    sk = cms_build(cms_stream, "k", depth=4, width=16)
+    keys = spark.createDataFrame([("never-seen",)], "k string")
+    [row] = cms_estimate(keys, sk, "k", depth=4, width=16).collect()
+    assert 0 <= row.est_cnt <= 22
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from hustle_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label as anchor: never emitted
+        (2, [0.8, 0.2], 1),   # closest different-label
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = df.filter(F.col("vec_id") == 0)
+    out = hard_negatives(df, anchors, k=2, quantize=6).collect()
+    # cosine to anchor [1,0]: vec2=0.970, vec3=0.0, vec4=-1.0 — the
+    # same-label vec1 (0.994) never appears despite the highest score
+    assert [(r.vec_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    assert all(r.neg_label != r.query_label for r in out)
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_token_fertility_stats_null_and_empty(spark):
+    """NULL and empty text follow the repo's split('')->[''] convention:
+    1 whitespace token, 0 bytes, 0 bpe tokens — identical in DuckDB."""
+    from hustle_spark.functions.text import token_fertility_stats
+
+    rows = [(None, "en"), ("", "en"), ("ab cd!", "fr")]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    got = {r.lang: r for r in token_fertility_stats(df).collect()}
+    en, fr = got["en"], got["fr"]
+    assert (en.n_docs, en.total_bytes, en.total_ws_tokens,
+            en.total_bpe_tokens) == (2, 0, 2, 0)
+    assert en.bytes_per_bpe_u == 0 and en.bpe_per_ws_u == 0
+    # "ab cd!": 6 bytes, 2 ws tokens, 3 bpe pieces (ab, cd, !)
+    assert (fr.total_bytes, fr.total_ws_tokens, fr.total_bpe_tokens) == (
+        6, 2, 3)
+    assert fr.bytes_per_bpe_u == 2_000_000
+    assert fr.bpe_per_ws_u == 1_500_000

@@ -89,6 +89,10 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
                                           # set: per-query LUT + the
                                           # exact-topk audit brute
                                           # force, by design
+    "embedding_hard_negatives",           # 5-row broadcast anchor set
+                                          # with a label-inequality
+                                          # predicate — the declared
+                                          # cosine_topk shape
 }
 CANDIDATE_ALLOWED_PYTHON: set[str] = set()  # r10 flip moved the
 # media entries into ALLOWED_PYTHON above; the 4 staged rows are
