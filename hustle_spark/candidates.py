@@ -3000,6 +3000,177 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def streaming_sketch_requery(spark, sf_dir):
+    """S7e/L52 the count–min sketch as a STREAMING ingest (the
+    production shape the batch twin's docstring promises: sketch the
+    stream as it arrives, merge cells later): events split into three
+    id-range parquet slices, read back through a REAL availableNow
+    file-source stream forced onto the multi-batch path, and each
+    micro-batch reduced to its PARTIAL (d, bucket, cnt) cell frame by
+    the same sketches.cms_build the batch row uses, appended to a
+    cell sink via foreachBatch — the documented pattern for
+    aggregating sinks that merge downstream, and the honest streaming
+    counterpart of a mergeable sketch (no state store: each batch's
+    128-odd cells are final the moment the batch closes, because
+    counter addition commutes). The requery merges the sink by
+    cell-wise SUM and re-derives the SAME top-10 heavy-hitter audit
+    as events_heavy_hitters_cms — the oracle is the batch oracle
+    VERBATIM: agreement proves the micro-batch boundaries changed
+    nothing. At 100 TB each micro-batch contributes KBs of cells and
+    the merge never re-touches the event stream."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    ev = cat.table("events").df.select("event_id", "user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    base = Path(str(cat.scratch)) / "stream_sketch"
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = base / "src"
+    # three id-range slices -> three genuine micro-batches
+    for lo, hi, name in ((0, 350, "b1"), (350, 700, "b2"), (700, 10**9, "b3")):
+        ev.filter(
+            (F.col("event_id") % 1000000 >= lo)
+            & (F.col("event_id") % 1000000 < hi)
+        ).coalesce(1).write.parquet(str(src_dir / name))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    cells_dir = base / "cells"
+    cell_schema = sketches.cms_build(
+        ev.limit(0), "user_id", depth=4, width=256
+    ).schema
+
+    def _emit(batch_df, batch_id):
+        sketches.cms_build(
+            batch_df, "user_id", depth=4, width=256
+        ).write.mode("append").parquet(str(cells_dir))
+
+    q = (
+        stream.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    assert finished, "sketch stream did not finish within 300s"
+    partials = spark.read.schema(cell_schema).parquet(str(cells_dir))
+    sk = partials.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    keys = ev.select("user_id").distinct()
+    est = sketches.cms_estimate(keys, sk, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("err_cnt"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def mixture_temperature_budget(spark, sf_dir):
+    """L55 temperature-reweighted mixture budgeting (staged r10-cont;
+    the alpha-exponent source reweighting of the multilingual-
+    pretraining literature — XLM-R / mC4's p_i ∝ n_i^alpha at
+    alpha=0.5): per-source token totals are reweighted by
+    floor(sqrt(total)) — IEEE-754 sqrt is correctly rounded, so the
+    floor is bit-identical in every engine — a 2000-token global
+    budget is split proportionally by exact integer DIV on those
+    weights (the 1-row weight-sum broadcast, the unigram-fppm scalar
+    pattern), and each source then draws docs in content-addressed
+    md5(doc_id) order until ITS allocation is crossed — the
+    mixture_token_budget greedy draw with the constant threshold
+    replaced by the computed per-source quota. Low-resource sources
+    get a larger-than-proportional share (the whole point of
+    temperature sampling); the emitted n_kept/kept_tokens make the
+    flattening measurable next to total_tokens. One token scan, one
+    source agg, one window — re-weighting never re-shuffles the
+    corpus, only the thresholds move."""
+    d = _cat(spark, sf_dir).table("documents").df
+    t = d.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    totals = t.groupBy("source").agg(
+        F.sum("tok").cast("bigint").alias("total_tokens")
+    )
+    w = totals.withColumn(
+        "w_sqrt",
+        F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("bigint"),
+    )
+    wsum = w.agg(F.sum("w_sqrt").cast("bigint").alias("__w_all"))
+    alloc = w.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "total_tokens",
+        "w_sqrt",
+        F.expr("(CAST(2000 AS BIGINT) * w_sqrt) div __w_all").alias(
+            "alloc_tokens"
+        ),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(win))
+    j = c.join(F.broadcast(alloc), "source")
+    kept = F.col("cum") - F.col("tok") < F.col("alloc_tokens")
+    return j.groupBy(
+        "source", "total_tokens", "w_sqrt", "alloc_tokens"
+    ).agg(
+        F.count_if(kept).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("tok"))), F.lit(0)
+        ).cast("bigint").alias("kept_tokens"),
+    )
+
+
+MIXTURE_TEMPERATURE_BUDGET_ORACLE = r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split_regex(coalesce(text, ''), '\s+')) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    tot AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source),
+    w AS (SELECT source, total_tokens,
+                 CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)))
+                      AS BIGINT) AS w_sqrt
+          FROM tot),
+    ws AS (SELECT SUM(w_sqrt) AS w_all FROM w),
+    alloc AS (SELECT w.source, w.total_tokens, w.w_sqrt,
+                     CAST((2000 * w.w_sqrt) // ws.w_all AS BIGINT)
+                       AS alloc_tokens
+              FROM w, ws),
+    c AS (SELECT source, doc_id, tok,
+                 SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT a.source, a.total_tokens, a.w_sqrt, a.alloc_tokens,
+           COUNT(*) FILTER (WHERE c.cum - c.tok < a.alloc_tokens)
+             AS n_kept,
+           CAST(COALESCE(SUM(c.tok) FILTER
+                  (WHERE c.cum - c.tok < a.alloc_tokens), 0) AS BIGINT)
+             AS kept_tokens
+    FROM alloc a JOIN c ON c.source = a.source
+    GROUP BY 1, 2, 3, 4
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -3154,6 +3325,19 @@ ALL_CANDIDATES = {
         text_token_fertility,
         TEXT_TOKEN_FERTILITY_ORACLE,
     ),
+    # staged in r10-cont: the CMS ingest as a real availableNow
+    # stream — per-batch partial cells via foreachBatch, merged by
+    # cell-wise sum; oracled by the batch heavy-hitter oracle verbatim
+    "streaming_sketch_requery": (
+        streaming_sketch_requery,
+        EVENTS_HEAVY_HITTERS_CMS_ORACLE,
+    ),
+    # staged in r10-cont: alpha=0.5 temperature mixture budgeting —
+    # floor(sqrt) weights, integer-DIV allocation, per-source draw
+    "mixture_temperature_budget": (
+        mixture_temperature_budget,
+        MIXTURE_TEMPERATURE_BUDGET_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3217,16 +3401,17 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (9 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (11 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the three r10-continuation rows
+# dedup_jaccard_clusters), and the five r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
-# text_token_fertility — each proven at sf0.001 AND sf0.01). 9 new =
-# 18% of a 50-row window — all nine fit under the 20% ceiling if the
-# r11 builder wants them in one wave.
+# text_token_fertility, streaming_sketch_requery,
+# mixture_temperature_budget — each proven at sf0.001 AND sf0.01).
+# 11 > the 10-row (20%) window ceiling: r11 flips at most 10 and
+# holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

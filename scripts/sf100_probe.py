@@ -175,6 +175,15 @@ DEFAULT_PROBES = [
     # fertility (map-only scan + one combined agg)
     "embedding_hard_negatives",
     "text_token_fertility",
+    # staged r10-cont: temperature mixture budgeting (token scan +
+    # source agg + window — the mixture_token_budget scaling class
+    # plus a 1-row scalar broadcast)
+    "mixture_temperature_budget",
+    # streaming_sketch_requery deliberately absent — NOT silently: its
+    # wide work is byte-identical to events_heavy_hitters_cms (same
+    # cells, same merge); the probe would mostly time three x100
+    # corpus re-writes into scratch slices, which measures the disk,
+    # not the operator.
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.

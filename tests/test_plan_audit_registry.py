@@ -93,6 +93,9 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
                                           # with a label-inequality
                                           # predicate — the declared
                                           # cosine_topk shape
+    "mixture_temperature_budget",         # 1-row weight-sum broadcast
+                                          # (the unigram-fppm scalar
+                                          # pattern)
 }
 CANDIDATE_ALLOWED_PYTHON: set[str] = set()  # r10 flip moved the
 # media entries into ALLOWED_PYTHON above; the 4 staged rows are
