@@ -3000,6 +3000,63 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def multimodal_gif_probe(spark, sf_dir):
+    """L5g GIF pixel decode at driver grade (staged r10-cont; the
+    last classic legacy image format, and the first with MANDATORY
+    compression in the container): spec-valid GIF89a payloads — real
+    LZW code stream built with the classic uncompressed-GIF technique
+    (CLEAR before every literal pair keeps the dictionary inside the
+    3-bit code width), 4-entry id-derived global color table —
+    synthesized entirely in codegen, then FULLY decoded by
+    parse_gif_pixels (a genuine variable-width LZW decoder: dictionary
+    growth, width bumps, the KwKwK case, extension-block skipping)
+    inside Arrow-batched mapInPandas. The oracle replays the
+    generative palette-index model (pix=(id+3x+5y)%4 through the
+    id-derived palette, w=id%5+4, h=id%7+3) with correlated
+    generate_series laterals — the PNG-probe idiom over the
+    LZW-compressed format. Same single-split spread as the other
+    media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_gif_payloads(d, "doc_id")
+    feats = multimodal.decode_pixel_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_b", "sum_g", "sum_r", "wsum_b", "ok",
+    )
+
+
+MULTIMODAL_GIF_PROBE_ORACLE = """
+    SELECT d.doc_id AS media_id,
+           'gif' AS media_type,
+           CAST(d.doc_id % 5 + 4 AS INT) AS width,
+           CAST(d.doc_id % 7 + 3 AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM((d.doc_id * 3
+                     + ((d.doc_id + g.x * 3 + gy.y * 5) % 4) * 41) % 256)
+                AS BIGINT) AS sum_b,
+           CAST(SUM((d.doc_id * 11
+                     + ((d.doc_id + g.x * 3 + gy.y * 5) % 4) * 29) % 256)
+                AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 7
+                     + ((d.doc_id + g.x * 3 + gy.y * 5) % 4) * 13) % 256)
+                AS BIGINT) AS sum_r,
+           CAST(SUM((g.x + gy.y * (d.doc_id % 5 + 4) + 1)
+                    * ((d.doc_id * 3
+                        + ((d.doc_id + g.x * 3 + gy.y * 5) % 4) * 41) % 256))
+                AS BIGINT) AS wsum_b,
+           true AS ok
+    FROM documents d,
+         generate_series(0, 7) g(x),
+         generate_series(0, 8) gy(y)
+    WHERE g.x < d.doc_id % 5 + 4 AND gy.y < d.doc_id % 7 + 3
+    GROUP BY d.doc_id
+"""
+
+
 def streaming_sketch_requery(spark, sf_dir):
     """S7e/L52 the count–min sketch as a STREAMING ingest (the
     production shape the batch twin's docstring promises: sketch the
@@ -3338,6 +3395,12 @@ ALL_CANDIDATES = {
         mixture_temperature_budget,
         MIXTURE_TEMPERATURE_BUDGET_ORACLE,
     ),
+    # staged in r10-cont: GIF/LZW pixel decode — codegen synth of
+    # spec-valid GIF89a, genuine variable-width LZW decoder
+    "multimodal_gif_probe": (
+        multimodal_gif_probe,
+        MULTIMODAL_GIF_PROBE_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3401,17 +3464,17 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (11 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (12 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the five r10-continuation rows
+# dedup_jaccard_clusters), and the six r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
-# mixture_temperature_budget — each proven at sf0.001 AND sf0.01).
-# 11 > the 10-row (20%) window ceiling: r11 flips at most 10 and
-# holds the remainder for r12.
+# mixture_temperature_budget, multimodal_gif_probe — each proven at
+# sf0.001 AND sf0.01). 12 > the 10-row (20%) window ceiling: r11
+# flips at most 10 and holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -702,6 +702,11 @@ def _pixel_features_one(payload: bytes):
     decoded = parse_bmp_pixels(payload)
     if decoded is not None:
         fmt, (b_off, g_off, r_off) = "bmp", (0, 1, 2)
+    elif payload[:4] == b"GIF8":
+        decoded = parse_gif_pixels(payload)
+        if decoded is None:
+            return "unknown", 0, 0, 0, 0, 0, 0, 0, False
+        fmt, (b_off, g_off, r_off) = "gif", (2, 1, 0)
     else:
         decoded = parse_png_pixels(payload)
         if decoded is None:
@@ -3499,3 +3504,236 @@ def decode_image_phash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+# --- GIF (r10-cont): LZW-compressed palette images ----------------------
+
+
+def parse_gif_pixels(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """FULL pixel decode of a non-interlaced global-color-table GIF —
+    pure Python, no imaging libraries (the PNG-pixel swap-point
+    pattern applied to the last classic legacy image format; public
+    spec: CompuServe GIF89a, 1990). A GENUINE LZW decoder: variable
+    code width with growth at table-full (capped at 12 bits per the
+    spec's deferred-clear rule), dictionary rebuild on CLEAR, and the
+    KwKwK case (a code one past the table end decodes as
+    prev + prev[0]) — not just the reduced stream our synthesizer
+    emits. Extension blocks (GCE/comment/application) are SKIPPED by
+    their sub-block chain, so real-world single-frame GIFs parse;
+    local color tables and interlace return None (documented
+    unsupported, like PNG's non-truecolor branches). Returns
+    (width, height, rows) with each pixel as 3 palette-resolved
+    (R, G, B) bytes, or None."""
+    try:
+        if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+            return None
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        packed = payload[10]
+        if not (packed >> 7):  # no global color table
+            return None
+        gct_n = 2 << (packed & 7)
+        pos = 13
+        palette = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3])
+            for i in range(gct_n)
+        ]
+        pos += 3 * gct_n
+        while payload[pos] == 0x21:  # extension introducer
+            pos += 2  # introducer + label
+            while payload[pos] != 0:
+                pos += payload[pos] + 1
+            pos += 1  # block terminator
+        if payload[pos] != 0x2C:  # image separator
+            return None
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        if payload[pos + 9] & 0xC0:  # local color table / interlace
+            return None
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:  # concat LZW sub-blocks
+            n = payload[pos]
+            data += payload[pos + 1 : pos + 1 + n]
+            pos += n + 1
+        if payload[pos + 1] != 0x3B:  # trailer must follow
+            return None
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+        def fresh():
+            return {i: (i,) for i in range(clear)}, min_code + 1, eoi + 1
+
+        table, width, next_code = fresh()
+        out: list[int] = []
+        prev: tuple[int, ...] | None = None
+        bitpos, total_bits = 0, len(data) * 8
+        while bitpos + width <= total_bits:
+            byte_i = bitpos // 8
+            window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+            code = (window >> (bitpos % 8)) & ((1 << width) - 1)
+            bitpos += width
+            if code == clear:
+                table, width, next_code = fresh()
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            elif code == next_code:  # KwKwK
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                return None  # corrupt stream
+            out.extend(entry)
+            prev = entry
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        if (iw, ih) != (w, h) or len(out) != iw * ih:
+            return None
+        rows = []
+        for y in range(ih):
+            row = bytearray()
+            for x in range(iw):
+                idx = out[y * iw + x]
+                if idx >= len(palette):
+                    return None
+                row += bytes(palette[idx])
+            rows.append(bytes(row))
+        return w, h, rows
+    except (IndexError, KeyError):
+        return None
+
+
+def synthesize_gif_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build a media table of COMPLETE, spec-valid GIF89a files —
+    header, logical screen descriptor, 4-entry global color table,
+    image descriptor, a real LZW code stream in data sub-blocks, and
+    trailer — constructed entirely in codegen (the PNG-synth idiom
+    for the format with MANDATORY compression): the stream uses the
+    classic uncompressed-GIF technique (emit a CLEAR before every
+    pair of literal pixel codes, so the dictionary never grows past
+    the 3-bit code width — two literals add entries 6 and 7; a third
+    would push next_code to 8 and bump the width), which a conforming
+    decoder — including ours, which implements the general algorithm
+    — decodes identically. Geometry, palette and pixels are fixed
+    functions of the id so a correlated-lateral oracle replays the
+    decode:
+
+        width   = id % 5 + 4
+        height  = id % 7 + 3
+        pix(x,y)= (id + x*3 + y*5) % 4       (palette index)
+        R(c)    = (id*7  + c*13) % 256
+        G(c)    = (id*11 + c*29) % 256
+        B(c)    = (id*3  + c*41) % 256
+    """
+    out = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = F.col("media_id")
+    w = m % 5 + 4
+    h = m % 7 + 3
+    n = w * h
+
+    # palette indices in raster order
+    out = out.withColumn(
+        "__pix",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda i: (m + (i % w) * 3 + F.floor(i / w).cast("long") * 5)
+            % 4,
+        ),
+    )
+    # code stream: [CLEAR, p0, p1] per pixel pair, then EOI — all
+    # codes 3 bits wide by construction
+    npairs = F.ceil(n / 2).cast("long")
+    out = out.withColumn(
+        "__codes",
+        F.concat(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), npairs - 1),
+                    lambda g: F.concat(
+                        F.array(F.lit(4).cast("long")),
+                        F.slice(F.col("__pix"), (g * 2 + 1).cast("int"), 2),
+                    ),
+                )
+            ),
+            F.array(F.lit(5).cast("long")),
+        ),
+    )
+    # LSB-first 3-bit packing: byte j gathers stream bits 8j..8j+7;
+    # bit (8j+t) is bit ((8j+t) mod 3) of code ((8j+t) div 3)
+    ncodes = F.size(F.col("__codes")).cast("long")
+    nbytes = F.ceil(ncodes * 3 / 8).cast("long")
+    weights = F.array(*[F.lit(1 << k).cast("long") for k in range(8)])
+    codes = F.col("__codes")
+
+    def stream_bit(pos):
+        # try_element_at: the final byte's pad bits index past the
+        # code array — ANSI element_at would abort the job there
+        code = F.coalesce(
+            F.try_element_at(codes, (F.floor(pos / 3) + 1).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        sh = pos % 3
+        return (
+            F.when(sh == 0, code)
+            .when(sh == 1, F.floor(code / 2).cast("long"))
+            .otherwise(F.floor(code / 4).cast("long"))
+            % 2
+        )
+
+    out = out.withColumn(
+        "__lzw",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nbytes - 1),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0).cast("long"), F.lit(7).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + stream_bit(j * 8 + t)
+                * F.element_at(weights, (t + 1).cast("int")),
+            ),
+        ),
+    )
+    lzw_hex = F.array_join(
+        F.transform(F.col("__lzw"), lambda b: F.lpad(F.hex(b), 2, "0")), ""
+    )
+    gct_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long")),
+            lambda c: F.concat(
+                F.lpad(F.hex((m * 7 + c * 13) % 256), 2, "0"),
+                F.lpad(F.hex((m * 11 + c * 29) % 256), 2, "0"),
+                F.lpad(F.hex((m * 3 + c * 41) % 256), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    nb_hex = F.lpad(F.hex(nbytes), 2, "0")  # <= 0x29 here, one sub-block
+    payload_hex = F.concat(
+        F.lit("474946383961"),           # "GIF89a"
+        _le_hex(w, 2), _le_hex(h, 2),
+        F.lit("910000"),                 # GCT, 4 entries; bg 0; aspect 0
+        gct_hex,
+        F.lit("2C00000000"), _le_hex(w, 2), _le_hex(h, 2), F.lit("00"),
+        F.lit("02"),                     # LZW min code size
+        nb_hex, lzw_hex, F.lit("00"),    # one data sub-block + terminator
+        F.lit("3B"),                     # trailer
+    )
+    return out.select(
+        m.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/gif").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("gif_"), m.cast("string")).alias("filename"),
+            w.cast("int").alias("declared_w"),
+            h.cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )

@@ -3439,3 +3439,111 @@ def test_token_fertility_stats_null_and_empty(spark):
         6, 2, 3)
     assert fr.bytes_per_bpe_u == 2_000_000
     assert fr.bpe_per_ws_u == 1_500_000
+
+
+# --- GIF / LZW decode (operators/multimodal.py, r10-cont) ---------------
+
+
+def _pack_lsb(codes, width):
+    """LSB-first bit-pack fixed-width codes (test-side reference)."""
+    val = nbits = 0
+    out = bytearray()
+    for c in codes:
+        val |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(val & 0xFF)
+    return bytes(out)
+
+
+def _gif_wrap(w, h, palette, lzw_bytes, ext=b"", min_code=2):
+    """Minimal GIF89a container around a given LZW stream."""
+    gct_exp = 0  # 2 entries minimum field; we pass 4-entry palettes
+    n = len(palette)
+    while (2 << gct_exp) < n:
+        gct_exp += 1
+    head = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    head += bytes([0x80 | gct_exp, 0, 0])
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00" * (3 * ((2 << gct_exp) - n))
+    desc = (b"\x2C" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00")
+    sub = bytes([min_code, len(lzw_bytes)]) + lzw_bytes + b"\x00"
+    return head + gct + ext + desc + sub + b"\x3B"
+
+
+PAL4 = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+
+
+def test_gif_lzw_kwkwk_and_compressed_run():
+    """A REALLY compressed stream (no per-pair CLEAR) exercising the
+    KwKwK case: codes [CLEAR, 0, 6] decode to pixels [0, 0, 0] — code
+    6 is one past the table end, so entry = prev + prev[0]."""
+    from hustle_spark.operators.multimodal import parse_gif_pixels
+
+    lzw = _pack_lsb([4, 0, 6, 5], 3)
+    payload = _gif_wrap(3, 1, PAL4, lzw)
+    got = parse_gif_pixels(payload)
+    assert got is not None
+    w, h, rows = got
+    assert (w, h) == (3, 1)
+    assert rows[0] == bytes(PAL4[0]) * 3
+
+
+def test_gif_lzw_width_growth():
+    """Literal run long enough to push next_code past 8: the 4th+
+    codes after CLEAR must be read at 4 bits. Encode [CLEAR,0,1,2,3,
+    0,1] with widths [3,3,3,3,4,4,4] and check the decode."""
+    from hustle_spark.operators.multimodal import parse_gif_pixels
+
+    # manual variable-width LSB packing
+    val = nbits = 0
+    out = bytearray()
+    for c, wd in [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (0, 4), (1, 4),
+                  (5, 4)]:
+        val |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(val & 0xFF)
+    payload = _gif_wrap(6, 1, PAL4, bytes(out))
+    got = parse_gif_pixels(payload)
+    assert got is not None
+    w, h, rows = got
+    assert rows[0] == b"".join(bytes(PAL4[c]) for c in [0, 1, 2, 3, 0, 1])
+
+
+def test_gif_extension_block_skipped():
+    """A Graphic Control Extension before the image descriptor must be
+    skipped by its sub-block chain, like real single-frame GIFs."""
+    from hustle_spark.operators.multimodal import parse_gif_pixels
+
+    gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    lzw = _pack_lsb([4, 0, 1, 5], 3)
+    payload = _gif_wrap(2, 1, PAL4, lzw, ext=gce)
+    got = parse_gif_pixels(payload)
+    assert got is not None
+    assert got[2][0] == bytes(PAL4[0]) + bytes(PAL4[1])
+
+
+def test_gif_rejects_corrupt_and_foreign():
+    from hustle_spark.operators.multimodal import parse_gif_pixels
+
+    assert parse_gif_pixels(b"") is None
+    assert parse_gif_pixels(b"\x89PNG\r\n\x1a\x0a") is None
+    # pixel-count mismatch: 2x2 declared, 3 pixels decoded
+    lzw = _pack_lsb([4, 0, 1, 0, 5], 3)
+    assert parse_gif_pixels(_gif_wrap(2, 2, PAL4, lzw)) is None
+    # out-of-range code (far past table end) is corrupt, not KwKwK
+    lzw = _pack_lsb([4, 0, 7, 5], 3)
+    assert parse_gif_pixels(_gif_wrap(2, 1, PAL4, lzw)) is None
+    # truncated: container cut mid-subblock
+    good = _gif_wrap(3, 1, PAL4, _pack_lsb([4, 0, 6, 5], 3))
+    assert parse_gif_pixels(good[:-4]) is None

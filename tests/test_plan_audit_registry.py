@@ -97,9 +97,10 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
                                           # (the unigram-fppm scalar
                                           # pattern)
 }
-CANDIDATE_ALLOWED_PYTHON: set[str] = set()  # r10 flip moved the
-# media entries into ALLOWED_PYTHON above; the 4 staged rows are
-# pure-codegen plans
+CANDIDATE_ALLOWED_PYTHON: set[str] = {
+    "multimodal_gif_probe",  # LZW pixel decode, the declared
+                             # mapInPandas media path (r10-cont)
+}
 
 
 def _candidates():
