@@ -3547,3 +3547,85 @@ def test_gif_rejects_corrupt_and_foreign():
     # truncated: container cut mid-subblock
     good = _gif_wrap(3, 1, PAL4, _pack_lsb([4, 0, 6, 5], 3))
     assert parse_gif_pixels(good[:-4]) is None
+
+
+def _lzw_encode_ref(indices, min_code=2):
+    """Reference GIF-LZW ENCODER (test-side only): genuine dictionary
+    compression with variable code width, mirroring the decoder's
+    width-bump timing — after the m-th post-clear code (m >= 2) the
+    shared next_code advances, and the width grows when next_code
+    reaches 2^width (capped at 12). Emits [CLEAR, ..., EOI] packed
+    LSB-first; used to drive parse_gif_pixels through streams with
+    real back-references, which the synthesizer's uncompressed
+    technique never produces."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = []  # (code, width-at-emit)
+    table = {(i,): i for i in range(clear)}
+    width, next_code = min_code + 1, eoi + 1
+    out.append((clear, width))
+    emitted = 0
+
+    def emit(code):
+        nonlocal emitted, next_code, width
+        out.append((code, width))
+        emitted += 1
+        if emitted >= 2:  # decoder adds an entry from the 2nd code on
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+
+    buf = ()
+    for s in indices:
+        cand = buf + (s,)
+        if cand in table:
+            buf = cand
+        else:
+            emit(table[buf])
+            table[cand] = len(table) + 2  # clear+eoi offset the count
+            buf = (s,)
+    if buf:
+        emit(table[buf])
+    out.append((eoi, width))
+    # variable-width LSB-first packing
+    val = nbits = 0
+    packed = bytearray()
+    for c, wd in out:
+        val |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            packed.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(val & 0xFF)
+    return bytes(packed)
+
+
+def test_gif_decoder_vs_reference_encoder_property():
+    """Property roundtrip: random small index rasters through the
+    REFERENCE compressing encoder must decode to the original pixels —
+    the general LZW path (back-references, natural KwKwK on repeated
+    runs, width growth on long streams) under fuzzing, not just the
+    hand vectors."""
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.operators.multimodal import parse_gif_pixels
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(1, 6), st.integers(1, 6),
+        st.lists(st.integers(0, 3), min_size=36, max_size=36),
+    )
+    def run(w, h, flat):
+        idx = flat[: w * h]
+        payload = _gif_wrap(w, h, PAL4, _lzw_encode_ref(idx))
+        got = parse_gif_pixels(payload)
+        assert got is not None, (w, h, idx)
+        gw, gh, rows = got
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                want = bytes(PAL4[idx[y * w + x]])
+                assert rows[y][x * 3 : x * 3 + 3] == want, (w, h, idx, x, y)
+
+    run()
