@@ -30,7 +30,7 @@ from pyspark.sql import Window, functions as F
 from . import util as _util
 from .functions import text as TX
 from .functions import urls as URLS
-from .operators import dedup, multimodal, similarity, sketches, suffixes
+from .operators import asof, dedup, multimodal, similarity, sketches, suffixes
 from .registry import _URL_MODEL_SQL, _cat
 
 
@@ -3000,6 +3000,144 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def events_rate_anomalies(spark, sf_dir):
+    """L56 rolling rate-anomaly detection (staged r10-cont; the
+    ops-analytics staple of the reference's own event domain): hourly
+    event counts per type against a trailing 24-full-hours baseline,
+    flagged when the count sits more than THREE standard deviations
+    above the baseline mean — computed ENTIRELY in int64 by clearing
+    denominators: with n=24, mean=sum/n and var=(n*sumsq-sum^2)/n^2,
+    the z>3 test (cnt-mean)^2 > 9*var becomes
+    (cnt*n - sum)^2 > 9*(n*sumsq - sum^2) — no division, no floats,
+    bit-replayable (safe while hourly counts stay under ~3e8, i.e.
+    squares under int64). Baseline is ROWS-based over PRESENT hours
+    (documented: silent hours compress the frame rather than zero-fill
+    — the right default for sparse types; a dense spine is a
+    generate_series join away). One grouped count + one window — the
+    time_tumbling_hour scaling class."""
+    ev = _cat(spark, sf_dir).table("events").df.filter(
+        F.col("ts").isNotNull()
+    )
+    hour = F.floor(F.col("ts").cast("double") / F.lit(3600)).cast("bigint")
+    cnts = ev.select("event_type", hour.alias("hour_bucket")).groupBy(
+        "event_type", "hour_bucket"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-24, -1)
+    )
+    b = cnts.select(
+        "event_type",
+        "hour_bucket",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.sum("cnt").over(w).cast("bigint").alias("base_sum"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("bigint").alias(
+            "base_sumsq"
+        ),
+    ).filter(F.col("n_base") == 24)
+    diff = F.col("cnt") * 24 - F.col("base_sum")
+    var24 = F.lit(24) * F.col("base_sumsq") - F.col("base_sum") * F.col(
+        "base_sum"
+    )
+    return b.select(
+        "event_type",
+        "hour_bucket",
+        "cnt",
+        "base_sum",
+        "base_sumsq",
+        ((diff > 0) & (diff * diff > F.lit(9) * var24)).alias("is_spike"),
+    )
+
+
+EVENTS_RATE_ANOMALIES_ORACLE = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, hour_bucket, cnt,
+             COUNT(*) OVER w AS n_base,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS base_sum,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS base_sumsq
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour_bucket, CAST(cnt AS BIGINT) AS cnt,
+           base_sum, base_sumsq,
+           (cnt * 24 - base_sum > 0
+            AND (cnt * 24 - base_sum) * (cnt * 24 - base_sum)
+                > 9 * (24 * base_sumsq - base_sum * base_sum)) AS is_spike
+    FROM b WHERE n_base = 24
+"""
+
+
+def events_last_touch_attribution(spark, sf_dir):
+    """L57 last-touch conversion attribution (staged r10-cont; the
+    marketing-analytics composition over the as-of operator): each
+    purchase is attributed to the SAME user's most recent click/view
+    within a 7-day lookback (operators.asof.asof_join, backward with
+    tolerance — matches older than 7 days, or absent, attribute to
+    NULL = organic), then revenue rolls up per touch type. Money is
+    pinned as integer cents via floor(value*100) BEFORE any sum —
+    the same IEEE double product in both engines, so the cents are
+    bit-identical and the sums exact. Scale shape: the as-of join is
+    one union + user-keyed window sort (the asof_join_signup class),
+    purchases and touches both pruned by type BEFORE the shuffle."""
+    ev = _cat(spark, sf_dir).table("events").df.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", F.col("event_type").alias("touch_type")
+    )
+    m = asof.asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["touch_type"],
+        tolerance="7 days",
+        direction="backward",
+    )
+    return m.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias(
+            "sum_cents"
+        ),
+    )
+
+
+EVENTS_LAST_TOUCH_ATTRIBUTION_ORACLE = """
+    WITH p AS (SELECT user_id, ts,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events
+               WHERE event_type = 'purchase'
+                 AND ts IS NOT NULL AND user_id IS NOT NULL),
+    t AS (SELECT user_id, ts, event_type AS touch_type
+          FROM events
+          WHERE event_type IN ('click', 'view')
+            AND ts IS NOT NULL AND user_id IS NOT NULL),
+    m AS (SELECT p.cents,
+                 (SELECT t.touch_type FROM t
+                  WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                    AND epoch(p.ts) - epoch(t.ts) <= 604800
+                  ORDER BY t.ts DESC LIMIT 1) AS touch_type
+          FROM p)
+    SELECT touch_type, COUNT(*) AS n_purchases,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents
+    FROM m GROUP BY touch_type
+"""
+
+
 def multimodal_gif_probe(spark, sf_dir):
     """L5g GIF pixel decode at driver grade (staged r10-cont; the
     last classic legacy image format, and the first with MANDATORY
@@ -3401,6 +3539,18 @@ ALL_CANDIDATES = {
         multimodal_gif_probe,
         MULTIMODAL_GIF_PROBE_ORACLE,
     ),
+    # staged in r10-cont: integer 3-sigma hourly rate anomalies —
+    # denominators cleared so the z-test is pure int64
+    "events_rate_anomalies": (
+        events_rate_anomalies,
+        EVENTS_RATE_ANOMALIES_ORACLE,
+    ),
+    # staged in r10-cont: last-touch revenue attribution over the
+    # as-of join with a 7-day lookback; money pinned as cents
+    "events_last_touch_attribution": (
+        events_last_touch_attribution,
+        EVENTS_LAST_TOUCH_ATTRIBUTION_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3464,16 +3614,17 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (12 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (14 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the six r10-continuation rows
+# dedup_jaccard_clusters), and the eight r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
-# mixture_temperature_budget, multimodal_gif_probe — each proven at
-# sf0.001 AND sf0.01). 12 > the 10-row (20%) window ceiling: r11
+# mixture_temperature_budget, multimodal_gif_probe,
+# events_rate_anomalies, events_last_touch_attribution — each proven
+# at sf0.001 AND sf0.01). 14 > the 10-row (20%) window ceiling: r11
 # flips at most 10 and holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.

@@ -76,6 +76,12 @@ EVENTS_PROBES = [
     # the sketch stays cell-bounded (depth x width) while the exact
     # twin's groupBy carries the 100x stream
     "events_heavy_hitters_cms",
+    # staged r10-cont: 3-sigma hourly anomalies (grouped count + one
+    # window — the time_tumbling_hour class) and last-touch
+    # attribution (type-pruned as-of join — the asof_join_signup
+    # class)
+    "events_rate_anomalies",
+    "events_last_touch_attribution",
 ]
 
 # ops probed at 100x — LLM-pipeline surface (the headline/relational
