@@ -3000,6 +3000,54 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def multimodal_tiff_probe(spark, sf_dir):
+    """L5t TIFF pixel decode at driver grade (staged r10-cont; the
+    scanned-document format of OCR/document-AI pipelines): spec-valid
+    baseline little-endian TIFFs — real 9-entry IFD, offset-stored
+    BitsPerSample array, one RGB strip — synthesized entirely in
+    codegen, then FULLY decoded by parse_tiff_pixels (a genuine IFD
+    walk: both byte orders, inline-or-offset value arrays,
+    multi-strip assembly; compression/photometric gates) inside
+    Arrow-batched mapInPandas. The oracle replays the generative
+    pixel model (R=(id*13+3x)%256, G=(id*17+5y)%256,
+    B=(id+2x+7y)%256, w=id%5+4, h=id%7+3) with correlated
+    generate_series laterals — the PNG/GIF-probe idiom over the IFD
+    container. Same single-split spread as the other media probes."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_tiff_payloads(d, "doc_id")
+    feats = multimodal.decode_pixel_features(media)
+    return feats.select(
+        "media_id", "media_type", "width", "height", "n_pixels",
+        "sum_b", "sum_g", "sum_r", "wsum_b", "ok",
+    )
+
+
+MULTIMODAL_TIFF_PROBE_ORACLE = """
+    SELECT d.doc_id AS media_id,
+           'tiff' AS media_type,
+           CAST(d.doc_id % 5 + 4 AS INT) AS width,
+           CAST(d.doc_id % 7 + 3 AS INT) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM((d.doc_id + g.x * 2 + gy.y * 7) % 256) AS BIGINT)
+             AS sum_b,
+           CAST(SUM((d.doc_id * 17 + gy.y * 5) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id * 13 + g.x * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((g.x + gy.y * (d.doc_id % 5 + 4) + 1)
+                    * ((d.doc_id + g.x * 2 + gy.y * 7) % 256)) AS BIGINT)
+             AS wsum_b,
+           true AS ok
+    FROM documents d,
+         generate_series(0, 7) g(x),
+         generate_series(0, 8) gy(y)
+    WHERE g.x < d.doc_id % 5 + 4 AND gy.y < d.doc_id % 7 + 3
+    GROUP BY d.doc_id
+"""
+
+
 def events_rate_anomalies(spark, sf_dir):
     """L56 rolling rate-anomaly detection (staged r10-cont; the
     ops-analytics staple of the reference's own event domain): hourly
@@ -3551,6 +3599,12 @@ ALL_CANDIDATES = {
         events_last_touch_attribution,
         EVENTS_LAST_TOUCH_ATTRIBUTION_ORACLE,
     ),
+    # staged in r10-cont: baseline TIFF pixel decode — real IFD walk,
+    # multi-strip capable, over codegen-synthesized containers
+    "multimodal_tiff_probe": (
+        multimodal_tiff_probe,
+        MULTIMODAL_TIFF_PROBE_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3614,18 +3668,19 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (14 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (15 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the eight r10-continuation rows
+# dedup_jaccard_clusters), and the nine r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
-# events_rate_anomalies, events_last_touch_attribution — each proven
-# at sf0.001 AND sf0.01). 14 > the 10-row (20%) window ceiling: r11
-# flips at most 10 and holds the remainder for r12.
+# events_rate_anomalies, events_last_touch_attribution,
+# multimodal_tiff_probe — each proven at sf0.001 AND sf0.01).
+# 15 > the 10-row (20%) window ceiling: r11 flips at most 10 and
+# holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -707,6 +707,11 @@ def _pixel_features_one(payload: bytes):
         if decoded is None:
             return "unknown", 0, 0, 0, 0, 0, 0, 0, False
         fmt, (b_off, g_off, r_off) = "gif", (2, 1, 0)
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        decoded = parse_tiff_pixels(payload)
+        if decoded is None:
+            return "unknown", 0, 0, 0, 0, 0, 0, 0, False
+        fmt, (b_off, g_off, r_off) = "tiff", (2, 1, 0)
     else:
         decoded = parse_png_pixels(payload)
         if decoded is None:
@@ -3733,6 +3738,158 @@ def synthesize_gif_payloads(df: DataFrame, id_col: str) -> DataFrame:
         F.lit("image/gif").alias("media_type"),
         F.struct(
             F.concat(F.lit("gif_"), m.cast("string")).alias("filename"),
+            w.cast("int").alias("declared_w"),
+            h.cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+# --- TIFF (r10-cont): baseline uncompressed RGB ------------------------
+
+
+def parse_tiff_pixels(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """FULL pixel decode of a baseline uncompressed 8-bit RGB TIFF —
+    pure Python (public spec: TIFF 6.0, Adobe 1992; the
+    scanned-document format of OCR/document-AI pipelines). A REAL IFD
+    walk in BOTH byte orders ('II' little / 'MM' big), SHORT/LONG
+    types, inline-or-offset value arrays, and MULTI-STRIP assembly
+    via StripOffsets/StripByteCounts — not just the single strip our
+    synthesizer emits. Compression other than 1, non-RGB photometric,
+    or non-8,8,8 BitsPerSample return None (the PNG-branch
+    documented-unsupported convention). Returns (width, height, rows)
+    with 3 (R, G, B) bytes per pixel, or None."""
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "little" if payload[:2] == b"II" else "big"
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    try:
+        ifd = u(payload[4:8])
+        n = u(payload[ifd : ifd + 2])
+        type_size = {3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for k in range(n):
+            e = payload[ifd + 2 + 12 * k : ifd + 14 + 12 * k]
+            if len(e) < 12:
+                return None
+            tag, typ, cnt = u(e[0:2]), u(e[2:4]), u(e[4:8])
+            if typ not in type_size:
+                continue  # unknown-typed tags are skipped, per spec
+            size = type_size[typ] * cnt
+            raw = (
+                e[8 : 8 + size]
+                if size <= 4
+                else payload[u(e[8:12]) : u(e[8:12]) + size]
+            )
+            if len(raw) < size:
+                return None
+            step = type_size[typ]
+            tags[tag] = [
+                u(raw[i * step : (i + 1) * step]) for i in range(cnt)
+            ]
+        w, h = tags[256][0], tags[257][0]
+        if tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+            return None
+        if tags.get(259, [1]) != [1]:
+            return None
+        if tags.get(262, [2]) != [2]:
+            return None
+        if tags.get(277, [3]) != [3]:
+            return None
+        offs, counts = tags[273], tags[279]
+        if len(offs) != len(counts):
+            return None
+        parts = []
+        for o, c in zip(offs, counts):
+            part = payload[o : o + c]
+            if len(part) != c:
+                return None
+            parts.append(part)
+        data = b"".join(parts)
+        if len(data) != 3 * w * h:
+            return None
+        return w, h, [data[y * 3 * w : (y + 1) * 3 * w] for y in range(h)]
+    except (KeyError, IndexError):
+        return None
+
+
+def synthesize_tiff_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build COMPLETE, spec-valid little-endian baseline TIFFs —
+    header, one 9-entry IFD (width/length/bits/compression/
+    photometric/strip offset/samples/rows-per-strip/byte count),
+    offset-stored BitsPerSample array, one RGB strip — entirely in
+    codegen. Fixed layout: IFD at 8, bits array at 122, strip at 128;
+    only geometry and pixels vary with the id, so a correlated-
+    lateral oracle replays the decode:
+
+        width  = id % 5 + 4
+        height = id % 7 + 3
+        R(x,y) = (id*13 + x*3) % 256
+        G(x,y) = (id*17 + y*5) % 256
+        B(x,y) = (id + x*2 + y*7) % 256
+    """
+    out = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = F.col("media_id")
+    w = m % 5 + 4
+    h = m % 7 + 3
+
+    def entry(tag: int, typ: int, cnt, val4):
+        return F.concat(
+            _le_hex(F.lit(tag), 2), _le_hex(F.lit(typ), 2),
+            _le_hex(cnt if not isinstance(cnt, int) else F.lit(cnt), 4),
+            val4,
+        )
+
+    def short_val(col):
+        return F.concat(_le_hex(col if not isinstance(col, int) else F.lit(col), 2), F.lit("0000"))
+
+    ifd_hex = F.concat(
+        _le_hex(F.lit(9), 2),
+        entry(256, 4, 1, _le_hex(w, 4)),                 # ImageWidth
+        entry(257, 4, 1, _le_hex(h, 4)),                 # ImageLength
+        entry(258, 3, 3, _le_hex(F.lit(122), 4)),        # BitsPerSample ->
+        entry(259, 3, 1, short_val(1)),                  # Compression: none
+        entry(262, 3, 1, short_val(2)),                  # Photometric: RGB
+        entry(273, 4, 1, _le_hex(F.lit(128), 4)),        # StripOffsets
+        entry(277, 3, 1, short_val(3)),                  # SamplesPerPixel
+        entry(278, 4, 1, _le_hex(h, 4)),                 # RowsPerStrip
+        entry(279, 4, 1, _le_hex(w * h * 3, 4)),         # StripByteCounts
+        F.lit("00000000"),                               # next IFD: none
+    )
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), w * h - 1),
+            lambda i: F.concat(
+                F.lpad(F.hex((m * 13 + (i % w) * 3) % 256), 2, "0"),
+                F.lpad(
+                    F.hex((m * 17 + F.floor(i / w).cast("long") * 5) % 256),
+                    2, "0",
+                ),
+                F.lpad(
+                    F.hex(
+                        (m + (i % w) * 2 + F.floor(i / w).cast("long") * 7)
+                        % 256
+                    ),
+                    2, "0",
+                ),
+            ),
+        ),
+        "",
+    )
+    payload_hex = F.concat(
+        F.lit("49492A00"), _le_hex(F.lit(8), 4),  # II, magic 42, IFD @ 8
+        ifd_hex,                                  # 8 .. 121
+        F.lit("080008000800"),                    # bits array @ 122
+        pix_hex,                                  # strip @ 128
+    )
+    return out.select(
+        m.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("image/tiff").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("tiff_"), m.cast("string")).alias("filename"),
             w.cast("int").alias("declared_w"),
             h.cast("int").alias("declared_h"),
         ).alias("meta"),

@@ -185,9 +185,11 @@ DEFAULT_PROBES = [
     # source agg + window — the mixture_token_budget scaling class
     # plus a 1-row scalar broadcast)
     "mixture_temperature_budget",
-    # staged r10-cont: GIF/LZW decode — the multimodal_pixel_probe
-    # scaling class (map-only synth + Arrow decode, zero shuffle)
+    # staged r10-cont: GIF/LZW and TIFF decodes — the
+    # multimodal_pixel_probe scaling class (map-only synth + Arrow
+    # decode, zero shuffle)
     "multimodal_gif_probe",
+    "multimodal_tiff_probe",
     # streaming_sketch_requery deliberately absent — NOT silently: its
     # wide work is byte-identical to events_heavy_hitters_cms (same
     # cells, same merge); the probe would mostly time three x100

@@ -3629,3 +3629,98 @@ def test_gif_decoder_vs_reference_encoder_property():
                 assert rows[y][x * 3 : x * 3 + 3] == want, (w, h, idx, x, y)
 
     run()
+
+
+# --- TIFF decode (operators/multimodal.py, r10-cont) --------------------
+
+
+def _tiff_build(order, w, h, pixel_bytes, strips=1, compression=1):
+    """Hand-build a baseline RGB TIFF in either byte order, optionally
+    split into row-ranges of strips (test-side reference)."""
+    import struct
+
+    e = "<" if order == "II" else ">"
+    rows_per = (h + strips - 1) // strips
+    strip_rows = [
+        range(s * rows_per, min((s + 1) * rows_per, h))
+        for s in range(strips)
+        if s * rows_per < h
+    ]
+    n_strips = len(strip_rows)
+    # layout: header(8) + ifd(2 + 9*12 + 4) + bits(6) + offsets/counts
+    # arrays (if n_strips > 1) + strips
+    ifd_at = 8
+    bits_at = ifd_at + 2 + 9 * 12 + 4
+    arr_at = bits_at + 6
+    extra = 0 if n_strips == 1 else 2 * 4 * n_strips
+    data_at = arr_at + extra
+    counts = [len(rr) * 3 * w for rr in strip_rows]
+    offs = []
+    o = data_at
+    for c in counts:
+        offs.append(o)
+        o += c
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack(e + "HHI", tag, typ, cnt) + val
+
+    def short_val(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(e + "I", v)
+
+    ifd = struct.pack(e + "H", 9)
+    ifd += entry(256, 4, 1, long_val(w))
+    ifd += entry(257, 4, 1, long_val(h))
+    ifd += entry(258, 3, 3, long_val(bits_at))
+    ifd += entry(259, 3, 1, short_val(compression))
+    ifd += entry(262, 3, 1, short_val(2))
+    ifd += entry(
+        273, 4, n_strips,
+        long_val(offs[0]) if n_strips == 1 else long_val(arr_at),
+    )
+    ifd += entry(277, 3, 1, short_val(3))
+    ifd += entry(278, 4, 1, long_val(rows_per))
+    ifd += entry(
+        279, 4, n_strips,
+        long_val(counts[0]) if n_strips == 1 else long_val(arr_at + 4 * n_strips),
+    )
+    ifd += struct.pack(e + "I", 0)
+    head = (b"II" + struct.pack("<HI", 42, ifd_at)
+            if order == "II" else b"MM" + struct.pack(">HI", 42, ifd_at))
+    bits = struct.pack(e + "HHH", 8, 8, 8)
+    arrays = b""
+    if n_strips > 1:
+        arrays = b"".join(struct.pack(e + "I", v) for v in offs)
+        arrays += b"".join(struct.pack(e + "I", v) for v in counts)
+    body = b"".join(
+        pixel_bytes[rr.start * 3 * w : rr.stop * 3 * w] for rr in strip_rows
+    )
+    return head + ifd + bits + arrays + body
+
+
+def test_tiff_big_endian_and_multistrip():
+    from hustle_spark.operators.multimodal import parse_tiff_pixels
+
+    px = bytes(range(2 * 3 * 3))  # 2x3 RGB, distinct bytes
+    for order in ("II", "MM"):
+        for strips in (1, 3):
+            payload = _tiff_build(order, 2, 3, px, strips=strips)
+            got = parse_tiff_pixels(payload)
+            assert got is not None, (order, strips)
+            w, h, rows = got
+            assert (w, h) == (2, 3)
+            assert b"".join(rows) == px, (order, strips)
+
+
+def test_tiff_rejects_unsupported_and_corrupt():
+    from hustle_spark.operators.multimodal import parse_tiff_pixels
+
+    px = bytes(range(2 * 3 * 3))
+    assert parse_tiff_pixels(b"") is None
+    assert parse_tiff_pixels(b"GIF89a") is None
+    # LZW-compressed TIFF: documented unsupported
+    assert parse_tiff_pixels(_tiff_build("II", 2, 3, px, compression=5)) is None
+    # truncated strip
+    assert parse_tiff_pixels(_tiff_build("II", 2, 3, px)[:-5]) is None

@@ -98,8 +98,9 @@ CANDIDATE_ALLOWED_NESTED_LOOP = {
                                           # pattern)
 }
 CANDIDATE_ALLOWED_PYTHON: set[str] = {
-    "multimodal_gif_probe",  # LZW pixel decode, the declared
-                             # mapInPandas media path (r10-cont)
+    "multimodal_gif_probe",   # LZW pixel decode, the declared
+                              # mapInPandas media path (r10-cont)
+    "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
 }
 
 
