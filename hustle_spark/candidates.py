@@ -3000,6 +3000,92 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def dedup_minhash_incremental(spark, sf_dir):
+    """L13b INCREMENTAL fuzzy dedup (staged r10-cont; the fuzzy
+    counterpart of the exact-digest dedup_incremental row): the
+    corpus's MinHash band buckets (dedup.minhash_band_buckets — the
+    12-hash/4-band md5 twin, 4 index rows per doc) act as the STORED
+    index; a new batch (the unseen tail of the corpus plus 21
+    id-shifted replicas of indexed docs, the dedup_incremental
+    fixture shape with a collision-proof +10M shift) joins its own
+    band signatures against the index on (band, sig) equality — the
+    corpus is never re-shingled. Per batch doc: how many distinct
+    indexed docs it banded with, the smallest such id, and the dup
+    verdict. The replicas MUST hit (identical text, identical
+    signatures); the unseen tail mostly must not. Scale shape: index
+    build is one signature groupBy done ONCE; each batch pays its own
+    shingling plus a batch-sized equi-join against the (tiny) index —
+    the anti-join-the-index shape at fuzzy granularity."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    index_docs = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250).unionAll(
+        d.filter(F.col("doc_id") < 21).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    idx = dedup.minhash_band_buckets(
+        index_docs, n_hashes=12, bands=4, hash="md5"
+    ).select(F.col("id").alias("idx_id"), "band", "sig")
+    bb = dedup.minhash_band_buckets(
+        batch, n_hashes=12, bands=4, hash="md5"
+    ).select(F.col("id").alias("doc_id"), "band", "sig")
+    hits = bb.join(idx, ["band", "sig"]).select("doc_id", "idx_id").distinct()
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.min("idx_id").alias("first_match"),
+    )
+    return batch.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_index_matches", F.lit(0)).cast("bigint").alias(
+            "n_index_matches"
+        ),
+        F.col("first_match").cast("bigint").alias("first_match"),
+        F.col("n_index_matches").isNotNull().alias("is_dup"),
+    )
+
+
+DEDUP_MINHASH_INCREMENTAL_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, text, TRUE AS is_index FROM documents
+      WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id, text, FALSE FROM documents WHERE doc_id >= 250
+      UNION ALL
+      SELECT doc_id + 10000000, text, FALSE FROM documents
+      WHERE doc_id < 21),
+    t AS (SELECT doc_id, is_index,
+                 string_split_regex(text, '\s+') AS toks
+          FROM base),
+    s AS (SELECT doc_id, is_index,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sig AS (SELECT doc_id, is_index,
+              list_transform(generate_series(0, 11), seed ->
+                list_min(list_transform(sh,
+                  g -> md5(g || ':' || CAST(seed AS VARCHAR))))) AS m
+            FROM s),
+    bands AS (SELECT doc_id, is_index, u.b AS b,
+                     list_slice(m, u.b * 3 + 1, u.b * 3 + 3) AS bsig
+              FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+    hits AS (SELECT DISTINCT l.doc_id, r.doc_id AS idx_id
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.bsig = r.bsig
+             WHERE NOT l.is_index AND r.is_index),
+    agg AS (SELECT doc_id, COUNT(*) AS n, MIN(idx_id) AS fm
+            FROM hits GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_index_matches,
+           CAST(a.fm AS BIGINT) AS first_match,
+           a.n IS NOT NULL AS is_dup
+    FROM (SELECT doc_id FROM base WHERE NOT is_index) b
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def multimodal_tiff_probe(spark, sf_dir):
     """L5t TIFF pixel decode at driver grade (staged r10-cont; the
     scanned-document format of OCR/document-AI pipelines): spec-valid
@@ -3605,6 +3691,12 @@ ALL_CANDIDATES = {
         multimodal_tiff_probe,
         MULTIMODAL_TIFF_PROBE_ORACLE,
     ),
+    # staged in r10-cont: incremental FUZZY dedup — batch band sigs
+    # vs the stored md5-MinHash band index, corpus never re-shingled
+    "dedup_minhash_incremental": (
+        dedup_minhash_incremental,
+        DEDUP_MINHASH_INCREMENTAL_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3668,19 +3760,19 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (15 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (16 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the nine r10-continuation rows
+# dedup_jaccard_clusters), and the ten r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
-# multimodal_tiff_probe — each proven at sf0.001 AND sf0.01).
-# 15 > the 10-row (20%) window ceiling: r11 flips at most 10 and
-# holds the remainder for r12.
+# multimodal_tiff_probe, dedup_minhash_incremental — each proven at
+# sf0.001 AND sf0.01). 16 > the 10-row (20%) window ceiling: r11
+# flips at most 10 and holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -178,6 +178,46 @@ def minhash_lsh_pairs(
     return est.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash: str = "md5",
+) -> DataFrame:
+    """Flat (id, band, sig) band-bucket frame — the STORED INDEX
+    format of incremental fuzzy dedup: ``bands`` rows per document,
+    each carrying that band's signature slice. Persist this frame
+    once per corpus (a few tens of bytes per doc) and new batches
+    join against it on (band, sig) equality — never re-shingling the
+    corpus, the fuzzy counterpart of the exact digest index
+    (dedup_incremental). Same validation and banding arithmetic as
+    minhash_lsh_pairs; ``hash='md5'`` keeps the whole index
+    cross-engine replayable."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}): "
+            "the trailing hashes would be paid for but never banded, "
+            "silently lowering recall below the configured curve"
+        )
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text, id_col, n_hashes, shingle_n, hash=hash)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice("minhash", b * rows_per_band + 1, rows_per_band).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",

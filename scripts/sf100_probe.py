@@ -190,6 +190,11 @@ DEFAULT_PROBES = [
     # decode, zero shuffle)
     "multimodal_gif_probe",
     "multimodal_tiff_probe",
+    # staged r10-cont: incremental fuzzy dedup — the probe pins that
+    # a batch joining the stored band index scales with the BATCH
+    # (both sides of the fixture grow with the corpus here, the
+    # honest worst case)
+    "dedup_minhash_incremental",
     # streaming_sketch_requery deliberately absent — NOT silently: its
     # wide work is byte-identical to events_heavy_hitters_cms (same
     # cells, same merge); the probe would mostly time three x100
