@@ -3000,6 +3000,107 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def audio_mp3_frames_probe(spark, sf_dir):
+    """L5m MP3 frame-walk probe (staged r10-cont; the compressed
+    audio container next to WAV's raw PCM — most scraped audio ships
+    as MP3): codegen-synthesized VALID variable-bitrate MPEG-1 Layer
+    III streams (bitrate index cycles per frame, so any walker that
+    assumes a constant stride mis-lands on every payload) walked
+    frame-accurately by parse_mp3_frames inside Arrow-batched
+    mapInPandas — header validation, per-frame length from THAT
+    frame's header (144*br/sr + padding), exact end-of-payload
+    consumption, mid-stream sample-rate-change rejection. The oracle
+    replays the generative model per frame with a correlated lateral
+    and the bitrate table as a CASE ladder — frame count, byte size,
+    integer duration, and the VBR distinct-bitrate count all pinned.
+    Full spectral decode is the documented ffmpeg swap point."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_mp3_payloads(d, "doc_id")
+    return multimodal.decode_mp3_features(media).select(
+        "media_id", "media_type", "n_frames", "sample_rate",
+        "n_bytes", "duration_ms", "n_distinct_bitrates", "ok",
+    )
+
+
+AUDIO_MP3_FRAMES_PROBE_ORACLE = """
+    WITH f AS (
+      SELECT d.doc_id, g.f,
+             CASE (d.doc_id + g.f) % 14
+               WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48
+               WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+               WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128
+               WHEN 9 THEN 160 WHEN 10 THEN 192 WHEN 11 THEN 224
+               WHEN 12 THEN 256 ELSE 320 END AS br,
+             CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS sr,
+             (d.doc_id + g.f) % 2 AS pad
+      FROM documents d, generate_series(0, 8) g(f)
+      WHERE g.f < d.doc_id % 6 + 3)
+    SELECT doc_id AS media_id,
+           'mp3' AS media_type,
+           COUNT(*) AS n_frames,
+           CAST(MIN(sr) AS INT) AS sample_rate,
+           CAST(SUM((144 * br * 1000) // sr + pad) AS BIGINT) AS n_bytes,
+           CAST((COUNT(*) * 1152 * 1000) // MIN(sr) AS BIGINT)
+             AS duration_ms,
+           CAST(COUNT(DISTINCT br) AS BIGINT) AS n_distinct_bitrates,
+           true AS ok
+    FROM f GROUP BY doc_id
+"""
+
+
+def classifier_calibration_bins(spark, sf_dir):
+    """L58 classifier calibration audit (staged r10-cont; the
+    reliability-diagram readout every deployed quality classifier
+    owes): classifier margins (functions.text
+    quality_classifier_scores — the fastText-shaped hash model)
+    binned 1000-wide, with the per-bin agreement rate against the
+    INDEPENDENT Gopher rule verdict (gopher_quality_stats) in exact
+    ppm — is a higher margin actually more likely to be rule-clean?
+    The binning floor-divides through a positive shift
+    (((margin + 1e7) div 1000) - 1e4) because Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors — on shifted
+    positives they agree bit-for-bit (the lexical-diversity
+    floor-identity lesson). Two map-only scans + one doc-keyed join
+    + one bin agg; emitted as DATA (n/ok/ppm per bin), no fragile
+    monotonicity bit — the stand-in weights are a hash scramble, so
+    flat agreement is the expected honest reading until a trained
+    table swaps in."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    sc = TX.quality_classifier_scores(d).select("doc_id", "margin")
+    gq = TX.gopher_quality_stats(d).select("doc_id", "passes")
+    j = sc.join(gq, "doc_id")
+    b = j.select(
+        F.expr("((margin + 10000000) div 1000) - 10000").alias("bin"),
+        "passes",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("passes")).cast("bigint").alias("n_gopher_ok"),
+        F.expr(
+            "CAST((1000000 * count_if(passes)) div count(1) AS BIGINT)"
+        ).alias("ok_ppm"),
+    )
+
+
+CLASSIFIER_CALIBRATION_BINS_ORACLE = (
+    "WITH cls AS ({cls}),\n"
+    "gq AS ({gq}),\n"
+    "j AS (SELECT cls.margin, gq.passes FROM cls JOIN gq USING (doc_id)),\n"
+    "b AS (SELECT ((margin + 10000000) // 1000) - 10000 AS bin, passes"
+    " FROM j)\n"
+    "SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,\n"
+    "       CAST(COUNT(*) FILTER (WHERE passes) AS BIGINT) AS n_gopher_ok,\n"
+    "       CAST((1000000 * COUNT(*) FILTER (WHERE passes)) // COUNT(*)"
+    " AS BIGINT) AS ok_ppm\n"
+    "FROM b GROUP BY bin"
+).format(cls=TEXT_QUALITY_CLASSIFIER_ORACLE, gq=TEXT_GOPHER_QUALITY_ORACLE)
+
+
 def dedup_minhash_incremental(spark, sf_dir):
     """L13b INCREMENTAL fuzzy dedup (staged r10-cont; the fuzzy
     counterpart of the exact-digest dedup_incremental row): the
@@ -3697,6 +3798,18 @@ ALL_CANDIDATES = {
         dedup_minhash_incremental,
         DEDUP_MINHASH_INCREMENTAL_ORACLE,
     ),
+    # staged in r10-cont: classifier reliability bins vs the Gopher
+    # verdict — calibration as measured ppm data
+    "classifier_calibration_bins": (
+        classifier_calibration_bins,
+        CLASSIFIER_CALIBRATION_BINS_ORACLE,
+    ),
+    # staged in r10-cont: VBR MP3 frame walk — per-frame stride from
+    # each frame's own header, exact stream consumption
+    "audio_mp3_frames_probe": (
+        audio_mp3_frames_probe,
+        AUDIO_MP3_FRAMES_PROBE_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3760,19 +3873,21 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (16 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (18 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the ten r10-continuation rows
+# dedup_jaccard_clusters), and the twelve r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
-# multimodal_tiff_probe, dedup_minhash_incremental — each proven at
-# sf0.001 AND sf0.01). 16 > the 10-row (20%) window ceiling: r11
-# flips at most 10 and holds the remainder for r12.
+# multimodal_tiff_probe, dedup_minhash_incremental,
+# classifier_calibration_bins, audio_mp3_frames_probe — each proven
+# at sf0.001 AND sf0.01; 12 continuation rows in all, 18 staged
+# total). 18 > the 10-row (20%) window ceiling: r11 flips at most 10
+# and holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

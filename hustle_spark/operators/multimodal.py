@@ -3894,3 +3894,148 @@ def synthesize_tiff_payloads(df: DataFrame, id_col: str) -> DataFrame:
             h.cast("int").alias("declared_h"),
         ).alias("meta"),
     )
+
+
+# --- MP3 (r10-cont): MPEG-1 Layer III frame walk ------------------------
+
+_MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_mp3_frames(payload: bytes):
+    """Frame-accurate walk of an MPEG-1 Layer III stream — pure
+    Python (public spec: ISO/IEC 11172-3): validate each 4-byte
+    header (sync, version, layer, table-legal bitrate/samplerate
+    indices), compute THAT frame's length from ITS header
+    (144*bitrate/samplerate + padding — the VBR-correct recipe: the
+    walk must re-derive the stride per frame, it cannot assume CBR),
+    and hop to the next. The whole payload must be consumed exactly
+    (no trailing garbage) and the sample rate must not change
+    mid-stream. Returns (n_frames, sample_rate, n_bytes,
+    duration_ms, n_distinct_bitrates) with duration_ms the integer
+    floor of n_frames*1152*1000/sample_rate, or None. Full audio
+    decode (huffman spectral data) is the documented ffmpeg swap
+    point, as with images."""
+    n = len(payload)
+    pos = 0
+    n_frames = 0
+    sr = None
+    bitrates = set()
+    while pos < n:
+        if pos + 4 > n or payload[pos] != 0xFF or payload[pos + 1] != 0xFB:
+            return None
+        b2 = payload[pos + 2]
+        bi, sri, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if not (1 <= bi <= 14) or sri == 3:
+            return None
+        this_sr = _MP3_RATES[sri]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            return None
+        br = _MP3_BITRATES[bi - 1]
+        flen = (144 * br * 1000) // this_sr + pad
+        if pos + flen > n:
+            return None
+        bitrates.add(br)
+        pos += flen
+        n_frames += 1
+    if n_frames == 0 or sr is None:
+        return None
+    return n_frames, sr, n, (n_frames * 1152 * 1000) // sr, len(bitrates)
+
+
+MP3_FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_frames long, sample_rate int, "
+    "n_bytes long, duration_ms long, n_distinct_bitrates long, ok boolean"
+)
+
+
+def decode_mp3_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP3 frame-walk features — the decode_features
+    plumbing contract (payloads stay executor-side in columnar
+    batches)."""
+
+    def one(payload: bytes):
+        parsed = parse_mp3_frames(payload)
+        if parsed is None:
+            return "unknown", 0, 0, 0, 0, 0, False
+        nf, sr, nb, dur, ndb = parsed
+        return "mp3", nf, sr, nb, dur, ndb, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [f[0] for f in feats],
+                    "n_frames": [f[1] for f in feats],
+                    "sample_rate": [f[2] for f in feats],
+                    "n_bytes": [f[3] for f in feats],
+                    "duration_ms": [f[4] for f in feats],
+                    "n_distinct_bitrates": [f[5] for f in feats],
+                    "ok": [f[6] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MP3_FEATURE_SCHEMA)
+
+
+def synthesize_mp3_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build VALID variable-bitrate MPEG-1 Layer III streams entirely
+    in codegen: id%6+3 frames, each with its own table-legal header
+    (bitrate index cycles (id+f)%14+1 — genuinely VBR, so a walker
+    that assumes a constant stride mis-lands on every stream — sample
+    rate fixed per id at index id%3, padding bit alternating
+    (id+f)%2) and deterministic filler to exactly the header-implied
+    frame length. The generative model the oracle replays:
+
+        n_frames  = id % 6 + 3
+        rate      = [44100, 48000, 32000][id % 3]
+        bitrate_f = BITRATES[(id + f) % 14]      (f = 0..n_frames-1)
+        frame_len = 144*bitrate_f*1000 // rate + (id + f) % 2
+    """
+    out = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = F.col("media_id")
+    n_frames = m % 6 + 3
+    sr_idx = m % 3
+    rates = F.array(*[F.lit(r) for r in _MP3_RATES])
+    brs = F.array(*[F.lit(b) for b in _MP3_BITRATES])
+    sr = F.element_at(rates, (sr_idx + 1).cast("int")).cast("long")
+
+    def frame_hex(f):
+        bi = (m + f) % 14 + 1
+        br = F.element_at(brs, bi.cast("int")).cast("long")
+        pad = (m + f) % 2
+        # integer floor division via the (a - a%b)/b identity — the
+        # lexical-diversity idiom (expr-DIV can't reference lambda vars)
+        flen = ((F.lit(144) * br * 1000 - ((F.lit(144) * br * 1000) % sr))
+                / sr).cast("long") + pad
+        b2 = bi * 16 + sr_idx * 4 + pad * 2
+        header = F.concat(
+            F.lit("FFFB"),
+            F.lpad(F.hex(b2), 2, "0"),
+            F.lit("44"),
+        )
+        filler = F.repeat(
+            F.lpad(F.hex((m + f) % 256), 2, "0"), (flen - 4).cast("int")
+        )
+        return F.concat(header, filler)
+
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            lambda f: frame_hex(f),
+        ),
+        "",
+    )
+    return out.select(
+        m.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("audio/mpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("mp3_"), m.cast("string")).alias("filename"),
+            n_frames.cast("int").alias("declared_frames"),
+        ).alias("meta"),
+    )

@@ -195,6 +195,11 @@ DEFAULT_PROBES = [
     # (both sides of the fixture grow with the corpus here, the
     # honest worst case)
     "dedup_minhash_incremental",
+    # staged r10-cont: calibration bins (two map-only scans + one
+    # doc-keyed join) and the VBR MP3 frame walk (map-only synth +
+    # Arrow walk)
+    "classifier_calibration_bins",
+    "audio_mp3_frames_probe",
     # streaming_sketch_requery deliberately absent — NOT silently: its
     # wide work is byte-identical to events_heavy_hitters_cms (same
     # cells, same merge); the probe would mostly time three x100

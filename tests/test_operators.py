@@ -3724,3 +3724,44 @@ def test_tiff_rejects_unsupported_and_corrupt():
     assert parse_tiff_pixels(_tiff_build("II", 2, 3, px, compression=5)) is None
     # truncated strip
     assert parse_tiff_pixels(_tiff_build("II", 2, 3, px)[:-5]) is None
+
+
+# --- MP3 frame walk (operators/multimodal.py, r10-cont) -----------------
+
+
+def test_mp3_walker_rejects_malformed():
+    from hustle_spark.operators.multimodal import parse_mp3_frames
+
+    # one valid 48kHz frame: bi=8 (112kbps) pad=0 -> len 336
+    hdr = bytes([0xFF, 0xFB, (8 << 4) | (1 << 2), 0x44])
+    frame = hdr + b"\x00" * (336 - 4)
+    assert parse_mp3_frames(frame) == (1, 48000, 336, 24, 1)
+    assert parse_mp3_frames(b"") is None
+    assert parse_mp3_frames(frame[:-1]) is None          # truncated
+    assert parse_mp3_frames(frame + b"\x00") is None     # trailing junk
+    # bad sync mid-stream
+    assert parse_mp3_frames(frame + b"\x00" + frame) is None
+    # free-format (0) and illegal (15) bitrate indices rejected
+    bad_bi0 = bytes([0xFF, 0xFB, (0 << 4) | (1 << 2), 0x44]) + b"\x00" * 332
+    bad_bi15 = bytes([0xFF, 0xFB, (15 << 4) | (1 << 2), 0x44]) + b"\x00" * 332
+    assert parse_mp3_frames(bad_bi0) is None
+    assert parse_mp3_frames(bad_bi15) is None
+    # reserved samplerate index rejected
+    bad_sr = bytes([0xFF, 0xFB, (8 << 4) | (3 << 2), 0x44]) + b"\x00" * 332
+    assert parse_mp3_frames(bad_sr) is None
+    # mid-stream sample-rate change rejected
+    f44 = bytes([0xFF, 0xFB, (8 << 4) | (0 << 2), 0x44])
+    f44 = f44 + b"\x00" * ((144 * 112 * 1000) // 44100 - 4)
+    assert parse_mp3_frames(f44 + frame) is None
+
+
+def test_mp3_padding_changes_stride():
+    """The padding bit must add exactly one byte to THAT frame."""
+    from hustle_spark.operators.multimodal import parse_mp3_frames
+
+    base = (144 * 112 * 1000) // 48000  # 336
+    padded = bytes([0xFF, 0xFB, (8 << 4) | (1 << 2) | 2, 0x44])
+    padded = padded + b"\x00" * (base + 1 - 4)
+    plain = bytes([0xFF, 0xFB, (8 << 4) | (1 << 2), 0x44]) + b"\x00" * (base - 4)
+    got = parse_mp3_frames(padded + plain)
+    assert got == (2, 48000, base * 2 + 1, 48, 1)

@@ -101,6 +101,7 @@ CANDIDATE_ALLOWED_PYTHON: set[str] = {
     "multimodal_gif_probe",   # LZW pixel decode, the declared
                               # mapInPandas media path (r10-cont)
     "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
+    "audio_mp3_frames_probe", # VBR frame walk, same path
 }
 
 
