@@ -32,6 +32,7 @@ from .functions import text as TX
 from .functions import urls as URLS
 from .operators import asof, dedup, multimodal, similarity, sketches, suffixes
 from .registry import _URL_MODEL_SQL, _cat
+from .sources import tarball
 
 
 def multimodal_jpeg_progressive_probe(spark, sf_dir):
@@ -3000,6 +3001,59 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def tar_webdataset_probe(spark, sf_dir):
+    """S12 WebDataset tar shards at driver grade (staged r10-cont;
+    the standard multimodal training-data container — samples as
+    adjacent {key}.{ext} members in plain POSIX ustar shards): the
+    documents corpus is PACKED into 16 content-addressed shards
+    entirely in codegen (sources.tarball.synthesize_tar_shards —
+    correct octal sizes, header checksums, 512-padding, zero-block
+    trailer; Python tarfile accepts the output, pinned by unit test)
+    and walked back by a REAL ustar parser (checksum verification,
+    octal fields, padding skip) inside Arrow-batched mapInPandas.
+    Per shard: member counts by extension, total .txt bytes, and an
+    order-insensitive md5 over (name, content-md5) pairs — which the
+    oracle re-derives straight from the source rows, so a parser
+    that drops, truncates, or mis-slices ANY member's content
+    hash-mismatches. Packing = one groupBy(shard); unpacking =
+    map-only over shards (the WebDataset parallelism contract)."""
+    d = _cat(spark, sf_dir).table("documents").df.select(
+        "doc_id", "text", "lang"
+    )
+    shards = tarball.synthesize_tar_shards(
+        d, id_col="doc_id", text_col="text", cls_col="lang", n_shards=16
+    )
+    return tarball.decode_tar_features(shards).select(
+        "shard", "n_members", "n_txt", "n_cls",
+        "total_txt_bytes", "members_md5", "ok",
+    )
+
+
+TAR_WEBDATASET_PROBE_ORACLE = """
+    WITH m AS (
+      SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+             CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             md5(coalesce(text, '')) AS h,
+             strlen(coalesce(text, '')) AS nb,
+             1 AS is_txt
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id % 16 AS BIGINT),
+             CAST(doc_id AS VARCHAR) || '.cls',
+             md5(coalesce(lang, '')), 0, 0
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_members,
+           CAST(SUM(is_txt) AS BIGINT) AS n_txt,
+           CAST(COUNT(*) - SUM(is_txt) AS BIGINT) AS n_cls,
+           CAST(SUM(nb) AS BIGINT) AS total_txt_bytes,
+           md5(string_agg(name || ':' || h, '|'
+                          ORDER BY name || ':' || h)) AS members_md5,
+           true AS ok
+    FROM m GROUP BY shard
+"""
+
+
 def audio_mp3_frames_probe(spark, sf_dir):
     """L5m MP3 frame-walk probe (staged r10-cont; the compressed
     audio container next to WAV's raw PCM — most scraped audio ships
@@ -3810,6 +3864,12 @@ ALL_CANDIDATES = {
         audio_mp3_frames_probe,
         AUDIO_MP3_FRAMES_PROBE_ORACLE,
     ),
+    # staged in r10-cont: WebDataset tar shards — codegen pack, real
+    # ustar walk, content-level md5 roundtrip per shard
+    "tar_webdataset_probe": (
+        tar_webdataset_probe,
+        TAR_WEBDATASET_PROBE_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3873,21 +3933,22 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (18 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (19 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the twelve r10-continuation rows
+# dedup_jaccard_clusters), and the thirteen r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
 # multimodal_tiff_probe, dedup_minhash_incremental,
-# classifier_calibration_bins, audio_mp3_frames_probe — each proven
-# at sf0.001 AND sf0.01; 12 continuation rows in all, 18 staged
-# total). 18 > the 10-row (20%) window ceiling: r11 flips at most 10
-# and holds the remainder for r12.
+# classifier_calibration_bins, audio_mp3_frames_probe,
+# tar_webdataset_probe — each proven at sf0.001 AND sf0.01; 13
+# continuation rows in all, 19 staged total). 19 > the 10-row (20%)
+# window ceiling: r11 flips at most 10 and holds the remainder for
+# r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

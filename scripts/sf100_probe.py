@@ -200,6 +200,13 @@ DEFAULT_PROBES = [
     # Arrow walk)
     "classifier_calibration_bins",
     "audio_mp3_frames_probe",
+    # tar_webdataset_probe deliberately absent — NOT silently: the
+    # driver row pins n_shards=16 (oracle-bound), so the x100 corpus
+    # (500k docs) would pack ~31MB of tar per collect_list row and
+    # OOM the probe JVM — a FIXTURE limit, not an operator one. Real
+    # WebDataset packing bounds shard SIZE and grows shard COUNT;
+    # the production seam (partitionBy(shard) streaming writers) is
+    # documented at sources/tarball.py synthesize_tar_shards.
     # streaming_sketch_requery deliberately absent — NOT silently: its
     # wide work is byte-identical to events_heavy_hitters_cms (same
     # cells, same merge); the probe would mostly time three x100

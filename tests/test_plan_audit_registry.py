@@ -102,6 +102,7 @@ CANDIDATE_ALLOWED_PYTHON: set[str] = {
                               # mapInPandas media path (r10-cont)
     "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
     "audio_mp3_frames_probe", # VBR frame walk, same path
+    "tar_webdataset_probe",   # ustar shard walk, same path
 }
 
 

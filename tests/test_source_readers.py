@@ -286,3 +286,69 @@ def test_html_block_extraction_rules(spark):
                        max_link_density=1.0).alias("e")
     ).collect()[0].e
     assert loose.n_kept == 5 and "Home" in loose.text
+
+
+# --- WebDataset tar shards (sources/tarball.py, r10-cont) ---------------
+
+
+def test_tar_parses_python_tarfile_output(spark):
+    """Our walker must accept archives Python's tarfile writes in
+    USTAR format — interop with the real world, not just our synth."""
+    import io
+    import tarfile
+
+    from hustle_spark.sources.tarball import parse_tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in [("3.txt", b"hello tar"), ("3.cls", b"en"),
+                           ("4.txt", b""), ("4.cls", b"fr")]:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = parse_tar_members(buf.getvalue())
+    assert got == [("3.txt", b"hello tar"), ("3.cls", b"en"),
+                   ("4.txt", b""), ("4.cls", b"fr")]
+
+
+def test_tarfile_parses_our_synth(spark):
+    import io
+    import tarfile
+
+    from hustle_spark.sources.tarball import synthesize_tar_shards
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, None, None)],
+        "doc_id long, text string, lang string",
+    )
+    [row] = synthesize_tar_shards(df, n_shards=1).collect()
+    tf = tarfile.open(fileobj=io.BytesIO(bytes(row.payload)))
+    got = {
+        m.name: (tf.extractfile(m).read() if m.size else b"")
+        for m in tf.getmembers()
+    }
+    assert got == {"1.txt": b"alpha beta", "1.cls": b"en",
+                   "2.txt": b"", "2.cls": b""}
+
+
+def test_tar_walker_rejects_corruption(spark):
+    import io
+    import tarfile
+
+    from hustle_spark.sources.tarball import parse_tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        info = tarfile.TarInfo("x.txt")
+        info.size = 5
+        tf.addfile(info, io.BytesIO(b"abcde"))
+    good = buf.getvalue()
+    # flip a header byte: checksum must fail
+    bad = bytearray(good)
+    bad[0] ^= 0x01
+    assert parse_tar_members(bytes(bad)) is None
+    # cut the terminator: must not silently succeed
+    assert parse_tar_members(good[:512 + 512]) is None
+    # empty bytes are NOT a valid tar (no terminator blocks) — same
+    # verdict Python tarfile gives (ReadError)
+    assert parse_tar_members(b"") is None
