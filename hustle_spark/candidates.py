@@ -3001,6 +3001,85 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def mixture_epoch_upsampling(spark, sf_dir):
+    """L59 epoch-aware source upsampling (staged r10-cont; the
+    quality-tiered repeat factors of every pretraining mixture —
+    'books ×3, web ×1' — with the multi-epoch shuffle audit): each
+    source gets a deterministic 1–3 epoch factor (md5-derived
+    stand-in; a real mixture config swaps in as a broadcast
+    (source, epochs) table), docs explode into per-epoch samples,
+    and samples order by md5(doc:epoch:salt) — the stable-shuffle
+    idiom, which INTERLEAVES epoch copies instead of replaying the
+    corpus per epoch. The audit column counts adjacent same-doc
+    sample pairs in that order per source (clumped copies = the
+    failure mode the shuffle exists to prevent; the count is
+    deterministic and the oracle replays it with the same window).
+    One token scan + the bounded ≤3× explode + one windowed lag —
+    the mixture_token_budget scaling class."""
+    d = _cat(spark, sf_dir).table("documents").df
+    n_ep = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10)
+        .cast("bigint") % 3 + 1
+    )
+    base = d.select(
+        "source",
+        "doc_id",
+        TX.token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("tok"),
+        n_ep.alias("n_ep"),
+    )
+    samples = base.select(
+        "source", "doc_id", "tok", "n_ep",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_ep"))).alias(
+            "epoch"
+        ),
+    ).withColumn(
+        "key",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"),
+                F.col("epoch").cast("string"), F.lit(":mix"),
+            )
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("key")
+    s2 = samples.withColumn("prev_doc", F.lag("doc_id").over(w))
+    return s2.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("n_ep").cast("bigint").alias("n_epochs"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("tok").cast("bigint").alias("total_tokens_sampled"),
+        F.count_if(F.col("prev_doc") == F.col("doc_id"))
+        .cast("bigint")
+        .alias("n_adjacent_same_doc"),
+    )
+
+
+MIXTURE_EPOCH_UPSAMPLING_ORACLE = r"""
+    WITH b AS (
+      SELECT source, doc_id,
+             len(string_split_regex(coalesce(text, ''), '\s+')) AS tok,
+             (('0x' || substr(md5(source), 1, 2))::BIGINT % 3 + 1) AS n_ep
+      FROM documents),
+    s AS (SELECT source, doc_id, tok, n_ep, e.epoch,
+                 md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(e.epoch AS VARCHAR) || ':mix') AS key
+          FROM b, unnest(generate_series(1, n_ep)) AS e(epoch)),
+    w AS (SELECT *, LAG(doc_id) OVER (PARTITION BY source ORDER BY key)
+                      AS prev_doc
+          FROM s)
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(MAX(n_ep) AS BIGINT) AS n_epochs,
+           COUNT(*) AS n_samples,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens_sampled,
+           CAST(COUNT(*) FILTER (WHERE prev_doc = doc_id) AS BIGINT)
+             AS n_adjacent_same_doc
+    FROM w GROUP BY source
+"""
+
+
 def tar_webdataset_probe(spark, sf_dir):
     """S12 WebDataset tar shards at driver grade (staged r10-cont;
     the standard multimodal training-data container — samples as
@@ -3870,6 +3949,12 @@ ALL_CANDIDATES = {
         tar_webdataset_probe,
         TAR_WEBDATASET_PROBE_ORACLE,
     ),
+    # staged in r10-cont: epoch-aware source upsampling with the
+    # interleave (anti-clumping) audit
+    "mixture_epoch_upsampling": (
+        mixture_epoch_upsampling,
+        MIXTURE_EPOCH_UPSAMPLING_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -3933,22 +4018,22 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (19 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (20 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the thirteen r10-continuation rows
+# dedup_jaccard_clusters), and the fourteen r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
 # multimodal_tiff_probe, dedup_minhash_incremental,
 # classifier_calibration_bins, audio_mp3_frames_probe,
-# tar_webdataset_probe — each proven at sf0.001 AND sf0.01; 13
-# continuation rows in all, 19 staged total). 19 > the 10-row (20%)
-# window ceiling: r11 flips at most 10 and holds the remainder for
-# r12.
+# tar_webdataset_probe, mixture_epoch_upsampling — each proven at
+# sf0.001 AND sf0.01; 14 continuation rows in all, 20 staged total).
+# 20 > the 10-row (20%) window ceiling: r11 flips at most 10 and
+# holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -183,8 +183,10 @@ DEFAULT_PROBES = [
     "text_token_fertility",
     # staged r10-cont: temperature mixture budgeting (token scan +
     # source agg + window — the mixture_token_budget scaling class
-    # plus a 1-row scalar broadcast)
+    # plus a 1-row scalar broadcast) and epoch upsampling (bounded
+    # <=3x explode + windowed lag)
     "mixture_temperature_budget",
+    "mixture_epoch_upsampling",
     # staged r10-cont: GIF/LZW and TIFF decodes — the
     # multimodal_pixel_probe scaling class (map-only synth + Arrow
     # decode, zero shuffle)
