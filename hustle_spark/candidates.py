@@ -32,7 +32,7 @@ from .functions import text as TX
 from .functions import urls as URLS
 from .operators import asof, dedup, multimodal, similarity, sketches, suffixes
 from .registry import _URL_MODEL_SQL, _cat
-from .sources import tarball
+from .sources import tarball, ziparchive
 
 
 def multimodal_jpeg_progressive_probe(spark, sf_dir):
@@ -3001,6 +3001,45 @@ TEXT_TOKEN_FERTILITY_ORACLE = r"""
 """
 
 
+def zip_archive_probe(spark, sf_dir):
+    """S13 ZIP archives at driver grade (staged r10-cont; the other
+    container scraped corpora ship in, next to the S12 tar shards):
+    the corpus packed into 16 STORED-entry ZIPs entirely in codegen
+    (sources.ziparchive — real per-member CRC-32 via the built-in
+    crc32, central-directory offsets computed by an aggregate FOLD
+    over the doc-ordered member array, EOCD record; Python zipfile
+    accepts the output with a clean testzip(), pinned by unit test)
+    and read back by a REAL parser (EOCD tail scan, central-directory
+    walk, local-header cross-check, per-entry CRC-32 re-verification;
+    compressed/spanned archives rejected — deflate is the documented
+    zlib swap point). Same content-level (name, md5) roundtrip pin as
+    the tar probe, re-derived by the oracle from the source rows."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    shards = ziparchive.synthesize_zip_shards(
+        d, id_col="doc_id", text_col="text", n_shards=16
+    )
+    return ziparchive.decode_zip_features(shards).select(
+        "shard", "n_members", "total_txt_bytes", "members_md5", "ok",
+    )
+
+
+ZIP_ARCHIVE_PROBE_ORACLE = """
+    WITH m AS (
+      SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+             CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             md5(coalesce(text, '')) AS h,
+             strlen(coalesce(text, '')) AS nb
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_members,
+           CAST(SUM(nb) AS BIGINT) AS total_txt_bytes,
+           md5(string_agg(name || ':' || h, '|'
+                          ORDER BY name || ':' || h)) AS members_md5,
+           true AS ok
+    FROM m GROUP BY shard
+"""
+
+
 def mixture_epoch_upsampling(spark, sf_dir):
     """L59 epoch-aware source upsampling (staged r10-cont; the
     quality-tiered repeat factors of every pretraining mixture —
@@ -3955,6 +3994,9 @@ ALL_CANDIDATES = {
         mixture_epoch_upsampling,
         MIXTURE_EPOCH_UPSAMPLING_ORACLE,
     ),
+    # staged in r10-cont: STORED-entry ZIP archives — codegen pack
+    # with real CRC-32s, real reader with per-entry CRC verification
+    "zip_archive_probe": (zip_archive_probe, ZIP_ARCHIVE_PROBE_ORACLE),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -4018,22 +4060,22 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (20 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (21 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the fourteen r10-continuation rows
+# dedup_jaccard_clusters), and the fifteen r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
 # multimodal_tiff_probe, dedup_minhash_incremental,
 # classifier_calibration_bins, audio_mp3_frames_probe,
-# tar_webdataset_probe, mixture_epoch_upsampling — each proven at
-# sf0.001 AND sf0.01; 14 continuation rows in all, 20 staged total).
-# 20 > the 10-row (20%) window ceiling: r11 flips at most 10 and
-# holds the remainder for r12.
+# tar_webdataset_probe, mixture_epoch_upsampling, zip_archive_probe —
+# each proven at sf0.001 AND sf0.01; 15 continuation rows in all, 21
+# staged total). 21 > the 10-row (20%) window ceiling: r11 flips at
+# most 10 and holds the remainder for r12.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -1,0 +1,261 @@
+"""ZIP archives with STORED entries (north-star EXT; the other
+container scraped corpora actually ship in, next to tarball.py's
+WebDataset shards).
+
+Public-knowledge provenance: PKWARE APPNOTE.TXT (the public ZIP
+format specification) — local file headers, the central directory,
+the end-of-central-directory record, CRC-32 integrity per entry.
+Compression method 0 (stored) keeps the byte layout closed-form in
+SQL, the exact trick the PNG synthesizer plays with stored-deflate;
+method 8 (deflate) is the documented swap point on the parser side
+(stdlib zlib), rejected explicitly rather than mis-read.
+
+- ``synthesize_zip_shards``: pack (id, text) rows into per-shard ZIP
+  payloads ENTIRELY in codegen — per member a local header with a
+  REAL CRC-32 (Spark's built-in ``F.crc32`` over the UTF-8 bytes),
+  then a central directory whose per-entry local-header offsets are
+  computed by an aggregate FOLD over the doc-ordered member array
+  (offset accumulates as the cd string builds — no second shuffle),
+  then the EOCD record. Python's zipfile accepts the output (unit
+  test).
+- ``parse_zip_members`` / ``decode_zip_features``: a REAL reader —
+  EOCD located at the tail, central directory walked with field
+  validation, each entry's local header cross-checked, content CRC-32
+  re-verified against the stored value (zlib.crc32). Accepts
+  zipfile-written STORED archives (unit test); anything compressed,
+  spanned, or zip64 returns None.
+
+100 TB shape: same as tarball.py — packing is one groupBy(shard)
+whose per-row payload bounds shard size by executor memory, so the
+caller grows n_shards with the corpus; the petabyte packer seam is a
+repartition(shard) streaming writer emitting the same bytes.
+Unpacking is map-only over shards.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an integer column (byte-reversed padded
+    big-endian hex — the multimodal synthesizer idiom)."""
+    be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
+    return F.concat(
+        *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
+    )
+
+
+def synthesize_zip_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """(shard, payload) — one STORED-entry ZIP per id%n_shards group,
+    one `{id}.txt` member per row, built in codegen."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.col(id_col).cast("long").alias("__id"),
+        t.alias("__t"),
+    ).select(
+        "shard",
+        "__id",
+        F.concat(F.col("__id").cast("string"), F.lit(".txt")).alias("__name"),
+        F.octet_length(F.col("__t")).cast("long").alias("__size"),
+        F.crc32(F.encode(F.col("__t"), "utf-8")).alias("__crc"),
+        F.hex(F.col("__t")).alias("__content_hex"),
+    )
+    name_len = F.length(F.col("__name")).cast("long")
+    local_hex = F.concat(
+        F.lit("504B0304"),         # local header signature
+        F.lit("1400"),             # version needed: 2.0
+        F.lit("0000"),             # flags
+        F.lit("0000"),             # method 0: stored
+        F.lit("00000021"),         # mod time 0, mod date 0x2100 (LE)
+        _le_hex(F.col("__crc"), 4),
+        _le_hex(F.col("__size"), 4),
+        _le_hex(F.col("__size"), 4),
+        _le_hex(name_len, 2),
+        F.lit("0000"),             # extra len
+        F.hex(F.col("__name")),
+        F.col("__content_hex"),
+    )
+    # central-directory entry WITHOUT the 4 offset bytes — the fold
+    # below splices the running offset in (cd_pre + le4(offset) + name)
+    cd_pre = F.concat(
+        F.lit("504B0102"),         # central directory signature
+        F.lit("1400"), F.lit("1400"),
+        F.lit("0000"), F.lit("0000"),
+        F.lit("00000021"),
+        _le_hex(F.col("__crc"), 4),
+        _le_hex(F.col("__size"), 4),
+        _le_hex(F.col("__size"), 4),
+        _le_hex(name_len, 2),
+        F.lit("0000"),             # extra
+        F.lit("0000"),             # comment
+        F.lit("0000"),             # disk number
+        F.lit("0000"),             # internal attrs
+        F.lit("00000000"),         # external attrs
+    )
+    members = base.select(
+        "shard",
+        F.struct(
+            F.col("__id").alias("id"),
+            local_hex.alias("local"),
+            cd_pre.alias("cd_pre"),
+            F.hex(F.col("__name")).alias("name_hex"),
+            (F.lit(30) + name_len + F.col("__size")).alias("local_len"),
+        ).alias("m"),
+    )
+    shards = members.groupBy("shard").agg(
+        F.array_sort(F.collect_list("m")).alias("__ms")
+    )
+    ms = F.col("__ms")
+    body = F.array_join(F.transform(ms, lambda s: s["local"]), "")
+    # fold: (next_offset, cd_hex) — each entry records the offset its
+    # local header starts at, then advances by that member's length
+    cd = F.aggregate(
+        ms,
+        F.struct(
+            F.lit(0).cast("long").alias("off"),
+            F.lit("").alias("cd"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["off"] + s["local_len"]).alias("off"),
+            F.concat(
+                acc["cd"],
+                s["cd_pre"],
+                # le4(offset), inline (byte-reversed 8-hex-digit BE)
+                F.substring(F.lpad(F.hex(acc["off"]), 8, "0"), 7, 2),
+                F.substring(F.lpad(F.hex(acc["off"]), 8, "0"), 5, 2),
+                F.substring(F.lpad(F.hex(acc["off"]), 8, "0"), 3, 2),
+                F.substring(F.lpad(F.hex(acc["off"]), 8, "0"), 1, 2),
+                s["name_hex"],
+            ).alias("cd"),
+        ),
+    )
+    n = F.size(ms).cast("long")
+    cd_hex = cd["cd"]
+    cd_off = cd["off"]  # total local bytes == cd start offset
+    cd_size = (F.length(cd_hex) / 2).cast("long")
+    eocd = F.concat(
+        F.lit("504B0506"),
+        F.lit("0000"), F.lit("0000"),
+        _le_hex(n, 2), _le_hex(n, 2),
+        _le_hex(cd_size, 4),
+        _le_hex(cd_off, 4),
+        F.lit("0000"),             # comment length
+    )
+    return shards.select(
+        "shard",
+        F.to_binary(F.concat(body, cd_hex, eocd), F.lit("hex")).alias(
+            "payload"
+        ),
+    )
+
+
+def parse_zip_members(payload: bytes):
+    """Read a STORED-entry ZIP: EOCD at the tail (no-comment
+    convention, with a bounded backward scan for zipfile-written
+    archives that append none), central directory walk with field
+    validation, local-header cross-check, per-entry CRC-32
+    re-verification. Returns [(name, content_bytes)] or None."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    if n < 22:
+        return None
+    # EOCD: usually the last 22 bytes; scan back through a possible
+    # comment (bounded 64KB per spec)
+    eocd_at = -1
+    lo = max(0, n - 22 - 65535)
+    for i in range(n - 22, lo - 1, -1):
+        if payload[i : i + 4] == b"PK\x05\x06":
+            eocd_at = i
+            break
+    if eocd_at < 0:
+        return None
+    disk, cd_disk, n_here, n_total, cd_size, cd_off, clen = struct.unpack(
+        "<HHHHIIH", payload[eocd_at + 4 : eocd_at + 22]
+    )
+    if disk or cd_disk or n_here != n_total:
+        return None  # spanned archives unsupported
+    out = []
+    pos = cd_off
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != b"PK\x01\x02":
+            return None
+        (
+            _vmade, _vneed, flags, method, _time, _date, crc, csize, usize,
+            nlen, elen, cmlen, _dn, _iattr, _eattr, lho,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
+        if method != 0 or flags & 0x08:
+            return None  # compressed / data-descriptor: unsupported
+        if csize != usize:
+            return None
+        name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        pos += 46 + nlen + elen + cmlen
+        # local header cross-check
+        if payload[lho : lho + 4] != b"PK\x03\x04":
+            return None
+        lnlen, lelen = struct.unpack("<HH", payload[lho + 26 : lho + 30])
+        data_at = lho + 30 + lnlen + lelen
+        content = payload[data_at : data_at + usize]
+        if len(content) != usize:
+            return None
+        if zlib.crc32(content) & 0xFFFFFFFF != crc:
+            return None
+        out.append((name, content))
+    return out
+
+
+ZIP_FEATURE_SCHEMA = (
+    "shard long, n_members long, total_txt_bytes long, "
+    "members_md5 string, ok boolean"
+)
+
+
+def decode_zip_features(shards: DataFrame) -> DataFrame:
+    """Arrow-batched shard read: member count, content byte total,
+    and the order-insensitive (name, content-md5) digest — the same
+    roundtrip pin as decode_tar_features."""
+    import hashlib
+
+    def one(shard, payload: bytes):
+        members = parse_zip_members(payload if payload is not None else b"")
+        if members is None:
+            return shard, 0, 0, "", False
+        tb = sum(len(c) for _, c in members)
+        digest = hashlib.md5(
+            "|".join(
+                sorted(
+                    f"{nm}:{hashlib.md5(c).hexdigest()}"
+                    for nm, c in members
+                )
+            ).encode()
+        ).hexdigest()
+        return shard, len(members), tb, digest, True
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                one(s, p) for s, p in zip(pdf["shard"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "shard": [f[0] for f in feats],
+                    "n_members": [f[1] for f in feats],
+                    "total_txt_bytes": [f[2] for f in feats],
+                    "members_md5": [f[3] for f in feats],
+                    "ok": [f[4] for f in feats],
+                }
+            )
+
+    return shards.mapInPandas(batches, schema=ZIP_FEATURE_SCHEMA)

@@ -202,6 +202,9 @@ DEFAULT_PROBES = [
     # Arrow walk)
     "classifier_calibration_bins",
     "audio_mp3_frames_probe",
+    # zip_archive_probe deliberately absent for the same fixture
+    # reason as tar_webdataset_probe below (fixed 16-shard packer vs
+    # the 500k-doc probe corpus).
     # tar_webdataset_probe deliberately absent — NOT silently: the
     # driver row pins n_shards=16 (oracle-bound), so the x100 corpus
     # (500k docs) would pack ~31MB of tar per collect_list row and

@@ -103,6 +103,7 @@ CANDIDATE_ALLOWED_PYTHON: set[str] = {
     "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
     "audio_mp3_frames_probe", # VBR frame walk, same path
     "tar_webdataset_probe",   # ustar shard walk, same path
+    "zip_archive_probe",      # ZIP central-directory walk, same path
 }
 
 

@@ -352,3 +352,63 @@ def test_tar_walker_rejects_corruption(spark):
     # empty bytes are NOT a valid tar (no terminator blocks) — same
     # verdict Python tarfile gives (ReadError)
     assert parse_tar_members(b"") is None
+
+
+# --- ZIP archives (sources/ziparchive.py, r10-cont) ---------------------
+
+
+def test_zip_parses_python_zipfile_output(spark):
+    """Our reader must accept STORED archives Python's zipfile writes
+    (including its trailing data descriptors absence and real CRCs)."""
+    import io
+    import zipfile
+
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr("7.txt", b"hello zip")
+        zf.writestr("8.txt", b"")
+    got = parse_zip_members(buf.getvalue())
+    assert got == [("7.txt", b"hello zip"), ("8.txt", b"")]
+
+
+def test_zipfile_parses_our_synth(spark):
+    import io
+    import zipfile
+
+    from hustle_spark.sources.ziparchive import synthesize_zip_shards
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    [row] = synthesize_zip_shards(df, n_shards=1).collect()
+    zf = zipfile.ZipFile(io.BytesIO(bytes(row.payload)))
+    assert zf.testzip() is None  # every CRC verifies
+    assert {i.filename: zf.read(i.filename) for i in zf.infolist()} == {
+        "1.txt": b"alpha beta", "2.txt": b""
+    }
+
+
+def test_zip_reader_rejects_corruption_and_compression(spark):
+    import io
+    import zipfile
+
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr("x.txt", b"abcdefgh")
+    good = buf.getvalue()
+    # flip a content byte: stored CRC no longer matches
+    bad = bytearray(good)
+    at = good.index(b"abcdefgh")
+    bad[at] ^= 0x01
+    assert parse_zip_members(bytes(bad)) is None
+    # deflate entries: documented unsupported, not mis-read
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("y.txt", b"abcdefgh" * 20)
+    assert parse_zip_members(buf2.getvalue()) is None
+    assert parse_zip_members(b"") is None
+    assert parse_zip_members(good[:20]) is None
