@@ -2847,9 +2847,10 @@ def events_heavy_hitters_cms(spark, sf_dir):
     the HLL rollup row. The sketch is built as per-DAY partial
     (d, bucket, cnt) cell frames merged by cell-wise SUM — the
     executable incremental shape: at 100 TB each day contributes at
-    most depth×width (4×32 = 128) cells, weekly/monthly heavy hitters
-    merge KB-sized frames without re-touching the event stream, and
-    estimates broadcast the merged frame against the candidate keys.
+    most depth×width (4×256 = 1024) cells, weekly/monthly heavy
+    hitters merge KB-sized frames without re-touching the event
+    stream, and estimates broadcast the merged frame against the
+    candidate keys.
     Hashes are md5-derived (first 8 hex chars base-16 — the
     write_sharded idiom), so the ENTIRE machinery — row hashing,
     cell counts, min-over-rows estimate, the top-10 — replays
@@ -3502,8 +3503,17 @@ def events_last_touch_attribution(spark, sf_dir):
         "ts",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "user_id", "ts", F.col("event_type").alias("touch_type")
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts", F.col("event_type").alias("touch_type"))
+        # tied (user, ts) touches collapse to ONE deterministic row
+        # (max touch_type) BEFORE the as-of pick: asof_join's window
+        # has no tie-break beyond ts, so a click and a view at the
+        # same instant would otherwise attribute partition-order-
+        # dependently (review finding, r10-cont; latent — fixtures
+        # carry no ties — but real second-granularity data would)
+        .groupBy("user_id", "ts")
+        .agg(F.max("touch_type").alias("touch_type"))
     )
     m = asof.asof_join(
         purchases,
@@ -3529,10 +3539,11 @@ EVENTS_LAST_TOUCH_ATTRIBUTION_ORACLE = """
                FROM events
                WHERE event_type = 'purchase'
                  AND ts IS NOT NULL AND user_id IS NOT NULL),
-    t AS (SELECT user_id, ts, event_type AS touch_type
+    t AS (SELECT user_id, ts, MAX(event_type) AS touch_type
           FROM events
           WHERE event_type IN ('click', 'view')
-            AND ts IS NOT NULL AND user_id IS NOT NULL),
+            AND ts IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY user_id, ts),
     m AS (SELECT p.cents,
                  (SELECT t.touch_type FROM t
                   WHERE t.user_id = p.user_id AND t.ts <= p.ts

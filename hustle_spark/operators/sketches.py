@@ -19,9 +19,9 @@ md5-derived (the dedup_minhash_md5 / write_sharded idiom: first 8 hex
 chars parsed base-16, identical in Spark ``conv`` and DuckDB's
 ``('0x' || …)::BIGINT`` cast — parity pinned in tests).
 
-100 TB shape: the sketch is at most depth×width cells (4×64 = 256
-rows here — KBs) produced by ONE map-side-combined groupBy over the
-stream; per-day partial sketches merge by cell-wise sum without
+100 TB shape: the sketch is at most depth×width cells (the registry
+caller uses 4×256 = 1024 rows — KBs) produced by ONE map-side-combined
+groupBy over the stream; per-day partial sketches merge by cell-wise sum without
 re-touching events (the HLL-rollup incremental pattern, but for
 frequencies); estimates broadcast the cell frame against any
 candidate-key set. Nothing in the flow scales with the number of
@@ -66,12 +66,13 @@ def cms_build(
     hash as the literal absence, not a value — the same reason the
     HLL row filters NULL ts).
     """
-    keys = df.select(F.col(key_col).cast("string").alias("__k"))
     if partial_by is not None:
         keys = df.select(
             F.col(key_col).cast("string").alias("__k"),
             partial_by.alias("__part"),
         )
+    else:
+        keys = df.select(F.col(key_col).cast("string").alias("__k"))
     exploded = keys.select(
         "*",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),

@@ -41,13 +41,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _le_hex(col, nbytes: int):
-    """Little-endian hex of an integer column (byte-reversed padded
-    big-endian hex — the multimodal synthesizer idiom)."""
-    be = F.lpad(F.hex(col.cast("long")), nbytes * 2, "0")
-    return F.concat(
-        *[F.substring(be, (nbytes - 1 - i) * 2 + 1, 2) for i in range(nbytes)]
-    )
+# the ONE byte-reversed-hex helper (operators/multimodal.py:55
+# consolidated six copies for exactly this reason — a layout fix must
+# land everywhere; review finding r10-cont removed this module's
+# private seventh copy)
+from ..operators.multimodal import _le_hex  # noqa: E402
 
 
 def synthesize_zip_shards(
@@ -152,11 +150,26 @@ def synthesize_zip_shards(
         _le_hex(cd_off, 4),
         F.lit("0000"),             # comment length
     )
+    # EXECUTABLE overflow guards (review finding r10-cont): _le_hex's
+    # lpad would silently TRUNCATE an over-width value to its leftmost
+    # hex digits — a corrupt archive, not even a mod-2^k one. The
+    # classic-ZIP ceilings are a loud job failure instead; zip64 is
+    # the documented swap point. The 'grow n_shards with the corpus'
+    # contract is thereby enforced, not just documented.
+    guards = F.assert_true(
+        (n <= 0xFFFF) & (cd_off + cd_size + 22 <= 0xFFFFFFFF),
+        F.lit(
+            "zip shard exceeds classic-ZIP limits (members > 65535 or "
+            "archive >= 4GiB): grow n_shards; zip64 is the documented "
+            "swap point"
+        ),
+    )
     return shards.select(
         "shard",
-        F.to_binary(F.concat(body, cd_hex, eocd), F.lit("hex")).alias(
-            "payload"
-        ),
+        F.when(
+            guards.isNull(),
+            F.to_binary(F.concat(body, cd_hex, eocd), F.lit("hex")),
+        ).alias("payload"),
     )
 
 

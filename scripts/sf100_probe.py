@@ -194,8 +194,9 @@ DEFAULT_PROBES = [
     "multimodal_tiff_probe",
     # staged r10-cont: incremental fuzzy dedup — the probe pins that
     # a batch joining the stored band index scales with the BATCH
-    # (both sides of the fixture grow with the corpus here, the
-    # honest worst case)
+    # (the fixture's index is PINNED at doc_id < 250 — 250 docs at
+    # every scale — so only the batch side grows; an index-growth
+    # regime is NOT exercised here)
     "dedup_minhash_incremental",
     # staged r10-cont: calibration bins (two map-only scans + one
     # doc-keyed join) and the VBR MP3 frame walk (map-only synth +

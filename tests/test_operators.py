@@ -3765,3 +3765,30 @@ def test_mp3_padding_changes_stride():
     plain = bytes([0xFF, 0xFB, (8 << 4) | (1 << 2), 0x44]) + b"\x00" * (base - 4)
     got = parse_mp3_frames(padded + plain)
     assert got == (2, 48000, base * 2 + 1, 48, 1)
+
+
+def test_attribution_tied_touches_deterministic(spark):
+    """Review finding (r10-cont): a click and a view at the SAME ts
+    must attribute deterministically — the candidate collapses tied
+    (user, ts) touches to max(touch_type) BEFORE the as-of pick, so
+    both engines (and any partitioning) agree."""
+    import datetime as dt
+
+    from hustle_spark.operators import asof
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, ts, "click"), (1, ts, "view"),
+            (1, dt.datetime(2024, 1, 1, 13), "purchase")]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts", F.col("event_type").alias("touch_type"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("touch_type").alias("touch_type"))
+    )
+    purch = ev.filter("event_type = 'purchase'").select("user_id", "ts")
+    m = asof.asof_join(
+        purch, touches, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["touch_type"], tolerance="7 days",
+    )
+    assert m.collect()[0].touch_type == "view"  # max('click','view')
