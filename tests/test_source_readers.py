@@ -412,3 +412,47 @@ def test_zip_reader_rejects_corruption_and_compression(spark):
     assert parse_zip_members(buf2.getvalue()) is None
     assert parse_zip_members(b"") is None
     assert parse_zip_members(good[:20]) is None
+
+
+def test_tar_zip_parsers_roundtrip_property(spark):
+    """Property roundtrip for both container parsers: random member
+    names (tar/zip-legal subset) and binary contents written by the
+    STDLIB writers must come back byte-identical through our walkers
+    — fuzzing the readers against the reference implementations, the
+    GIF-vs-reference-encoder precedent applied to containers."""
+    import io
+    import tarfile
+    import zipfile
+
+    from hypothesis import given, settings, strategies as st
+
+    from hustle_spark.sources.tarball import parse_tar_members
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    name_st = st.from_regex(r"[A-Za-z0-9_\-.]{1,40}", fullmatch=True)
+    members_st = st.dictionaries(
+        name_st, st.binary(min_size=0, max_size=600), min_size=1, max_size=8
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(members_st)
+    def run(members):
+        tbuf = io.BytesIO()
+        with tarfile.open(fileobj=tbuf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for nm, data in members.items():
+                info = tarfile.TarInfo(nm)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        got_tar = parse_tar_members(tbuf.getvalue())
+        assert got_tar is not None and dict(got_tar) == members
+
+        zbuf = io.BytesIO()
+        with zipfile.ZipFile(zbuf, "w",
+                             compression=zipfile.ZIP_STORED) as zf:
+            for nm, data in members.items():
+                zf.writestr(nm, data)
+        got_zip = parse_zip_members(zbuf.getvalue())
+        assert got_zip is not None and dict(got_zip) == members
+
+    run()
