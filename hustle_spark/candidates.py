@@ -1467,6 +1467,76 @@ RETRIEVAL_BM25_TOPK_ORACLE = r"""
 """
 
 
+def retrieval_rrf_fusion(spark, sf_dir):
+    """L43d hybrid-retrieval RANK FUSION (staged r10-cont; Cormack et
+    al.'s Reciprocal Rank Fusion, the standard way production search
+    combines rankers): the fixed-point BM25 and exact TF-IDF top-5
+    lists for the same 5-query set fuse by summed reciprocal ranks —
+    each term the exact integer 1e6 div (60 + rank), so the fused
+    score replays bit-for-bit — with docs surfaced by only ONE ranker
+    contributing that ranker's term alone (the full-outer semantics
+    RRF defines). Emits the fused top-5 per query plus an in_both
+    flag (consensus docs vs single-ranker finds). The fusion layer
+    itself is rank-only — a full-outer join of two 5-row-per-query
+    lists; the two rankers each pay their own (pruned, broadcast-
+    semi-joined) corpus scan, and sharing the tokenized scan across
+    scoring FAMILIES is the documented optimization seam (the
+    bm25_tf_frame split covers the two BM25 curves; TF-IDF's scoring
+    path differs)."""
+    from .operators import retrieval as R
+
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    bm = R.bm25_topk(d, _TFIDF_QUERIES, k=5).select(
+        "query_id", "doc_id", F.col("rnk").alias("__rb")
+    )
+    tfi = R.tfidf_topk(d, _TFIDF_QUERIES, k=5).select(
+        "query_id", "doc_id", F.col("rnk").alias("__rt")
+    )
+    j = bm.join(tfi, ["query_id", "doc_id"], "full")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.expr(f"CAST(1000000 AS BIGINT) div (60 + {c})"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    s = j.select(
+        "query_id",
+        "doc_id",
+        (term("__rb") + term("__rt")).alias("rrf_u"),
+        (F.col("__rb").isNotNull() & F.col("__rt").isNotNull()).alias(
+            "in_both"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "rrf_u", "in_both", "rnk")
+    )
+
+
+RETRIEVAL_RRF_FUSION_ORACLE = (
+    "WITH bm AS ({bm}),\n"
+    "tfi AS ({tfi}),\n"
+    "j AS (SELECT COALESCE(bm.query_id, tfi.query_id) AS query_id,\n"
+    "             COALESCE(bm.doc_id, tfi.doc_id) AS doc_id,\n"
+    "             bm.rnk AS rb, tfi.rnk AS rt\n"
+    "      FROM bm FULL JOIN tfi\n"
+    "        ON bm.query_id = tfi.query_id AND bm.doc_id = tfi.doc_id),\n"
+    "s AS (SELECT query_id, doc_id,\n"
+    "        (CASE WHEN rb IS NULL THEN 0 ELSE 1000000 // (60 + rb) END\n"
+    "       + CASE WHEN rt IS NULL THEN 0 ELSE 1000000 // (60 + rt) END)\n"
+    "          AS rrf_u,\n"
+    "        rb IS NOT NULL AND rt IS NOT NULL AS in_both\n"
+    "      FROM j),\n"
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id\n"
+    "        ORDER BY rrf_u DESC, doc_id ASC) AS rnk FROM s)\n"
+    "SELECT query_id, doc_id, CAST(rrf_u AS BIGINT) AS rrf_u, in_both,\n"
+    "       CAST(rnk AS BIGINT) AS rnk\n"
+    "FROM r WHERE rnk <= 5"
+).format(bm=RETRIEVAL_BM25_TOPK_ORACLE, tfi=RETRIEVAL_TFIDF_TOPK_ORACLE)
+
+
 def retrieval_bm25_rank_agreement(spark, sf_dir):
     """L43c BM25 float-vs-fixed-point RANK-AGREEMENT audit (VERDICT r8
     directive #8 — the percentile-audit idiom): runs the fixed-point
@@ -4008,6 +4078,13 @@ ALL_CANDIDATES = {
     # staged in r10-cont: STORED-entry ZIP archives — codegen pack
     # with real CRC-32s, real reader with per-entry CRC verification
     "zip_archive_probe": (zip_archive_probe, ZIP_ARCHIVE_PROBE_ORACLE),
+    # staged in r10-cont: reciprocal-rank fusion of the BM25 and
+    # TF-IDF rankers — exact-integer fused scores, full-outer rank
+    # semantics, consensus flag
+    "retrieval_rrf_fusion": (
+        retrieval_rrf_fusion,
+        RETRIEVAL_RRF_FUSION_ORACLE,
+    ),
 }
 
 # The r8 WAVE-1 flip (VERDICT r7 directives #1/#2/#3/#6): these names
@@ -4071,22 +4148,23 @@ FLIPPED_R10 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
 
-# Still-staged candidates — the r11 pool (21 rows): the VERDICT r9
+# Still-staged candidates — the r11 pool (22 rows): the VERDICT r9
 # hold-three (ann_ivf_pq_search, streaming_curation_requery,
 # text_unicode_repair — each already oracle-proven at sf0.01), the
 # three r10 jaccard-family rows (dedup_jaccard_ngram:
 # sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the fifteen r10-continuation rows
+# dedup_jaccard_clusters), and the sixteen r10-continuation rows
 # (events_heavy_hitters_cms, embedding_hard_negatives,
 # text_token_fertility, streaming_sketch_requery,
 # mixture_temperature_budget, multimodal_gif_probe,
 # events_rate_anomalies, events_last_touch_attribution,
 # multimodal_tiff_probe, dedup_minhash_incremental,
 # classifier_calibration_bins, audio_mp3_frames_probe,
-# tar_webdataset_probe, mixture_epoch_upsampling, zip_archive_probe —
-# each proven at sf0.001 AND sf0.01; 15 continuation rows in all, 21
-# staged total). 21 > the 10-row (20%) window ceiling: r11 flips at
-# most 10 and holds the remainder for r12.
+# tar_webdataset_probe, mixture_epoch_upsampling, zip_archive_probe,
+# retrieval_rrf_fusion — each proven at sf0.001 AND sf0.01; 16
+# continuation rows in all, 22 staged total). 22 > the 10-row (20%)
+# window ceiling: r11 flips at most 10 and holds the remainder for
+# r12/r13.
 # tests/test_candidates.py keeps driving every entry against DuckDB
 # at the gate SF until its flip round.
 STAGED_CANDIDATES = {

@@ -153,6 +153,9 @@ DEFAULT_PROBES = [
     # dedup_substring_* below (its stage 2 IS that machinery)
     "retrieval_bm25_topk",
     "retrieval_bm25_rank_agreement",
+    # staged r10-cont: RRF fusion — two pruned ranker scans + a
+    # rank-only full-outer fusion (10 rows/query)
+    "retrieval_rrf_fusion",
     # staged wave-3 (r9): DSIR — explode + 1024-key profile + broadcast
     # weights + doc-sum; the probe pins the profile agg stays bounded
     "data_selection_dsir",
