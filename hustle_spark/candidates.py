@@ -2459,7 +2459,21 @@ def ann_ivf_pq_search(spark, sf_dir):
     in_exact_topk audit bit vs the exact int8 L2 top-5 over the whole
     corpus. Every stage is exact integer after int8 quantization, so
     the oracle replays rank-for-rank — approximation here is a
-    DETERMINISTIC property of the index, not noise."""
+    DETERMINISTIC property of the index, not noise.
+
+    Measured recall curve (scripts/ann_recall_sweep.py, r11 — the
+    VERDICT r10 directive-#4 instrument; full table in BASELINE.md):
+    on the RANDOM sf0.1 embeddings, recall tracks the two limiters —
+    scanned fraction (Hamming 0/1/2/all probes: 0.04/0.32/0.36/0.48)
+    and the ADC shortlist (all lists probed, refine_mult 8/40/200:
+    0.48/0.84/1.00 — exact rerank recovers everything once the
+    shortlist covers the probe set). On a CLUSTERED synthetic corpus
+    (trained-embedding geometry: per-cluster sign orthants), the SAME
+    index reads recall 1.00 at every probe width, down to 1/16
+    scanned. The registered row's 0.32 at sf0.1 is therefore a
+    property of untrained random vectors, not of the index; wall cost
+    dropped 19.9 s -> ~8 s cold / 3.4 s warm at sf0.1 by
+    tracked-caching the listed/codebook/LUT frames (the r11 fix)."""
     e = _cat(spark, sf_dir).table("embeddings").df
     corpus = e.select("vec_id", "embedding")
     qs = corpus.filter(F.col("vec_id") < 5)
