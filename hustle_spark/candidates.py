@@ -4160,27 +4160,38 @@ FLIPPED_R10 = (
     "data_selection_dsir",
 )
 
-FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10
+# --- the r11 flip (VERDICT r10 directive #1 / the CHECKED.md REVISED
+# rotation plan, executed verbatim): the VERDICT-r9 hold-three FIRST
+# (held once, not held twice — ann_ivf_pq_search flips with its
+# directive-#4 cost/recall fix landed and measured), the three
+# exact-Jaccard rows, then four continuation rows chosen to spread
+# families (sketches, incremental dedup, ANN mining, media).
+FLIPPED_R11 = (
+    "ann_ivf_pq_search",
+    "streaming_curation_requery",
+    "text_unicode_repair",
+    "dedup_jaccard_ngram",
+    "dedup_jaccard_minhash_agreement",
+    "dedup_jaccard_clusters",
+    "events_heavy_hitters_cms",
+    "dedup_minhash_incremental",
+    "embedding_hard_negatives",
+    "multimodal_gif_probe",
+)
 
-# Still-staged candidates — the r11 pool (22 rows): the VERDICT r9
-# hold-three (ann_ivf_pq_search, streaming_curation_requery,
-# text_unicode_repair — each already oracle-proven at sf0.01), the
-# three r10 jaccard-family rows (dedup_jaccard_ngram:
-# sf0.001/sf0.01/sf0.1; dedup_jaccard_minhash_agreement;
-# dedup_jaccard_clusters), and the sixteen r10-continuation rows
-# (events_heavy_hitters_cms, embedding_hard_negatives,
-# text_token_fertility, streaming_sketch_requery,
-# mixture_temperature_budget, multimodal_gif_probe,
+FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11
+
+# Still-staged candidates — the r12/r13 pool (12 rows) after the r11
+# flip executed the CHECKED.md rotation plan exactly (hold-three +
+# jaccard-three + four continuation rows): text_token_fertility,
+# streaming_sketch_requery, mixture_temperature_budget,
 # events_rate_anomalies, events_last_touch_attribution,
-# multimodal_tiff_probe, dedup_minhash_incremental,
-# classifier_calibration_bins, audio_mp3_frames_probe,
-# tar_webdataset_probe, mixture_epoch_upsampling, zip_archive_probe,
-# retrieval_rrf_fusion — each proven at sf0.001 AND sf0.01; 16
-# continuation rows in all, 22 staged total). 22 > the 10-row (20%)
-# window ceiling: r11 flips at most 10 and holds the remainder for
-# r12/r13.
+# multimodal_tiff_probe, classifier_calibration_bins,
+# audio_mp3_frames_probe, tar_webdataset_probe,
+# mixture_epoch_upsampling, zip_archive_probe, retrieval_rrf_fusion —
+# each oracle-proven at sf0.001 AND sf0.01 when staged, and
 # tests/test_candidates.py keeps driving every entry against DuckDB
-# at the gate SF until its flip round.
+# at the gate SF every round until its flip.
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }

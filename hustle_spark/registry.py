@@ -6782,21 +6782,10 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r10 (ADVICE r9 #2): retrieval.bm25_topk/bm25_float_topk split
-    # into frame + scoring halves so the rank-agreement audit builds
-    # the tokenized/pruned/cached tf frame ONCE and scores both curves
-    # over it — the audit row's fn source changed (hash moved) and
-    # bm25_topk's helper body moved (manual promotion, plans logically
-    # identical). Both re-proven vs DuckDB at sf0.01 in-session.
-    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
-    # r10 review: containment_pairs' candidate machinery extracted
-    # into the shared _digest_pair_counts helper (the new exact-
-    # Jaccard operator had copied it near-verbatim) — outputs
-    # byte-identical, but helper edits require manual promotion.
-    # dedup_containment_guarded moved here FROM this round's backfill
-    # (it was r6-latest); dedup_containment_pairs displaces the
-    # backfill tail (text_lang_id -> _QUEUED_NEXT head).
-    "dedup_containment_pairs", "dedup_containment_guarded",
+    # r11: no registered query's fn source or oracle moved this round
+    # outside the _NEW list itself (the ivf_pq_topk cache fix lives in
+    # the operator module and flips WITH ann_ivf_pq_search below; the
+    # r10 _CHANGED four drained into the proven pool as r10-latest).
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6804,64 +6793,48 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r10 is the WAVE-2b flip at the 20% ceiling (VERDICT r9 directive
-# #1, decided up front: flip EXACTLY these ten, hold ann_ivf_pq_search
-# / streaming_curation_requery / text_unicode_repair for r11 — 13 new
-# would have been 26% of the window, breaching the ceiling the 80%
-# re-confirmation floor implies). 10 _NEW + 2 _CHANGED leaves 38
-# backfill slots = 40/50 = 80% re-confirmation, at the floor. The
-# backfill head drains the ENTIRE 11-row r5-latest remainder (zero
-# r5-latest rows remain after r10) plus the first 27 rows of the
-# 43-row r6-latest pool in CORRECTNESS_r06 key order; the 16-row r6
-# remainder is QUEUED (not dropped) as the r11 backfill head.
+# r11 executes the CHECKED.md REVISED rotation plan verbatim (VERDICT
+# r10 directive #1): _NEW = 10, the exact 20% ceiling — the VERDICT-r9
+# hold-three FIRST (held once, never held twice; ann_ivf_pq_search
+# flips with its directive-#4 cost/recall fix: 19.9 s -> ~8 s at
+# sf0.1, measured recall curve in BASELINE.md), the jaccard-three,
+# then four continuation rows spreading families. 10 _NEW + 0
+# _CHANGED leaves 40 backfill slots = 40/50 = 80% re-confirmation,
+# the protocol floor. The backfill head drains the ENTIRE 17-row
+# r6-latest remainder (zero rows older than r7-latest remain after
+# r11) plus the first 23 rows of the 48-row r7-latest pool in
+# CORRECTNESS_r07 key order; the 25-row r7 remainder is QUEUED (not
+# dropped) as the r12 backfill head.
 _NEW_THIS_ROUND = [
-    # media probes behind the shared generative-replay harness:
-    # image perceptual hashes (+ the pHash-signature dedup group row),
-    # Exif IFD walk, video scene cuts, audio pitch (YIN) + energy-VAD
-    "multimodal_image_ahash", "multimodal_image_phash",
-    "dedup_image_phash_groups", "multimodal_exif_probe",
-    "multimodal_video_scenes", "audio_pitch_probe",
-    "audio_segments_probe",
-    # SemDeDup with the paper's centroid keeper policy
-    "dedup_semantic_centroid",
-    # ANN compression ladder: matryoshka prefix-energy audit
-    "embedding_matryoshka_audit",
-    # data selection: DSIR importance resampling (Xie et al.)
-    "data_selection_dsir",
+    # VERDICT r9 hold-three: IVF+PQ two-stage ANN (+r11 cache fix +
+    # recall-attribution instrument), streaming curation requery,
+    # cascade-safe mojibake repair
+    "ann_ivf_pq_search", "streaming_curation_requery",
+    "text_unicode_repair",
+    # exact n-gram Jaccard family: exact pair statistic, MinHash
+    # agreement audit (sketch error as a measured column), clusters
+    "dedup_jaccard_ngram", "dedup_jaccard_minhash_agreement",
+    "dedup_jaccard_clusters",
+    # continuation rows, one per family: count-min heavy hitters,
+    # incremental fuzzy dedup with the stored band index, contrastive
+    # hard-negative mining, GIF/LZW decode probe
+    "events_heavy_hitters_cms", "dedup_minhash_incremental",
+    "embedding_hard_negatives", "multimodal_gif_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r10 drains the ENTIRE r5-latest remainder (the 11
-# TPC-H shapes, r9's _QUEUED_NEXT head — after this round no row's
-# newest driver check predates r6) plus the first 27 rows of the
-# 43-row r6-latest pool in CORRECTNESS_r06 key order.
+# stalest rows. r11 drains the ENTIRE 17-row r6-latest remainder
+# (r10's _QUEUED_NEXT, verbatim — after this round no row's newest
+# driver check predates r7) plus the first 23 ORACLE-BOUND rows of
+# the 48-row r7-latest pool in CORRECTNESS_r07 key order. The two
+# by-design rows-only sketches dedup_minhash_lsh/dedup_simhash stay
+# OUT of backfill (test_window_priority_ordering: proven rows-only
+# entries never burn a window slot — their machineries are
+# hash-checked via the md5 twins, which rotate normally), so their
+# slots go to the next two r7 rows (dedup_simhash_md5,
+# jsonl_roundtrip_agg).
 _BACKFILL = [
-    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
-    "q11_important_stock", "q12_late_shipment_priority",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customer", "q20_excess_quantity_suppliers",
-    "warc_ingest_records", "window_topk_per_group",
-    "scalar_string_funcs", "similarity_topk_exact",
-    "similarity_ann_lsh", "tfidf_top_terms", "window_rank_ties",
-    "similarity_ivf",
-    "q21_waiting_orders", "q22_global_sales_opportunity",
-    "sql_api_exists", "grouping_sets_sql", "percentile_exact",
-    "variance_manual", "correlation_manual", "unpivot_measures",
-    "union_all_counts", "range_join_purchase_errors",
-    "streaming_session_windows", "streaming_dedupe_count",
-    "multimodal_decode", "embedding_centroids", "vocab_top_tokens",
-    "curation_filter", "approx_cardinality",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r6-latest remainder (16 rows, in
-# CORRECTNESS_r06 key order) — the r11 backfill head. After these
-# drain, the stalest pool is r7-latest (docs/CHECKED.md holds the
-# manifest).
-_QUEUED_NEXT = [
     "text_lang_id",
     "collect_set_sorted", "dedup_simhash_audit",
     "ntile_customer_quartiles", "histogram_totalprice",
@@ -6871,6 +6844,35 @@ _QUEUED_NEXT = [
     "multimodal_video_probe", "grouping_marker_rollup",
     "dataset_split_stats", "pii_redaction_stats",
     "repetition_top_bigram",
+    "multimodal_jpeg_probe", "multimodal_jpeg_color_probe",
+    "multimodal_jpeg_subsampled_probe", "dedup_repeated_spans",
+    "multimodal_jpeg_restart_probe", "dedup_repeated_spans_withindoc",
+    "text_lang_id_trigram", "html_block_extract", "dedup_semantic",
+    "source_quota_cap", "orc_roundtrip_agg",
+    "streaming_join_attribution", "sequence_packing", "doc_chunking",
+    "embedding_quantize_int8", "mixture_token_budget",
+    "dedup_incremental", "skew_profile", "table_profile",
+    "funnel_stages", "cohort_retention",
+    "dedup_simhash_md5", "jsonl_roundtrip_agg",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r7-latest remainder (23 oracle-bound
+# rows, in CORRECTNESS_r07 key order) — the r12 backfill head. After
+# these drain, the stalest pool is r8-latest (docs/CHECKED.md holds
+# the manifest).
+_QUEUED_NEXT = [
+    "window_range_rolling_7d", "percentile_approx_audit",
+    "q1_pricing_summary", "restrict_groupby_sum",
+    "filter_bool_combinators", "filter_comparisons", "join_multiway",
+    "embedding_near_dup", "dedup_minhash_md5", "dedup_minhash_audit",
+    "bigram_vocab_stats", "doc_rolling_fingerprint",
+    "contamination_scan", "contamination_ngram_scan",
+    "insert_jsonl_requery", "delete_partition_requery",
+    "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
+    "streaming_tumbling_hour", "streaming_stateful_totals",
+    "dedup_cluster_cc", "udf_token_count",
 ]
 
 

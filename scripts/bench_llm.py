@@ -119,6 +119,21 @@ BENCH_LLM = [
     "dedup_semantic_centroid",
     "embedding_matryoshka_audit",
     "data_selection_dsir",
+    # appended round 11 (append-only protocol): the r11 flip — the
+    # VERDICT-r9 hold-three (IVF+PQ ANN with the r11 cache fix,
+    # streaming curation requery, mojibake repair), the exact-Jaccard
+    # family, count-min heavy hitters, incremental fuzzy dedup,
+    # hard-negative mining, GIF/LZW decode
+    "ann_ivf_pq_search",
+    "streaming_curation_requery",
+    "text_unicode_repair",
+    "dedup_jaccard_ngram",
+    "dedup_jaccard_minhash_agreement",
+    "dedup_jaccard_clusters",
+    "events_heavy_hitters_cms",
+    "dedup_minhash_incremental",
+    "embedding_hard_negatives",
+    "multimodal_gif_probe",
 ]
 
 WARM_RUNS = 3
@@ -230,6 +245,17 @@ def main() -> None:
             over = {q: r for q, r in result["vs_first_green"].items() if r > 2.0}
             if over:
                 result["vs_first_green_over_2x"] = over
+                # cause tags (re-pin protocol, VERDICT r10 #2): carry a
+                # flagged row's baseline `note` into the artifact so a
+                # reader sees the known cause next to the ratio
+                base_full = json.loads(_LLM_BASELINE_PATH.read_text())["queries"]
+                notes = {
+                    q: base_full[q]["note"]
+                    for q in over
+                    if q in base_full and "note" in base_full[q]
+                }
+                if notes:
+                    result["over_2x_notes"] = notes
         except (OSError, KeyError, ValueError) as exc:
             print(f"bench_llm: baseline unavailable: {exc}", file=sys.stderr)
     validate_artifact(result, [per_query, sentinel_times])
