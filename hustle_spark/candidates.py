@@ -3257,6 +3257,139 @@ TAR_WEBDATASET_PROBE_ORACLE = """
 """
 
 
+def tar_streaming_pack_requery(spark, sf_dir):
+    """S12b PRODUCTION WebDataset packer requery (staged r11; VERDICT
+    r10 directive #3 — the partitionBy+streaming-writer seam turned
+    into code): the documents corpus is packed by
+    sources.tarball.pack_tar_shards_streaming — shard count DERIVED
+    from the corpus byte estimate (one declared 1-row scalar agg;
+    256 KiB target here so the gate corpus yields several shards and
+    the 100x corpus yields ~100x MORE shards of the SAME size — the
+    production contract, shard size bounded while count grows),
+    repartition(shard) + sortWithinPartitions, an Arrow-batched
+    mapInPandas writer streaming member bytes straight to per-shard
+    FILES (peak task memory: one Arrow batch; tmp+atomic-rename
+    against retries). The requery RE-READS the written files through
+    the distributed binaryFile source and walks them with the same
+    real ustar parser as the fixture row — what you get is what
+    landed on disk. The oracle re-derives shard count, membership,
+    member counts, byte totals and the order-insensitive
+    (name, content-md5) digest straight from the source rows, so a
+    writer that drops, truncates, splits or mis-shards ANY member
+    hash-mismatches. Byte-identity with the codegen fixture at equal
+    n_shards is unit-pinned (tests/test_source_readers.py)."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "text", "lang")
+    out = Path(str(cat.scratch)) / "tar_stream_pack"
+    shutil.rmtree(out, ignore_errors=True)
+    summary = tarball.pack_tar_shards_streaming(
+        d, str(out), shard_target_bytes=262144
+    )
+    summary.count()  # materialize the write (bounded: one row/shard)
+    bins = spark.read.format("binaryFile").load(str(out / "*.tar"))
+    shards = bins.select(
+        F.regexp_extract("path", r"shard-(\d+)\.tar$", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("content").alias("payload"),
+    )
+    return tarball.decode_tar_features(shards).select(
+        "shard", "n_members", "n_txt", "n_cls",
+        "total_txt_bytes", "members_md5", "ok",
+    )
+
+
+TAR_STREAMING_PACK_REQUERY_ORACLE = """
+    WITH est AS (
+      SELECT SUM(1024
+                 + ((strlen(coalesce(text, '')) + 511) // 512) * 512
+                 + ((strlen(coalesce(lang, '')) + 511) // 512) * 512)
+               AS b
+      FROM documents),
+    ns AS (SELECT GREATEST(1, (b + 262143) // 262144) AS n FROM est),
+    m AS (
+      SELECT CAST(d.doc_id % ns.n AS BIGINT) AS shard,
+             CAST(d.doc_id AS VARCHAR) || '.txt' AS name,
+             md5(coalesce(d.text, '')) AS h,
+             strlen(coalesce(d.text, '')) AS nb,
+             1 AS is_txt
+      FROM documents d, ns
+      UNION ALL
+      SELECT CAST(d.doc_id % ns.n AS BIGINT),
+             CAST(d.doc_id AS VARCHAR) || '.cls',
+             md5(coalesce(d.lang, '')), 0, 0
+      FROM documents d, ns)
+    SELECT shard,
+           COUNT(*) AS n_members,
+           CAST(SUM(is_txt) AS BIGINT) AS n_txt,
+           CAST(COUNT(*) - SUM(is_txt) AS BIGINT) AS n_cls,
+           CAST(SUM(nb) AS BIGINT) AS total_txt_bytes,
+           md5(string_agg(name || ':' || h, '|'
+                          ORDER BY name || ':' || h)) AS members_md5,
+           true AS ok
+    FROM m GROUP BY shard
+"""
+
+
+def zip_streaming_pack_requery(spark, sf_dir):
+    """S13b PRODUCTION ZIP packer requery (staged r11; directive #3's
+    second half): pack_zip_shards_streaming streams STORED-entry
+    members into per-shard ZIP files — shard count from the byte
+    estimate (128 KiB target), only the central directory held to
+    shard close, classic-ZIP ceilings raised loudly per shard — then
+    the requery re-reads the files via binaryFile and the real
+    EOCD/central-directory/CRC-verifying parser. Oracle re-derives
+    shard count, membership and digests from the source rows;
+    byte-identity with the codegen fixture at equal n_shards is
+    unit-pinned."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "text")
+    out = Path(str(cat.scratch)) / "zip_stream_pack"
+    shutil.rmtree(out, ignore_errors=True)
+    summary = ziparchive.pack_zip_shards_streaming(
+        d, str(out), shard_target_bytes=131072
+    )
+    summary.count()  # materialize the write (bounded: one row/shard)
+    bins = spark.read.format("binaryFile").load(str(out / "*.zip"))
+    shards = bins.select(
+        F.regexp_extract("path", r"shard-(\d+)\.zip$", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("content").alias("payload"),
+    )
+    return ziparchive.decode_zip_features(shards).select(
+        "shard", "n_members", "total_txt_bytes", "members_md5", "ok"
+    )
+
+
+ZIP_STREAMING_PACK_REQUERY_ORACLE = """
+    WITH est AS (
+      SELECT SUM(76 + 2 * (length(CAST(doc_id AS VARCHAR)) + 4)
+                 + strlen(coalesce(text, ''))) AS b
+      FROM documents),
+    ns AS (SELECT GREATEST(1, (b + 131071) // 131072) AS n FROM est),
+    m AS (
+      SELECT CAST(d.doc_id % ns.n AS BIGINT) AS shard,
+             CAST(d.doc_id AS VARCHAR) || '.txt' AS name,
+             md5(coalesce(d.text, '')) AS h,
+             strlen(coalesce(d.text, '')) AS nb
+      FROM documents d, ns)
+    SELECT shard,
+           COUNT(*) AS n_members,
+           CAST(SUM(nb) AS BIGINT) AS total_txt_bytes,
+           md5(string_agg(name || ':' || h, '|'
+                          ORDER BY name || ':' || h)) AS members_md5,
+           true AS ok
+    FROM m GROUP BY shard
+"""
+
+
 def audio_mp3_frames_probe(spark, sf_dir):
     """L5m MP3 frame-walk probe (staged r10-cont; the compressed
     audio container next to WAV's raw PCM — most scraped audio ships
@@ -4098,6 +4231,17 @@ ALL_CANDIDATES = {
     "retrieval_rrf_fusion": (
         retrieval_rrf_fusion,
         RETRIEVAL_RRF_FUSION_ORACLE,
+    ),
+    # staged in r11 (VERDICT r10 directive #3): the PRODUCTION
+    # streaming container packers — derived shard count, per-shard
+    # streaming file writers, binaryFile re-read requery
+    "tar_streaming_pack_requery": (
+        tar_streaming_pack_requery,
+        TAR_STREAMING_PACK_REQUERY_ORACLE,
+    ),
+    "zip_streaming_pack_requery": (
+        zip_streaming_pack_requery,
+        ZIP_STREAMING_PACK_REQUERY_ORACLE,
     ),
 }
 

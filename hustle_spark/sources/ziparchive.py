@@ -25,11 +25,18 @@ method 8 (deflate) is the documented swap point on the parser side
   zipfile-written STORED archives (unit test); anything compressed,
   spanned, or zip64 returns None.
 
-100 TB shape: same as tarball.py — packing is one groupBy(shard)
-whose per-row payload bounds shard size by executor memory, so the
-caller grows n_shards with the corpus; the petabyte packer seam is a
-repartition(shard) streaming writer emitting the same bytes.
-Unpacking is map-only over shards.
+100 TB shape — TWO packers, same split as tarball.py (VERDICT r10
+directive #3): ``synthesize_zip_shards`` is the one-groupBy(shard)
+ORACLE fixture whose per-row payload bounds shard size by executor
+memory; ``pack_zip_shards_streaming`` is the PRODUCTION packer —
+shard count derived from a corpus byte estimate (one declared 1-row
+scalar agg) so shard size stays at the target while count grows,
+repartition(shard) + sortWithinPartitions, then an Arrow-batched
+mapInPandas writer streaming local headers + content to one shard
+file per shard id, holding only the central-directory entries
+(~50 B/member) until shard close, tmp+atomic-rename against task
+retries. Byte-identical to the fixture at the same n_shards (pinned
+by unit test). Unpacking is map-only over shards either way.
 """
 
 from __future__ import annotations
@@ -171,6 +178,155 @@ def synthesize_zip_shards(
             F.to_binary(F.concat(body, cd_hex, eocd), F.lit("hex")),
         ).alias("payload"),
     )
+
+
+# per-row archive-byte estimate (local header + content + central
+# directory entry; EOCD excluded) — shared by the Python n_shards
+# derivation and the oracle's SQL replay
+def _row_zip_bytes_sql(id_col: str, text_col: str) -> str:
+    nlen = f"(length(cast({id_col} as string)) + 4)"
+    return (
+        f"(76L + 2L * {nlen} + octet_length(coalesce({text_col}, '')))"
+    )
+
+
+ZIP_PACK_SUMMARY_SCHEMA = (
+    "shard long, path string, n_members long, payload_bytes long, "
+    "members_md5 string"
+)
+
+
+def pack_zip_shards_streaming(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int | None = None,
+    shard_target_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """PRODUCTION ZIP packer: stream (id, text) rows into
+    bounded-size STORED-entry ZIP shard FILES under ``out_dir``.
+    Same scale shape as tarball.pack_tar_shards_streaming (n_shards
+    from a 1-row byte-estimate agg, repartition(shard) + sorted
+    groups, Arrow-batched streaming writer, tmp+atomic-rename); the
+    only per-shard state held to close is the central directory
+    (46 B + name per member) plus the digest list. The classic-ZIP
+    ceilings (65535 members / 4 GiB) raise loudly per shard — the
+    'grow n_shards with the corpus' contract enforced in the
+    production path exactly as the fixture's assert_true guard does;
+    zip64 stays the documented swap point."""
+    import os
+
+    if n_shards is None:
+        est = df.selectExpr(
+            f"sum({_row_zip_bytes_sql(id_col, text_col)}) as b"
+        ).collect()[0][0]  # declared 1-row scalar: the shard-count agg
+        # integer ceil — float division would diverge from the SQL
+        # replay once the byte total outgrows float53 precision
+        n_shards = max(
+            1, ((est or 0) + shard_target_bytes - 1) // shard_target_bytes
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = df.select(
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    ).repartition(n_shards, "shard").sortWithinPartitions("shard", "__id")
+
+    def write_batches(it):
+        import hashlib
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        summaries: list[tuple] = []
+        cur = None
+        fh = None
+        tmp_path = final_path = None
+        cd_entries: list[bytes] = []
+        digests: list[str] = []
+        n_members = 0
+        offset = 0
+
+        def close_shard():
+            nonlocal fh, offset
+            if fh is None:
+                return
+            if n_members > 0xFFFF:
+                raise ValueError(
+                    "zip shard exceeds classic-ZIP limits (members > "
+                    "65535): grow n_shards; zip64 is the documented "
+                    "swap point"
+                )
+            cd = b"".join(cd_entries)
+            if offset + len(cd) + 22 > 0xFFFFFFFF:
+                raise ValueError(
+                    "zip shard exceeds classic-ZIP limits (archive >= "
+                    "4GiB): grow n_shards; zip64 is the documented "
+                    "swap point"
+                )
+            fh.write(cd)
+            eocd = struct.pack(
+                "<IHHHHIIH", 0x06054B50, 0, 0, n_members, n_members,
+                len(cd), offset, 0,
+            )
+            fh.write(eocd)
+            total = offset + len(cd) + len(eocd)
+            fh.close()
+            fh = None
+            os.replace(tmp_path, final_path)
+            md5 = hashlib.md5("|".join(sorted(digests)).encode()).hexdigest()
+            summaries.append((cur, final_path, n_members, total, md5))
+            offset = 0
+
+        for pdf in it:
+            for shard, rid, t in zip(pdf["shard"], pdf["__id"], pdf["__t"]):
+                if shard != cur:
+                    close_shard()
+                    cur = int(shard)
+                    final_path = os.path.join(
+                        out_dir, f"shard-{cur:08d}.zip"
+                    )
+                    tmp_path = final_path + ".tmp"
+                    fh = open(tmp_path, "wb")
+                    cd_entries, digests = [], []
+                    n_members, offset = 0, 0
+                name = f"{rid}.txt".encode()
+                content = str(t).encode("utf-8")
+                crc = zlib.crc32(content) & 0xFFFFFFFF
+                size = len(content)
+                local = struct.pack(
+                    "<IHHHHHIIIHH", 0x04034B50, 20, 0, 0, 0, 0x2100,
+                    crc, size, size, len(name), 0,
+                ) + name
+                cd_entries.append(
+                    struct.pack(
+                        "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 0,
+                        0, 0x2100, crc, size, size, len(name), 0, 0, 0,
+                        0, 0, offset,
+                    ) + name
+                )
+                fh.write(local)
+                fh.write(content)
+                offset += len(local) + size
+                n_members += 1
+                digests.append(
+                    f"{name.decode()}:{hashlib.md5(content).hexdigest()}"
+                )
+        close_shard()
+        yield pd.DataFrame(
+            {
+                "shard": [s[0] for s in summaries],
+                "path": [s[1] for s in summaries],
+                "n_members": [s[2] for s in summaries],
+                "payload_bytes": [s[3] for s in summaries],
+                "members_md5": [s[4] for s in summaries],
+            }
+        )
+
+    return rows.mapInPandas(write_batches, schema=ZIP_PACK_SUMMARY_SCHEMA)
 
 
 def parse_zip_members(payload: bytes):

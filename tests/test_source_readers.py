@@ -456,3 +456,112 @@ def test_tar_zip_parsers_roundtrip_property(spark):
         assert got_zip is not None and dict(got_zip) == members
 
     run()
+
+
+def test_tar_streaming_packer_byte_identical_to_codegen(spark, tmp_path):
+    """The production streaming packer and the codegen oracle fixture
+    must emit byte-identical shards at the same n_shards — one layout,
+    two execution shapes (VERDICT r10 directive #3)."""
+    import tarfile
+
+    from hustle_spark.sources.tarball import (
+        pack_tar_shards_streaming,
+        synthesize_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body " * (i % 4), ["en", "fr", None][i % 3])
+         for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = tmp_path / "tar_stream"
+    rows = {
+        r.shard: r
+        for r in pack_tar_shards_streaming(
+            df, str(out), n_shards=3
+        ).collect()
+    }
+    fixture = {
+        p.shard: bytes(p.payload)
+        for p in synthesize_tar_shards(df, n_shards=3).collect()
+    }
+    assert set(rows) == set(fixture)
+    for shard, r in rows.items():
+        disk = open(r.path, "rb").read()
+        assert disk == fixture[shard], f"shard {shard} bytes diverge"
+        with tarfile.open(r.path) as tf:  # stdlib interop
+            assert len(tf.getnames()) == r.n_members
+
+
+def test_tar_streaming_packer_scales_shard_count(spark, tmp_path):
+    """Derived n_shards must GROW with the corpus while per-shard
+    bytes stay near the target — the production 100 TB contract."""
+    from hustle_spark.sources.tarball import pack_tar_shards_streaming
+
+    target = 16 * 1024
+    small = spark.createDataFrame(
+        [(i, "x" * 400, "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    big = spark.createDataFrame(
+        [(i, "x" * 400, "en") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    n_small = pack_tar_shards_streaming(
+        small, str(tmp_path / "s"), shard_target_bytes=target
+    ).count()
+    big_rows = pack_tar_shards_streaming(
+        big, str(tmp_path / "b"), shard_target_bytes=target
+    ).collect()
+    assert len(big_rows) >= 8 * n_small  # 10x corpus -> ~10x shards
+    for r in big_rows:  # shard size bounded near target (+1 member slack)
+        assert r.payload_bytes <= target + 3 * 512 + 1024
+
+
+def test_zip_streaming_packer_byte_identical_to_codegen(spark, tmp_path):
+    import zipfile
+
+    from hustle_spark.sources.ziparchive import (
+        pack_zip_shards_streaming,
+        synthesize_zip_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"zip body {i} " * (i % 5)) for i in range(17)],
+        "doc_id long, text string",
+    )
+    out = tmp_path / "zip_stream"
+    rows = {
+        r.shard: r
+        for r in pack_zip_shards_streaming(
+            df, str(out), n_shards=3
+        ).collect()
+    }
+    fixture = {
+        p.shard: bytes(p.payload)
+        for p in synthesize_zip_shards(df, n_shards=3).collect()
+    }
+    assert set(rows) == set(fixture)
+    for shard, r in rows.items():
+        disk = open(r.path, "rb").read()
+        assert disk == fixture[shard], f"shard {shard} bytes diverge"
+        with zipfile.ZipFile(r.path) as zf:  # stdlib interop + CRCs
+            assert zf.testzip() is None
+            assert len(zf.namelist()) == r.n_members
+
+
+def test_zip_streaming_packer_classic_limit_guard(spark, tmp_path):
+    """The classic-ZIP member ceiling must raise LOUDLY from the
+    production writer, mirroring the fixture's assert_true guard."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from hustle_spark.sources.ziparchive import pack_zip_shards_streaming
+
+    df = spark.range(0x10000 + 10).selectExpr(
+        "id as doc_id", "'x' as text"
+    )
+    with pytest.raises(PythonException, match="classic-ZIP"):
+        pack_zip_shards_streaming(
+            df, str(tmp_path / "overflow"), n_shards=1
+        ).collect()
