@@ -3577,6 +3577,90 @@ DEDUP_MINHASH_INCREMENTAL_ORACLE = r"""
 """
 
 
+def dedup_minhash_incremental_grow(spark, sf_dir):
+    """L13c INCREMENTAL fuzzy dedup, BOTH-SIDES-GROW regime (staged
+    r11; VERDICT r10 directive #7 — the regime the L13b fixture never
+    exercises, promoted from the ad-hoc proportional-split scratch
+    probe in BASELINE.md to an oracle-pinned row): the stored band
+    index is a PROPORTIONAL slice of the corpus (doc_id % 3 == 0,
+    ~1/3) instead of L13b's pinned 250 docs, and the batch is the
+    other ~2/3 plus 21 id-shifted replicas of indexed docs
+    (collision-proof +10M shift). At the 100x probe corpus BOTH the
+    index build and the batch join therefore carry 100x rows — the
+    production regime where yesterday's index grew out of yesterday's
+    corpus. Same 12-hash/4-band md5 twin, same (band, sig) equi-join,
+    same verdict columns as L13b; the measured both-sides ratio was
+    3.2 at 100x on the scratch probe this row replaces."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    index_docs = d.filter(F.col("doc_id") % 3 == 0)
+    batch = d.filter(F.col("doc_id") % 3 != 0).unionAll(
+        d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 63)).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    idx = dedup.minhash_band_buckets(
+        index_docs, n_hashes=12, bands=4, hash="md5"
+    ).select(F.col("id").alias("idx_id"), "band", "sig")
+    bb = dedup.minhash_band_buckets(
+        batch, n_hashes=12, bands=4, hash="md5"
+    ).select(F.col("id").alias("doc_id"), "band", "sig")
+    hits = bb.join(idx, ["band", "sig"]).select("doc_id", "idx_id").distinct()
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.min("idx_id").alias("first_match"),
+    )
+    return batch.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_index_matches", F.lit(0)).cast("bigint").alias(
+            "n_index_matches"
+        ),
+        F.col("first_match").cast("bigint").alias("first_match"),
+        F.col("n_index_matches").isNotNull().alias("is_dup"),
+    )
+
+
+DEDUP_MINHASH_INCREMENTAL_GROW_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, text, TRUE AS is_index FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, text, FALSE FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, text, FALSE FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id < 63),
+    t AS (SELECT doc_id, is_index,
+                 string_split_regex(text, '\s+') AS toks
+          FROM base),
+    s AS (SELECT doc_id, is_index,
+            CASE WHEN len(toks) >= 3
+                 THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t),
+    sig AS (SELECT doc_id, is_index,
+              list_transform(generate_series(0, 11), seed ->
+                list_min(list_transform(sh,
+                  g -> md5(g || ':' || CAST(seed AS VARCHAR))))) AS m
+            FROM s),
+    bands AS (SELECT doc_id, is_index, u.b AS b,
+                     list_slice(m, u.b * 3 + 1, u.b * 3 + 3) AS bsig
+              FROM sig, unnest(generate_series(0, 3)) AS u(b)),
+    hits AS (SELECT DISTINCT l.doc_id, r.doc_id AS idx_id
+             FROM bands l JOIN bands r
+               ON l.b = r.b AND l.bsig = r.bsig
+             WHERE NOT l.is_index AND r.is_index),
+    agg AS (SELECT doc_id, COUNT(*) AS n, MIN(idx_id) AS fm
+            FROM hits GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_index_matches,
+           CAST(a.fm AS BIGINT) AS first_match,
+           a.n IS NOT NULL AS is_dup
+    FROM (SELECT doc_id FROM base WHERE NOT is_index) b
+    LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def multimodal_tiff_probe(spark, sf_dir):
     """L5t TIFF pixel decode at driver grade (staged r10-cont; the
     scanned-document format of OCR/document-AI pipelines): spec-valid
@@ -4242,6 +4326,13 @@ ALL_CANDIDATES = {
     "zip_streaming_pack_requery": (
         zip_streaming_pack_requery,
         ZIP_STREAMING_PACK_REQUERY_ORACLE,
+    ),
+    # staged in r11 (VERDICT r10 directive #7): incremental fuzzy
+    # dedup in the BOTH-SIDES-GROW regime — the proportional-split
+    # scratch probe promoted to an oracle-pinned row
+    "dedup_minhash_incremental_grow": (
+        dedup_minhash_incremental_grow,
+        DEDUP_MINHASH_INCREMENTAL_GROW_ORACLE,
     ),
 }
 

@@ -198,9 +198,14 @@ DEFAULT_PROBES = [
     # staged r10-cont: incremental fuzzy dedup — the probe pins that
     # a batch joining the stored band index scales with the BATCH
     # (the fixture's index is PINNED at doc_id < 250 — 250 docs at
-    # every scale — so only the batch side grows; an index-growth
-    # regime is NOT exercised here)
+    # every scale — so only the batch side grows)
     "dedup_minhash_incremental",
+    # staged r11 (VERDICT r10 directive #7): the BOTH-SIDES-GROW
+    # regime the row above never exercises — index = doc_id % 3 == 0
+    # (~1/3 of the corpus), so index build AND batch join both carry
+    # 100x rows here; replaces the ad-hoc proportional-split scratch
+    # probe whose reading was 3.2
+    "dedup_minhash_incremental_grow",
     # staged r10-cont: calibration bins (two map-only scans + one
     # doc-keyed join) and the VBR MP3 frame walk (map-only synth +
     # Arrow walk)
