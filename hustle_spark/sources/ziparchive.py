@@ -7,8 +7,10 @@ format specification) — local file headers, the central directory,
 the end-of-central-directory record, CRC-32 integrity per entry.
 Compression method 0 (stored) keeps the byte layout closed-form in
 SQL, the exact trick the PNG synthesizer plays with stored-deflate;
-method 8 (deflate) is the documented swap point on the parser side
-(stdlib zlib), rejected explicitly rather than mis-read.
+the parser additionally inflates method 8 (deflate) entries via
+stdlib zlib (the former documented swap point, now code — real-world
+ZIPs ship deflated), still gated by the central directory's
+uncompressed size and CRC.
 
 - ``synthesize_zip_shards``: pack (id, text) rows into per-shard ZIP
   payloads ENTIRELY in codegen — per member a local header with a
@@ -22,8 +24,8 @@ method 8 (deflate) is the documented swap point on the parser side
   EOCD located at the tail, central directory walked with field
   validation, each entry's local header cross-checked, content CRC-32
   re-verified against the stored value (zlib.crc32). Accepts
-  zipfile-written STORED archives (unit test); anything compressed,
-  spanned, or zip64 returns None.
+  zipfile-written STORED and DEFLATED archives (unit tests); other
+  methods, data-descriptor streams, spanned, or zip64 return None.
 
 100 TB shape — TWO packers, same split as tarball.py (VERDICT r10
 directive #3): ``synthesize_zip_shards`` is the one-groupBy(shard)
@@ -330,11 +332,13 @@ def pack_zip_shards_streaming(
 
 
 def parse_zip_members(payload: bytes):
-    """Read a STORED-entry ZIP: EOCD at the tail (no-comment
-    convention, with a bounded backward scan for zipfile-written
-    archives that append none), central directory walk with field
-    validation, local-header cross-check, per-entry CRC-32
-    re-verification. Returns [(name, content_bytes)] or None."""
+    """Read a STORED- or DEFLATED-entry ZIP: EOCD at the tail
+    (no-comment convention, with a bounded backward scan for
+    zipfile-written archives that append none), central directory
+    walk with field validation, local-header cross-check, method-8
+    entries inflated via stdlib zlib (raw stream, wbits=-15),
+    per-entry CRC-32 re-verification over the UNCOMPRESSED bytes.
+    Returns [(name, content_bytes)] or None."""
     import struct
     import zlib
 
@@ -365,9 +369,9 @@ def parse_zip_members(payload: bytes):
             _vmade, _vneed, flags, method, _time, _date, crc, csize, usize,
             nlen, elen, cmlen, _dn, _iattr, _eattr, lho,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
-        if method != 0 or flags & 0x08:
-            return None  # compressed / data-descriptor: unsupported
-        if csize != usize:
+        if method not in (0, 8) or flags & 0x08:
+            return None  # other methods / data-descriptor: unsupported
+        if method == 0 and csize != usize:
             return None
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
         pos += 46 + nlen + elen + cmlen
@@ -376,9 +380,25 @@ def parse_zip_members(payload: bytes):
             return None
         lnlen, lelen = struct.unpack("<HH", payload[lho + 26 : lho + 30])
         data_at = lho + 30 + lnlen + lelen
-        content = payload[data_at : data_at + usize]
-        if len(content) != usize:
-            return None
+        if method == 8:
+            # DEFLATE (the former documented swap point, now code):
+            # raw stream per APPNOTE 4.3.7 (wbits=-15, no zlib
+            # wrapper); the CD's uncompressed size and CRC still
+            # gate the result, so a truncated or corrupt stream
+            # fails the same way a bad STORED entry does
+            comp = payload[data_at : data_at + csize]
+            if len(comp) != csize:
+                return None
+            try:
+                content = zlib.decompress(comp, -15)
+            except zlib.error:
+                return None
+            if len(content) != usize:
+                return None
+        else:
+            content = payload[data_at : data_at + usize]
+            if len(content) != usize:
+                return None
         if zlib.crc32(content) & 0xFFFFFFFF != crc:
             return None
         out.append((name, content))

@@ -405,11 +405,26 @@ def test_zip_reader_rejects_corruption_and_compression(spark):
     at = good.index(b"abcdefgh")
     bad[at] ^= 0x01
     assert parse_zip_members(bytes(bad)) is None
-    # deflate entries: documented unsupported, not mis-read
+    # deflate entries: the former documented swap point, now code —
+    # zipfile-written ZIP_DEFLATED archives inflate correctly
     buf2 = io.BytesIO()
     with zipfile.ZipFile(buf2, "w", compression=zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("y.txt", b"abcdefgh" * 20)
-    assert parse_zip_members(buf2.getvalue()) is None
+    assert parse_zip_members(buf2.getvalue()) == [
+        ("y.txt", b"abcdefgh" * 20)
+    ]
+    # a corrupt deflate stream still fails loudly (flip a byte inside
+    # the compressed body, offsets intact; zlib error, wrong inflated
+    # size, or the CRC gate catches it — all return None)
+    deflated = bytearray(buf2.getvalue())
+    data_at = deflated.index(b"y.txt") + 5  # first local entry's data
+    deflated[data_at + 3] ^= 0xFF
+    assert parse_zip_members(bytes(deflated)) is None
+    # bzip2 (method 12) stays rejected, not mis-read
+    buf3 = io.BytesIO()
+    with zipfile.ZipFile(buf3, "w", compression=zipfile.ZIP_BZIP2) as zf:
+        zf.writestr("z.txt", b"abcdefgh" * 20)
+    assert parse_zip_members(buf3.getvalue()) is None
     assert parse_zip_members(b"") is None
     assert parse_zip_members(good[:20]) is None
 
@@ -447,13 +462,14 @@ def test_tar_zip_parsers_roundtrip_property(spark):
         got_tar = parse_tar_members(tbuf.getvalue())
         assert got_tar is not None and dict(got_tar) == members
 
-        zbuf = io.BytesIO()
-        with zipfile.ZipFile(zbuf, "w",
-                             compression=zipfile.ZIP_STORED) as zf:
-            for nm, data in members.items():
-                zf.writestr(nm, data)
-        got_zip = parse_zip_members(zbuf.getvalue())
-        assert got_zip is not None and dict(got_zip) == members
+        # both methods our reader speaks: STORED and DEFLATED
+        for comp in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+            zbuf = io.BytesIO()
+            with zipfile.ZipFile(zbuf, "w", compression=comp) as zf:
+                for nm, data in members.items():
+                    zf.writestr(nm, data)
+            got_zip = parse_zip_members(zbuf.getvalue())
+            assert got_zip is not None and dict(got_zip) == members
 
     run()
 
