@@ -106,13 +106,25 @@ SHOWCASE = {
     "multimodal_image_phash": "codegen BMP synthesis + one Arrow pHash stage; the integer DCT rides the same MapInPandas — no per-coefficient shuffle",
     "dedup_image_phash_groups": "group key = map-side md5 digest of the 63 AC bits; ONE groupBy shuffle moves 16-byte digests, never payloads",
     "dedup_semantic_centroid": "cluster-key equi-join (lists ~n/32) + one (cluster, dim) aggregation for centroid directions — no all-pairs stage anywhere",
+    # r11 flips (ann_ivf_pq_search moved up from CANDIDATE_SHOWCASE)
+    "ann_ivf_pq_search": "PQ codes ride the corpus frame as one array column; probe join broadcast on the query side bounds the scanned fraction; ADC via broadcast LUT; refine shortlist is a plan-guaranteed-small broadcast; the listed frame is tracked-cached so downstream actions share one quantize pass",
+    "dedup_jaccard_ngram": "digest self-join with the max_df hot-shingle guard applied BEFORE the join — candidate pairs bounded, never a cross product; jaccard as integer micro-units",
+    "dedup_jaccard_minhash_agreement": "broadcast semi-join restricts the exact-jaccard replay to the sketch's audited pairs — the expensive digest join is bounded by sketch output, not corpus size",
+    "dedup_jaccard_clusters": "exact pairs -> pointer-jumping closure (localCheckpoint per round, 1-row convergence scalar) -> one keeper window per cluster",
+    "events_heavy_hitters_cms": "sketch frame bounded at depth x width cells regardless of stream size; map-side-combined cell SUM; estimate join broadcasts the query keys",
+    "dedup_minhash_incremental": "batch band signatures equi-join the STORED index on (band, sig) — the corpus is never re-shingled; index side broadcast when small",
+    "embedding_hard_negatives": "anchors broadcast with the label-inequality predicate declared; corpus streamed ONCE; micro-unit quantize before the rank window",
+    "multimodal_gif_probe": "codegen GIF89a synthesis + one Arrow LZW-decode stage; id repartition is the only exchange",
+    "text_unicode_repair": "cascade-safe replace chain folds into one map-only projection — zero shuffle, zero Python",
+    "streaming_curation_requery": "stateless gate -> plain append sink; the curation verdict is ONE map-only scan per micro-batch, no state store",
 }
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
 # themselves evidence — resolved via STAGED_CANDIDATES until their wave flips
 CANDIDATE_SHOWCASE = {
-    "ann_ivf_pq_search": "PQ codes ride the corpus frame as one array column; probe join broadcast on the query side bounds the scanned fraction; ADC via broadcast LUT; refine shortlist is a plan-guaranteed-small broadcast",
+    "tar_streaming_pack_requery": "derived shard count from a 1-row byte-estimate agg; repartition(shard) + sorted groups feed the streaming mapInPandas writer; re-read is a distributed binaryFile scan + one Arrow parse stage",
+    "dedup_minhash_incremental_grow": "both sides grow with the corpus: index build is one signature groupBy over the 1/3 slice, batch joins on (band, sig) equality — still no all-pairs stage",
 }
 
 
