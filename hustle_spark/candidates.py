@@ -3288,7 +3288,11 @@ def tar_streaming_pack_requery(spark, sf_dir):
     summary = tarball.pack_tar_shards_streaming(
         d, str(out), shard_target_bytes=262144
     )
-    summary.count()  # materialize the write (bounded: one row/shard)
+    # materialize the write (bounded: one row/shard); an EMPTY corpus
+    # writes zero shard files, where the binaryFile glob would throw —
+    # degrade to the empty feature frame instead (empty-input sweep)
+    if summary.count() == 0:
+        return spark.createDataFrame([], tarball.TAR_FEATURE_SCHEMA)
     bins = spark.read.format("binaryFile").load(str(out / "*.tar"))
     shards = bins.select(
         F.regexp_extract("path", r"shard-(\d+)\.tar$", 1)
@@ -3355,7 +3359,10 @@ def zip_streaming_pack_requery(spark, sf_dir):
     summary = ziparchive.pack_zip_shards_streaming(
         d, str(out), shard_target_bytes=131072
     )
-    summary.count()  # materialize the write (bounded: one row/shard)
+    # materialize the write; empty corpus -> zero files -> degrade to
+    # the empty feature frame (the tar requery's convention)
+    if summary.count() == 0:
+        return spark.createDataFrame([], ziparchive.ZIP_FEATURE_SCHEMA)
     bins = spark.read.format("binaryFile").load(str(out / "*.zip"))
     shards = bins.select(
         F.regexp_extract("path", r"shard-(\d+)\.zip$", 1)

@@ -33,6 +33,13 @@ ALLOWED_NESTED_LOOP = {
     "text_lm_perplexity",      # 1-row reference-LM total broadcast
                                # (the unigram fppm pattern) — flipped
                                # from the candidate pool in r8
+    # the r11 flip (moved here from CANDIDATE_ALLOWED_NESTED_LOOP):
+    "ann_ivf_pq_search",       # broadcast tiny fixed query set:
+                               # per-query LUT + the exact-topk audit
+                               # brute force, by design
+    "embedding_hard_negatives",  # 5-row broadcast anchor set with a
+                               # label-inequality predicate — the
+                               # declared cosine_topk shape
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
@@ -65,6 +72,8 @@ ALLOWED_PYTHON = {
     "audio_pitch_probe",         # PCM autocorrelation
     "audio_segments_probe",      # PCM energy windows
     "dedup_image_phash_groups",  # pixel decode + integer DCT
+    # the r11 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
+    "multimodal_gif_probe",      # LZW pixel decode, same path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
@@ -85,25 +94,20 @@ def test_plan_invariants(name, spark, catalog):
 # plan bar BEFORE their wave's flip imports them into the driver
 # window (r8 moved its wave-1 entries into the registry lists above)
 CANDIDATE_ALLOWED_NESTED_LOOP = {
-    "ann_ivf_pq_search",                  # broadcast tiny fixed query
-                                          # set: per-query LUT + the
-                                          # exact-topk audit brute
-                                          # force, by design
-    "embedding_hard_negatives",           # 5-row broadcast anchor set
-                                          # with a label-inequality
-                                          # predicate — the declared
-                                          # cosine_topk shape
     "mixture_temperature_budget",         # 1-row weight-sum broadcast
                                           # (the unigram-fppm scalar
                                           # pattern)
 }
 CANDIDATE_ALLOWED_PYTHON: set[str] = {
-    "multimodal_gif_probe",   # LZW pixel decode, the declared
-                              # mapInPandas media path (r10-cont)
     "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
     "audio_mp3_frames_probe", # VBR frame walk, same path
     "tar_webdataset_probe",   # ustar shard walk, same path
     "zip_archive_probe",      # ZIP central-directory walk, same path
+    "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
+                              # mapInPandas streaming writer + the
+                              # binaryFile re-read's Arrow ustar walk
+    "zip_streaming_pack_requery",  # same: streaming writer + Arrow
+                              # EOCD/CD/CRC re-verifying parse
 }
 
 
