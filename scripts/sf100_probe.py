@@ -176,6 +176,13 @@ DEFAULT_PROBES = [
     # partially collide across replicas by construction, which is
     # exactly the boilerplate-shaped load the guard exists for)
     "dedup_jaccard_ngram",
+    # r11: the agreement audit joins the probe list after its sf1
+    # reading (17.1 on 10x REPLICA data) exposed the pair-output
+    # artifact — identical-text replicas grow sketch candidate pairs
+    # quadratically, so the exact replay (bounded by sketch output)
+    # grows with them; the unique-token-injected corpus here is the
+    # honest instrument for it
+    "dedup_jaccard_minhash_agreement",
     # staged r10: the exact-Jaccard clusters+keepers composition —
     # probes that CC over the guarded pair graph stays edge-bounded
     "dedup_jaccard_clusters",
@@ -381,19 +388,39 @@ def gen_relational(regen: bool = False) -> None:
     spark.stop()
 
 
+# Max probes per scale_probe subprocess (one JVM). Found in r11: a
+# ~70-probe leg in ONE shared JVM contaminates late Arrow-heavy rows —
+# Python-worker/allocator bloat read multimodal_gif_probe at 174x while
+# the SAME row probed in isolation reads 10.5 (r10-family). Chunking
+# bounds cross-query contamination at ~15s JVM startup per chunk; the
+# per-query protocol inside scale_probe (warm best-of-2, full-column
+# hash action, release_all_persistent) is unchanged.
+PROBE_CHUNK = 12
+
+
 def run_probe(sf_dir: str, names: list[str]) -> dict[str, float]:
     env = dict(os.environ)
-    out = subprocess.run(
-        [sys.executable, "/root/repo/scripts/scale_probe.py", "--dir", sf_dir, *names],
-        env=env, capture_output=True, text=True, timeout=7200,
-    )
-    for line in reversed(out.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(
-        f"probe at {sf_dir} produced no JSON:\n{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
-    )
+    merged: dict[str, float] = {}
+    for at in range(0, len(names), PROBE_CHUNK):
+        chunk = names[at : at + PROBE_CHUNK]
+        out = subprocess.run(
+            [sys.executable, "/root/repo/scripts/scale_probe.py",
+             "--dir", sf_dir, *chunk],
+            env=env, capture_output=True, text=True, timeout=7200,
+        )
+        got = None
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                got = json.loads(line)
+                break
+        if got is None:
+            raise RuntimeError(
+                f"probe at {sf_dir} produced no JSON:\n"
+                f"{out.stdout[-1500:]}\n{out.stderr[-1500:]}"
+            )
+        merged.update(got)
+    return merged
 
 
 def main() -> None:
