@@ -3338,6 +3338,63 @@ TAR_STREAMING_PACK_REQUERY_ORACLE = """
 """
 
 
+def tar_webdataset_samples(spark, sf_dir):
+    """S12c WebDataset SAMPLE reader (staged r11): the consumption
+    half of the container story — pack the documents corpus with the
+    PRODUCTION streaming packer (S12b), re-read the shard files
+    through binaryFile, then decode_tar_samples groups each shard's
+    adjacent {key}.{ext} members into ONE ROW PER SAMPLE (key, txt,
+    cls, complete) — the unit a training loader iterates. The oracle
+    re-derives every sample straight from the source rows (shard =
+    doc_id % derived-n, txt/cls = the coalesced source columns), so a
+    reader that drops a sample, splits members across samples,
+    mis-groups keys, or corrupts content hash-mismatches. Scale:
+    pack is the S12b streaming writer; read is map-only over shards,
+    one Arrow stage, no shuffle."""
+    import shutil
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    d = cat.table("documents").df.select("doc_id", "text", "lang")
+    out = Path(str(cat.scratch)) / "tar_sample_pack"
+    shutil.rmtree(out, ignore_errors=True)
+    summary = tarball.pack_tar_shards_streaming(
+        d, str(out), shard_target_bytes=262144
+    )
+    if summary.count() == 0:
+        return spark.createDataFrame([], tarball.TAR_SAMPLE_SCHEMA).select(
+            F.col("key").cast("bigint"), "shard", "txt", "cls", "complete"
+        )
+    bins = spark.read.format("binaryFile").load(str(out / "*.tar"))
+    shards = bins.select(
+        F.regexp_extract("path", r"shard-(\d+)\.tar$", 1)
+        .cast("long")
+        .alias("shard"),
+        F.col("content").alias("payload"),
+    )
+    return tarball.decode_tar_samples(shards).select(
+        F.col("key").cast("bigint").alias("key"),
+        "shard", "txt", "cls", "complete",
+    )
+
+
+TAR_WEBDATASET_SAMPLES_ORACLE = """
+    WITH est AS (
+      SELECT SUM(1024
+                 + ((strlen(coalesce(text, '')) + 511) // 512) * 512
+                 + ((strlen(coalesce(lang, '')) + 511) // 512) * 512)
+               AS b
+      FROM documents),
+    ns AS (SELECT GREATEST(1, (b + 262143) // 262144) AS n FROM est)
+    SELECT d.doc_id AS key,
+           CAST(d.doc_id % ns.n AS BIGINT) AS shard,
+           coalesce(d.text, '') AS txt,
+           coalesce(d.lang, '') AS cls,
+           true AS complete
+    FROM documents d, ns
+"""
+
+
 def zip_streaming_pack_requery(spark, sf_dir):
     """S13b PRODUCTION ZIP packer requery (staged r11; directive #3's
     second half): pack_zip_shards_streaming streams STORED-entry
@@ -4329,6 +4386,13 @@ ALL_CANDIDATES = {
     "tar_streaming_pack_requery": (
         tar_streaming_pack_requery,
         TAR_STREAMING_PACK_REQUERY_ORACLE,
+    ),
+    # staged in r11: the WebDataset CONSUMPTION primitive — samples
+    # (one row per {key}.{ext} member group) through the production
+    # packer + binaryFile re-read
+    "tar_webdataset_samples": (
+        tar_webdataset_samples,
+        TAR_WEBDATASET_SAMPLES_ORACLE,
     ),
     "zip_streaming_pack_requery": (
         zip_streaming_pack_requery,

@@ -440,3 +440,66 @@ def decode_tar_features(shards: DataFrame) -> DataFrame:
             )
 
     return shards.mapInPandas(batches, schema=TAR_FEATURE_SCHEMA)
+
+
+TAR_SAMPLE_SCHEMA = (
+    "shard long, key string, txt string, cls string, complete boolean"
+)
+
+
+def decode_tar_samples(shards: DataFrame) -> DataFrame:
+    """The WebDataset CONSUMPTION primitive: group each shard's
+    adjacent ``{key}.{ext}`` members into ONE ROW PER SAMPLE —
+    (shard, key, txt, cls, complete) — the unit a training loader
+    actually iterates, not the per-shard digest decode_tar_features
+    emits. ``key`` is the member-name stem before the first dot
+    (string — WebDataset keys are opaque); ``complete`` marks samples
+    carrying both the .txt and .cls member. Unknown extensions are
+    ignored (forward-compatible with richer samples); a shard that
+    fails the ustar walk contributes zero rows — the requery's oracle
+    re-derives the full sample set from the source rows, so silent
+    drops hash-mismatch there.
+
+    100 TB shape: map-only over shards (the WebDataset contract —
+    shards are the unit of parallelism, samples stream within one);
+    one Arrow stage, no shuffle. Members arrive adjacent per key from
+    both packers (doc-ordered), but grouping is dict-based so member
+    order within a shard is not load-bearing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_shard, out_key, out_txt, out_cls, out_ok = [], [], [], [], []
+            for shard, payload in zip(pdf["shard"], pdf["payload"]):
+                members = parse_tar_members(
+                    payload if payload is not None else b""
+                )
+                if members is None:
+                    continue
+                samples: dict[str, dict[str, bytes]] = {}
+                for nm, content in members:
+                    stem, _, ext = nm.partition(".")
+                    if ext in ("txt", "cls"):
+                        samples.setdefault(stem, {})[ext] = content
+                for stem, parts in samples.items():
+                    out_shard.append(shard)
+                    out_key.append(stem)
+                    out_txt.append(
+                        parts["txt"].decode("utf-8", "replace")
+                        if "txt" in parts else None
+                    )
+                    out_cls.append(
+                        parts["cls"].decode("utf-8", "replace")
+                        if "cls" in parts else None
+                    )
+                    out_ok.append("txt" in parts and "cls" in parts)
+            yield pd.DataFrame(
+                {
+                    "shard": pd.array(out_shard, dtype="int64"),
+                    "key": pd.array(out_key, dtype=object),
+                    "txt": pd.array(out_txt, dtype=object),
+                    "cls": pd.array(out_cls, dtype=object),
+                    "complete": pd.array(out_ok, dtype="boolean"),
+                }
+            )
+
+    return shards.mapInPandas(batches, schema=TAR_SAMPLE_SCHEMA)

@@ -106,6 +106,8 @@ CANDIDATE_ALLOWED_PYTHON: set[str] = {
     "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
                               # mapInPandas streaming writer + the
                               # binaryFile re-read's Arrow ustar walk
+    "tar_webdataset_samples", # same pack+re-read path, sample-grouped
+                              # Arrow decode
     "zip_streaming_pack_requery",  # same: streaming writer + Arrow
                               # EOCD/CD/CRC re-verifying parse
 }

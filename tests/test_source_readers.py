@@ -581,3 +581,39 @@ def test_zip_streaming_packer_classic_limit_guard(spark, tmp_path):
         pack_zip_shards_streaming(
             df, str(tmp_path / "overflow"), n_shards=1
         ).collect()
+
+
+def test_tar_sample_decoder_groups_and_flags_incomplete(spark):
+    """decode_tar_samples must group adjacent {key}.{ext} members into
+    one row per sample, flag samples missing a member, ignore unknown
+    extensions, and skip unparseable shards — against a STDLIB-written
+    archive, not our own packer."""
+    import io
+    import tarfile
+
+    from hustle_spark.sources.tarball import decode_tar_samples
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for nm, data in (
+            ("7.txt", b"seven text"), ("7.cls", b"en"),
+            ("8.txt", b"eight text"),            # incomplete: no .cls
+            ("9.cls", b"fr"),                    # incomplete: no .txt
+            ("9.json", b"{}"),                   # unknown ext: ignored
+        ):
+            info = tarfile.TarInfo(nm)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    df = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue())), (1, bytearray(b"not a tar"))],
+        "shard long, payload binary",
+    )
+    rows = {r.key: r for r in decode_tar_samples(df).collect()}
+    assert set(rows) == {"7", "8", "9"}  # bad shard contributes nothing
+    assert rows["7"].txt == "seven text" and rows["7"].cls == "en"
+    assert rows["7"].complete
+    assert rows["8"].txt == "eight text" and rows["8"].cls is None
+    assert not rows["8"].complete
+    assert rows["9"].cls == "fr" and rows["9"].txt is None
+    assert not rows["9"].complete
