@@ -1025,7 +1025,7 @@ def ivf_pq_topk(
     # Cache cost is one corpus pass and (id, vec, q8, list, codes)
     # per row — at cluster scale this is the materialized index,
     # exactly what FAISS persists.
-    from ..util import tracked_cache
+    from ..util import release_frames, tracked_cache
     listed = tracked_cache(
         sign_quantize(q8c, vec_col=vec_col, n_bits=n_bits).withColumn(
             "__codes", codes_arr
@@ -1114,7 +1114,9 @@ def ivf_pq_topk(
     )
     qvecs = q8q.select("query_id", F.col("q8").alias("__qq8"))
     refined = (
-        F.broadcast(shortlist)  # <= 8k rows per query, plan-guaranteed
+        F.broadcast(shortlist)  # <= refine_mult*k rows per query (the
+        # window filter above), so broadcast safety tracks the knob —
+        # the recall sweep runs refine_mult up to 200, still km-scale
         .join(listed.select(id_col, "q8"), id_col)  # cache hit
         .join(F.broadcast(qvecs), "query_id")
         .select(
@@ -1165,7 +1167,7 @@ def ivf_pq_topk(
         .filter(F.col("ernk") <= k)
         .select("query_id", id_col, F.lit(True).alias("in_exact_topk"))
     )
-    return (
+    out = (
         hits.join(etop, ["query_id", id_col], "left")
         .select(
             "query_id",
@@ -1176,3 +1178,14 @@ def ivf_pq_topk(
             F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
         )
     )
+    # Scoped cache release (ADVICE r11): this call pinned three
+    # corpus-sized frames; a correctness driver runs 50 registered
+    # queries in ONE JVM and never calls release_cached, so leaving
+    # them pinned accumulates an index per window run. The output is
+    # <= k rows per query — eagerly localCheckpoint it (one bounded
+    # job, the blocks ARE the result) and unpersist exactly the three
+    # frames this call tracked; benches that release between queries
+    # see identical behavior, one action earlier.
+    out = out.localCheckpoint(eager=True)
+    release_frames([listed, cent, lut])
+    return out

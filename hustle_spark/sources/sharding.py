@@ -20,6 +20,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def check_pack_out_dir(out_dir: str | Path, suffix: str) -> None:
+    """Precondition for the streaming container packers (ADVICE r11):
+    refuse an ``out_dir`` that already holds finished ``shard-*``
+    files of this container type — a re-pack with a different derived
+    n_shards would otherwise leave stale shards that a binaryFile
+    glob re-read silently MIXES with fresh ones (the staged requery
+    rows guard with rmtree; the API itself must not depend on that).
+    Leftover ``.tmp`` files from an aborted earlier run are orphans by
+    construction (the atomic-rename contract means no reader ever saw
+    them) and are removed here so retries start clean."""
+    import os
+
+    p = Path(out_dir)
+    if not p.is_dir():
+        return
+    stale = []
+    for name in os.listdir(p):
+        if name.startswith("shard-") and name.endswith(suffix):
+            stale.append(name)
+        elif name.endswith(".tmp"):
+            (p / name).unlink()  # orphaned by the atomic-rename contract
+    if stale:
+        raise ValueError(
+            f"out_dir {out_dir!r} already contains {len(stale)} "
+            f"shard-*{suffix} file(s) (e.g. {sorted(stale)[0]!r}); a "
+            "re-pack with a different derived n_shards would leave "
+            "stale shards a glob re-read silently mixes in — clear "
+            "the directory (or pick a fresh one) before packing"
+        )
+
+
 def shard_of(id_col, n_shards: int = 16, salt: str = "shard"):
     """Shard id (0..n_shards-1) from the first hex byte of
     md5('<id>:<salt>') — deterministic, partitioning-independent,

@@ -271,9 +271,22 @@ def pack_tar_shards_streaming(
 
     ``out_dir`` must be visible to every executor (local[k]: any local
     path; cluster: a shared store mount — the foreachPartition-writer
-    contract)."""
+    contract) and must not already hold shard-*.tar files (raises —
+    stale shards from an earlier pack with a different n_shards would
+    silently mix into a glob re-read; orphaned .tmp files from an
+    aborted run are cleaned here).
+
+    ONE-ACTION CONTRACT: the returned summary frame is a lazy
+    side-effecting plan — EVERY action on it re-runs the whole pack
+    (atomic rename keeps the result correct, but the write cost is
+    paid again). Trigger exactly one action (count/collect/write) and
+    reuse the collected result; a driver that needs the frame twice
+    should collect once and createDataFrame from the rows."""
     import os
 
+    from .sharding import check_pack_out_dir
+
+    check_pack_out_dir(out_dir, ".tar")
     if n_shards is None:
         est = df.selectExpr(
             f"sum({_row_tar_bytes_sql(text_col, cls_col)}) as b"

@@ -216,9 +216,20 @@ def pack_zip_shards_streaming(
     ceilings (65535 members / 4 GiB) raise loudly per shard — the
     'grow n_shards with the corpus' contract enforced in the
     production path exactly as the fixture's assert_true guard does;
-    zip64 stays the documented swap point."""
+    zip64 stays the documented swap point.
+
+    ``out_dir`` must not already hold shard-*.zip files (raises —
+    stale shards from an earlier pack with a different n_shards would
+    silently mix into a glob re-read; orphaned .tmp files are
+    cleaned). ONE-ACTION CONTRACT: the returned summary frame is a
+    lazy side-effecting plan — every action re-runs the whole pack
+    (correct via atomic rename, but the write cost is paid again);
+    trigger exactly one action and reuse the collected result."""
     import os
 
+    from .sharding import check_pack_out_dir
+
+    check_pack_out_dir(out_dir, ".zip")
     if n_shards is None:
         est = df.selectExpr(
             f"sum({_row_zip_bytes_sql(id_col, text_col)}) as b"
@@ -390,7 +401,18 @@ def parse_zip_members(payload: bytes):
             if len(comp) != csize:
                 return None
             try:
-                content = zlib.decompress(comp, -15)
+                # Bounded inflate (ADVICE r11): decompressobj with
+                # max_length=usize+1 caps the allocation at the CD's
+                # declared size — a hostile deflate stream (zip bomb)
+                # that would expand past usize is rejected at usize+1
+                # bytes instead of materializing arbitrarily large
+                # output on an executor. unconsumed_tail non-empty
+                # means the stream had more output than declared;
+                # unused_data means trailing bytes past stream end.
+                dec = zlib.decompressobj(-15)
+                content = dec.decompress(comp, usize + 1)
+                if dec.unconsumed_tail or dec.unused_data:
+                    return None
             except zlib.error:
                 return None
             if len(content) != usize:

@@ -47,6 +47,28 @@ def tracked_cache(df):
     return df
 
 
+def release_frames(frames) -> int:
+    """Unpersist a SPECIFIC set of tracked frames (identity match) and
+    drop them from the tracking list — the scoped twin of
+    release_cached() for operators that pin corpus-sized intermediates
+    for their own plan branches only (ADVICE r11: ivf_pq_topk pinned
+    three frames per call with no release inside the registered path,
+    so correctness drivers that never call release_cached accumulated
+    corpus-sized caches across a 50-query window). Callers release
+    AFTER the consuming output is materialized (eager localCheckpoint
+    or collect) — unpersisting earlier would silently recompute."""
+    n = 0
+    ids = {id(f) for f in frames}
+    for f in frames:
+        try:
+            f.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _CACHED[:] = [f for f in _CACHED if id(f) not in ids]
+    return n
+
+
 def release_cached() -> int:
     """Unpersist every tracked frame; returns how many were released.
     Safe any time — Spark recomputes on next use."""

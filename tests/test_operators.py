@@ -3294,6 +3294,42 @@ def test_ivf_pq_topk_null_and_zero_vectors(spark):
         assert r.adc is not None and r.l2 is not None and r.rnk >= 1
 
 
+def test_ivf_pq_topk_releases_its_caches(spark):
+    """ADVICE r11: ivf_pq_topk pins three corpus-sized tracked caches
+    per call; the registered path must RELEASE them before returning
+    (scoped release after the eager checkpoint) so a 50-query
+    correctness window in one JVM does not accumulate an index per
+    run. The returned frame stays usable after release (it reads the
+    checkpoint blocks, not the caches)."""
+    from hustle_spark import util
+    from hustle_spark.operators.similarity import ivf_pq_topk
+
+    util.release_cached()  # start from a clean tracking list
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13 - 6) for d in range(64)])
+         for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ivf_pq_topk(df, df.filter("vec_id < 2"), k=3)
+    assert len(util._CACHED) == 0  # nothing left pinned by the call
+    assert out.count() > 0  # still materializable post-release
+
+
+def test_release_frames_scoped(spark):
+    """release_frames unpersists ONLY the frames it is given and
+    leaves other tracked caches pinned."""
+    from hustle_spark import util
+
+    util.release_cached()
+    a = util.tracked_cache(spark.range(5))
+    b = util.tracked_cache(spark.range(7))
+    a.count(), b.count()
+    assert util.release_frames([a]) == 1
+    assert [id(f) for f in util._CACHED] == [id(b)]
+    assert b.storageLevel.useMemory  # untouched
+    util.release_cached()
+
+
 def test_dsir_importance_null_and_empty_text(spark):
     """NULL / empty documents fold to one empty token and score like
     any raw doc; target docs never appear in the output."""

@@ -617,3 +617,73 @@ def test_tar_sample_decoder_groups_and_flags_incomplete(spark):
     assert not rows["8"].complete
     assert rows["9"].cls == "fr" and rows["9"].txt is None
     assert not rows["9"].complete
+
+
+def test_zip_reader_bounds_deflate_expansion():
+    """ADVICE r11: a hostile deflate entry whose stream expands past
+    the CD's declared uncompressed size (zip-bomb shape) must be
+    REJECTED with allocation bounded at usize+1 bytes — the reader
+    uses decompressobj(max_length), never a full zlib.decompress, so
+    the lie in the central directory caps the work, not the stream."""
+    import struct
+    import zlib
+
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    content = b"\x00" * 200_000
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = comp.compress(content) + comp.flush()
+    crc = zlib.crc32(content) & 0xFFFFFFFF
+    lied_usize = 10  # declares 10 B; the stream expands to 200 kB
+
+    def entry(usize):
+        name = b"bomb.bin"
+        local = struct.pack(
+            "<IHHHHHIII", 0x04034B50, 20, 0, 8, 0, 0, crc, len(body), usize
+        ) + struct.pack("<HH", len(name), 0) + name + body
+        cd = struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, 8, 0, 0,
+            crc, len(body), usize, len(name), 0, 0, 0, 0, 0, 0,
+        ) + name
+        eocd = struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, 1, 1, len(cd), len(local), 0
+        )
+        return local + cd + eocd
+
+    assert parse_zip_members(entry(lied_usize)) is None  # bomb rejected
+    # same bytes with the TRUE size declared still parse — the guard
+    # rejects the lie, not the method
+    assert parse_zip_members(entry(len(content))) == [
+        ("bomb.bin", content)
+    ]
+
+
+def test_streaming_packers_refuse_stale_out_dir(spark, tmp_path):
+    """ADVICE r11: re-packing into an out_dir that already holds
+    finished shards must raise (stale shards from a different derived
+    n_shards would silently mix into a glob re-read); orphaned .tmp
+    files from an aborted run are cleaned, not inherited."""
+    import pytest
+
+    from hustle_spark.sources.tarball import pack_tar_shards_streaming
+    from hustle_spark.sources.ziparchive import pack_zip_shards_streaming
+
+    df = spark.createDataFrame(
+        [(i, f"body {i}", "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    out = tmp_path / "guarded"
+    assert pack_tar_shards_streaming(df, str(out), n_shards=2).count() == 2
+    with pytest.raises(ValueError, match="already contains"):
+        pack_tar_shards_streaming(df, str(out), n_shards=3)
+    # a zip pack into the same dir is a DIFFERENT container type: the
+    # guard is per-suffix, and an orphan .tmp is swept before writing
+    (out / "shard-zzz.zip.tmp").write_bytes(b"torn")
+    assert (
+        pack_zip_shards_streaming(
+            df.drop("lang"), str(out), n_shards=2
+        ).count() == 2
+    )
+    assert not list(out.glob("*.tmp"))
+    with pytest.raises(ValueError, match="already contains"):
+        pack_zip_shards_streaming(df.drop("lang"), str(out), n_shards=2)
