@@ -862,6 +862,111 @@ def bigram_quality_scores(
     )
 
 
+def load_bpe_merges(source) -> list:
+    """merges.txt-format loader for :func:`bpe_encode` (VERDICT r11
+    directive #5 — the seam made executable): parse the standard BPE
+    export format every public tokenizer ships (optional
+    ``#version:`` header; one ``a b`` pair per line; priority = line
+    order; blank and ``#``-comment lines skipped) into the
+    ``[(a, b), ...]`` list bpe_encode takes. Accepts a path or any
+    iterable of lines. Driver-side by design: a merge list is
+    KB-scale and becomes plan literals either way (the broadcast
+    analogue bpe_encode documents); the loader's only job is format
+    fidelity, and it FAILS LOUDLY on malformed lines instead of
+    silently mis-tokenizing a corpus.
+
+    Property pinned in tests/test_text_curation.py: a learned merge
+    list round-tripped through this format encodes the gate corpus
+    IDENTICALLY to the inline list (loaded ≡ inline, the
+    parse_psl/swap-seam precedent)."""
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        with open(source, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = [str(x).rstrip("\n") for x in source]
+    merges = []
+    for ln, raw in enumerate(lines, 1):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue  # header (#version: ...) / comment / blank
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(
+                f"merges.txt line {ln}: expected exactly 'a b', got "
+                f"{raw!r} — a malformed merge silently mis-tokenizes "
+                "everything after it, so this is fatal"
+            )
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
+def dump_bpe_merges(merges, path=None) -> str:
+    """Inverse of :func:`load_bpe_merges`: serialize a learned merge
+    list (``[(a, b), ...]`` or bpe_learn_merges' 5-tuples — extra
+    fields ignored) into merges.txt format, optionally writing it to
+    ``path``. Exists so a corpus-learned tokenizer can be exported in
+    the same public format a trained one would be imported from —
+    making the seam bidirectional and the roundtrip testable."""
+    out = ["#version: 0.2"]
+    for m in merges:
+        a, b = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        if " " in a or " " in b:
+            raise ValueError(
+                f"merge pair ({a!r}, {b!r}) contains a space — not "
+                "representable in merges.txt"
+            )
+        out.append(f"{a} {b}")
+    text = "\n".join(out) + "\n"
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return text
+
+
+def load_classifier_weights(
+    spark, path, n_buckets: int = 4096
+) -> DataFrame:
+    """Trained-weights loader for
+    :func:`quality_classifier_scores_weighted` (VERDICT r11 directive
+    #5): read a ``(bucket, weight)`` export — TSV (two tab-separated
+    integer columns, ``#`` comments allowed) or parquet by extension —
+    into the ``bucket int, weight bigint`` frame the weighted seam
+    broadcast-joins. Validates eagerly (the table is 4096 rows — a
+    1-row-class collect, not a data scan): buckets must be unique and
+    inside [0, n_buckets) — a duplicate or out-of-range bucket means
+    the export and the hasher disagree on the feature space, which
+    must fail at load, not skew margins silently."""
+    p = str(path)
+    if p.endswith(".parquet"):
+        w = spark.read.parquet(p).select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("weight").cast("bigint").alias("weight"),
+        )
+    else:
+        w = (
+            spark.read.csv(p, sep="\t", comment="#",
+                           schema="bucket int, weight bigint")
+            .filter(F.col("bucket").isNotNull())
+        )
+    bad = w.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
+        | F.col("weight").isNull()
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} weight row(s) out of range [0, {n_buckets}) or "
+            "NULL — the export disagrees with the hasher's feature "
+            "space; refusing to score with it"
+        )
+    n, n_distinct = w.count(), w.select("bucket").distinct().count()
+    if n != n_distinct:
+        raise ValueError(
+            f"{n - n_distinct} duplicate bucket id(s) in the weight "
+            "export — ambiguous weights must fail at load"
+        )
+    return w
+
+
 def bpe_encode(
     df: DataFrame,
     merges,

@@ -6782,10 +6782,10 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r11: no registered query's fn source or oracle moved this round
-    # outside the _NEW list itself (the ivf_pq_topk cache fix lives in
-    # the operator module and flips WITH ann_ivf_pq_search below; the
-    # r10 _CHANGED four drained into the proven pool as r10-latest).
+    # r12: the hot-bucket guard (VERDICT r11 directive #2) moved this
+    # row's fn source (max_bucket=50) AND its oracle (the keep/bandsk
+    # CTEs) — changed rows out-rank everything, so it re-proves first.
+    "dedup_jaccard_minhash_agreement",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6793,76 +6793,44 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r11 executes the CHECKED.md REVISED rotation plan verbatim (VERDICT
-# r10 directive #1): _NEW = 10, the exact 20% ceiling — the VERDICT-r9
-# hold-three FIRST (held once, never held twice; ann_ivf_pq_search
-# flips with its directive-#4 cost/recall fix: 19.9 s -> ~8 s at
-# sf0.1, measured recall curve in BASELINE.md), the jaccard-three,
-# then four continuation rows spreading families. 10 _NEW + 0
-# _CHANGED leaves 40 backfill slots = 40/50 = 80% re-confirmation,
-# the protocol floor. The backfill head drains the ENTIRE 17-row
-# r6-latest remainder (zero rows older than r7-latest remain after
-# r11) plus the first 23 rows of the 48-row r7-latest pool in
-# CORRECTNESS_r07 key order; the 25-row r7 remainder is QUEUED (not
-# dropped) as the r12 backfill head.
+# r12 executes the CHECKED.md r12 rotation plan verbatim (VERDICT r11
+# directive #1): _NEW = 10 — the ten longest-staged r10-era rows, in
+# the plan's priority order. 1 _CHANGED (the hot-bucket-guarded
+# agreement row) + 10 _NEW leaves 39 backfill slots: the ENTIRE
+# 23-row r7-latest remainder (r11's _QUEUED_NEXT verbatim — after r12
+# no oracle-bound row's newest driver check predates r8) plus the
+# first 16 rows of the 44-row r8-latest pool in CORRECTNESS_r08 key
+# order; the 28-row r8 remainder is QUEUED (not dropped) as the r13
+# backfill head. Re-confirmation 39/50 = 78% — two points under the
+# 80% floor, the price of the directive-#2 _CHANGED re-proof; the
+# 23-row r7 drain takes priority over the floor this round (the
+# alternative — holding the guard fix — was ruled out by VERDICT r11
+# naming it the repo's only scale-killer).
 _NEW_THIS_ROUND = [
-    # VERDICT r9 hold-three: IVF+PQ two-stage ANN (+r11 cache fix +
-    # recall-attribution instrument), streaming curation requery,
-    # cascade-safe mojibake repair
-    "ann_ivf_pq_search", "streaming_curation_requery",
-    "text_unicode_repair",
-    # exact n-gram Jaccard family: exact pair statistic, MinHash
-    # agreement audit (sketch error as a measured column), clusters
-    "dedup_jaccard_ngram", "dedup_jaccard_minhash_agreement",
-    "dedup_jaccard_clusters",
-    # continuation rows, one per family: count-min heavy hitters,
-    # incremental fuzzy dedup with the stored band index, contrastive
-    # hard-negative mining, GIF/LZW decode probe
-    "events_heavy_hitters_cms", "dedup_minhash_incremental",
-    "embedding_hard_negatives", "multimodal_gif_probe",
+    "text_token_fertility",
+    "streaming_sketch_requery",
+    "mixture_temperature_budget",
+    "events_rate_anomalies",
+    "events_last_touch_attribution",
+    "multimodal_tiff_probe",
+    "classifier_calibration_bins",
+    "audio_mp3_frames_probe",
+    "tar_webdataset_probe",
+    "zip_archive_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r11 drains the ENTIRE 17-row r6-latest remainder
-# (r10's _QUEUED_NEXT, verbatim — after this round no row's newest
-# driver check predates r7) plus the first 23 ORACLE-BOUND rows of
-# the 48-row r7-latest pool in CORRECTNESS_r07 key order. The two
+# stalest rows. r12 drains the ENTIRE 23-row r7-latest remainder
+# (r11's _QUEUED_NEXT, verbatim — after this round no oracle-bound
+# row's newest driver check predates r8) plus the first 16 rows of
+# the 44-row r8-latest pool in CORRECTNESS_r08 key order. The two
 # by-design rows-only sketches dedup_minhash_lsh/dedup_simhash stay
 # OUT of backfill (test_window_priority_ordering: proven rows-only
 # entries never burn a window slot — their machineries are
-# hash-checked via the md5 twins, which rotate normally), so their
-# slots go to the next two r7 rows (dedup_simhash_md5,
-# jsonl_roundtrip_agg).
+# hash-checked via the md5 twins, which rotate normally).
 _BACKFILL = [
-    "text_lang_id",
-    "collect_set_sorted", "dedup_simhash_audit",
-    "ntile_customer_quartiles", "histogram_totalprice",
-    "markov_transitions", "stratified_sample_stats",
-    "length_profile_by_source", "top_customer_share",
-    "window_cume_dist", "nullsafe_join_probe", "time_rollup_hierarchy",
-    "multimodal_video_probe", "grouping_marker_rollup",
-    "dataset_split_stats", "pii_redaction_stats",
-    "repetition_top_bigram",
-    "multimodal_jpeg_probe", "multimodal_jpeg_color_probe",
-    "multimodal_jpeg_subsampled_probe", "dedup_repeated_spans",
-    "multimodal_jpeg_restart_probe", "dedup_repeated_spans_withindoc",
-    "text_lang_id_trigram", "html_block_extract", "dedup_semantic",
-    "source_quota_cap", "orc_roundtrip_agg",
-    "streaming_join_attribution", "sequence_packing", "doc_chunking",
-    "embedding_quantize_int8", "mixture_token_budget",
-    "dedup_incremental", "skew_profile", "table_profile",
-    "funnel_stages", "cohort_retention",
-    "dedup_simhash_md5", "jsonl_roundtrip_agg",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r7-latest remainder (23 oracle-bound
-# rows, in CORRECTNESS_r07 key order) — the r12 backfill head. After
-# these drain, the stalest pool is r8-latest (docs/CHECKED.md holds
-# the manifest).
-_QUEUED_NEXT = [
+    # r7-latest remainder, CORRECTNESS_r07 key order (all 23)
     "window_range_rolling_7d", "percentile_approx_audit",
     "q1_pricing_summary", "restrict_groupby_sum",
     "filter_bool_combinators", "filter_comparisons", "join_multiway",
@@ -6873,6 +6841,38 @@ _QUEUED_NEXT = [
     "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
     "streaming_tumbling_hour", "streaming_stateful_totals",
     "dedup_cluster_cc", "udf_token_count",
+    # oldest r8-latest rows, CORRECTNESS_r08 key order (first 16)
+    "multimodal_frame_sample", "multimodal_audio_samples",
+    "multimodal_audio_probe", "multimodal_pixel_probe",
+    "multimodal_resize_probe", "text_gopher_quality",
+    "text_gopher_repetition", "text_unicode_hygiene",
+    "text_blocklist", "text_quality_classifier",
+    "text_curation_verdict", "dedup_lines_corpus",
+    "text_lm_perplexity", "corpus_build_pipeline",
+    "graph_pagerank", "retrieval_tfidf_topk",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r8-latest remainder (28 oracle-bound
+# rows, in CORRECTNESS_r08 key order) — the r13 backfill head. After
+# these drain, the stalest pool is r9-latest (docs/CHECKED.md holds
+# the manifest).
+_QUEUED_NEXT = [
+    "csv_roundtrip_agg", "multimodal_jpeg_progressive_probe",
+    "bpe_encode_corpus", "bpe_tokenizer_roundtrip",
+    "udaf_regression_slope", "udtf_shingle_stats",
+    "q5_local_supplier_volume", "q7_volume_shipping",
+    "q8_national_market_share", "q9_product_profit",
+    "q14_promo_revenue", "q19_disjunctive_revenue",
+    "q3_shipping_priority", "scalar_math_funcs",
+    "dedup_ngram_jaccard", "streaming_static_enrich",
+    "skew_salted_join_requery", "bucketed_join_requery",
+    "text_unigram_quality", "boilerplate_removal",
+    "dedup_pipeline_keepers", "corpus_diff",
+    "embedding_random_projection", "streaming_ingest_dedup_requery",
+    "bpe_merge_rounds", "compact_requery",
+    "distinct_order_limit", "star_scan_region",
 ]
 
 

@@ -176,18 +176,17 @@ DEFAULT_PROBES = [
     # partially collide across replicas by construction, which is
     # exactly the boilerplate-shaped load the guard exists for)
     "dedup_jaccard_ngram",
-    # dedup_jaccard_minhash_agreement deliberately absent — NOT
-    # silently, and MEASURED (r11): even on this unique-token-injected
-    # corpus, replicas sit at ~0.5 shingle-Jaccard (injection kills
-    # ~30% of 3-gram shingles), which 3-hash bands still pair at ~50%
-    # per doc pair -> ~100-deep replica groups emit ~10M+ GENUINE
-    # sketch pairs and the exact replay (bounded by sketch output BY
-    # DESIGN) OOMs the 8g probe JVM — quadratic OUTPUT growth from
-    # corpus construction, the PAIR_OUTPUT class, not a plan defect.
-    # Its sf1 reading (17.1 on verbatim replicas) is the same artifact
-    # at smaller depth. The row's scale contract is "cost ~ sketch
-    # pair count"; the sketch's own banding is probed via
-    # dedup_minhash_incremental* and the ngram row's max_df guard.
+    # re-admitted r12 (VERDICT r11 directive #2): the former
+    # PAIR_OUTPUT OOM exclusion, now guarded — minhash_lsh_pairs
+    # grew a hot-bucket cap (max_bucket=50, mirrored in the DuckDB
+    # oracle) that drops band buckets deeper than 50 members whole
+    # BEFORE the self-join, so the ~100-deep replica groups this
+    # corpus manufactures (replicas sit at ~0.5 shingle-Jaccard even
+    # with unique-token injection) are exactly the cliques the guard
+    # silences: worst-case pair output is C(50,2) per bucket instead
+    # of quadratic in clique depth, and the exact replay stays
+    # bounded by the (now bounded) sketch output.
+    "dedup_jaccard_minhash_agreement",
     # staged r10: the exact-Jaccard clusters+keepers composition —
     # probes that CC over the guarded pair graph stays edge-bounded
     "dedup_jaccard_clusters",

@@ -99,6 +99,34 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_hot_bucket_guard(spark):
+    """VERDICT r11: a boilerplate clique deeper than max_bucket must
+    be DROPPED whole (its band buckets exceed the cap, so it emits
+    zero of its C(n,2) quadratic pairs), while an ordinary near-dup
+    pair in the same corpus still pairs — the guard bounds the blowup
+    without silencing normal duplicates."""
+    from hustle_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    clique = "shared boilerplate footer text identical across every page of the site"
+    rows = [(1, base), (2, near)] + [(100 + i, clique) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            df, threshold=0.3, max_bucket=8
+        ).collect()
+    }
+    assert (1, 2) in guarded                      # normal pair survives
+    assert all(a < 100 and b < 100 for a, b in guarded)  # clique dropped
+    unguarded = {
+        (r.a, r.b) for r in minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    # default None preserves the old shape: the 12-clique emits all 66
+    assert sum(1 for a, b in unguarded if a >= 100 and b >= 100) == 66
+
+
 def test_ngram_jaccard_requires_blocking(spark):
     from hustle_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -40,6 +40,9 @@ ALLOWED_NESTED_LOOP = {
     "embedding_hard_negatives",  # 5-row broadcast anchor set with a
                                # label-inequality predicate — the
                                # declared cosine_topk shape
+    # the r12 flip (moved here from CANDIDATE_ALLOWED_NESTED_LOOP):
+    "mixture_temperature_budget",  # 1-row weight-sum broadcast (the
+                               # unigram-fppm scalar pattern)
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
@@ -74,6 +77,11 @@ ALLOWED_PYTHON = {
     "dedup_image_phash_groups",  # pixel decode + integer DCT
     # the r11 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
     "multimodal_gif_probe",      # LZW pixel decode, same path
+    # the r12 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
+    "multimodal_tiff_probe",     # IFD walk + strip assembly, same path
+    "audio_mp3_frames_probe",    # VBR frame walk, same path
+    "tar_webdataset_probe",      # ustar shard walk, same path
+    "zip_archive_probe",         # ZIP central-directory walk, same path
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
@@ -93,16 +101,8 @@ def test_plan_invariants(name, spark, catalog):
 # staged candidate rows (hustle_spark/candidates.py) face the same
 # plan bar BEFORE their wave's flip imports them into the driver
 # window (r8 moved its wave-1 entries into the registry lists above)
-CANDIDATE_ALLOWED_NESTED_LOOP = {
-    "mixture_temperature_budget",         # 1-row weight-sum broadcast
-                                          # (the unigram-fppm scalar
-                                          # pattern)
-}
+CANDIDATE_ALLOWED_NESTED_LOOP: set[str] = set()
 CANDIDATE_ALLOWED_PYTHON: set[str] = {
-    "multimodal_tiff_probe",  # IFD walk + strip assembly, same path
-    "audio_mp3_frames_probe", # VBR frame walk, same path
-    "tar_webdataset_probe",   # ustar shard walk, same path
-    "zip_archive_probe",      # ZIP central-directory walk, same path
     "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
                               # mapInPandas streaming writer + the
                               # binaryFile re-read's Arrow ustar walk

@@ -291,3 +291,88 @@ def test_unicode_repair_table_swap_seam(spark):
            ("â€“", "–"))
     with _pytest.raises(AssertionError, match="cascade"):
         TX.unicode_repair(df, repairs=bad)
+
+
+def test_bpe_merges_txt_loader_roundtrip(spark, tmp_path):
+    """VERDICT r11 directive #5: the merges.txt seam made executable.
+    A corpus-LEARNED merge list exported to the public merges.txt
+    format and loaded back must encode the gate corpus IDENTICALLY to
+    the inline list (loaded ≡ inline — the PSL-swap precedent);
+    malformed lines fail loudly."""
+    import pytest
+
+    from hustle_spark.functions import text as TX
+
+    rows = [
+        (1, "low lower lowest low low lower"),
+        (2, "new newer newest new new newer"),
+        (3, None),
+        (4, "low new low new low new"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    learned, _ = TX.bpe_learn_merges(df, n_merges=3)
+    inline_pairs = [(a, b) for _r, a, b, _c, _t in learned]
+
+    p = tmp_path / "merges.txt"
+    TX.dump_bpe_merges(learned, p)
+    loaded = TX.load_bpe_merges(p)
+    assert loaded == inline_pairs  # format fidelity
+
+    enc_inline = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in TX.bpe_encode(df, inline_pairs).collect()
+    )
+    enc_loaded = sorted(
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in TX.bpe_encode(df, loaded).collect()
+    )
+    assert enc_loaded == enc_inline  # swap ≡ inline on the corpus
+
+    # header/comment/blank tolerated; malformed line fatal
+    assert TX.load_bpe_merges(
+        ["#version: 0.2", "", "# c", "a b"]
+    ) == [("a", "b")]
+    with pytest.raises(ValueError, match="line 2"):
+        TX.load_bpe_merges(["#version: 0.2", "a b c"])
+    with pytest.raises(ValueError, match="contains a space"):
+        TX.dump_bpe_merges([("a b", "c")])
+
+
+def test_classifier_weights_loader_swap_equals_inline(spark, tmp_path):
+    """VERDICT r11 directive #5: the trained-weights FILE seam. The
+    closed-form stand-in's table exported to TSV and loaded back must
+    drive quality_classifier_scores_weighted bit-identically to the
+    inline path; duplicate / out-of-range buckets fail at load."""
+    import pytest
+
+    from hustle_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "table scan merge"), (3, None)],
+        "doc_id long, text string",
+    )
+    table = [(b, (b * 2654435761) % 1001 - 500) for b in range(4096)]
+    p = tmp_path / "weights.tsv"
+    p.write_text(
+        "# trained export\n"
+        + "\n".join(f"{b}\t{w}" for b, w in table) + "\n"
+    )
+    wdf = TX.load_classifier_weights(spark, p)
+    assert wdf.count() == 4096
+    inline = sorted(
+        tuple(r) for r in TX.quality_classifier_scores(df).collect()
+    )
+    swapped = sorted(
+        tuple(r)
+        for r in TX.quality_classifier_scores_weighted(df, wdf).collect()
+    )
+    assert swapped == inline  # file-loaded ≡ inline
+
+    dup = tmp_path / "dup.tsv"
+    dup.write_text("7\t1\n7\t2\n")
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        TX.load_classifier_weights(spark, dup)
+    oob = tmp_path / "oob.tsv"
+    oob.write_text("4096\t1\n")
+    with pytest.raises(ValueError, match="out of range"):
+        TX.load_classifier_weights(spark, oob)
