@@ -24,8 +24,10 @@ uncompressed size and CRC.
   EOCD located at the tail, central directory walked with field
   validation, each entry's local header cross-checked, content CRC-32
   re-verified against the stored value (zlib.crc32). Accepts
-  zipfile-written STORED and DEFLATED archives (unit tests); other
-  methods, data-descriptor streams, spanned, or zip64 return None.
+  zipfile-written STORED and DEFLATED archives plus zip64 (EOCD64
+  locator/record + 0x0001 extras — closed as code in r12, interop
+  pinned both directions); other methods, data-descriptor streams,
+  or spanned archives return None.
 
 100 TB shape — TWO packers, same split as tarball.py (VERDICT r10
 directive #3): ``synthesize_zip_shards`` is the one-groupBy(shard)
@@ -215,8 +217,10 @@ def pack_zip_shards_streaming(
     (46 B + name per member) plus the digest list. The classic-ZIP
     ceilings (65535 members / 4 GiB) raise loudly per shard — the
     'grow n_shards with the corpus' contract enforced in the
-    production path exactly as the fixture's assert_true guard does;
-    zip64 stays the documented swap point.
+    production path exactly as the fixture's assert_true guard does.
+    The READER speaks zip64 (closed r12); the writer keeps the
+    classic format on purpose — at a bounded shard_target_bytes no
+    shard ever needs it, and 'grow n_shards' is the scale contract.
 
     ``out_dir`` must not already hold shard-*.zip files (raises —
     stale shards from an earlier pack with a different n_shards would
@@ -347,9 +351,14 @@ def parse_zip_members(payload: bytes):
     (no-comment convention, with a bounded backward scan for
     zipfile-written archives that append none), central directory
     walk with field validation, local-header cross-check, method-8
-    entries inflated via stdlib zlib (raw stream, wbits=-15),
-    per-entry CRC-32 re-verification over the UNCOMPRESSED bytes.
-    Returns [(name, content_bytes)] or None."""
+    entries inflated via stdlib zlib (raw stream, wbits=-15, output
+    bounded at the declared size), per-entry CRC-32 re-verification
+    over the UNCOMPRESSED bytes. zip64 archives (the former
+    documented swap point, closed r12) are read via the EOCD64
+    locator/record and per-entry 0x0001 extra fields — APPNOTE 4.5.3
+    order (usize, csize, lho, disk), each present only when its
+    classic field carries the 0xFFFFFFFF/0xFFFF sentinel. Returns
+    [(name, content_bytes)] or None."""
     import struct
     import zlib
 
@@ -369,6 +378,23 @@ def parse_zip_members(payload: bytes):
     disk, cd_disk, n_here, n_total, cd_size, cd_off, clen = struct.unpack(
         "<HHHHIIH", payload[eocd_at + 4 : eocd_at + 22]
     )
+    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+        # zip64: the 20-byte EOCD64 LOCATOR sits immediately before
+        # the EOCD and points at the 56-byte EOCD64 RECORD
+        loc_at = eocd_at - 20
+        if loc_at < 0 or payload[loc_at : loc_at + 4] != b"PK\x06\x07":
+            return None
+        _ldisk, e64_off, _ndisks = struct.unpack(
+            "<IQI", payload[loc_at + 4 : loc_at + 20]
+        )
+        if payload[e64_off : e64_off + 4] != b"PK\x06\x06":
+            return None
+        (
+            _e64sz, _vmade64, _vneed64, disk, cd_disk,
+            n_here, n_total, cd_size, cd_off,
+        ) = struct.unpack(
+            "<QHHIIQQQQ", payload[e64_off + 4 : e64_off + 56]
+        )
     if disk or cd_disk or n_here != n_total:
         return None  # spanned archives unsupported
     out = []
@@ -382,6 +408,35 @@ def parse_zip_members(payload: bytes):
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
         if method not in (0, 8) or flags & 0x08:
             return None  # other methods / data-descriptor: unsupported
+        if usize == 0xFFFFFFFF or csize == 0xFFFFFFFF or lho == 0xFFFFFFFF:
+            # zip64 extended-info extra (id 0x0001): 8-byte fields in
+            # APPNOTE order, each present only when sentineled
+            extra = payload[pos + 46 + nlen : pos + 46 + nlen + elen]
+            at, z64 = 0, None
+            while at + 4 <= len(extra):
+                fid, flen = struct.unpack("<HH", extra[at : at + 4])
+                if fid == 0x0001:
+                    z64 = extra[at + 4 : at + 4 + flen]
+                    break
+                at += 4 + flen
+            if z64 is None:
+                return None
+            zat = 0
+            for field in ("usize", "csize", "lho"):
+                sentineled = {"usize": usize, "csize": csize,
+                              "lho": lho}[field] == 0xFFFFFFFF
+                if not sentineled:
+                    continue
+                if zat + 8 > len(z64):
+                    return None
+                val = struct.unpack("<Q", z64[zat : zat + 8])[0]
+                zat += 8
+                if field == "usize":
+                    usize = val
+                elif field == "csize":
+                    csize = val
+                else:
+                    lho = val
         if method == 0 and csize != usize:
             return None
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")

@@ -59,56 +59,62 @@ PROBES = [
 def build_corpus(spark, factor: int) -> str:
     """factor decorrelated replicas of the sf0.1 documents, plus a
     constant-RATE ~10% planted near-dup twin inside every replica.
-    Returns the sf_dir holding the leg's documents.parquet."""
+    ONE explode-based plan (a per-replica union would be a
+    200-branch plan at factor 100). Returns the sf_dir holding the
+    leg's documents.parquet."""
     from pyspark.sql import functions as F
 
     d = spark.read.parquet(f"{SRC}/documents.parquet")
-    stride = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    stride = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
 
-    legs = []
-    for i in range(factor):
-        rep = d
-        if i > 0:
-            # decorrelate: suffix every token with the replica tag —
-            # replica i shares no 3-gram shingle with any other
-            rep = rep.withColumn(
-                "text",
-                F.regexp_replace(
-                    F.coalesce(F.col("text"), F.lit("")),
-                    r"(\S+)", f"$1x{i}q",
-                ),
-            )
-        rep = rep.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(i * stride)).cast("long")
-        )
-        legs.append(rep)
-        # constant-rate planted twins: J ~ 0.88 to their source, ids
-        # placed past ALL replicas ((factor + 1 + i) * stride band)
-        twins = legs[-1].filter(
-            (F.col("doc_id") % stride) % TWIN_MOD == 0
-        ).withColumn(
-            "text",
+    # decorrelate: replica i > 0 suffixes every token with its tag,
+    # so replica i shares no 3-gram shingle with any other replica
+    reps = d.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__i")
+    ).withColumn(
+        "text",
+        F.when(F.col("__i") == 0, F.coalesce(F.col("text"), F.lit("")))
+        .otherwise(
             F.array_join(
                 F.expr(
                     "transform(split(coalesce(text, ''), '\\\\s+'), "
-                    f"(t, j) -> if(j % {MUT_EVERY} = {MUT_EVERY - 1}, "
-                    "'qnearduptok', t))"
+                    "t -> concat(t, 'x', CAST(__i AS STRING), 'q'))"
                 ),
                 " ",
+            )
+        ),
+    )
+    base = reps.withColumn(
+        "doc_id",
+        (F.col("doc_id") + F.col("__i") * F.lit(stride)).cast("long"),
+    )
+    # constant-rate planted twins: J ~ 0.88 to their in-replica source,
+    # ids placed past ALL replicas ((factor + 1 + i) * stride band)
+    twins = reps.filter(F.col("doc_id") % TWIN_MOD == 0).withColumn(
+        "text",
+        F.array_join(
+            F.expr(
+                "transform(split(text, '\\\\s+'), "
+                f"(t, j) -> if(j % {MUT_EVERY} = {MUT_EVERY - 1}, "
+                "'qnearduptok', t))"
             ),
-        ).withColumn(
-            "doc_id",
-            (F.col("doc_id") + F.lit((factor + 1 + i) * stride)).cast(
-                "long"
-            ),
-        )
-        legs.append(twins)
-
-    out = legs[0]
-    for p in legs[1:]:
-        out = out.unionByName(p)
+            " ",
+        ),
+    ).withColumn(
+        "doc_id",
+        (
+            F.col("doc_id")
+            + (F.col("__i") + F.lit(factor + 1)) * F.lit(stride)
+        ).cast("long"),
+    )
+    out = base.unionByName(twins).drop("__i")
     dst = SCRATCH / f"f{factor}"
-    out.write.mode("overwrite").parquet(str(dst / "documents.parquet"))
+    marker = dst / "documents.parquet" / "_SUCCESS"
+    if marker.exists():
+        return str(dst)  # deterministic build — reuse across chunks
+    out.repartition(32).write.mode("overwrite").parquet(
+        str(dst / "documents.parquet")
+    )
     return str(dst)
 
 
@@ -119,11 +125,22 @@ def run_leg(spark, name: str, sf_dir: str, runs: int = 2) -> dict:
     fn = ALL_CANDIDATES[name][0]
 
     def once() -> tuple[float, int]:
+        from pyspark.sql import functions as F
+
         t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        # force FULL evaluation of every output column (the
+        # scale_probe action) — a bare count() lets Catalyst
+        # ELIMINATE unique-key left joins entirely (the incremental
+        # rows' verdict join vanished and the probe read flat ~1s at
+        # every factor), under-measuring the real cost
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
         wall = time.monotonic() - t0
         release_all_persistent(spark)
-        return wall, n
+        return wall, int(row["n"])
 
     once()  # discard cold
     walls, rows = [], 0

@@ -687,3 +687,72 @@ def test_streaming_packers_refuse_stale_out_dir(spark, tmp_path):
     assert not list(out.glob("*.tmp"))
     with pytest.raises(ValueError, match="already contains"):
         pack_zip_shards_streaming(df.drop("lang"), str(out), n_shards=2)
+
+
+def test_zip_reader_reads_zip64_archives():
+    """zip64 (the former documented swap point, closed r12): the
+    reader must follow the EOCD64 locator/record and the per-entry
+    0x0001 extra fields. Pinned two ways: (a) a stdlib-written
+    archive with force_zip64 local headers parses identically to
+    zipfile's own read; (b) a hand-built archive with FULL zip64
+    structures (sentineled EOCD + CD entry, APPNOTE-ordered extra)
+    parses correctly AND stdlib zipfile agrees on the content —
+    interop in both directions, the deflate-closure precedent."""
+    import io
+    import struct
+    import zipfile
+    import zlib
+
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    # (a) stdlib-written: force_zip64 local headers
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        with zf.open("a.txt", "w", force_zip64=True) as fh:
+            fh.write(b"alpha zip64 content")
+    got = parse_zip_members(buf.getvalue())
+    assert got == [("a.txt", b"alpha zip64 content")]
+
+    # (b) hand-built: sentinels everywhere the spec allows
+    name = b"big.bin"
+    content = b"zip64 body " * 40
+    crc = zlib.crc32(content) & 0xFFFFFFFF
+    local = (
+        struct.pack(
+            "<IHHHHHIII", 0x04034B50, 45, 0, 0, 0, 0,
+            crc, 0xFFFFFFFF, 0xFFFFFFFF,
+        )
+        + struct.pack("<HH", len(name), 20)
+        + name
+        + struct.pack("<HHQQ", 0x0001, 16, len(content), len(content))
+        + content
+    )
+    cd_extra = struct.pack(
+        "<HHQQQ", 0x0001, 24, len(content), len(content), 0
+    )  # usize, csize, lho — all sentineled below, APPNOTE order
+    cd = (
+        struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 45, 45, 0, 0, 0, 0,
+            crc, 0xFFFFFFFF, 0xFFFFFFFF, len(name), len(cd_extra), 0,
+            0, 0, 0, 0xFFFFFFFF,
+        )
+        + name
+        + cd_extra
+    )
+    cd_off = len(local)
+    eocd64 = struct.pack(
+        "<IQHHIIQQQQ", 0x06064B50, 44, 45, 45, 0, 0, 1, 1,
+        len(cd), cd_off,
+    )
+    e64_at = cd_off + len(cd)
+    locator = struct.pack("<IIQI", 0x07064B50, 0, e64_at, 1)
+    eocd = struct.pack(
+        "<IHHHHIIH", 0x06054B50, 0, 0, 0xFFFF, 0xFFFF,
+        0xFFFFFFFF, 0xFFFFFFFF, 0,
+    )
+    payload = local + cd + eocd64 + locator + eocd
+    assert parse_zip_members(payload) == [("big.bin", content)]
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:  # stdlib agrees
+        assert zf.read("big.bin") == content
+    # a missing locator behind sentineled EOCD fields stays rejected
+    assert parse_zip_members(local + cd + eocd) is None
