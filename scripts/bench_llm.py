@@ -134,6 +134,21 @@ BENCH_LLM = [
     "dedup_minhash_incremental",
     "embedding_hard_negatives",
     "multimodal_gif_probe",
+    # appended round 12 (append-only protocol): the r12 flip — the
+    # ten longest-staged r10-era rows: tokenizer fertility, streaming
+    # CMS ingest, temperature mixture, event-rate anomalies,
+    # last-touch attribution, TIFF/MP3 decodes, calibration bins,
+    # WebDataset tar + ZIP container probes
+    "text_token_fertility",
+    "streaming_sketch_requery",
+    "mixture_temperature_budget",
+    "events_rate_anomalies",
+    "events_last_touch_attribution",
+    "multimodal_tiff_probe",
+    "classifier_calibration_bins",
+    "audio_mp3_frames_probe",
+    "tar_webdataset_probe",
+    "zip_archive_probe",
 ]
 
 WARM_RUNS = 3
