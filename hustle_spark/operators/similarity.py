@@ -911,6 +911,260 @@ def semantic_dedup_centroid(
     )
 
 
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    n_bits: int = 4,
+    m_subs: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the IVF+PQ index ONCE, amortized across many
+    :func:`ivf_pq_search` calls — the FAISS build/search split (r12:
+    the one-shot :func:`ivf_pq_topk` prices a full index build into
+    EVERY call since the r12 cache-release fix, which is honest for a
+    single batch but wrong for the production loop of "index the
+    corpus, then answer query batches all day").
+
+    Returns a dict of the two cached index frames plus the build
+    params (search validates against them):
+    - ``listed``: (id, vec, q8, list_id, __codes) — the int8-quantized
+      corpus with coarse list assignment and PQ code array; the
+      materialized inverted file, one corpus pass.
+    - ``centroids``: the bounded (m, code, j) -> integer centroid
+      table (<= m_subs * 2^d_sub * d_sub rows) ADC LUTs are built from.
+
+    CALLER OWNS THE CACHES: call
+    ``release_frames([idx["listed"], idx["centroids"]])`` (or
+    ``release_all_persistent``) when done — exactly the FAISS
+    "free the index" step."""
+    q8c = (
+        quantize_int8(corpus, vec_col=vec_col)
+        .filter(F.col("q8").isNotNull())
+        .select(F.col(id_col), F.col(vec_col), F.col("q8"))
+    )
+    sign_code = lambda sv: F.aggregate(  # noqa: E731
+        sv,
+        F.struct(
+            F.lit(0).cast("long").alias("code"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        lambda a, x: F.struct(
+            (
+                a["code"]
+                + F.when(x > 0, a["w"]).otherwise(F.lit(0).cast("long"))
+            ).alias("code"),
+            (a["w"] * 2).alias("w"),
+        ),
+        lambda a: a["code"],
+    )
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_subs - 1)),
+        lambda m: F.struct(
+            m.cast("long").alias("m"),
+            sign_code(F.slice(F.col("q8"), m * d_sub + 1, d_sub)).alias(
+                "code"
+            ),
+        ),
+    )
+    # tracked-cache the listed frame: the codebook build, the probe
+    # candidate join, the refine rerank AND the exact-top-k audit all
+    # read it — uncached, each downstream action replays the int8
+    # quantization + the nested sign-code folds (the deepest codegen
+    # in the repo), which dominated the r10 sf0.1 reading (19.9 s).
+    # Cache cost is one corpus pass and (id, vec, q8, list, codes)
+    # per row — at cluster scale this is the materialized index,
+    # exactly what FAISS persists.
+    from ..util import tracked_cache
+    listed = tracked_cache(
+        sign_quantize(q8c, vec_col=vec_col, n_bits=n_bits).withColumn(
+            "__codes", codes_arr
+        )
+    )
+    # codebook: per-(m, code, j) integer truncated means — ONE bounded
+    # corpus pass (explode to dims, <= m_subs * 2^d_sub * d_sub output)
+    dims = listed.select(
+        id_col,
+        F.explode("__codes").alias("s"),
+        F.col("q8"),
+    ).select(
+        id_col, "s.m", "s.code",
+        F.posexplode(
+            F.expr(f"slice(q8, s.m * {d_sub} + 1, {d_sub})")
+        ).alias("j", "v"),
+    ).withColumn("v", F.col("v").cast("long"))
+    cent = tracked_cache(
+        dims.groupBy("m", "code", "j").agg(
+            F.expr("sum(v) div count(1)").alias("c")
+        )
+    )
+    return {
+        "listed": listed,
+        "centroids": cent,
+        "n_bits": n_bits,
+        "m_subs": m_subs,
+        "d_sub": d_sub,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+
+
+def ivf_pq_search(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
+    probe_flips: list[int] | None = None,
+    refine_mult: int = 8,
+) -> DataFrame:
+    """Answer one query batch against a :func:`build_ivf_pq_index`
+    index — probes + ADC + refine + the exact-top-k audit column,
+    identical output to :func:`ivf_pq_topk` (property-pinned), but
+    the corpus-pass work is amortized in the index. Lazy and
+    side-effect-free: no new caches are pinned (the per-query ADC LUT
+    is bounded — queries x m_subs x codes-present — and built inside
+    the single action), so callers can loop query batches against one
+    index and release it once at the end."""
+    listed = index["listed"]
+    cent = index["centroids"]
+    n_bits = index["n_bits"]
+    d_sub = index["d_sub"]
+    id_col = index["id_col"]
+    vec_col = index["vec_col"]
+    # query side: int8 sub-dims + probe lists (own + Hamming-1 flips);
+    # same NULL drop as the corpus side
+    q8q = (
+        quantize_int8(queries, vec_col=vec_col)
+        .filter(F.col("q8").isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col), F.col("q8"))
+    )
+    qlisted = sign_quantize(q8q, vec_col=vec_col, n_bits=n_bits)
+    flips = probe_flips if probe_flips is not None else (
+        [0] + [1 << b for b in range(n_bits)]
+    )
+    qprobes = qlisted.select(
+        "query_id", "q8",
+        F.explode(
+            F.array(*[F.expr(f"list_id ^ {fl}") for fl in flips])
+        ).alias("list_id"),
+    )
+    qdims = qlisted.select(
+        "query_id",
+        F.posexplode(
+            F.transform(F.col("q8"), lambda x: x.cast("long"))
+        ).alias("i", "qv"),
+    ).select(
+        "query_id",
+        (F.col("i") / d_sub).cast("long").alias("m"),
+        (F.col("i") % d_sub).cast("long").alias("j"),
+        "qv",
+    )
+    # per-query ADC lookup table: bounded (queries x m x codes-present).
+    # NOT cached (r12): it feeds exactly one broadcast below, so a
+    # cache would be written once and read once — pure overhead since
+    # the eager-checkpoint/one-action contract landed.
+    lut = (
+        qdims.join(F.broadcast(cent), ["m", "j"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.expr("(qv - c) * (qv - c)")).alias("l2"))
+    )
+
+    cand = listed.select(id_col, "list_id", "__codes").join(
+        F.broadcast(qprobes.select("query_id", "list_id").distinct()),
+        "list_id",
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("query_id"))
+    adc = (
+        cand.select(
+            "query_id", id_col, F.explode("__codes").alias("s")
+        )
+        .select("query_id", id_col, "s.m", "s.code")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("l2").cast("long").alias("adc"))
+    )
+    # FAISS-style refine: exact int8 L2 rerank of the ADC top-(8k)
+    # shortlist — recovers the PQ quantization loss at the cost of
+    # reading 8k full vectors per query instead of the whole probe set
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        adc.withColumn("__srnk", F.row_number().over(w_adc))
+        .filter(F.col("__srnk") <= refine_mult * k)
+        .drop("__srnk")
+    )
+    qvecs = q8q.select("query_id", F.col("q8").alias("__qq8"))
+    refined = (
+        F.broadcast(shortlist)  # <= refine_mult*k rows per query (the
+        # window filter above), so broadcast safety tracks the knob —
+        # the recall sweep runs refine_mult up to 200, still km-scale
+        .join(listed.select(id_col, "q8"), id_col)  # cache hit
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    "q8", "__qq8",
+                    lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col(id_col).asc()
+    )
+    hits = (
+        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+    # exact int8 L2 top-k audit (brute force over the corpus) — a
+    # gate-SF diagnostic carried in the output schema; production
+    # search drops or samples it, exactly like any recall measurement
+    qfull = q8q.select(
+        "query_id", F.col("q8").alias("__qq8")
+    )
+    pairs = listed.select(id_col, "q8").crossJoin(F.broadcast(qfull))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    exact = pairs.select(
+        "query_id", id_col,
+        F.aggregate(
+            F.zip_with(
+                "q8", "__qq8",
+                lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("l2"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col(id_col).asc()
+    )
+    etop = (
+        exact.withColumn("ernk", F.row_number().over(we))
+        .filter(F.col("ernk") <= k)
+        .select("query_id", id_col, F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        hits.join(etop, ["query_id", id_col], "left")
+        .select(
+            "query_id",
+            id_col,
+            "adc",
+            "l2",
+            "rnk",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -978,214 +1232,40 @@ def ivf_pq_topk(
     query set would swap in the global rank). The exact-topk audit
     column is a gate-SF diagnostic: at production scale it is sampled
     or dropped, exactly like any recall measurement."""
-    # NULL embeddings are unsearchable — drop them ONCE, up front, so
-    # the coarse lists, codebook, candidates, AND the exact-top-k
-    # audit all see the same universe (a NULL l2 in the audit would
-    # otherwise rank FIRST under Spark's ASC NULLS FIRST and silently
-    # deflate in_exact_topk for genuine neighbors); the oracle's
-    # `WHERE embedding IS NOT NULL` mirrors this exactly
-    q8c = (
-        quantize_int8(corpus, vec_col=vec_col)
-        .filter(F.col("q8").isNotNull())
-        .select(F.col(id_col), F.col(vec_col), F.col("q8"))
+    # r12: one-shot composition of build_ivf_pq_index + ivf_pq_search
+    # (output property-pinned identical to the pre-split monolith).
+    # NULL embeddings are unsearchable — the build and the query side
+    # both drop them up front, so the coarse lists, codebook,
+    # candidates, AND the exact-top-k audit all see the same universe
+    # (a NULL l2 in the audit would otherwise rank FIRST under Spark's
+    # ASC NULLS FIRST and silently deflate in_exact_topk); the
+    # oracle's `WHERE embedding IS NOT NULL` mirrors this exactly.
+    from ..util import release_frames
+    index = build_ivf_pq_index(
+        corpus,
+        n_bits=n_bits,
+        m_subs=m_subs,
+        d_sub=d_sub,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    # PQ codes ride the corpus frame as ONE array column — never a
-    # corpus-corpus rejoin: only vectors that survive the probe filter
-    # pay the per-subspace explode below
-    sign_code = lambda sv: F.aggregate(  # noqa: E731
-        sv,
-        F.struct(
-            F.lit(0).cast("long").alias("code"),
-            F.lit(1).cast("long").alias("w"),
-        ),
-        lambda a, x: F.struct(
-            (
-                a["code"]
-                + F.when(x > 0, a["w"]).otherwise(F.lit(0).cast("long"))
-            ).alias("code"),
-            (a["w"] * 2).alias("w"),
-        ),
-        lambda a: a["code"],
+    out = ivf_pq_search(
+        index,
+        queries,
+        k=k,
+        exclude_self=exclude_self,
+        probe_flips=probe_flips,
+        refine_mult=refine_mult,
     )
-    codes_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(m_subs - 1)),
-        lambda m: F.struct(
-            m.cast("long").alias("m"),
-            sign_code(F.slice(F.col("q8"), m * d_sub + 1, d_sub)).alias(
-                "code"
-            ),
-        ),
-    )
-    # tracked-cache the listed frame: the codebook build, the probe
-    # candidate join, the refine rerank AND the exact-top-k audit all
-    # read it — uncached, each downstream action replays the int8
-    # quantization + the nested sign-code folds (the deepest codegen
-    # in the repo), which dominated the r10 sf0.1 reading (19.9 s;
-    # cached this lands under 10 s, the VERDICT r10 directive-#4 bar).
-    # Cache cost is one corpus pass and (id, vec, q8, list, codes)
-    # per row — at cluster scale this is the materialized index,
-    # exactly what FAISS persists.
-    from ..util import release_frames, tracked_cache
-    listed = tracked_cache(
-        sign_quantize(q8c, vec_col=vec_col, n_bits=n_bits).withColumn(
-            "__codes", codes_arr
-        )
-    )
-    # codebook: per-(m, code, j) integer truncated means — ONE bounded
-    # corpus pass (explode to dims, <= m_subs * 2^d_sub * d_sub output)
-    dims = listed.select(
-        id_col,
-        F.explode("__codes").alias("s"),
-        F.col("q8"),
-    ).select(
-        id_col, "s.m", "s.code",
-        F.posexplode(
-            F.expr(f"slice(q8, s.m * {d_sub} + 1, {d_sub})")
-        ).alias("j", "v"),
-    ).withColumn("v", F.col("v").cast("long"))
-    # bounded (<= m_subs * 2^d_sub * d_sub rows) and read per query —
-    # cached so the LUT build never replays the corpus explode
-    cent = tracked_cache(
-        dims.groupBy("m", "code", "j").agg(
-            F.expr("sum(v) div count(1)").alias("c")
-        )
-    )
-
-    # query side: int8 sub-dims + probe lists (own + Hamming-1 flips);
-    # same NULL drop as the corpus side
-    q8q = (
-        quantize_int8(queries, vec_col=vec_col)
-        .filter(F.col("q8").isNotNull())
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col), F.col("q8"))
-    )
-    qlisted = sign_quantize(q8q, vec_col=vec_col, n_bits=n_bits)
-    flips = probe_flips if probe_flips is not None else (
-        [0] + [1 << b for b in range(n_bits)]
-    )
-    qprobes = qlisted.select(
-        "query_id", "q8",
-        F.explode(
-            F.array(*[F.expr(f"list_id ^ {fl}") for fl in flips])
-        ).alias("list_id"),
-    )
-    qdims = qlisted.select(
-        "query_id",
-        F.posexplode(
-            F.transform(F.col("q8"), lambda x: x.cast("long"))
-        ).alias("i", "qv"),
-    ).select(
-        "query_id",
-        (F.col("i") / d_sub).cast("long").alias("m"),
-        (F.col("i") % d_sub).cast("long").alias("j"),
-        "qv",
-    )
-    # per-query ADC lookup table: bounded (queries x m x codes-present)
-    lut = tracked_cache(
-        qdims.join(F.broadcast(cent), ["m", "j"])
-        .groupBy("query_id", "m", "code")
-        .agg(F.sum(F.expr("(qv - c) * (qv - c)")).alias("l2"))
-    )
-
-    cand = listed.select(id_col, "list_id", "__codes").join(
-        F.broadcast(qprobes.select("query_id", "list_id").distinct()),
-        "list_id",
-    )
-    if exclude_self:
-        cand = cand.filter(F.col(id_col) != F.col("query_id"))
-    adc = (
-        cand.select(
-            "query_id", id_col, F.explode("__codes").alias("s")
-        )
-        .select("query_id", id_col, "s.m", "s.code")
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("l2").cast("long").alias("adc"))
-    )
-    # FAISS-style refine: exact int8 L2 rerank of the ADC top-(8k)
-    # shortlist — recovers the PQ quantization loss at the cost of
-    # reading 8k full vectors per query instead of the whole probe set
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col(id_col).asc()
-    )
-    shortlist = (
-        adc.withColumn("__srnk", F.row_number().over(w_adc))
-        .filter(F.col("__srnk") <= refine_mult * k)
-        .drop("__srnk")
-    )
-    qvecs = q8q.select("query_id", F.col("q8").alias("__qq8"))
-    refined = (
-        F.broadcast(shortlist)  # <= refine_mult*k rows per query (the
-        # window filter above), so broadcast safety tracks the knob —
-        # the recall sweep runs refine_mult up to 200, still km-scale
-        .join(listed.select(id_col, "q8"), id_col)  # cache hit
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            id_col,
-            "adc",
-            F.aggregate(
-                F.zip_with(
-                    "q8", "__qq8",
-                    lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("l2"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("l2").asc(), F.col(id_col).asc()
-    )
-    hits = (
-        refined.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-    )
-
-    # exact int8 L2 top-k audit (brute force over the corpus)
-    qfull = q8q.select(
-        "query_id", F.col("q8").alias("__qq8")
-    )
-    pairs = listed.select(id_col, "q8").crossJoin(F.broadcast(qfull))
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
-    exact = pairs.select(
-        "query_id", id_col,
-        F.aggregate(
-            F.zip_with(
-                "q8", "__qq8",
-                lambda a, b: (a.cast("long") - b) * (a.cast("long") - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("l2"),
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("l2").asc(), F.col(id_col).asc()
-    )
-    etop = (
-        exact.withColumn("ernk", F.row_number().over(we))
-        .filter(F.col("ernk") <= k)
-        .select("query_id", id_col, F.lit(True).alias("in_exact_topk"))
-    )
-    out = (
-        hits.join(etop, ["query_id", id_col], "left")
-        .select(
-            "query_id",
-            id_col,
-            "adc",
-            "l2",
-            "rnk",
-            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
-        )
-    )
-    # Scoped cache release (ADVICE r11): this call pinned three
-    # corpus-sized frames; a correctness driver runs 50 registered
-    # queries in ONE JVM and never calls release_cached, so leaving
-    # them pinned accumulates an index per window run. The output is
-    # <= k rows per query — eagerly localCheckpoint it (one bounded
-    # job, the blocks ARE the result) and unpersist exactly the three
-    # frames this call tracked; benches that release between queries
-    # see identical behavior, one action earlier.
+    # Scoped cache release (ADVICE r11): this call pinned two
+    # corpus-sized index frames; a correctness driver runs 50
+    # registered queries in ONE JVM and never calls release_cached, so
+    # leaving them pinned accumulates an index per window run. The
+    # output is <= k rows per query — eagerly localCheckpoint it (one
+    # bounded job, the blocks ARE the result) and unpersist exactly
+    # the frames this call built; callers that want to amortize the
+    # build across query batches use build_ivf_pq_index +
+    # ivf_pq_search directly and own the release.
     out = out.localCheckpoint(eager=True)
-    release_frames([listed, cent, lut])
+    release_frames([index["listed"], index["centroids"]])
     return out

@@ -3343,6 +3343,37 @@ def test_ivf_pq_topk_releases_its_caches(spark):
     assert out.count() > 0  # still materializable post-release
 
 
+def test_ivf_pq_build_search_split_matches_topk(spark):
+    """r12 API split: build_ivf_pq_index + ivf_pq_search composed must
+    equal the one-shot ivf_pq_topk row-for-row (the FAISS build/search
+    amortization cannot change results), a SECOND search against the
+    SAME index must equal the first (the index is reusable, not
+    consumed), and search itself must pin no new caches (lazy,
+    side-effect-free — the caller owns exactly the two index frames)."""
+    from hustle_spark import util
+    from hustle_spark.operators.similarity import (
+        build_ivf_pq_index, ivf_pq_search, ivf_pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 11 + d * 3) % 17 - 8) for d in range(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = df.filter("vec_id < 3")
+    want = sorted(
+        tuple(r) for r in ivf_pq_topk(df, qs, k=3).collect()
+    )
+    util.release_cached()
+    idx = build_ivf_pq_index(df)
+    assert len(util._CACHED) == 2  # exactly listed + centroids
+    got1 = sorted(tuple(r) for r in ivf_pq_search(idx, qs, k=3).collect())
+    assert len(util._CACHED) == 2  # search pinned nothing new
+    got2 = sorted(tuple(r) for r in ivf_pq_search(idx, qs, k=3).collect())
+    assert got1 == want and got2 == want
+    assert util.release_frames([idx["listed"], idx["centroids"]]) == 2
+
+
 def test_release_frames_scoped(spark):
     """release_frames unpersists ONLY the frames it is given and
     leaves other tracked caches pinned."""
