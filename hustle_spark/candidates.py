@@ -4186,11 +4186,114 @@ MIXTURE_TEMPERATURE_BUDGET_ORACLE = r"""
 """
 
 
+def ann_ivf_pq_batched(spark, sf_dir):
+    """L51b IVF+PQ index REUSE across query batches (the r12
+    build/search API split driven under the oracle gate): the index —
+    the two cached frames build_ivf_pq_index materializes, the FAISS
+    "train once" step — is built ONE time and answers TWO disjoint
+    query batches (vec_id < 5, then 5 <= vec_id < 10); results are
+    tagged by batch and unioned. This is the production loop the
+    one-shot ann_ivf_pq_search row cannot express: at 100 TB the
+    index build is the corpus-pass cost and every query batch after
+    the first pays only probes + ADC + refine. The oracle replays the
+    full IVF+PQ pipeline once per batch predicate — if the second
+    search saw a consumed or mutated index, batch-2 rows would
+    hash-mismatch. Caches are scope-released after an eager
+    checkpoint of the bounded output (the ivf_pq_topk contract)."""
+    e = _cat(spark, sf_dir).table("embeddings").df
+    corpus = e.select("vec_id", "embedding")
+    idx = similarity.build_ivf_pq_index(corpus)
+    b1 = corpus.filter(F.col("vec_id") < 5)
+    b2 = corpus.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = (
+        similarity.ivf_pq_search(idx, b1, k=5)
+        .withColumn("batch", F.lit(1).cast("bigint"))
+        .unionByName(
+            similarity.ivf_pq_search(idx, b2, k=5)
+            .withColumn("batch", F.lit(2).cast("bigint"))
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    _util.release_frames([idx["listed"], idx["centroids"]])
+    return out
+
+
+def _ivf_pq_oracle_for_batch(pred: str, batch: int) -> str:
+    """The ann_ivf_pq_search oracle with its query-set predicate
+    swapped (both sites: the qry CTE and the probes CTE — in the
+    probes scope the unqualified vec_id resolves to lists l, the only
+    relation carrying it) and a batch tag appended."""
+    inner = ANN_IVF_PQ_SEARCH_ORACLE.replace("vec_id < 5", pred)
+    assert inner.count(pred) == 2
+    return (
+        f"SELECT *, CAST({batch} AS BIGINT) AS batch FROM ({inner})"
+    )
+
+
+ANN_IVF_PQ_BATCHED_ORACLE = (
+    _ivf_pq_oracle_for_batch("vec_id < 5", 1)
+    + " UNION ALL "
+    + _ivf_pq_oracle_for_batch("vec_id >= 5 AND vec_id < 10", 2)
+)
+
+
+def bpe_merges_file_roundtrip(spark, sf_dir):
+    """L28c the merges.txt SEAM driven under the oracle gate (VERDICT
+    r11 directive #5 made the loader executable; this row makes the
+    driver PROVE loaded ≡ inline on the gate corpus): the fixed
+    export merge list is serialized to a real merges.txt file
+    (dump_bpe_merges — '#version:' header, one 'a b' pair per line),
+    parsed back with load_bpe_merges (the format every public BPE
+    tokenizer ships), and the corpus is encoded with the LOADED list.
+    The oracle is the bpe_encode_corpus replay VERBATIM (same inline
+    merges) plus the loaded-merge count — any format drift (priority
+    reorder, token mangling, header mishandling) changes a fold and
+    hash-mismatches. Map-only, zero shuffle; the merges file is
+    KB-scale driver-side config, exactly like production."""
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    path = Path(str(cat.scratch)) / "bpe_roundtrip_merges.txt"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    TX.dump_bpe_merges(_BPE_EXPORT_MERGES, path)
+    loaded = TX.load_bpe_merges(path)
+    d = _util.spread_input(
+        cat.table("documents").df.select("doc_id", "text"), spark
+    ).select(
+        "doc_id", "text",
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint").alias("n_tokens"),
+    )
+    enc = TX.bpe_encode(d, merges=loaded)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.md5(F.encode(F.concat_ws(" ", F.col("bpe_tokens")), "UTF-8"))
+        .alias("tokens_md5"),
+        F.lit(len(loaded)).cast("bigint").alias("n_merges_loaded"),
+    )
+
+
+BPE_MERGES_FILE_ROUNDTRIP_ORACLE = (
+    "SELECT *, CAST("
+    + str(len(_BPE_EXPORT_MERGES))
+    + " AS BIGINT) AS n_merges_loaded FROM ("
+    + BPE_ENCODE_CORPUS_ORACLE
+    + ")"
+)
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
 # and tests keep one home).
 ALL_CANDIDATES = {
+    "ann_ivf_pq_batched": (ann_ivf_pq_batched, ANN_IVF_PQ_BATCHED_ORACLE),
+    "bpe_merges_file_roundtrip": (
+        bpe_merges_file_roundtrip,
+        BPE_MERGES_FILE_ROUNDTRIP_ORACLE,
+    ),
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
         MULTIMODAL_JPEG_PROGRESSIVE_ORACLE,
