@@ -117,6 +117,17 @@ SHOWCASE = {
     "multimodal_gif_probe": "codegen GIF89a synthesis + one Arrow LZW-decode stage; id repartition is the only exchange",
     "text_unicode_repair": "cascade-safe replace chain folds into one map-only projection — zero shuffle, zero Python",
     "streaming_curation_requery": "stateless gate -> plain append sink; the curation verdict is ONE map-only scan per micro-batch, no state store",
+    # r12 flips
+    "text_token_fertility": "whitespace + BPE token counts are map-only folds over one documents scan; ONE rollup shuffle on the grouping key",
+    "streaming_sketch_requery": "CMS cells are mergeable by SUM, so each micro-batch map-side-combines into the d x w cell frame — state bounded by sketch geometry, not stream size",
+    "mixture_temperature_budget": "per-source totals -> 1-row scalar broadcast -> temperature weights as plan literals; allocation is floor arithmetic, one shuffle on source",
+    "events_rate_anomalies": "hourly counts in one partial+final aggregate; the anomaly test is ONE window over the bounded hourly frame, not the raw events",
+    "events_last_touch_attribution": "type-pruned as-of join: conversions and touches split from one scan, union + window — zero join nodes",
+    "multimodal_tiff_probe": "codegen TIFF (IFD walk, strip offsets) synthesis + one Arrow decode stage; id repartition is the only exchange",
+    "classifier_calibration_bins": "margin scores map-only; floor-bucketed into fixed bins; ONE groupBy over the bounded bin key",
+    "audio_mp3_frames_probe": "codegen MPEG-1 Layer III frame synthesis + one Arrow header-walk stage (bitrate/samplerate tables as plan data)",
+    "tar_webdataset_probe": "codegen ustar members + one Arrow parse stage; 512-byte block math stays in the executor, payloads never on the driver",
+    "zip_archive_probe": "codegen ZIP central directory + one Arrow EOCD/CD walk; stored and deflate entries inflated executor-side, bounded by declared usize",
 }
 
 
@@ -125,6 +136,7 @@ SHOWCASE = {
 CANDIDATE_SHOWCASE = {
     "tar_streaming_pack_requery": "derived shard count from a 1-row byte-estimate agg; repartition(shard) + sorted groups feed the streaming mapInPandas writer; re-read is a distributed binaryFile scan + one Arrow parse stage",
     "dedup_minhash_incremental_grow": "both sides grow with the corpus: index build is one signature groupBy over the 1/3 slice, batch joins on (band, sig) equality — still no all-pairs stage",
+    "ann_ivf_pq_batched": "ONE build_ivf_pq_index (two cached frames) answers BOTH query batches — the second search's plan reads InMemoryTableScan, not a fresh quantize pass; the FAISS build/search amortization as a plan property",
 }
 
 
