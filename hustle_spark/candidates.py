@@ -2880,12 +2880,25 @@ def dedup_jaccard_minhash_agreement(spark, sf_dir):
         "a", "b",
         F.round(F.col("est_jaccard") * 12).cast("bigint").alias("match_cnt"),
     )
+    # est feeds THREE plan branches (the audited-id explode plus the
+    # fa/fb joins) and fps TWO (fa, fb) — uncached, Spark replays the
+    # band self-join three times and the corpus shingle scan twice per
+    # action (review finding r12). Both subtrees are bounded (est =
+    # sketch pair count; fps = audited-restricted digest sets), so an
+    # eager localCheckpoint collapses each to one computation with
+    # NOTHING left pinned after the run (no tracked caches to leak
+    # into a 50-query correctness window — the ivf_pq_topk lesson).
+    # The band-join machinery this hides from THIS row's audited plan
+    # stays plan-audited via its twins (dedup_minhash_md5/_lsh).
+    est = est.localCheckpoint(eager=True)
     audited = est.select(
         F.explode(F.array("a", "b")).alias("id")
     ).distinct()
     # audited-restricted digest sets: plain equi-join (NOT broadcast —
     # at a 10% near-dup rate the audited set is corpus-fraction-sized)
-    fps = dedup.ngram_digest_sets(d, shingle_n=3).join(audited, "id")
+    fps = dedup.ngram_digest_sets(d, shingle_n=3).join(
+        audited, "id"
+    ).localCheckpoint(eager=True)
     fa = fps.select(F.col("id").alias("a"), F.col("__fps").alias("__fa"))
     fb = fps.select(F.col("id").alias("b"), F.col("__fps").alias("__fb"))
     return (
@@ -4646,14 +4659,16 @@ FLIPPED_R12 = (
 
 FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11 + FLIPPED_R12
 
-# Still-staged candidates — the r13 pool (6 rows) after the r12 flip
+# Still-staged candidates — the r13 pool (8 rows) after the r12 flip
 # executed the CHECKED.md rotation plan exactly (the ten
 # longest-staged r10-era rows): mixture_epoch_upsampling,
 # retrieval_rrf_fusion, tar_streaming_pack_requery,
 # zip_streaming_pack_requery, dedup_minhash_incremental_grow,
-# tar_webdataset_samples — each oracle-proven at sf0.001 AND sf0.01
-# when staged, and tests/test_candidates.py keeps driving every
-# entry against DuckDB at the gate SF every round until its flip.
+# tar_webdataset_samples, plus the two r12-staged seam-gating rows
+# ann_ivf_pq_batched and bpe_merges_file_roundtrip — each
+# oracle-proven at sf0.001 AND sf0.01 when staged, and
+# tests/test_candidates.py keeps driving every entry against DuckDB
+# at the gate SF every round until its flip.
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }

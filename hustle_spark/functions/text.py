@@ -865,9 +865,10 @@ def bigram_quality_scores(
 def load_bpe_merges(source) -> list:
     """merges.txt-format loader for :func:`bpe_encode` (VERDICT r11
     directive #5 — the seam made executable): parse the standard BPE
-    export format every public tokenizer ships (optional
-    ``#version:`` header; one ``a b`` pair per line; priority = line
-    order; blank and ``#``-comment lines skipped) into the
+    export format every public tokenizer ships (optional FIRST-line
+    ``#version:`` header — the only comment the format defines, since
+    ``#`` is a legitimate merge token in code corpora; one ``a b``
+    pair per line; priority = line order; blank lines skipped) into the
     ``[(a, b), ...]`` list bpe_encode takes. Accepts a path or any
     iterable of lines. Driver-side by design: a merge list is
     KB-scale and becomes plan literals either way (the broadcast
@@ -887,8 +888,15 @@ def load_bpe_merges(source) -> list:
     merges = []
     for ln, raw in enumerate(lines, 1):
         line = raw.strip()
-        if not line or line.startswith("#"):
-            continue  # header (#version: ...) / comment / blank
+        if not line:
+            continue  # blank / trailing newline
+        if ln == 1 and line.startswith("#version"):
+            continue  # the ONLY header the format defines is a
+            # first-line '#version: ...'; any other '#' line is a
+            # real merge — code-corpus vocabularies carry '#' tokens,
+            # and skipping them silently mis-tokenizes everything
+            # after (review finding r12: the old any-line '#' skip
+            # dropped ('#', '#') roundtripped through dump)
         parts = line.split(" ")
         if len(parts) != 2 or not parts[0] or not parts[1]:
             raise ValueError(
@@ -910,10 +918,10 @@ def dump_bpe_merges(merges, path=None) -> str:
     out = ["#version: 0.2"]
     for m in merges:
         a, b = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
-        if " " in a or " " in b:
+        if " " in a or " " in b or not a or not b:
             raise ValueError(
-                f"merge pair ({a!r}, {b!r}) contains a space — not "
-                "representable in merges.txt"
+                f"merge pair ({a!r}, {b!r}) contains a space or is "
+                "empty — not representable in merges.txt"
             )
         out.append(f"{a} {b}")
     text = "\n".join(out) + "\n"
@@ -943,11 +951,33 @@ def load_classifier_weights(
             F.col("weight").cast("bigint").alias("weight"),
         )
     else:
-        w = (
-            spark.read.csv(p, sep="\t", comment="#",
-                           schema="bucket int, weight bigint")
-            .filter(F.col("bucket").isNotNull())
+        raw = spark.read.csv(
+            p, sep="\t", comment="#", schema="bucket string, weight string"
         )
+        # strict parse (review finding r12): a row whose bucket or
+        # weight fails the integer cast — a stray header line, float
+        # formatting, a mangled column — must FAIL the load, not be
+        # silently dropped by a null filter (a missing bucket skews
+        # every margin it would have scored)
+        w = raw.select(
+            F.expr("try_cast(bucket AS int)").alias("bucket"),
+            F.expr("try_cast(weight AS bigint)").alias("weight"),
+            F.col("bucket").alias("__rawb"),
+            F.col("weight").alias("__raww"),
+        )
+        malformed = w.filter(
+            F.col("bucket").isNull() | F.col("weight").isNull()
+        ).limit(3).collect()
+        if malformed:
+            raise ValueError(
+                "unparseable weight row(s) (first few: "
+                + ", ".join(
+                    f"({r['__rawb']!r}, {r['__raww']!r})" for r in malformed
+                )
+                + ") — a header line or non-integer field must fail "
+                "at load, not silently vanish from the weight table"
+            )
+        w = w.select("bucket", "weight")
     bad = w.filter(
         (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
         | F.col("weight").isNull()

@@ -27,9 +27,17 @@ def check_pack_out_dir(out_dir: str | Path, suffix: str) -> None:
     n_shards would otherwise leave stale shards that a binaryFile
     glob re-read silently MIXES with fresh ones (the staged requery
     rows guard with rmtree; the API itself must not depend on that).
-    Leftover ``.tmp`` files from an aborted earlier run are orphans by
-    construction (the atomic-rename contract means no reader ever saw
-    them) and are removed here so retries start clean."""
+    Leftover ``shard-*<suffix>.tmp`` files from an aborted earlier run
+    of THIS container type are orphans by construction (the
+    atomic-rename contract means no reader ever saw them) and are
+    removed here so retries start clean. Only this pack's own naming
+    pattern is swept (review finding r12): a blanket ``*.tmp`` unlink
+    would delete the live in-flight files of a concurrent pack of the
+    OTHER container type sharing the directory — making ITS
+    os.replace fail mid-write — plus any unrelated user file that
+    happens to end in .tmp. Two concurrent packs of the SAME type
+    into one directory remain the caller's race to avoid, exactly
+    like two writers to one path anywhere else."""
     import os
 
     p = Path(out_dir)
@@ -39,7 +47,7 @@ def check_pack_out_dir(out_dir: str | Path, suffix: str) -> None:
     for name in os.listdir(p):
         if name.startswith("shard-") and name.endswith(suffix):
             stale.append(name)
-        elif name.endswith(".tmp"):
+        elif name.startswith("shard-") and name.endswith(suffix + ".tmp"):
             (p / name).unlink()  # orphaned by the atomic-rename contract
     if stale:
         raise ValueError(

@@ -387,7 +387,13 @@ def parse_zip_members(payload: bytes):
         _ldisk, e64_off, _ndisks = struct.unpack(
             "<IQI", payload[loc_at + 4 : loc_at + 20]
         )
-        if payload[e64_off : e64_off + 4] != b"PK\x06\x06":
+        if (
+            e64_off + 56 > n
+            or payload[e64_off : e64_off + 4] != b"PK\x06\x06"
+        ):
+            # truncated EOCD64 record must degrade to the ok=False
+            # row like every other corruption, never a struct.error
+            # out of the executor task (review finding r12)
             return None
         (
             _e64sz, _vmade64, _vneed64, disk, cd_disk,
@@ -400,8 +406,8 @@ def parse_zip_members(payload: bytes):
     out = []
     pos = cd_off
     for _ in range(n_total):
-        if payload[pos : pos + 4] != b"PK\x01\x02":
-            return None
+        if pos + 46 > n or payload[pos : pos + 4] != b"PK\x01\x02":
+            return None  # truncated CD entry: same degrade-to-None
         (
             _vmade, _vneed, flags, method, _time, _date, crc, csize, usize,
             nlen, elen, cmlen, _dn, _iattr, _eattr, lho,

@@ -677,16 +677,48 @@ def test_streaming_packers_refuse_stale_out_dir(spark, tmp_path):
     with pytest.raises(ValueError, match="already contains"):
         pack_tar_shards_streaming(df, str(out), n_shards=3)
     # a zip pack into the same dir is a DIFFERENT container type: the
-    # guard is per-suffix, and an orphan .tmp is swept before writing
+    # guard is per-suffix, and an orphan .tmp OF ITS OWN TYPE is swept
+    # before writing — while a foreign .tmp (another pack's in-flight
+    # file, or an unrelated user file) survives untouched (review
+    # finding r12: a blanket *.tmp unlink would kill a concurrent
+    # tar pack's os.replace mid-write)
     (out / "shard-zzz.zip.tmp").write_bytes(b"torn")
+    (out / "unrelated.tmp").write_bytes(b"user file")
     assert (
         pack_zip_shards_streaming(
             df.drop("lang"), str(out), n_shards=2
         ).count() == 2
     )
-    assert not list(out.glob("*.tmp"))
+    assert not list(out.glob("shard-*.zip.tmp"))
+    assert (out / "unrelated.tmp").exists()
     with pytest.raises(ValueError, match="already contains"):
         pack_zip_shards_streaming(df.drop("lang"), str(out), n_shards=2)
+
+
+def test_zip_reader_truncated_zip64_structures_degrade_to_none():
+    """A corrupt shard whose EOCD carries zip64 sentinels but whose
+    EOCD64 record (or a CD entry) is truncated must parse to None —
+    the ok=False row every other corruption produces — never raise
+    struct.error out of the executor task and fail the whole job on
+    one bad shard (review finding r12, reproduced pre-fix)."""
+    import struct
+
+    from hustle_spark.sources.ziparchive import parse_zip_members
+
+    # locator points at a 'PK\x06\x06' signature with < 52 bytes after
+    e64_partial = b"PK\x06\x06" + b"\x00" * 20
+    locator = b"PK\x06\x07" + struct.pack("<IQI", 0, 0, 1)
+    eocd_z64 = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+    )
+    assert parse_zip_members(e64_partial + locator + eocd_z64) is None
+
+    # classic EOCD whose central directory entry is cut short
+    cd_partial = b"PK\x01\x02" + b"\x00" * 10
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(cd_partial), 0, 0
+    )
+    assert parse_zip_members(cd_partial + eocd) is None
 
 
 def test_zip_reader_reads_zip64_archives():

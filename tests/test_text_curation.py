@@ -328,14 +328,24 @@ def test_bpe_merges_txt_loader_roundtrip(spark, tmp_path):
     )
     assert enc_loaded == enc_inline  # swap ≡ inline on the corpus
 
-    # header/comment/blank tolerated; malformed line fatal
+    # first-line #version header / blanks tolerated; malformed fatal
     assert TX.load_bpe_merges(
-        ["#version: 0.2", "", "# c", "a b"]
+        ["#version: 0.2", "", "a b"]
     ) == [("a", "b")]
     with pytest.raises(ValueError, match="line 2"):
         TX.load_bpe_merges(["#version: 0.2", "a b c"])
     with pytest.raises(ValueError, match="contains a space"):
         TX.dump_bpe_merges([("a b", "c")])
+    with pytest.raises(ValueError, match="empty"):
+        TX.dump_bpe_merges([("a", "")])
+    # '#' is a legitimate merge TOKEN (code corpora), not a comment:
+    # only the first-line '#version' header is skipped, and the
+    # dump/load inverse holds for '#'-bearing pairs (review finding
+    # r12: the old any-line '#' skip silently dropped these)
+    hash_pairs = [("#", "#"), ("#_#", "include"), ("a", "b")]
+    assert TX.load_bpe_merges(
+        TX.dump_bpe_merges(hash_pairs).splitlines()
+    ) == hash_pairs
 
 
 def test_classifier_weights_loader_swap_equals_inline(spark, tmp_path):
@@ -376,3 +386,14 @@ def test_classifier_weights_loader_swap_equals_inline(spark, tmp_path):
     oob.write_text("4096\t1\n")
     with pytest.raises(ValueError, match="out of range"):
         TX.load_classifier_weights(spark, oob)
+    # a row that fails the integer cast — header line, float bucket —
+    # must FAIL the load, never be silently dropped (review finding
+    # r12: the old isNotNull filter swallowed them before validation)
+    hdr = tmp_path / "hdr.tsv"
+    hdr.write_text("bucket\tweight\n7\t1\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        TX.load_classifier_weights(spark, hdr)
+    flt = tmp_path / "flt.tsv"
+    flt.write_text("12.0\t5\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        TX.load_classifier_weights(spark, flt)
