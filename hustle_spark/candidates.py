@@ -4237,7 +4237,16 @@ def _ivf_pq_oracle_for_batch(pred: str, batch: int) -> str:
     probes scope the unqualified vec_id resolves to lists l, the only
     relation carrying it) and a batch tag appended."""
     inner = ANN_IVF_PQ_SEARCH_ORACLE.replace("vec_id < 5", pred)
-    assert inner.count(pred) == 2
+    if inner.count(pred) != 2:
+        # Explicit raise, not assert (ADVICE r12): the guard must
+        # survive `python -O` — an ANN_IVF_PQ_SEARCH_ORACLE edit that
+        # changes the predicate text has to fail at import, never
+        # silently produce a wrong batched oracle.
+        raise ValueError(
+            "ANN_IVF_PQ_SEARCH_ORACLE no longer contains exactly two "
+            f"'vec_id < 5' predicate sites (found {inner.count(pred)} "
+            f"of {pred!r}); update _ivf_pq_oracle_for_batch's rewrite"
+        )
     return (
         f"SELECT *, CAST({batch} AS BIGINT) AS batch FROM ({inner})"
     )
@@ -4657,18 +4666,33 @@ FLIPPED_R12 = (
     "zip_archive_probe",
 )
 
-FLIPPED = FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11 + FLIPPED_R12
+# --- the r13 flip (VERDICT r12 directive #1 / the CHECKED.md r13
+# rotation plan, executed verbatim): the ENTIRE remaining 8-row staged
+# pool — the pool drains to ZERO. From r13 on, new operators land
+# directly in queries() when their oracle is expressible, or stage for
+# AT MOST one round (VERDICT r12 directive #2).
+FLIPPED_R13 = (
+    "mixture_epoch_upsampling",
+    "retrieval_rrf_fusion",
+    "tar_streaming_pack_requery",
+    "zip_streaming_pack_requery",
+    "dedup_minhash_incremental_grow",
+    "tar_webdataset_samples",
+    "ann_ivf_pq_batched",
+    "bpe_merges_file_roundtrip",
+)
 
-# Still-staged candidates — the r13 pool (8 rows) after the r12 flip
-# executed the CHECKED.md rotation plan exactly (the ten
-# longest-staged r10-era rows): mixture_epoch_upsampling,
-# retrieval_rrf_fusion, tar_streaming_pack_requery,
-# zip_streaming_pack_requery, dedup_minhash_incremental_grow,
-# tar_webdataset_samples, plus the two r12-staged seam-gating rows
-# ann_ivf_pq_batched and bpe_merges_file_roundtrip — each
-# oracle-proven at sf0.001 AND sf0.01 when staged, and
-# tests/test_candidates.py keeps driving every entry against DuckDB
-# at the gate SF every round until its flip.
+FLIPPED = (
+    FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11 + FLIPPED_R12
+    + FLIPPED_R13
+)
+
+# Still-staged candidates — EMPTY since the r13 flip drained the pool
+# (VERDICT r12 directive #1). The dict (and its suite gates in
+# tests/test_candidates.py / test_empty_inputs.py /
+# test_plan_audit_registry.py) stays as the landing zone for any
+# future staged row, under the one-round-max staging invariant
+# (directive #2).
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }

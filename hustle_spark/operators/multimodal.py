@@ -1406,12 +1406,23 @@ AUDIO_SEGMENTS_SCHEMA = (
 )
 
 
-def _audio_segments_one(payload: bytes, window: int = 4, threshold: int = 200):
+def _audio_segments_one(
+    payload: bytes, window: int = 4, threshold: int = 200,
+    decision_table=None,
+):
     """Energy-based speech/silence segmentation: abs-sum per aligned
     sample window, class = sum > threshold, segments = class flips
     between consecutive windows + 1. The WebRTC-VAD / Silero swap
     point is this classifier; the flip-count segmentation on top is
-    model-agnostic."""
+    model-agnostic.
+
+    ``decision_table`` makes the swap executable (VERDICT r12
+    directive #6): a sorted list of ``(energy_lo, is_speech)`` steps —
+    a window whose abs-energy sum falls in [energy_lo_i,
+    energy_lo_{i+1}) takes label i. The inline ``sums > threshold``
+    classifier IS the two-step table [(0, 0), (threshold + 1, 1)];
+    a trained VAD's energy-quantile decision boundary exports to the
+    same shape (load_vad_decision_table)."""
     import numpy as np
 
     parsed = _wav_data_samples(payload)
@@ -1423,19 +1434,112 @@ def _audio_segments_one(payload: bytes, window: int = 4, threshold: int = 200):
     if nw == 0:
         return "wav", n, 0, 0, 0, False
     sums = np.abs(s[: nw * window]).reshape(nw, window).sum(axis=1)
-    cls = sums > threshold
+    if decision_table is None:
+        cls = sums > threshold
+    else:
+        los = np.array([lo for lo, _ in decision_table], dtype=np.int64)
+        labels = np.array(
+            [int(bool(sp)) for _, sp in decision_table], dtype=np.int64
+        )
+        # last step with energy_lo <= sum; table starts at 0 so every
+        # window lands in a step
+        cls = labels[np.searchsorted(los, sums, side="right") - 1] != 0
     flips = int(np.count_nonzero(cls[1:] != cls[:-1]))
     return "wav", n, nw, flips + 1, int(cls.sum()), True
 
 
-def decode_audio_segments(media: DataFrame) -> DataFrame:
+def dump_vad_decision_table(table, path=None) -> str:
+    """Serialize a VAD decision table (``[(energy_lo, is_speech),
+    ...]``) into the TSV format :func:`load_vad_decision_table` reads
+    back — the bidirectional-seam convention (merges.txt precedent).
+    Validation is delegated to the loader via a round-trip parse so
+    dump and load can never disagree on what is well-formed."""
+    out = ["# energy_lo\tis_speech"]
+    for lo, sp in table:
+        out.append(f"{int(lo)}\t{int(bool(sp))}")
+    text = "\n".join(out) + "\n"
+    load_vad_decision_table(text.splitlines())  # reject malformed now
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return text
+
+
+def load_vad_decision_table(source) -> list:
+    """Trained-VAD loader for :func:`decode_audio_segments` (VERDICT
+    r12 directive #6 — the WebRTC-VAD/Silero seam made executable):
+    parse a ``energy_lo\\tis_speech`` TSV (``#`` comments allowed)
+    into the sorted step table ``_audio_segments_one`` classifies
+    with. Driver-side by design: a decision table is a handful of
+    quantile boundaries and ships to executors as a closure literal.
+    FAILS LOUDLY on malformed rows, a first step not at 0 (a window
+    below the first boundary would have no label), non-increasing
+    boundaries, or labels outside {0, 1} — a silently mis-parsed
+    boundary re-segments every clip.
+
+    Property pinned in tests/test_operators.py: the inline
+    ``threshold=200`` classifier and the loaded two-step table
+    [(0, 0), (201, 1)] segment the gate fixtures IDENTICALLY
+    (loaded ≡ inline, the merges.txt precedent)."""
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        with open(source, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = [str(x).rstrip("\n") for x in source]
+    table = []
+    for ln, raw in enumerate(lines, 1):
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2:
+            raise ValueError(
+                f"vad table line {ln}: expected 'energy_lo<TAB>"
+                f"is_speech', got {raw!r}"
+            )
+        try:
+            lo, sp = int(parts[0]), int(parts[1])
+        except ValueError:
+            raise ValueError(
+                f"vad table line {ln}: non-integer field in {raw!r}"
+            )
+        if sp not in (0, 1):
+            raise ValueError(
+                f"vad table line {ln}: is_speech must be 0 or 1, got {sp}"
+            )
+        table.append((lo, sp))
+    if not table:
+        raise ValueError("vad table is empty — refusing to segment")
+    if table[0][0] != 0:
+        raise ValueError(
+            f"vad table's first energy_lo is {table[0][0]}, must be 0 "
+            "so every window energy falls inside a step"
+        )
+    for (a, _), (b, _) in zip(table, table[1:]):
+        if b <= a:
+            raise ValueError(
+                f"vad table boundaries not strictly increasing "
+                f"({a} then {b}) — ambiguous steps must fail at load"
+            )
+    return table
+
+
+def decode_audio_segments(
+    media: DataFrame, decision_table=None
+) -> DataFrame:
     """Arrow-batched speech/silence segmentation over PCM WAV payloads
-    — decode_audio_pitch's sibling, same map-only plumbing."""
+    — decode_audio_pitch's sibling, same map-only plumbing.
+    ``decision_table`` (from :func:`load_vad_decision_table`) swaps a
+    trained VAD's energy step function in for the inline threshold;
+    it ships in the closure — model-sized, never a join."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _audio_segments_one(p if p is not None else b"")
+                _audio_segments_one(
+                    p if p is not None else b"",
+                    decision_table=decision_table,
+                )
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

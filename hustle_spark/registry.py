@@ -6782,10 +6782,8 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r12: the hot-bucket guard (VERDICT r11 directive #2) moved this
-    # row's fn source (max_bucket=50) AND its oracle (the keep/bandsk
-    # CTEs) — changed rows out-rank everything, so it re-proves first.
-    "dedup_jaccard_minhash_agreement",
+    # r13: none — no registered fn source or oracle changed since its
+    # last driver row (the r12 agreement-row re-proof drained).
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6793,72 +6791,38 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r12 executes the CHECKED.md r12 rotation plan verbatim (VERDICT r11
-# directive #1): _NEW = 10 — the ten longest-staged r10-era rows, in
-# the plan's priority order. 1 _CHANGED (the hot-bucket-guarded
-# agreement row) + 10 _NEW leaves 39 backfill slots: the ENTIRE
-# 23-row r7-latest remainder (r11's _QUEUED_NEXT verbatim — after r12
-# no oracle-bound row's newest driver check predates r8) plus the
-# first 16 rows of the 44-row r8-latest pool in CORRECTNESS_r08 key
-# order; the 28-row r8 remainder is QUEUED (not dropped) as the r13
-# backfill head. Re-confirmation 39/50 = 78% — two points under the
-# 80% floor, the price of the directive-#2 _CHANGED re-proof; the
-# 23-row r7 drain takes priority over the floor this round (the
-# alternative — holding the guard fix — was ruled out by VERDICT r11
-# naming it the repo's only scale-killer).
+# r13 executes the CHECKED.md r13 rotation plan verbatim (VERDICT r12
+# directive #1): _NEW = 8 — the ENTIRE remaining staged pool, in the
+# plan's order; the pool drains to ZERO. 0 _CHANGED + 8 _NEW leaves
+# 42 backfill slots: the ENTIRE 28-row r8-latest remainder (r12's
+# _QUEUED_NEXT verbatim — after r13 no oracle-bound row's newest
+# driver check predates r9) plus the first 14 rows of the 48-row
+# r9-latest pool in CORRECTNESS_r09 key order; the 34-row r9
+# remainder is QUEUED (not dropped) as the r14 backfill head.
+# Re-confirmation 42/50 = 84% — above the 80% floor.
 _NEW_THIS_ROUND = [
-    "text_token_fertility",
-    "streaming_sketch_requery",
-    "mixture_temperature_budget",
-    "events_rate_anomalies",
-    "events_last_touch_attribution",
-    "multimodal_tiff_probe",
-    "classifier_calibration_bins",
-    "audio_mp3_frames_probe",
-    "tar_webdataset_probe",
-    "zip_archive_probe",
+    "mixture_epoch_upsampling",
+    "retrieval_rrf_fusion",
+    "tar_streaming_pack_requery",
+    "zip_streaming_pack_requery",
+    "dedup_minhash_incremental_grow",
+    "tar_webdataset_samples",
+    "ann_ivf_pq_batched",
+    "bpe_merges_file_roundtrip",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r12 drains the ENTIRE 23-row r7-latest remainder
-# (r11's _QUEUED_NEXT, verbatim — after this round no oracle-bound
-# row's newest driver check predates r8) plus the first 16 rows of
-# the 44-row r8-latest pool in CORRECTNESS_r08 key order. The two
+# stalest rows. r13 drains the ENTIRE 28-row r8-latest remainder
+# (r12's _QUEUED_NEXT, verbatim — after this round no oracle-bound
+# row's newest driver check predates r9) plus the first 14 rows of
+# the 48-row r9-latest pool in CORRECTNESS_r09 key order. The two
 # by-design rows-only sketches dedup_minhash_lsh/dedup_simhash stay
 # OUT of backfill (test_window_priority_ordering: proven rows-only
 # entries never burn a window slot — their machineries are
 # hash-checked via the md5 twins, which rotate normally).
 _BACKFILL = [
-    # r7-latest remainder, CORRECTNESS_r07 key order (all 23)
-    "window_range_rolling_7d", "percentile_approx_audit",
-    "q1_pricing_summary", "restrict_groupby_sum",
-    "filter_bool_combinators", "filter_comparisons", "join_multiway",
-    "embedding_near_dup", "dedup_minhash_md5", "dedup_minhash_audit",
-    "bigram_vocab_stats", "doc_rolling_fingerprint",
-    "contamination_scan", "contamination_ngram_scan",
-    "insert_jsonl_requery", "delete_partition_requery",
-    "join_equi_revenue", "agg_stats_by_status", "asof_join_signup",
-    "streaming_tumbling_hour", "streaming_stateful_totals",
-    "dedup_cluster_cc", "udf_token_count",
-    # oldest r8-latest rows, CORRECTNESS_r08 key order (first 16)
-    "multimodal_frame_sample", "multimodal_audio_samples",
-    "multimodal_audio_probe", "multimodal_pixel_probe",
-    "multimodal_resize_probe", "text_gopher_quality",
-    "text_gopher_repetition", "text_unicode_hygiene",
-    "text_blocklist", "text_quality_classifier",
-    "text_curation_verdict", "dedup_lines_corpus",
-    "text_lm_perplexity", "corpus_build_pipeline",
-    "graph_pagerank", "retrieval_tfidf_topk",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r8-latest remainder (28 oracle-bound
-# rows, in CORRECTNESS_r08 key order) — the r13 backfill head. After
-# these drain, the stalest pool is r9-latest (docs/CHECKED.md holds
-# the manifest).
-_QUEUED_NEXT = [
+    # r8-latest remainder, CORRECTNESS_r08 key order (all 28)
     "csv_roundtrip_agg", "multimodal_jpeg_progressive_probe",
     "bpe_encode_corpus", "bpe_tokenizer_roundtrip",
     "udaf_regression_slope", "udtf_shingle_stats",
@@ -6873,6 +6837,36 @@ _QUEUED_NEXT = [
     "embedding_random_projection", "streaming_ingest_dedup_requery",
     "bpe_merge_rounds", "compact_requery",
     "distinct_order_limit", "star_scan_region",
+    # oldest r9-latest rows, CORRECTNESS_r09 key order (first 14)
+    "url_canonicalize_stats", "url_domain_quota", "url_robots_filter",
+    "dedup_substring_groups", "dedup_substring_removal",
+    "dedup_exact_substr_combined", "events_rolling_actives",
+    "sketch_rollup_actives", "embedding_pq_audit",
+    "multimodal_png_probe", "text_lexical_diversity",
+    "text_code_detect", "warc_meta_noindex", "topk_orders",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r9-latest remainder (34 oracle-bound
+# rows, in CORRECTNESS_r09 key order) — the r14 backfill head. After
+# these drain, the stalest pool is r10-latest (docs/CHECKED.md holds
+# the manifest).
+_QUEUED_NEXT = [
+    "padding_waste_buckets", "filter_isin",
+    "embedding_contamination_scan", "vocab_drift_top",
+    "text_bigram_quality", "sharded_export_requery",
+    "rollup_view_requery", "nest_requery", "semi_join_customers",
+    "anti_join_customers", "left_join_nation_suppliers",
+    "full_outer_nation_activity", "cross_join_pairs", "set_except",
+    "set_intersect", "set_union", "window_running_total",
+    "window_lag_delta", "rollup_status_priority", "cube_flags",
+    "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
+    "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
+    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
+    "embedding_label_stats", "text_stats_by_lang",
+    "text_quality_topk", "doc_fingerprint_prefix",
+    "q2_min_cost_supplier",
 ]
 
 

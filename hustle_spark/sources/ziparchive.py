@@ -447,7 +447,12 @@ def parse_zip_members(payload: bytes):
             return None
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
         pos += 46 + nlen + elen + cmlen
-        # local header cross-check
+        # local header cross-check (ADVICE r12: bound the fixed-size
+        # header read too — a truncated payload whose signature sits
+        # inside the last 30 bytes must degrade to None, not raise
+        # struct.error out of the executor task)
+        if lho + 30 > len(payload):
+            return None
         if payload[lho : lho + 4] != b"PK\x03\x04":
             return None
         lnlen, lelen = struct.unpack("<HH", payload[lho + 26 : lho + 30])

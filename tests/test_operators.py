@@ -1328,6 +1328,75 @@ def test_audio_segmentation_recovers_guaranteed_tails(spark):
     assert _audio_segments_one(b"RIFFjunk")[-1] is False
 
 
+def test_vad_decision_table_seam_loaded_equals_inline(spark, tmp_path):
+    """VERDICT r12 directive #6: the WebRTC-VAD/Silero seam. The
+    inline ``sums > 200`` classifier and its exported two-step
+    decision table [(0, 0), (201, 1)] round-tripped through TSV must
+    segment the gate fixtures IDENTICALLY (loaded ≡ inline, the
+    merges.txt precedent); a richer 3-step table reclassifies a
+    closed-form micro-case; malformed tables fail at load."""
+    import pytest
+
+    from hustle_spark.operators.multimodal import (
+        _audio_segments_one,
+        decode_audio_segments,
+        dump_vad_decision_table,
+        load_vad_decision_table,
+        synthesize_wav_speech_payloads,
+    )
+
+    p = tmp_path / "vad.tsv"
+    dump_vad_decision_table([(0, 0), (201, 1)], p)
+    loaded = load_vad_decision_table(p)
+    assert loaded == [(0, 0), (201, 1)]
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthesize_wav_speech_payloads(df, "doc_id")
+    inline = sorted(
+        tuple(r) for r in decode_audio_segments(media).collect()
+    )
+    swapped = sorted(
+        tuple(r)
+        for r in decode_audio_segments(
+            media, decision_table=loaded
+        ).collect()
+    )
+    assert swapped == inline  # swap ≡ inline on the gate fixtures
+
+    # 3-step table closed-form: a mono 16-bit WAV of 8 samples in two
+    # 4-sample windows with abs-energy sums 40 and 400 — table says
+    # [0,100)=silence, [100,300)=speech, [300,inf)=silence, so the
+    # classes are (0, 0): one segment, zero speech windows; the
+    # inline threshold=200 classifier reads (0, 1): two segments
+    samples = [10] * 4 + [100] * 4
+    data = b"".join(
+        v.to_bytes(2, "little", signed=True) for v in samples
+    )
+    wav = (
+        b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    three = load_vad_decision_table(
+        dump_vad_decision_table([(0, 0), (100, 1), (300, 0)]).splitlines()
+    )
+    assert _audio_segments_one(wav, decision_table=three) == (
+        "wav", 8, 2, 1, 0, True
+    )
+    assert _audio_segments_one(wav) == ("wav", 8, 2, 2, 1, True)
+
+    # loader strictness: first step not at 0, non-increasing
+    # boundaries, labels outside {0,1}, junk rows, empty
+    for bad in (
+        ["5\t0"], ["0\t0", "0\t1"], ["0\t2"], ["0\t0\t1"], ["0\tx"], [],
+    ):
+        with pytest.raises(ValueError):
+            load_vad_decision_table(bad)
+
+
 def test_wav_tone_synthesizer_and_pitch_detector(spark):
     """The tone WAVs must be files stdlib ``wave`` accepts (spec
     validity via a third-party parser, not our own), and the

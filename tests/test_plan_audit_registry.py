@@ -43,6 +43,11 @@ ALLOWED_NESTED_LOOP = {
     # the r12 flip (moved here from CANDIDATE_ALLOWED_NESTED_LOOP):
     "mixture_temperature_budget",  # 1-row weight-sum broadcast (the
                                # unigram-fppm scalar pattern)
+    # the r13 flip (moved here from CANDIDATE_ALLOWED_NESTED_LOOP):
+    "ann_ivf_pq_batched",      # same declared shapes as
+                               # ann_ivf_pq_search: broadcast tiny
+                               # query batches + the exact-topk audit
+                               # brute force
 }
 ALLOWED_PYTHON = {
     "udf_token_count",         # U2 demo: Arrow scalar UDF
@@ -82,6 +87,14 @@ ALLOWED_PYTHON = {
     "audio_mp3_frames_probe",    # VBR frame walk, same path
     "tar_webdataset_probe",      # ustar shard walk, same path
     "zip_archive_probe",         # ZIP central-directory walk, same path
+    # the r13 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
+    "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
+                                 # mapInPandas streaming writer + the
+                                 # binaryFile re-read's Arrow ustar walk
+    "tar_webdataset_samples",    # same pack+re-read path, sample-grouped
+                                 # Arrow decode
+    "zip_streaming_pack_requery",  # same: streaming writer + Arrow
+                                 # EOCD/CD/CRC re-verifying parse
 }
 STREAMING = {name for name in registry.QUERIES if name.startswith("streaming_")}
 
@@ -131,10 +144,44 @@ def _lazy_ann_ivf_pq_batched(spark, sf_dir):
     )
 
 
-LAZY_PLAN_VARIANTS = {"ann_ivf_pq_search": _lazy_ann_ivf_pq_search}
-CANDIDATE_LAZY_PLAN_VARIANTS = {
+LAZY_PLAN_VARIANTS = {
+    "ann_ivf_pq_search": _lazy_ann_ivf_pq_search,
+    # flipped r13 — the batched variant moved here from
+    # CANDIDATE_LAZY_PLAN_VARIANTS with its row's registration
     "ann_ivf_pq_batched": _lazy_ann_ivf_pq_batched,
 }
+CANDIDATE_LAZY_PLAN_VARIANTS: dict = {}
+
+
+# ADVICE r12 #4: the lazy variants rebuild their pipelines
+# independently of the registered fns, so parameter drift in a
+# registered row (k, batch predicates) would silently make the audit
+# inspect a DIFFERENT plan than the one the correctness window runs.
+# Pin the variants' literals to the registered sources: every
+# parameter the variant hard-codes must appear verbatim in the
+# registered fn's source, or this fails and the variant gets updated
+# in the same edit.
+def test_lazy_variants_match_registered_parameters():
+    import inspect
+
+    pins = {
+        # variant: e.filter("vec_id < 5"), ivf_pq_search(idx, ..., k=5)
+        "ann_ivf_pq_search": ['F.col("vec_id") < 5', "k=5"],
+        # variant: the two batch predicates + the split API, k=5
+        "ann_ivf_pq_batched": [
+            'F.col("vec_id") < 5',
+            '(F.col("vec_id") >= 5) & (F.col("vec_id") < 10)',
+            "k=5", "build_ivf_pq_index", "ivf_pq_search",
+        ],
+    }
+    for name, literals in pins.items():
+        src = inspect.getsource(registry.QUERIES[name].fn)
+        for lit in literals:
+            assert lit in src, (
+                f"{name}: registered fn no longer contains {lit!r} — "
+                "its lazy plan-audit variant in this file audits a "
+                "stale pipeline; update the variant to match"
+            )
 
 
 def _audited_frame(name, fn, spark, sf_dir, variants):

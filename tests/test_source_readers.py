@@ -720,6 +720,28 @@ def test_zip_reader_truncated_zip64_structures_degrade_to_none():
     )
     assert parse_zip_members(cd_partial + eocd) is None
 
+    # local header truncated (ADVICE r12): a payload whose
+    # 'PK\x03\x04' signature sits within the last 30 bytes passes the
+    # 4-byte signature compare but must degrade to None at the
+    # fixed-size header unpack, never raise struct.error. Craft: a
+    # valid one-entry CD whose lho points INTO the EOCD comment —
+    # the comment is exactly the 4-byte local-header signature, so
+    # the signature check passes with only 4 bytes left in payload
+    # (reproduced as struct.error pre-fix).
+    cd1 = b"PK\x01\x02" + struct.pack(
+        "<HHHHHHIIIHHHHHII",
+        20, 20, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+    ) + b"a"
+    comment = b"PK\x03\x04"
+    eocd1 = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(cd1), 0, len(comment)
+    )
+    evil = bytearray(cd1 + eocd1 + comment)
+    # patch the CD's lho field (offset 42 in the entry) to the
+    # comment's position = start of the last 4 bytes
+    evil[42:46] = struct.pack("<I", len(evil) - 4)
+    assert parse_zip_members(bytes(evil)) is None
+
 
 def test_zip_reader_reads_zip64_archives():
     """zip64 (the former documented swap point, closed r12): the

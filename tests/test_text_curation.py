@@ -346,6 +346,23 @@ def test_bpe_merges_txt_loader_roundtrip(spark, tmp_path):
     assert TX.load_bpe_merges(
         TX.dump_bpe_merges(hash_pairs).splitlines()
     ) == hash_pairs
+    # ADVICE r12: common tokenizer tooling tolerates a leading blank
+    # line or a UTF-8 BOM before the header — the header is skipped on
+    # the first NON-BLANK line, not raw line 1; single-header
+    # strictness otherwise (a second '#version' line is a malformed
+    # merge, fatal)
+    assert TX.load_bpe_merges(["", "#version: 0.2", "a b"]) == [("a", "b")]
+    assert TX.load_bpe_merges(
+        ["\ufeff#version: 0.2", "a b"]
+    ) == [("a", "b")]
+    # single-header strictness: only the FIRST content line can be a
+    # header; a second '#version: 0.2' is two space-separated tokens
+    # and parses as a (bogus) merge pair rather than being skipped
+    assert TX.load_bpe_merges(
+        ["#version: 0.2", "#version: 0.2", "a b"]
+    ) == [("#version:", "0.2"), ("a", "b")]
+    # a '#'-token merge on the first content line is NOT a header
+    assert TX.load_bpe_merges(["", "# #", "a b"]) == [("#", "#"), ("a", "b")]
 
 
 def test_classifier_weights_loader_swap_equals_inline(spark, tmp_path):
@@ -397,3 +414,81 @@ def test_classifier_weights_loader_swap_equals_inline(spark, tmp_path):
     flt.write_text("12.0\t5\n")
     with pytest.raises(ValueError, match="unparseable"):
         TX.load_classifier_weights(spark, flt)
+
+
+def test_lang_profiles_loader_swap_equals_inline(spark, tmp_path):
+    """VERDICT r12 directive #6: the fastText/CLD3 profile FILE seam.
+    A corpus-fit trigram profile exported to TSV (and parquet) and
+    loaded back must drive lang_id_trigram IDENTICALLY to the inline
+    frame on every doc; malformed / ambiguous exports fail at load."""
+    import pytest
+
+    from hustle_spark.functions import text as TX
+
+    train = spark.createDataFrame(
+        [
+            ("en", "the value of the table and the data"),
+            ("en", "the quick brown fox and the lazy dog"),
+            ("fr", "le chat et la table des valeurs une fois"),
+            ("fr", "les données et le calcul des tables"),
+        ],
+        "lang string, text string",
+    )
+    profiles = TX.lang_profiles_trigram(train, top_k=16)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table of data and the value"),
+            (2, "le calcul des tables et la valeur"),
+            (3, "zz"),  # too short for any trigram -> 'und'
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    inline = sorted(
+        (r.doc_id, r.guess)
+        for r in TX.lang_id_trigram(docs, profiles).collect()
+    )
+    assert ("3", "und") not in inline  # sanity: typed ids
+    assert dict(inline)[3] == "und"
+
+    p = tmp_path / "profiles.tsv"
+    TX.dump_lang_profiles(profiles, p)
+    loaded = TX.load_lang_profiles(spark, p)
+    swapped = sorted(
+        (r.doc_id, r.guess)
+        for r in TX.lang_id_trigram(docs, loaded).collect()
+    )
+    assert swapped == inline  # file-loaded ≡ inline
+
+    # parquet flavor of the same export
+    pq = str(tmp_path / "profiles.parquet")
+    profiles.write.mode("overwrite").parquet(pq)
+    swapped_pq = sorted(
+        (r.doc_id, r.guess)
+        for r in TX.lang_id_trigram(
+            docs, TX.load_lang_profiles(spark, pq)
+        ).collect()
+    )
+    assert swapped_pq == inline
+
+    # loader strictness: duplicate feature, non-positive weight,
+    # non-integer weight (header line), NULL field
+    dup = tmp_path / "dup.tsv"
+    dup.write_text("en\tthe\t5\nen\tthe\t3\n")
+    with pytest.raises(ValueError, match="duplicate"):
+        TX.load_lang_profiles(spark, dup)
+    neg = tmp_path / "neg.tsv"
+    neg.write_text("en\tthe\t0\n")
+    with pytest.raises(ValueError, match="non-positive"):
+        TX.load_lang_profiles(spark, neg)
+    hdr = tmp_path / "hdr.tsv"
+    hdr.write_text("lang\ttri\tweight\nen\tthe\t5\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        TX.load_lang_profiles(spark, hdr)
+    # dump refuses a tab-bearing trigram (not representable)
+    bad = spark.createDataFrame(
+        [("en", "a\tb", 5)], "lang string, tri string, weight bigint"
+    )
+    with pytest.raises(ValueError, match="tab"):
+        TX.dump_lang_profiles(bad)
