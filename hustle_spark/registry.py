@@ -6734,6 +6734,129 @@ def rollup_view_requery(spark, sf_dir):
 
 
 # =====================================================================
+# round-13 additions — registered AT BIRTH with their oracles (the
+# directive-#2 invariant: the staged pool drained to zero this round,
+# and new operators now land directly here). Both rows drive the r13
+# swap seams (functions.text.load_lang_profiles /
+# operators.multimodal.load_vad_decision_table) under the driver gate,
+# the bpe_merges_file_roundtrip precedent: the oracle replays the
+# INLINE pipeline, so any format drift in dump/load hash-mismatches.
+# =====================================================================
+
+@query(
+    "lang_profiles_file_roundtrip",
+    # the text_lang_id_trigram replay VERBATIM (registered above; the
+    # file roundtrip is an identity on the profile table) plus the
+    # loaded-profile row count — lifted by reference after
+    # registration so the two strings can never drift
+    oracle=None,  # bound right after this definition (see below)
+)
+def lang_profiles_file_roundtrip(spark, sf_dir):
+    """L43b the trained-profile FILE seam driven under the oracle gate
+    (VERDICT r12 directive #6 made the fastText/CLD3 loader
+    executable; this row makes the driver PROVE loaded ≡ inline on
+    the gate corpus): trigram profiles are FIT on the labeled
+    even-doc_id half exactly as text_lang_id_trigram does, exported
+    to a real profiles.tsv (dump_lang_profiles — the (lang, tri,
+    weight) interchange shape a fastText/CLD3 export lands in),
+    parsed back with load_lang_profiles (strict: duplicate features /
+    non-positive weights fail at load), and the held-out odd half is
+    classified with the LOADED table. The oracle is the
+    text_lang_id_trigram replay verbatim plus the loaded row count —
+    any format drift (rank reorder, weight mangling, header
+    mishandling) moves a vote and hash-mismatches. Scale shape:
+    identical to text_lang_id_trigram (the profile file is KB-scale
+    driver-side model config, exactly like production)."""
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    path = Path(str(cat.scratch)) / "lang_profiles_roundtrip.tsv"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    d = _util.spread_input(cat.table("documents").df, spark)
+    profiles = TX.lang_profiles_trigram(
+        d.filter(F.col("doc_id") % 2 == 0), top_k=64
+    )
+    TX.dump_lang_profiles(profiles, path)
+    loaded = TX.load_lang_profiles(spark, path)
+    n_loaded = loaded.count()  # model-sized (<= 64 x n_langs rows)
+    guessed = TX.lang_id_trigram(
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "text"),
+        loaded,
+    )
+    return (
+        guessed.groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "n_profile_rows", F.lit(n_loaded).cast("bigint")
+        )
+    )
+
+
+# Bind the roundtrip oracle from the registered trigram row so the
+# replay text is shared by reference, never duplicated: the loaded
+# profile must classify identically, and the loaded row count must
+# equal the fit profile's size (n_langs x top_k, capped by distinct
+# trigrams per language) — computed by the same profile CTE.
+QUERIES["lang_profiles_file_roundtrip"].oracle = (
+    "SELECT *, (SELECT COUNT(*) FROM ("
+    + QUERIES["text_lang_id_trigram"].oracle.replace(
+        "SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY 1, 2",
+        "SELECT lang, tri FROM prof",
+    )
+    + ")) AS n_profile_rows FROM ("
+    + QUERIES["text_lang_id_trigram"].oracle
+    + ")"
+)
+
+
+@query(
+    "audio_vad_table_probe",
+    oracle=None,  # bound right after this definition (see below)
+)
+def audio_vad_table_probe(spark, sf_dir):
+    """L5a3 the VAD decision-table FILE seam driven under the oracle
+    gate (VERDICT r12 directive #6 made the WebRTC-VAD/Silero loader
+    executable; this row makes the driver PROVE loaded ≡ inline on
+    the gate fixtures): the speech/silence corpus of
+    audio_segments_probe is segmented with a LOADED 3-step energy
+    decision table ([(0, silence), (201, speech), (100000, silence)])
+    round-tripped through a real vad.tsv (dump_vad_decision_table /
+    load_vad_decision_table — strict: unsorted boundaries or labels
+    outside {0,1} fail at load). On this generative corpus the third
+    step is unreachable by construction (speech window abs-sums are
+    bounded at 4 x 1999 < 100000), so the table classifies exactly
+    like the inline ``sum > 200`` threshold and the oracle is the
+    audio_segments_probe replay verbatim plus the loaded step count —
+    a mis-parsed boundary or label flips a window class and
+    hash-mismatches. Scale shape: identical to audio_segments_probe
+    (map-only Arrow decode; the table ships in the closure)."""
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    path = Path(str(cat.scratch)) / "vad_table_roundtrip.tsv"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    multimodal.dump_vad_decision_table(
+        [(0, 0), (201, 1), (100000, 0)], path
+    )
+    table = multimodal.load_vad_decision_table(path)
+    par = spark.sparkContext.defaultParallelism
+    d = cat.table("documents").df.select("doc_id").repartition(par)
+    media = multimodal.synthesize_wav_speech_payloads(d, "doc_id")
+    feats = multimodal.decode_audio_segments(media, decision_table=table)
+    return feats.select(
+        "media_id", "media_type", "n_samples", "n_windows",
+        "n_segments", "n_speech_windows", "ok",
+    ).withColumn("n_steps_loaded", F.lit(len(table)).cast("bigint"))
+
+
+# The audio_segments_probe replay minus its 'recovered' audit column
+# (this row gates the LOADER, not the boundary-recovery property),
+# plus the loaded step count. Bound from the candidates module's
+# oracle constant at the flip import below — see the tail of this
+# file.
+
+
+# =====================================================================
 # round-8 wave-1 candidate flip
 # =====================================================================
 # The 17 FLIPPED_R8 pairs (hustle_spark/candidates.py) register into
@@ -6742,6 +6865,18 @@ def rollup_view_requery(spark, sf_dir):
 # oracle) pairs are lifted verbatim, exactly as the staging contract
 # and VERDICT r7 directive #1 specified; the code keeps its one home.
 from . import candidates as _candidates_flip  # noqa: E402, F401
+
+# audio_vad_table_probe's oracle (deferred from its definition above):
+# the audio_segments_probe replay shared by reference from the
+# candidates module, minus the 'recovered' audit column, plus the
+# loaded step count. If the generative model or the window classifier
+# drift, both rows move together.
+QUERIES["audio_vad_table_probe"].oracle = (
+    "SELECT media_id, media_type, n_samples, n_windows, n_segments,"
+    " n_speech_windows, ok, CAST(3 AS BIGINT) AS n_steps_loaded FROM ("
+    + _candidates_flip.AUDIO_SEGMENTS_PROBE_ORACLE
+    + ")"
+)
 
 
 # =====================================================================
@@ -6792,14 +6927,17 @@ _CHANGED = [
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
 # r13 executes the CHECKED.md r13 rotation plan verbatim (VERDICT r12
-# directive #1): _NEW = 8 — the ENTIRE remaining staged pool, in the
-# plan's order; the pool drains to ZERO. 0 _CHANGED + 8 _NEW leaves
-# 42 backfill slots: the ENTIRE 28-row r8-latest remainder (r12's
-# _QUEUED_NEXT verbatim — after r13 no oracle-bound row's newest
-# driver check predates r9) plus the first 14 rows of the 48-row
-# r9-latest pool in CORRECTNESS_r09 key order; the 34-row r9
-# remainder is QUEUED (not dropped) as the r14 backfill head.
-# Re-confirmation 42/50 = 84% — above the 80% floor.
+# directive #1): _NEW = the ENTIRE remaining 8-row staged pool, in
+# the plan's order — the pool drains to ZERO — plus the two rows
+# registered AT BIRTH this round under the directive-#2 invariant
+# (the seam gates for the r13 profile/VAD loaders). 0 _CHANGED +
+# 10 _NEW leaves 40 backfill slots: the ENTIRE 28-row r8-latest
+# remainder (r12's _QUEUED_NEXT verbatim — after r13 no oracle-bound
+# row's newest driver check predates r9) plus the first 12 rows of
+# the 48-row r9-latest pool in CORRECTNESS_r09 key order; the 36-row
+# r9 remainder is QUEUED (not dropped) as the r14 backfill head.
+# Re-confirmation 40/50 = 80% — at the floor, the price of the two
+# at-birth registrations (10 new = the 20% ceiling).
 _NEW_THIS_ROUND = [
     "mixture_epoch_upsampling",
     "retrieval_rrf_fusion",
@@ -6809,13 +6947,16 @@ _NEW_THIS_ROUND = [
     "tar_webdataset_samples",
     "ann_ivf_pq_batched",
     "bpe_merges_file_roundtrip",
+    # registered at birth this round (directive #2):
+    "lang_profiles_file_roundtrip",
+    "audio_vad_table_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
 # stalest rows. r13 drains the ENTIRE 28-row r8-latest remainder
 # (r12's _QUEUED_NEXT, verbatim — after this round no oracle-bound
-# row's newest driver check predates r9) plus the first 14 rows of
+# row's newest driver check predates r9) plus the first 12 rows of
 # the 48-row r9-latest pool in CORRECTNESS_r09 key order. The two
 # by-design rows-only sketches dedup_minhash_lsh/dedup_simhash stay
 # OUT of backfill (test_window_priority_ordering: proven rows-only
@@ -6837,22 +6978,23 @@ _BACKFILL = [
     "embedding_random_projection", "streaming_ingest_dedup_requery",
     "bpe_merge_rounds", "compact_requery",
     "distinct_order_limit", "star_scan_region",
-    # oldest r9-latest rows, CORRECTNESS_r09 key order (first 14)
+    # oldest r9-latest rows, CORRECTNESS_r09 key order (first 12)
     "url_canonicalize_stats", "url_domain_quota", "url_robots_filter",
     "dedup_substring_groups", "dedup_substring_removal",
     "dedup_exact_substr_combined", "events_rolling_actives",
     "sketch_rollup_actives", "embedding_pq_audit",
     "multimodal_png_probe", "text_lexical_diversity",
-    "text_code_detect", "warc_meta_noindex", "topk_orders",
+    "text_code_detect",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
 # what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r9-latest remainder (34 oracle-bound
+# never dropped by a slice): the r9-latest remainder (36 oracle-bound
 # rows, in CORRECTNESS_r09 key order) — the r14 backfill head. After
 # these drain, the stalest pool is r10-latest (docs/CHECKED.md holds
 # the manifest).
 _QUEUED_NEXT = [
+    "warc_meta_noindex", "topk_orders",
     "padding_waste_buckets", "filter_isin",
     "embedding_contamination_scan", "vocab_drift_top",
     "text_bigram_quality", "sharded_export_requery",

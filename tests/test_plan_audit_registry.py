@@ -87,6 +87,10 @@ ALLOWED_PYTHON = {
     "audio_mp3_frames_probe",    # VBR frame walk, same path
     "tar_webdataset_probe",      # ustar shard walk, same path
     "zip_archive_probe",         # ZIP central-directory walk, same path
+    # registered at birth r13 (directive #2): the VAD decision-table
+    # seam gate — the audio_segments_probe mapInPandas decode path
+    # with a loaded classifier table in the closure
+    "audio_vad_table_probe",
     # the r13 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
     "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
                                  # mapInPandas streaming writer + the
