@@ -149,6 +149,22 @@ BENCH_LLM = [
     "audio_mp3_frames_probe",
     "tar_webdataset_probe",
     "zip_archive_probe",
+    # appended round 13 (append-only protocol): the r13 flip — the
+    # ENTIRE remaining staged pool (epoch upsampling, RRF fusion, the
+    # streaming tar/zip packers, both-sides-grow incremental dedup,
+    # the WebDataset sample reader, batched IVF+PQ, the merges.txt
+    # gate) plus the round's two at-birth seam rows (profile / VAD
+    # table file roundtrips)
+    "mixture_epoch_upsampling",
+    "retrieval_rrf_fusion",
+    "tar_streaming_pack_requery",
+    "zip_streaming_pack_requery",
+    "dedup_minhash_incremental_grow",
+    "tar_webdataset_samples",
+    "ann_ivf_pq_batched",
+    "bpe_merges_file_roundtrip",
+    "lang_profiles_file_roundtrip",
+    "audio_vad_table_probe",
 ]
 
 WARM_RUNS = 3
