@@ -128,16 +128,25 @@ SHOWCASE = {
     "audio_mp3_frames_probe": "codegen MPEG-1 Layer III frame synthesis + one Arrow header-walk stage (bitrate/samplerate tables as plan data)",
     "tar_webdataset_probe": "codegen ustar members + one Arrow parse stage; 512-byte block math stays in the executor, payloads never on the driver",
     "zip_archive_probe": "codegen ZIP central directory + one Arrow EOCD/CD walk; stored and deflate entries inflated executor-side, bounded by declared usize",
+    # r13 flips (moved from CANDIDATE_SHOWCASE with the registration)
+    "tar_streaming_pack_requery": "derived shard count from a 1-row byte-estimate agg; repartition(shard) + sorted groups feed the streaming mapInPandas writer; re-read is a distributed binaryFile scan + one Arrow parse stage",
+    "dedup_minhash_incremental_grow": "both sides grow with the corpus: index build is one signature groupBy over the 1/3 slice, batch joins on (band, sig) equality — still no all-pairs stage",
+    "ann_ivf_pq_batched": "ONE build_ivf_pq_index (two cached frames) answers BOTH query batches — the second search's plan reads InMemoryTableScan, not a fresh quantize pass; the FAISS build/search amortization as a plan property",
+    # r13 flips, remainder
+    "mixture_epoch_upsampling": "bounded <=3x repeat explode from integer epoch arithmetic; the interleave audit is a window over the already-small upsampled frame",
+    "retrieval_rrf_fusion": "two pruned ranker scans feed a rank-only full-outer fusion — 10 rows per query cross the final join, never postings",
+    "tar_webdataset_samples": "the streaming packer's shards re-read as one binaryFile scan + one sample-grouping Arrow stage; {key}.{ext} grouping happens inside the member walk, no per-sample shuffle",
+    "bpe_merges_file_roundtrip": "merges.txt parsed driver-side into plan literals — the encode plan is IDENTICAL to the inline row's per-merge codegen folds; zero extra stages for the file seam",
+    # r13 at-birth seam rows
+    "lang_profiles_file_roundtrip": "the loaded (lang, tri, weight) TSV broadcasts exactly like the fit profile — explode map-only, doc-keyed score shuffle, per-doc argmax window; the file seam adds zero plan nodes",
+    "audio_vad_table_probe": "the loaded step table ships in the mapInPandas closure — same single Arrow decode stage as audio_segments_probe, no join for the model",
 }
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
-# themselves evidence — resolved via STAGED_CANDIDATES until their wave flips
-CANDIDATE_SHOWCASE = {
-    "tar_streaming_pack_requery": "derived shard count from a 1-row byte-estimate agg; repartition(shard) + sorted groups feed the streaming mapInPandas writer; re-read is a distributed binaryFile scan + one Arrow parse stage",
-    "dedup_minhash_incremental_grow": "both sides grow with the corpus: index build is one signature groupBy over the 1/3 slice, batch joins on (band, sig) equality — still no all-pairs stage",
-    "ann_ivf_pq_batched": "ONE build_ivf_pq_index (two cached frames) answers BOTH query batches — the second search's plan reads InMemoryTableScan, not a fresh quantize pass; the FAISS build/search amortization as a plan property",
-}
+# themselves evidence — EMPTY since the r13 flip drained the pool;
+# kept as the landing zone for any future staged row
+CANDIDATE_SHOWCASE: dict = {}
 
 
 def main():

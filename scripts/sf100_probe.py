@@ -231,6 +231,30 @@ DEFAULT_PROBES = [
     # exclusions documented as prose.
     "tar_streaming_pack_requery",
     "zip_streaming_pack_requery",
+    # appended r13 with the flip: the WebDataset SAMPLE reader rides
+    # the streaming tar packer's shards (derived shard count — the
+    # x100 corpus packs ~100x more bounded shards, then one
+    # sample-grouped Arrow decode; the probe pins the reader stays
+    # map-only over shard files)
+    "tar_webdataset_samples",
+    # appended r13 with the flip: index REUSE across query batches —
+    # the probe pins that ONE build answers both batches at 100x
+    # (the build is the corpus pass; batch cost stays bounded by
+    # probes + ADC + refine, queries fixed at 10 by contract)
+    "ann_ivf_pq_batched",
+    # appended r13 (registered at birth): the profile file roundtrip
+    # rides the text_lang_id_trigram plan (already probed) plus a
+    # KB-scale driver-side TSV round-trip — probed to pin that the
+    # loader seam adds NO scale-dependent cost
+    "lang_profiles_file_roundtrip",
+    # appended r13 (registered at birth): the VAD decision-table row
+    # — the audio_segments_probe map-only Arrow class with a loaded
+    # step table in the closure
+    "audio_vad_table_probe",
+    # bpe_merges_file_roundtrip deliberately ABSENT — NOT silently:
+    # its Spark side is bpe_encode_corpus (already probed via
+    # bpe_encode_corpus itself) plus a driver-side KB file write; the
+    # only new machinery is scale-independent by construction.
     # the CODEGEN FIXTURE rows tar_webdataset_probe /
     # zip_archive_probe stay absent — NOT silently: each pins
     # n_shards=16 (oracle-bound), so the x100 corpus (500k docs)
