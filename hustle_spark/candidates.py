@@ -4310,7 +4310,126 @@ BPE_MERGES_FILE_ROUNDTRIP_ORACLE = (
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
 # and tests keep one home).
+def dedup_soft_weights(spark, sf_dir):
+    """L1b SOFT deduplication — down-weight duplicates instead of
+    dropping them (SoftDedup, Xue et al., ACL 2024; the 1/count
+    reweighting is the exact-duplicate base case): every document
+    keeps a row, carrying its content-cluster size and the integer
+    micro-unit sampling weight 1e6 div size, plus the keep-min
+    canonical flag so a hard-dedup consumer can threshold the SAME
+    frame (operators.dedup.soft_dedup_weights). The gate corpus has
+    no byte-duplicates, so the row passes fp_len=2 — the 2-hex-char
+    fingerprint prefix (the doc_fingerprint_prefix idiom) manufactures
+    real multi-member clusters whose sizes and weights the oracle
+    replays exactly; production uses the full digest, same plan.
+    Scale shape: map-only fingerprint, ONE digest-keyed groupBy, and
+    a join back on the same key that reuses the groupBy's exchange —
+    text never crosses a shuffle. Staged r13 under the one-round-max
+    invariant (VERDICT r12 directive #2): flips in r14."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return dedup.soft_dedup_weights(d, fp_len=2)
+
+
+DEDUP_SOFT_WEIGHTS_ORACLE = r"""
+    WITH f AS (SELECT doc_id,
+                      substr(md5(regexp_replace(lower(trim(text)),
+                                 '\s+', ' ', 'g')), 1, 2) AS fp
+               FROM documents),
+    c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                 MIN(doc_id) AS keep_id
+          FROM f GROUP BY fp)
+    SELECT doc_id, fp, cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_u,
+           doc_id = keep_id AS is_canonical
+    FROM f JOIN c USING (fp)
+"""
+
+
+def data_selection_moore_lewis(spark, sf_dir):
+    """L34b cross-entropy-difference data selection (Moore & Lewis,
+    ACL 2010 — the classic targeted-selection method DSIR
+    generalizes; functions.text.moore_lewis_scores): an IN-DOMAIN
+    add-one bigram LM fit on the lang='en' slice and a GENERAL one on
+    the complement score every document; delta_e6 = mean in-domain
+    NLL minus mean general NLL (floor-scaled micro-units, the
+    text_lm_perplexity arithmetic verbatim per side), and the 100
+    smallest-delta docs — the ones the in-domain model explains best
+    relative to the general one — are flagged selected. The oracle
+    replays BOTH models, both NLL folds, the delta and the ranked
+    cut. Scale shape: one bigram explode feeds both vocabulary-sized
+    broadcast models; wide work is the doc-keyed re-aggregation and
+    one range sort of the score frame (global_dense_rank — never a
+    single-partition window). Staged r13 under the one-round-max
+    invariant (VERDICT r12 directive #2): flips in r14."""
+    d = _cat(spark, sf_dir).table("documents").df
+    return TX.moore_lewis_scores(
+        d, F.col("lang") == "en", F.col("lang") != "en", top_n=100
+    )
+
+
+DATA_SELECTION_MOORE_LEWIS_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(coalesce(text, '')), '\s+') AS t
+      FROM documents),
+    refi AS (SELECT * FROM tok WHERE lang = 'en'),
+    refg AS (SELECT * FROM tok WHERE lang <> 'en'),
+    rpi AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS gram
+            FROM refi, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    bci AS (SELECT gram, COUNT(*) AS c12 FROM rpi GROUP BY gram),
+    pci AS (SELECT string_split(gram, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS pc
+            FROM bci GROUP BY 1),
+    vi AS (SELECT COUNT(DISTINCT w) AS V FROM (
+             SELECT unnest(t) AS w FROM refi) WHERE w <> ''),
+    rpg AS (SELECT t[g.i] || ' ' || t[g.i + 1] AS gram
+            FROM refg, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    bcg AS (SELECT gram, COUNT(*) AS c12 FROM rpg GROUP BY gram),
+    pcg AS (SELECT string_split(gram, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS pc
+            FROM bcg GROUP BY 1),
+    vg AS (SELECT COUNT(DISTINCT w) AS V FROM (
+             SELECT unnest(t) AS w FROM refg) WHERE w <> ''),
+    tp AS (SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS gram,
+                  t[g.i] AS w1
+           FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+    sp AS (SELECT doc_id,
+                  CAST(floor(-log10((COALESCE(i.c12, 0) + 1.0)
+                       / (COALESCE(ip.pc, 0) + vi.V)) * 1000000)
+                       AS BIGINT) AS ni,
+                  CAST(floor(-log10((COALESCE(g2.c12, 0) + 1.0)
+                       / (COALESCE(gp.pc, 0) + vg.V)) * 1000000)
+                       AS BIGINT) AS ng
+           FROM tp LEFT JOIN bci i USING (gram)
+                LEFT JOIN pci ip USING (w1)
+                LEFT JOIN bcg g2 USING (gram)
+                LEFT JOIN pcg gp USING (w1)
+                CROSS JOIN vi CROSS JOIN vg),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(ni) AS BIGINT) AS sum_nll_in_e6,
+                  CAST(SUM(ng) AS BIGINT) AS sum_nll_gen_e6
+           FROM sp GROUP BY doc_id),
+    pd2 AS (SELECT *, CAST((sum_nll_in_e6 // n_bigrams)
+                           - (sum_nll_gen_e6 // n_bigrams) AS BIGINT)
+                        AS delta_e6
+            FROM pd),
+    rk AS (SELECT *, row_number() OVER (ORDER BY delta_e6, doc_id) - 1
+                     AS r
+           FROM pd2)
+    SELECT doc_id, n_bigrams, sum_nll_in_e6, sum_nll_gen_e6, delta_e6,
+           r < 100 AS selected
+    FROM rk
+    UNION ALL
+    SELECT doc_id, 0, 0, 0, NULL, false FROM tok WHERE len(t) < 2
+"""
+
+
 ALL_CANDIDATES = {
+    "dedup_soft_weights": (dedup_soft_weights, DEDUP_SOFT_WEIGHTS_ORACLE),
+    "data_selection_moore_lewis": (
+        data_selection_moore_lewis,
+        DATA_SELECTION_MOORE_LEWIS_ORACLE,
+    ),
     "ann_ivf_pq_batched": (ann_ivf_pq_batched, ANN_IVF_PQ_BATCHED_ORACLE),
     "bpe_merges_file_roundtrip": (
         bpe_merges_file_roundtrip,
@@ -4687,12 +4806,15 @@ FLIPPED = (
     + FLIPPED_R13
 )
 
-# Still-staged candidates — EMPTY since the r13 flip drained the pool
-# (VERDICT r12 directive #1). The dict (and its suite gates in
+# Still-staged candidates — the r13 flip drained the inherited pool
+# to ZERO (VERDICT r12 directive #1); the two entries now here are
+# BOTH new this round (pool 2 <= new-this-round 10, the directive-#2
+# invariant) and flip in r14 after at most one staged round:
+# dedup_soft_weights (SoftDedup 1/count down-weighting) and
+# data_selection_moore_lewis (cross-entropy-difference selection).
+# Each is oracle-proven at sf0.001/sf0.01/sf0.1 and suite-gated by
 # tests/test_candidates.py / test_empty_inputs.py /
-# test_plan_audit_registry.py) stays as the landing zone for any
-# future staged row, under the one-round-max staging invariant
-# (directive #2).
+# test_plan_audit_registry.py every round until its flip.
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }
@@ -4714,3 +4836,17 @@ from . import registry as _registry  # noqa: E402
 for _name in FLIPPED:
     _fn, _oracle = ALL_CANDIDATES[_name]
     _registry.QUERIES[_name] = _registry.Query(_name, _fn, _oracle)
+
+# audio_vad_table_probe's oracle (deferred from its registry.py
+# definition): the audio_segments_probe replay shared BY REFERENCE
+# from this module, minus the 'recovered' audit column (the row gates
+# the LOADER, not boundary recovery), plus the loaded step count.
+# Bound here — the only point that runs after both modules finish
+# initializing in either import order — so the generative model and
+# the window classifier can never drift between the two rows.
+_registry.QUERIES["audio_vad_table_probe"].oracle = (
+    "SELECT media_id, media_type, n_samples, n_windows, n_segments,"
+    " n_speech_windows, ok, CAST(3 AS BIGINT) AS n_steps_loaded FROM ("
+    + AUDIO_SEGMENTS_PROBE_ORACLE
+    + ")"
+)

@@ -1249,6 +1249,143 @@ def lm_perplexity_scores(
     return bucketed.unionByName(unscored)
 
 
+def moore_lewis_scores(
+    df: DataFrame,
+    indomain_where,
+    general_where,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 100,
+) -> DataFrame:
+    """Cross-entropy-difference data selection (public provenance:
+    Moore & Lewis, "Intelligent Selection of Language Model Training
+    Data", ACL 2010 — the classic targeted-selection method DSIR
+    generalizes): fit TWO add-one-smoothed bigram LMs — an IN-DOMAIN
+    model on ``indomain_where`` and a GENERAL model on
+    ``general_where`` — score every document by the difference of its
+    mean negative log-likelihoods, ``delta_e6 = mean_nll_in -
+    mean_nll_gen`` (floor-scaled integer micro-units per side, the
+    lm_perplexity_scores arithmetic verbatim so both engines replay it
+    bit-for-bit), and flag the ``top_n`` most in-domain-like documents
+    (SMALLEST delta — cheaper under the in-domain model than the
+    general one) via scalable global rank. Returns (id, n_bigrams,
+    sum_nll_in_e6, sum_nll_gen_e6, delta_e6, selected); sub-2-token
+    docs carry NULL delta and selected=false.
+
+    Scale shape: ONE bigram explode over the corpus feeds both
+    models' scoring (each model is a vocabulary-sized broadcast — two
+    broadcast joins on the same exploded frame, not two corpus
+    passes); the wide shuffles are the per-doc re-aggregation
+    (map-side combined) and one range sort of the 1-row-per-doc score
+    frame. Real pipelines swap the bigram stand-ins for neural-LM
+    log-prob columns — the delta/rank/select shape is identical."""
+    from ..util import global_dense_rank
+
+    toks = F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), WS)
+
+    def model(where):
+        ref = df.filter(where)
+        rp = ref.select(
+            F.explode(
+                sliding_grams(F.split(F.lower(F.col(text)), WS), 2)
+            ).alias("gram")
+        ).filter(F.instr(F.col("gram"), " ") > 0)
+        bc = rp.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
+        pc = bc.groupBy(
+            F.split(F.col("gram"), " ")[0].alias("w1")
+        ).agg(F.sum("c12").alias("pc"))
+        v = (
+            ref.select(
+                F.explode(F.split(F.lower(F.col(text)), WS)).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .agg(F.count_distinct("w").alias("V"))
+        )
+        return bc, pc, v
+
+    bc_in, pc_in, v_in = model(indomain_where)
+    bc_gen, pc_gen, v_gen = model(general_where)
+
+    pairs = df.select(
+        F.col(id_col), F.explode(sliding_grams(toks, 2)).alias("gram")
+    ).filter(F.instr(F.col("gram"), " ") > 0)
+
+    def nll(c12, pc, v):
+        return F.floor(
+            -F.log10(
+                (F.coalesce(c12, F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(pc, F.lit(0)) + v)
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint")
+
+    scored_pairs = (
+        pairs.withColumn("__w1", F.split(F.col("gram"), " ")[0])
+        .join(
+            F.broadcast(bc_in.withColumnRenamed("c12", "__ci")), "gram",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                pc_in.withColumnRenamed("pc", "__pi")
+                .withColumnRenamed("w1", "__w1")
+            ),
+            "__w1", "left",
+        )
+        .join(
+            F.broadcast(bc_gen.withColumnRenamed("c12", "__cg")), "gram",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                pc_gen.withColumnRenamed("pc", "__pg")
+                .withColumnRenamed("w1", "__w1")
+            ),
+            "__w1", "left",
+        )
+        .crossJoin(F.broadcast(v_in.withColumnRenamed("V", "__Vi")))
+        .crossJoin(F.broadcast(v_gen.withColumnRenamed("V", "__Vg")))
+        .select(
+            F.col(id_col),
+            nll(F.col("__ci"), F.col("__pi"), F.col("__Vi")).alias("__ni"),
+            nll(F.col("__cg"), F.col("__pg"), F.col("__Vg")).alias("__ng"),
+        )
+    )
+    per_doc = (
+        scored_pairs.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__ni").cast("bigint").alias("sum_nll_in_e6"),
+            F.sum("__ng").cast("bigint").alias("sum_nll_gen_e6"),
+        )
+        .withColumn(
+            "delta_e6",
+            F.expr(
+                "(sum_nll_in_e6 DIV n_bigrams)"
+                " - (sum_nll_gen_e6 DIV n_bigrams)"
+            ).cast("bigint"),
+        )
+    )
+    ranked = global_dense_rank(per_doc, ["delta_e6", id_col], "__r")
+    scored = ranked.select(
+        id_col, "n_bigrams", "sum_nll_in_e6", "sum_nll_gen_e6", "delta_e6",
+        (F.col("__r") < top_n).alias("selected"),
+    )
+    unscored = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") < 2)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_bigrams"),
+            F.lit(0).cast("bigint").alias("sum_nll_in_e6"),
+            F.lit(0).cast("bigint").alias("sum_nll_gen_e6"),
+            F.lit(None).cast("bigint").alias("delta_e6"),
+            F.lit(False).alias("selected"),
+        )
+    )
+    return scored.unionByName(unscored)
+
+
 # fixed artifact list for the mojibake probe: the UTF-8 bytes of the
 # commonest Latin-1/Windows-1252 suspects as mis-decoded by a second
 # UTF-8 pass (e.g. '\u00e9' -> '\u00c3\u00a9', right single quote ->

@@ -1115,3 +1115,50 @@ def line_dedup_keep_first(
             ).alias("kept_md5"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    fp_len: int = 32,
+) -> DataFrame:
+    """Soft deduplication — DOWN-WEIGHT duplicates instead of dropping
+    them (public provenance: SoftDedup, Xue et al., ACL 2024 — keep
+    every copy but shrink its sampling weight so the training
+    distribution matches the deduplicated one; the 1/count reweighting
+    is the exact-duplicate base case of their commonness weighting).
+    Cluster key = the content fingerprint (functions.text.fingerprint,
+    md5 of whitespace-normalized lowercased text) truncated to
+    ``fp_len`` hex chars; per document emit its cluster size, the
+    integer micro-unit sampling weight ``weight_u = 1e6 div size``
+    (every copy in an n-cluster carries ~1/n of a full weight — the
+    cluster's total stays ~1e6 regardless of duplication depth), and
+    ``is_canonical`` (the keep-min representative, so a hard-dedup
+    consumer can threshold the same frame). Short ``fp_len`` values
+    coarsen the cluster key — the registered gate row passes fp_len=2
+    (the doc_fingerprint_prefix idiom) because the synthetic corpus
+    has no true byte-duplicates; production uses the full digest.
+
+    Scale shape: fingerprint is map-only; cluster sizes are ONE
+    groupBy on the (<=16-byte) digest key; the join back to documents
+    is keyed by the same digest, so the groupBy's exchange is reused
+    (no second corpus shuffle); document text never crosses an
+    exchange."""
+    from ..functions.text import fingerprint
+
+    fp = fingerprint(F.col(text), fp_len)
+    keyed = df.select(F.col(id_col), fp.alias("fp"))
+    sizes = keyed.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min(id_col).alias("__keep"),
+    )
+    return keyed.join(sizes, "fp").select(
+        id_col,
+        "fp",
+        "cluster_size",
+        F.expr("CAST(1000000 AS BIGINT) div cluster_size")
+        .cast("bigint")
+        .alias("weight_u"),
+        (F.col(id_col) == F.col("__keep")).alias("is_canonical"),
+    )

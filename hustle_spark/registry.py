@@ -6866,17 +6866,12 @@ def audio_vad_table_probe(spark, sf_dir):
 # and VERDICT r7 directive #1 specified; the code keeps its one home.
 from . import candidates as _candidates_flip  # noqa: E402, F401
 
-# audio_vad_table_probe's oracle (deferred from its definition above):
-# the audio_segments_probe replay shared by reference from the
-# candidates module, minus the 'recovered' audit column, plus the
-# loaded step count. If the generative model or the window classifier
-# drift, both rows move together.
-QUERIES["audio_vad_table_probe"].oracle = (
-    "SELECT media_id, media_type, n_samples, n_windows, n_segments,"
-    " n_speech_windows, ok, CAST(3 AS BIGINT) AS n_steps_loaded FROM ("
-    + _candidates_flip.AUDIO_SEGMENTS_PROBE_ORACLE
-    + ")"
-)
+# audio_vad_table_probe's oracle (deferred from its definition above)
+# is bound at the TAIL of candidates.py — the only point that runs
+# after BOTH modules finish initializing in either import order (a
+# binding here reads candidates attributes that do not exist yet when
+# candidates is imported first and executes this module from its own
+# line 34).
 
 
 # =====================================================================

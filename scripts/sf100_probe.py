@@ -251,6 +251,15 @@ DEFAULT_PROBES = [
     # — the audio_segments_probe map-only Arrow class with a loaded
     # step table in the closure
     "audio_vad_table_probe",
+    # staged r13 (one-round-max invariant, flip r14): SoftDedup
+    # down-weighting — map-only fingerprint + ONE digest groupBy +
+    # exchange-reusing join back; the probe pins the join never
+    # re-shuffles the corpus
+    "dedup_soft_weights",
+    # staged r13: Moore-Lewis selection — one bigram explode, two
+    # vocabulary-sized broadcast models, doc-keyed re-agg + one range
+    # sort; the probe pins both models stay broadcast at 100x
+    "data_selection_moore_lewis",
     # bpe_merges_file_roundtrip deliberately ABSENT — NOT silently:
     # its Spark side is bpe_encode_corpus (already probed via
     # bpe_encode_corpus itself) plus a driver-side KB file write; the

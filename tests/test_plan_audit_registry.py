@@ -220,23 +220,12 @@ def test_plan_invariants(name, spark, catalog):
 # plan bar BEFORE their wave's flip imports them into the driver
 # window (r8 moved its wave-1 entries into the registry lists above)
 CANDIDATE_ALLOWED_NESTED_LOOP: set[str] = {
-    "ann_ivf_pq_batched",      # same declared shapes as
-                               # ann_ivf_pq_search: broadcast tiny
-                               # query batches + the exact-topk audit
-                               # brute force — and proof the lazy
-                               # audit variant sees the REAL plan
-                               # again (it was Scan ExistingRDD
-                               # before the r12 variant fix)
+    # staged r13 (one-round-max invariant; flips r14):
+    "data_selection_moore_lewis",  # two 1-row vocabulary-size scalar
+                               # broadcasts (the text_lm_perplexity
+                               # V-crossJoin idiom, once per model)
 }
-CANDIDATE_ALLOWED_PYTHON: set[str] = {
-    "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
-                              # mapInPandas streaming writer + the
-                              # binaryFile re-read's Arrow ustar walk
-    "tar_webdataset_samples", # same pack+re-read path, sample-grouped
-                              # Arrow decode
-    "zip_streaming_pack_requery",  # same: streaming writer + Arrow
-                              # EOCD/CD/CRC re-verifying parse
-}
+CANDIDATE_ALLOWED_PYTHON: set[str] = set()
 
 
 def _candidates():

@@ -492,3 +492,118 @@ def test_lang_profiles_loader_swap_equals_inline(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="tab"):
         TX.dump_lang_profiles(bad)
+
+
+class TestSoftDedupWeights:
+    def test_weights_closed_form(self, spark):
+        """Two exact copies share a cluster: size 2, weight 500000
+        each, the min-id copy canonical; singletons carry the full
+        1e6. Whitespace-normalization folds doc 4 into doc 1's
+        cluster (the fingerprint contract)."""
+        rows = [
+            (1, "aa bb cc"),
+            (2, "aa bb cc"),
+            (3, "dd ee ff"),
+            (4, "  AA   bb Cc "),  # normalizes to doc 1's content
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r.doc_id: r
+            for r in DD.soft_dedup_weights(df).collect()
+        }
+        assert out[1].cluster_size == 3 and out[1].weight_u == 333333
+        assert out[2].cluster_size == 3 and out[2].weight_u == 333333
+        assert out[4].cluster_size == 3
+        assert out[3].cluster_size == 1 and out[3].weight_u == 1000000
+        assert bool(out[1].is_canonical) is True
+        assert bool(out[2].is_canonical) is False
+        assert bool(out[4].is_canonical) is False
+        assert bool(out[3].is_canonical) is True
+        # cluster weight mass ~1e6 regardless of depth (the SoftDedup
+        # conservation property, up to integer floor)
+        assert 3 * out[1].weight_u <= 1000000 < 3 * (out[1].weight_u + 1)
+
+    def test_fp_len_coarsens_clusters(self, spark):
+        """fp_len=1 can only produce 16 clusters — every doc lands in
+        one, and weights still sum to ~1e6 per cluster."""
+        df = spark.createDataFrame(
+            [(i, f"text number {i}") for i in range(64)],
+            "doc_id bigint, text string",
+        )
+        out = DD.soft_dedup_weights(df, fp_len=1).collect()
+        assert len(out) == 64
+        assert len({r.fp for r in out}) <= 16
+        for r in out:
+            assert r.weight_u == 1000000 // r.cluster_size
+
+
+class TestMooreLewisSelection:
+    def test_selects_indomain_like_docs(self, spark):
+        """Docs phrased in the in-domain model's bigrams must rank
+        ahead of general-phrased docs; sub-2-token docs are unscored
+        with NULL delta and selected=false."""
+        rows = [
+            (1, "en", "the table holds the value"),
+            (2, "en", "the value of the table"),
+            (3, "fr", "le chat mange le poisson"),
+            (4, "fr", "le poisson du chat"),
+            # test docs: 10 = in-domain phrasing, 11 = general phrasing
+            (10, "xx", "the table of the value"),
+            (11, "xx", "le chat du poisson"),
+            (12, "xx", "one"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in TX.moore_lewis_scores(
+                df,
+                F.col("lang") == "en",
+                F.col("lang") == "fr",
+                top_n=4,
+            ).collect()
+        }
+        assert len(out) == 7
+        assert out[10].delta_e6 < out[11].delta_e6
+        assert out[12].delta_e6 is None
+        assert bool(out[12].selected) is False
+        # the 4 smallest deltas are selected — doc 10 must be among
+        # them and doc 11 must not out-rank any en-phrased doc
+        selected = {d for d, r in out.items() if r.selected}
+        assert len(selected) == 4
+        assert 10 in selected and 12 not in selected
+
+    def test_delta_matches_pure_python_model(self, spark):
+        """Replay the two add-one bigram models in pure Python for one
+        doc and check the integer fold bit-for-bit."""
+        import math
+
+        rows = [
+            (1, "in", "a b a b"),
+            (2, "gen", "c d c d"),
+            (10, "xx", "a b c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in TX.moore_lewis_scores(
+                df, F.col("lang") == "in", F.col("lang") == "gen", top_n=1
+            ).collect()
+        }
+
+        def nll(c12, pc, V):
+            return math.floor(-math.log10((c12 + 1) / (pc + V)) * 1000000)
+
+        # in-domain model: bigrams of "a b a b" -> {'a b':2, 'b a':1},
+        # pc: a->2, b->1; V=2. general: {'c d':2, 'd c':1}, pc c->2,
+        # d->1, V=2. doc 10 bigrams: 'a b', 'b c'.
+        sum_in = nll(2, 2, 2) + nll(0, 1, 2)
+        sum_gen = nll(0, 0, 2) + nll(0, 0, 2)
+        got = out[10]
+        assert got.n_bigrams == 2
+        assert got.sum_nll_in_e6 == sum_in
+        assert got.sum_nll_gen_e6 == sum_gen
+        assert got.delta_e6 == sum_in // 2 - sum_gen // 2
