@@ -4345,6 +4345,61 @@ DEDUP_SOFT_WEIGHTS_ORACLE = r"""
 """
 
 
+def dedup_soft_weights_fuzzy(spark, sf_dir):
+    """L1c SOFT dedup over FUZZY clusters — the full SoftDedup method
+    (Xue et al., ACL 2024 weight near-duplicate commonness, not just
+    byte-identity): the guarded exact-Jaccard pair row
+    (jaccard_ngram_pairs: 3-gram md5 digests, max_df=64, J >= 0.30 —
+    the dedup_jaccard_clusters edge source verbatim) is transitively
+    closed and every document emits its near-dup cluster size, the
+    1e6-div-size sampling weight, and the keep-min canonical flag
+    (operators.dedup.soft_weights_from_pairs — the same primitive
+    accepts MinHash-LSH or pHash pair frames unchanged). Because the
+    edge source is the EXACT set statistic, the whole composition —
+    shingles, guard, pair join, transitive closure, sizes, weights —
+    is one DuckDB replay with no rows-only step. Scale shape: the
+    pair stage is the guarded equi-join (bounded by max_df), CC is
+    edge-bounded pointer jumping, the weighting is one label-keyed
+    groupBy — text never crosses an exchange after the shingle
+    explode. Staged r13 (one-round-max invariant): flips in r14."""
+    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    pairs = dedup.jaccard_ngram_pairs(
+        d, shingle_n=3, min_shared=2, threshold_u=300_000, max_df=64
+    )
+    return dedup.soft_weights_from_pairs(d, pairs)
+
+
+def _soft_weights_fuzzy_oracle() -> str:
+    """The dedup_jaccard_clusters oracle's CTE chain (shingles ->
+    guarded pairs -> recursive closure -> min-label) shared BY
+    REFERENCE up to its ``lab`` CTE, with the keeper-window final
+    SELECT swapped for cluster sizes + SoftDedup weights — the
+    _ivf_pq_oracle_for_batch rewrite precedent, guarded by an
+    explicit raise so an upstream oracle edit cannot silently
+    desynchronize the twins."""
+    marker = "lab AS (SELECT x AS id, MIN(y) AS cluster_id FROM reach GROUP BY x)"
+    if DEDUP_JACCARD_CLUSTERS_ORACLE.count(marker) != 1:
+        raise ValueError(
+            "DEDUP_JACCARD_CLUSTERS_ORACLE no longer contains exactly "
+            "one 'lab' CTE marker; update _soft_weights_fuzzy_oracle's "
+            "rewrite to match"
+        )
+    prefix = DEDUP_JACCARD_CLUSTERS_ORACLE.split(marker)[0] + marker
+    return prefix + """,
+    memb AS (SELECT d.doc_id,
+                    CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT)
+                      AS cluster_id
+             FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+    szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   MIN(doc_id) AS keep_id
+            FROM memb GROUP BY cluster_id)
+    SELECT m.doc_id, m.cluster_id, s.cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_u,
+           m.doc_id = s.keep_id AS is_canonical
+    FROM memb m JOIN szs s USING (cluster_id)
+"""
+
+
 def data_selection_moore_lewis(spark, sf_dir):
     """L34b cross-entropy-difference data selection (Moore & Lewis,
     ACL 2010 — the classic targeted-selection method DSIR
@@ -4426,6 +4481,10 @@ DATA_SELECTION_MOORE_LEWIS_ORACLE = r"""
 
 ALL_CANDIDATES = {
     "dedup_soft_weights": (dedup_soft_weights, DEDUP_SOFT_WEIGHTS_ORACLE),
+    "dedup_soft_weights_fuzzy": (
+        dedup_soft_weights_fuzzy,
+        _soft_weights_fuzzy_oracle(),
+    ),
     "data_selection_moore_lewis": (
         data_selection_moore_lewis,
         DATA_SELECTION_MOORE_LEWIS_ORACLE,
@@ -4808,9 +4867,11 @@ FLIPPED = (
 
 # Still-staged candidates — the r13 flip drained the inherited pool
 # to ZERO (VERDICT r12 directive #1); the two entries now here are
-# BOTH new this round (pool 2 <= new-this-round 10, the directive-#2
+# ALL new this round (pool 3 <= new-this-round 10, the directive-#2
 # invariant) and flip in r14 after at most one staged round:
-# dedup_soft_weights (SoftDedup 1/count down-weighting) and
+# dedup_soft_weights (SoftDedup 1/count down-weighting),
+# dedup_soft_weights_fuzzy (the full SoftDedup method over
+# transitively-closed near-dup clusters) and
 # data_selection_moore_lewis (cross-entropy-difference selection).
 # Each is oracle-proven at sf0.001/sf0.01/sf0.1 and suite-gated by
 # tests/test_candidates.py / test_empty_inputs.py /

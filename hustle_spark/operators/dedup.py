@@ -1162,3 +1162,47 @@ def soft_dedup_weights(
         .alias("weight_u"),
         (F.col(id_col) == F.col("__keep")).alias("is_canonical"),
     )
+
+
+def soft_weights_from_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDedup's commonness weighting over ANY duplicate-pair
+    source (the fuzzy generalization of :func:`soft_dedup_weights` —
+    SoftDedup, Xue et al., ACL 2024 weight near-duplicate clusters,
+    not just byte-identical ones): take a pair frame ``(a, b)`` from
+    any detector — exact-Jaccard (jaccard_ngram_pairs), MinHash-LSH
+    (minhash_lsh_pairs), pHash groups — close it transitively with
+    :func:`connected_components`, and emit every document's
+    near-dup cluster size, the sampling weight ``1e6 div size``, and
+    the keep-min canonical flag. Documents in no pair are their own
+    singleton cluster at full weight, so the output is a total
+    weighting of the corpus a sampler can join directly.
+
+    Scale shape: CC is the pointer-jumping operator (edge-bounded,
+    O(log diameter) rounds); sizes are ONE groupBy on the cluster
+    label; both joins are keyed by id/label scalars — document text
+    never enters this operator at all."""
+    cc = connected_components(pairs.select("a", "b"))
+    lab = cc.select(F.col("id").alias(id_col), "cluster_id")
+    memb = docs.select(id_col).join(lab, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col))
+        .cast("bigint")
+        .alias("cluster_id"),
+    )
+    sizes = memb.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min(id_col).alias("__keep"),
+    )
+    return memb.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.expr("CAST(1000000 AS BIGINT) div cluster_size")
+        .cast("bigint")
+        .alias("weight_u"),
+        (F.col(id_col) == F.col("__keep")).alias("is_canonical"),
+    )

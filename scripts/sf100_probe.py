@@ -256,6 +256,10 @@ DEFAULT_PROBES = [
     # exchange-reusing join back; the probe pins the join never
     # re-shuffles the corpus
     "dedup_soft_weights",
+    # staged r13: fuzzy SoftDedup — the guarded jaccard pair stage +
+    # edge-bounded CC + one label groupBy; the probe pins the
+    # composition stays bounded by the max_df guard at 100x
+    "dedup_soft_weights_fuzzy",
     # staged r13: Moore-Lewis selection — one bigram explode, two
     # vocabulary-sized broadcast models, doc-keyed re-agg + one range
     # sort; the probe pins both models stay broadcast at 100x

@@ -523,6 +523,30 @@ class TestSoftDedupWeights:
         # conservation property, up to integer floor)
         assert 3 * out[1].weight_u <= 1000000 < 3 * (out[1].weight_u + 1)
 
+    def test_fuzzy_weights_from_pairs_closed_form(self, spark):
+        """A pair chain (1,2),(2,3) closes transitively into one
+        3-cluster (min-label id, weight 333333 each, min-id
+        canonical); unpaired doc 4 is a singleton at full weight.
+        The primitive accepts ANY (a, b) pair frame."""
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4)], "doc_id bigint"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "a bigint, b bigint"
+        )
+        out = {
+            r.doc_id: r
+            for r in DD.soft_weights_from_pairs(docs, pairs).collect()
+        }
+        assert all(out[i].cluster_id == 1 for i in (1, 2, 3))
+        assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
+        assert all(out[i].weight_u == 333333 for i in (1, 2, 3))
+        assert bool(out[1].is_canonical) is True
+        assert bool(out[2].is_canonical) is False
+        assert out[4].cluster_id == 4 and out[4].cluster_size == 1
+        assert out[4].weight_u == 1000000
+        assert bool(out[4].is_canonical) is True
+
     def test_fp_len_coarsens_clusters(self, spark):
         """fp_len=1 can only produce 16 clusters — every doc lands in
         one, and weights still sum to ~1e6 per cluster."""
