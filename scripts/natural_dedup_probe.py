@@ -53,6 +53,10 @@ PROBES = [
     "dedup_jaccard_clusters",
     "dedup_minhash_incremental",
     "dedup_minhash_incremental_grow",
+    # appended r13: the fuzzy SoftDedup composition (guarded pair
+    # stage + CC + label groupBy) — the planted constant-rate twins
+    # give it real, linearly growing near-dup clusters to weight
+    "dedup_soft_weights_fuzzy",
 ]
 
 
