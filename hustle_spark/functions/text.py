@@ -2165,6 +2165,149 @@ def dsir_importance(
     )
 
 
+def _dsir_bucket_expr(n_buckets: int) -> str:
+    """The hashed-ngram bucket expression shared by dsir_importance
+    and the fit/score seam halves below — first 3 md5 nibbles mod
+    n_buckets, over a staged digest column ``m`` (kept as one string
+    so the three functions can never hash differently)."""
+    nib = (
+        "(CASE WHEN substring(m, {i}, 1) <= '9'"
+        " THEN ascii(substring(m, {i}, 1)) - 48"
+        " ELSE ascii(substring(m, {i}, 1)) - 87 END)"
+    )
+    return (
+        f"(({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16"
+        f" + {nib.format(i=3)}) % {int(n_buckets)})"
+    )
+
+
+def dsir_fit_weights(
+    df: DataFrame,
+    is_target,
+    text: str = "text",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The FIT half of DSIR as a standalone export (VERDICT r12's
+    executable-seam program continued — the trained-weights shape):
+    estimate the per-bucket log-ratio importance table exactly as
+    :func:`dsir_importance` does internally and return it as
+    ``(bucket int, weight bigint)`` — the frame
+    :func:`load_classifier_weights` reads back from TSV/parquet, so
+    the SAME loader serves both hashed-bucket seams. A production
+    pipeline fits this once on a target sample (or imports weights
+    estimated offline by the DSIR reference implementation) and
+    scores many pools with :func:`dsir_score_with_weights`.
+
+    Property pinned in tests/test_text_curation.py: fit -> dump ->
+    load -> score reproduces :func:`dsir_importance`'s output
+    bit-for-bit (loaded ≡ inline, the merges.txt precedent)."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    base = df.select(
+        is_target.alias("__tgt"), F.split(t, WS).alias("toks")
+    )
+    ex = (
+        base.select(
+            "__tgt",
+            F.explode(
+                F.concat(F.col("toks"), sliding_grams(F.col("toks"), 2))
+            ).alias("f"),
+        )
+        .select("__tgt", F.md5("f").alias("m"))
+        .select(
+            "__tgt",
+            F.expr(_dsir_bucket_expr(n_buckets)).cast("int").alias("bkt"),
+        )
+    )
+    prof = ex.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("bigint").alias(
+            "t_b"
+        ),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).cast("bigint").alias(
+            "r_b"
+        ),
+    )
+    tot = prof.agg(
+        F.sum("t_b").cast("bigint").alias("tt"),
+        F.sum("r_b").cast("bigint").alias("rr"),
+    )
+    return (
+        prof.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bkt").alias("bucket"),
+            F.expr(
+                f"CAST(floor({int(scale)} * ln("
+                f" (CAST(t_b + 1 AS DOUBLE) * CAST(rr + {int(n_buckets)} AS DOUBLE))"
+                f" / (CAST(r_b + 1 AS DOUBLE) * CAST(tt + {int(n_buckets)} AS DOUBLE))"
+                ")) AS BIGINT)"
+            ).alias("weight"),
+        )
+    )
+
+
+def dsir_score_with_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    k: int = 100,
+) -> DataFrame:
+    """The SCORE half of DSIR against an externally-supplied bucket
+    weight table — the trained-weights seam made executable: hash the
+    pool's unigram+bigram features into buckets (the exact
+    :func:`dsir_importance` expression via ``_dsir_bucket_expr``),
+    broadcast-join the ``(bucket, weight)`` table (from
+    :func:`dsir_fit_weights`, :func:`load_classifier_weights`, or any
+    offline estimator exported to that shape), and emit the same
+    (id, n_feats, score, rnk, selected) contract. Buckets absent
+    from the table contribute nothing (an offline estimator may
+    export only non-zero-weight buckets).
+
+    Scale shape: ONE map-only hash scan over the pool, one broadcast
+    join, one doc-keyed aggregate, the range-partitioned rank —
+    nothing grows with the corpus except the scan."""
+    from ..util import global_dense_rank
+
+    t = F.coalesce(F.col(text), F.lit(""))
+    ex = (
+        df.select(F.col(id_col), F.split(t, WS).alias("toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.concat(F.col("toks"), sliding_grams(F.col("toks"), 2))
+            ).alias("f"),
+        )
+        .select(id_col, F.md5("f").alias("m"))
+        .select(
+            id_col,
+            F.expr(_dsir_bucket_expr(n_buckets)).cast("int").alias("bkt"),
+        )
+    )
+    w = weights.select(
+        F.col("bucket").cast("int").alias("bkt"),
+        F.col("weight").cast("bigint").alias("w"),
+    )
+    scored = (
+        ex.join(F.broadcast(w), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )
+    ranked = global_dense_rank(
+        scored.withColumn("__ns", -F.col("score")), ["__ns", id_col], "rnk"
+    )
+    return ranked.select(
+        id_col,
+        "n_feats",
+        "score",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        (F.col("rnk") < k).alias("selected"),
+    )
+
+
 # Derived at import from MOJIBAKE_ARTIFACTS: each artifact is the
 # UTF-8 byte sequence of its true character mis-decoded as
 # Windows-1252, so re-encoding cp1252 and re-decoding UTF-8 recovers

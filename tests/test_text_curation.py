@@ -494,6 +494,53 @@ def test_lang_profiles_loader_swap_equals_inline(spark, tmp_path):
         TX.dump_lang_profiles(bad)
 
 
+def test_dsir_weights_seam_loaded_equals_inline(spark, tmp_path):
+    """The DSIR trained-weights FILE seam (the executable-seam
+    program continued): dsir_fit_weights -> TSV ->
+    load_classifier_weights(n_buckets=1024) -> dsir_score_with_weights
+    must reproduce dsir_importance's one-shot output bit-for-bit on
+    the raw pool (loaded ≡ inline), on both a micro corpus and the
+    gate corpus."""
+    from hustle_spark.functions import text as TX
+
+    def check(df, is_target, tag):
+        inline = sorted(
+            tuple(r) for r in TX.dsir_importance(df, is_target, k=5).collect()
+        )
+        wt = TX.dsir_fit_weights(df, is_target)
+        p = tmp_path / f"dsir_{tag}.tsv"
+        rows = wt.collect()
+        p.write_text(
+            "# dsir export\n"
+            + "\n".join(f"{r['bucket']}\t{r['weight']}" for r in rows)
+            + "\n"
+        )
+        loaded = TX.load_classifier_weights(spark, p, n_buckets=1024)
+        swapped = sorted(
+            tuple(r)
+            for r in TX.dsir_score_with_weights(
+                df.filter(~is_target), loaded, k=5
+            ).collect()
+        )
+        assert swapped == inline, tag
+
+    micro = spark.createDataFrame(
+        [
+            (1, True, "the table of values and data"),
+            (2, True, "the data in the table"),
+            (10, False, "the table of the data"),
+            (11, False, "le chat mange le poisson"),
+            (12, False, "unrelated words entirely here"),
+            (13, False, None),
+        ],
+        "doc_id bigint, tgt boolean, text string",
+    )
+    check(micro, F.col("tgt"), "micro")
+
+    gate = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    check(gate, F.col("lang") == "en", "gate")
+
+
 class TestSoftDedupWeights:
     def test_weights_closed_form(self, spark):
         """Two exact copies share a cluster: size 2, weight 500000
