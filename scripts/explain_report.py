@@ -144,9 +144,13 @@ SHOWCASE = {
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
-# themselves evidence — EMPTY since the r13 flip drained the pool;
-# kept as the landing zone for any future staged row
-CANDIDATE_SHOWCASE: dict = {}
+# themselves evidence — resolved via STAGED_CANDIDATES until their
+# wave flips (the r13-staged trio below flips in r14)
+CANDIDATE_SHOWCASE: dict = {
+    "dedup_soft_weights": "map-only fingerprint; ONE digest-keyed groupBy; the join back on the same key reuses the groupBy's exchange — text never crosses a shuffle",
+    "dedup_soft_weights_fuzzy": "guarded jaccard pair stage (max_df bounds the digest join) -> edge-bounded pointer-jumping CC -> one label-keyed groupBy for sizes/weights; text never enters the weighting operator",
+    "data_selection_moore_lewis": "ONE bigram explode feeds BOTH vocabulary-sized broadcast models; wide work is the doc-keyed re-aggregation and one range sort of the 1-row-per-doc score frame",
+}
 
 
 def main():
