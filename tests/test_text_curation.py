@@ -594,6 +594,81 @@ class TestSoftDedupWeights:
         assert out[4].weight_u == 1000000
         assert bool(out[4].is_canonical) is True
 
+    def test_weights_from_pairs_matches_union_find_property(self, spark):
+        """Property (hypothesis): on ANY random pair graph, the Spark
+        transitive closure + weighting agrees with a pure-Python
+        union-find reference on every cluster id (min member), size,
+        weight, and canonical flag. One Spark run per drawn graph is
+        expensive, so the strategy draws a batch of graphs and the
+        test unions them under disjoint id ranges into ONE job."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=1, deadline=None)
+        @given(
+            graphs=st.lists(
+                st.tuples(
+                    st.integers(2, 12),  # n ids in this graph
+                    st.lists(
+                        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                        max_size=14,
+                    ),
+                ),
+                min_size=6,
+                max_size=6,
+            )
+        )
+        def check(graphs):
+            docs_rows, pair_rows, expect = [], [], {}
+            base = 0
+            for n, raw_edges in graphs:
+                ids = list(range(base, base + n))
+                edges = [
+                    (base + a % n, base + b % n)
+                    for a, b in raw_edges
+                    if a % n != b % n
+                ]
+                # pure-Python union-find reference
+                parent = {i: i for i in ids}
+
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for a, b in edges:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                members = {}
+                for i in ids:
+                    members.setdefault(find(i), []).append(i)
+                for root, mem in members.items():
+                    lab = min(mem)
+                    for i in mem:
+                        expect[i] = (
+                            lab, len(mem), 1000000 // len(mem), i == lab
+                        )
+                docs_rows += [(i,) for i in ids]
+                pair_rows += edges
+                base += n
+            docs = spark.createDataFrame(docs_rows, "doc_id bigint")
+            pairs = spark.createDataFrame(
+                pair_rows or [(0, 0)], "a bigint, b bigint"
+            )
+            if not pair_rows:
+                pairs = pairs.limit(0)
+            got = {
+                r.doc_id: (
+                    r.cluster_id, r.cluster_size, r.weight_u,
+                    bool(r.is_canonical),
+                )
+                for r in DD.soft_weights_from_pairs(docs, pairs).collect()
+            }
+            assert got == expect
+
+        check()
+
     def test_fp_len_coarsens_clusters(self, spark):
         """fp_len=1 can only produce 16 clusters — every doc lands in
         one, and weights still sum to ~1e6 per cluster."""
