@@ -236,7 +236,20 @@ def dump_lang_profiles(profiles: DataFrame, path=None) -> str:
                 f"trigram {tri!r} is NULL or contains a tab/newline — "
                 "not representable in the TSV profile format"
             )
-        out.append(f"{r['lang']}\t{tri}\t{int(r['weight'])}")
+        lang = r["lang"]
+        # ADVICE r13: the lang field is line-structural too — a tab
+        # shifts every following field, a newline forges a row, a
+        # leading '#' makes the row vanish as a comment on load
+        if (
+            lang is None or not lang or lang.startswith("#")
+            or any(ch in lang for ch in "\t\n\r")
+        ):
+            raise ValueError(
+                f"lang {lang!r} is NULL/empty, starts with '#', or "
+                "contains a tab/newline — not representable in the "
+                "TSV profile format"
+            )
+        out.append(f"{lang}\t{tri}\t{int(r['weight'])}")
     text = "\n".join(out) + "\n"
     if path is not None:
         with open(path, "w", encoding="utf-8") as fh:
@@ -268,33 +281,63 @@ def load_lang_profiles(spark, path) -> DataFrame:
         )
         rows = w.collect()
     else:
-        raw = spark.read.csv(
-            p, sep="\t", comment="#",
-            schema="lang string, tri string, weight string",
-        )
+        # Manual TSV parse (ADVICE r13, the load_bpe_merges /
+        # load_vad_decision_table precedent): trigrams are arbitrary
+        # 3-char substrings of lower(text), so '"'- or '\'-bearing
+        # features are legitimate — spark.read.csv's default
+        # quote/escape processing silently mangled them. The file is
+        # a KB-scale model export, so a driver-side parse is the
+        # honest shape anyway.
+        with open(p, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
         rows = []
-        for r in raw.collect():
-            try:
-                wt = int(r["weight"])
-            except (TypeError, ValueError):
+        for ln, raw_line in enumerate(lines, 1):
+            line = raw_line
+            if ln == 1:
+                line = line.lstrip("\ufeff")  # UTF-8 BOM tolerated
+            if not line.strip():
+                continue  # blank / trailing newline
+            if line.startswith("#"):
+                continue  # comment (dump rejects '#'-leading langs)
+            parts = line.split("\t")
+            if len(parts) != 3:
                 raise ValueError(
-                    f"unparseable profile row ({r['lang']!r}, "
-                    f"{r['tri']!r}, {r['weight']!r}) — a header line "
-                    "or non-integer weight must fail at load, not "
-                    "silently vanish from the profile"
+                    f"profile TSV line {ln}: expected exactly "
+                    f"'lang<TAB>tri<TAB>weight', got {raw_line!r} — a "
+                    "malformed row must fail at load, not silently "
+                    "vanish from the profile"
                 )
-            rows.append((r["lang"], r["tri"], wt))
+            try:
+                wt = int(parts[2])
+            except ValueError:
+                raise ValueError(
+                    f"unparseable profile row ({parts[0]!r}, "
+                    f"{parts[1]!r}, {parts[2]!r}) — a non-integer "
+                    "weight must fail at load, not silently vanish "
+                    "from the profile"
+                )
+            rows.append((parts[0], parts[1], wt))
         w = spark.createDataFrame(
             rows, "lang string, tri string, weight bigint"
         )
     seen = set()
     for r in rows:
-        lang, tri, wt = r[0], r[1], int(r[2])
-        if lang is None or tri is None or wt <= 0:
+        lang, tri, wt_raw = r[0], r[1], r[2]
+        # NULL weight routed through the descriptive error, not a bare
+        # int(None) TypeError (ADVICE r13 — the parquet branch can
+        # carry NULL/unparseable weights cast to NULL bigint)
+        if lang is None or tri is None or wt_raw is None:
             raise ValueError(
-                f"profile row ({lang!r}, {tri!r}, {wt}) has a NULL "
-                "field or non-positive weight — refusing to classify "
-                "with a malformed profile"
+                f"profile row ({lang!r}, {tri!r}, {wt_raw!r}) has a "
+                "NULL field — refusing to classify with a malformed "
+                "profile"
+            )
+        wt = int(wt_raw)
+        if wt <= 0:
+            raise ValueError(
+                f"profile row ({lang!r}, {tri!r}, {wt}) has a "
+                "non-positive weight — refusing to classify with a "
+                "malformed profile"
             )
         if (lang, tri) in seen:
             raise ValueError(
@@ -2261,8 +2304,13 @@ def dsir_score_with_weights(
     :func:`dsir_fit_weights`, :func:`load_classifier_weights`, or any
     offline estimator exported to that shape), and emit the same
     (id, n_feats, score, rnk, selected) contract. Buckets absent
-    from the table contribute nothing (an offline estimator may
-    export only non-zero-weight buckets).
+    from the table contribute weight 0 (an offline estimator may
+    export only non-zero-weight buckets) via a LEFT join — a document
+    whose features ALL miss the table still appears, with score 0 and
+    its full pool-side n_feats, like every sibling selector
+    (dsir_importance, moore_lewis_scores, soft_weights_from_pairs)
+    emits a total frame (ADVICE r13: an inner join silently dropped
+    such docs from downstream top-k joins).
 
     Scale shape: ONE map-only hash scan over the pool, one broadcast
     join, one doc-keyed aggregate, the range-partitioned rank —
@@ -2289,11 +2337,13 @@ def dsir_score_with_weights(
         F.col("weight").cast("bigint").alias("w"),
     )
     scored = (
-        ex.join(F.broadcast(w), "bkt")
+        ex.join(F.broadcast(w), "bkt", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("w").cast("bigint").alias("score"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0)))
+            .cast("bigint")
+            .alias("score"),
         )
     )
     ranked = global_dense_rank(

@@ -6797,10 +6797,23 @@ def lang_profiles_file_roundtrip(spark, sf_dir):
 # profile must classify identically, and the loaded row count must
 # equal the fit profile's size (n_langs x top_k, capped by distinct
 # trigrams per language) — computed by the same profile CTE.
+# Marker-count guard (ADVICE r13, the _ivf_pq_oracle_for_batch /
+# _soft_weights_fuzzy_oracle precedent): an edit to the trigram
+# oracle that drifts the final-SELECT text must fail HERE at import,
+# never let str.replace silently no-op and count the wrong subquery.
+_LANG_ID_FINAL_SELECT = (
+    "SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY 1, 2"
+)
+if QUERIES["text_lang_id_trigram"].oracle.count(_LANG_ID_FINAL_SELECT) != 1:
+    raise ValueError(
+        "text_lang_id_trigram's oracle no longer contains exactly one "
+        f"{_LANG_ID_FINAL_SELECT!r} marker; update "
+        "lang_profiles_file_roundtrip's oracle rewrite to match"
+    )
 QUERIES["lang_profiles_file_roundtrip"].oracle = (
     "SELECT *, (SELECT COUNT(*) FROM ("
     + QUERIES["text_lang_id_trigram"].oracle.replace(
-        "SELECT lang, guess, COUNT(*) AS n FROM g GROUP BY 1, 2",
+        _LANG_ID_FINAL_SELECT,
         "SELECT lang, tri FROM prof",
     )
     + ")) AS n_profile_rows FROM ("

@@ -541,6 +541,90 @@ def test_dsir_weights_seam_loaded_equals_inline(spark, tmp_path):
     check(gate, F.col("lang") == "en", "gate")
 
 
+def test_lang_profiles_quote_backslash_trigrams_roundtrip(spark, tmp_path):
+    """ADVICE r13 (medium): trigrams are arbitrary 3-char substrings
+    of lower(text) and can carry '"' or '\\'. The old spark.read.csv
+    load path applied default quote/escape processing and silently
+    mis-parsed them — this reproduces the pre-fix corruption shapes
+    and pins the manual-parse round-trip exactly."""
+    from hustle_spark.functions import text as TX
+
+    profiles = spark.createDataFrame(
+        [
+            ("en", '"ab', 9),   # quote-leading: old reader ate the quote
+            ("en", 'a"b', 8),   # embedded quote
+            ("en", "a\\b", 7),  # backslash: old reader treated as escape
+            ("en", '\\"x', 6),  # escape-then-quote combo
+            ("fr", '"""', 5),   # all-quotes trigram
+            ("fr", "###", 4),   # '#' inside a FIELD is data, not comment
+            ("fr", "the", 3),   # plain control row
+        ],
+        "lang string, tri string, weight bigint",
+    )
+    p = tmp_path / "hostile.tsv"
+    TX.dump_lang_profiles(profiles, p)
+    loaded = sorted(
+        tuple(r) for r in TX.load_lang_profiles(spark, p).collect()
+    )
+    assert loaded == sorted(tuple(r) for r in profiles.collect())
+
+    # parquet branch: NULL weight must raise the descriptive error,
+    # not a bare int(None) TypeError (ADVICE r13 low)
+    import pytest
+
+    pq = str(tmp_path / "nullwt.parquet")
+    spark.createDataFrame(
+        [("en", "the", None)], "lang string, tri string, weight bigint"
+    ).write.mode("overwrite").parquet(pq)
+    with pytest.raises(ValueError, match="NULL field"):
+        TX.load_lang_profiles(spark, pq)
+
+    # dump refuses a line-structural lang field (tab / '#'-leading)
+    with pytest.raises(ValueError, match="lang"):
+        TX.dump_lang_profiles(
+            spark.createDataFrame(
+                [("e\tn", "the", 5)],
+                "lang string, tri string, weight bigint",
+            )
+        )
+    with pytest.raises(ValueError, match="lang"):
+        TX.dump_lang_profiles(
+            spark.createDataFrame(
+                [("#en", "the", 5)],
+                "lang string, tri string, weight bigint",
+            )
+        )
+
+
+def test_dsir_score_with_weights_partial_table_total_frame(spark):
+    """ADVICE r13 (low): a weight table that covers only SOME buckets
+    (the advertised partial-export case) must still emit a TOTAL
+    frame — a doc whose features all miss the table appears with
+    score 0 and its full pool-side n_feats, not silently vanish."""
+    from hustle_spark.functions import text as TX
+
+    pool = spark.createDataFrame(
+        [(1, "aa bb"), (2, "zz yy"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    # an empty weight table: NO bucket matches, every doc must survive
+    empty = spark.createDataFrame([], "bucket int, weight bigint")
+    out = {
+        r.doc_id: r
+        for r in TX.dsir_score_with_weights(pool, empty, k=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(r.score == 0 for r in out.values())
+    # n_feats counted from the pool side: 2 unigrams + 1 bigram = 3
+    assert out[1].n_feats == 3 and out[2].n_feats == 3
+    # NULL text -> [''] -> one unigram + one degenerate bigram window
+    # (the repo's split('')->[''] convention, same as dsir_importance)
+    assert out[3].n_feats == 2
+    # rank/selected still total and deterministic (score ties -> id)
+    assert sorted(r.rnk for r in out.values()) == [0, 1, 2]
+    assert sum(1 for r in out.values() if r.selected) == 2
+
+
 class TestSoftDedupWeights:
     def test_weights_closed_form(self, spark):
         """Two exact copies share a cluster: size 2, weight 500000
