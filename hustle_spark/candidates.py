@@ -4860,22 +4860,28 @@ FLIPPED_R13 = (
     "bpe_merges_file_roundtrip",
 )
 
-FLIPPED = (
-    FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11 + FLIPPED_R12
-    + FLIPPED_R13
+FLIPPED_R14 = (
+    # VERDICT r13 directive #1: the ENTIRE 3-row r13 staged pool
+    # flips — dedup_soft_weights (SoftDedup 1/count down-weighting),
+    # dedup_soft_weights_fuzzy (the full SoftDedup method over
+    # transitively-closed near-dup clusters),
+    # data_selection_moore_lewis (cross-entropy-difference
+    # selection). Each was oracle-proven at sf0.001/sf0.01/sf0.1 at
+    # staging (CHECKED.md r13) and suite-gated every round since.
+    "dedup_soft_weights",
+    "dedup_soft_weights_fuzzy",
+    "data_selection_moore_lewis",
 )
 
-# Still-staged candidates — the r13 flip drained the inherited pool
-# to ZERO (VERDICT r12 directive #1); the two entries now here are
-# ALL new this round (pool 3 <= new-this-round 10, the directive-#2
-# invariant) and flip in r14 after at most one staged round:
-# dedup_soft_weights (SoftDedup 1/count down-weighting),
-# dedup_soft_weights_fuzzy (the full SoftDedup method over
-# transitively-closed near-dup clusters) and
-# data_selection_moore_lewis (cross-entropy-difference selection).
-# Each is oracle-proven at sf0.001/sf0.01/sf0.1 and suite-gated by
-# tests/test_candidates.py / test_empty_inputs.py /
-# test_plan_audit_registry.py every round until its flip.
+FLIPPED = (
+    FLIPPED_R8 + FLIPPED_R9 + FLIPPED_R10 + FLIPPED_R11 + FLIPPED_R12
+    + FLIPPED_R13 + FLIPPED_R14
+)
+
+# Still-staged candidates — the r14 flip drained the pool to ZERO
+# again (VERDICT r13 directive #1); new operators register AT BIRTH
+# (the directive-#2 invariant), so this stays empty unless a
+# round-end build genuinely needs one staged round of suite gating.
 STAGED_CANDIDATES = {
     k: v for k, v in ALL_CANDIDATES.items() if k not in FLIPPED
 }

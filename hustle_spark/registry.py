@@ -6934,74 +6934,33 @@ _CHANGED = [
 # sum to EXACTLY _WINDOW_SIZE, so adding an entry here requires moving
 # the last _BACKFILL entry to _QUEUED_NEXT in the same edit.
 #
-# r13 executes the CHECKED.md r13 rotation plan verbatim (VERDICT r12
-# directive #1): _NEW = the ENTIRE remaining 8-row staged pool, in
-# the plan's order — the pool drains to ZERO — plus the two rows
-# registered AT BIRTH this round under the directive-#2 invariant
-# (the seam gates for the r13 profile/VAD loaders). 0 _CHANGED +
-# 10 _NEW leaves 40 backfill slots: the ENTIRE 28-row r8-latest
-# remainder (r12's _QUEUED_NEXT verbatim — after r13 no oracle-bound
-# row's newest driver check predates r9) plus the first 12 rows of
-# the 48-row r9-latest pool in CORRECTNESS_r09 key order; the 36-row
-# r9 remainder is QUEUED (not dropped) as the r14 backfill head.
-# Re-confirmation 40/50 = 80% — at the floor, the price of the two
-# at-birth registrations (10 new = the 20% ceiling).
+# r14 executes the CHECKED.md r14 rotation plan verbatim (VERDICT r13
+# directive #1): _NEW = the ENTIRE 3-row r13 staged pool — the pool
+# drains to ZERO again — plus any rows registered AT BIRTH this round
+# under the directive-#2 invariant. Backfill: the ENTIRE 36-row
+# r9-latest remainder (r13's _QUEUED_NEXT verbatim — after r14 no
+# oracle-bound row's newest driver check predates r10) plus the
+# oldest r10-latest rows in CORRECTNESS_r10 key order to the 50-fit;
+# the r10 remainder is QUEUED (not dropped) as the r15 backfill head.
 _NEW_THIS_ROUND = [
-    "mixture_epoch_upsampling",
-    "retrieval_rrf_fusion",
-    "tar_streaming_pack_requery",
-    "zip_streaming_pack_requery",
-    "dedup_minhash_incremental_grow",
-    "tar_webdataset_samples",
-    "ann_ivf_pq_batched",
-    "bpe_merges_file_roundtrip",
-    # registered at birth this round (directive #2):
-    "lang_profiles_file_roundtrip",
-    "audio_vad_table_probe",
+    # the r13 staged pool, flipped (VERDICT r13 directive #1):
+    "dedup_soft_weights",
+    "dedup_soft_weights_fuzzy",
+    "data_selection_moore_lewis",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
 # window back up to EXACTLY 50 — freshest re-confirmation of the
-# stalest rows. r13 drains the ENTIRE 28-row r8-latest remainder
-# (r12's _QUEUED_NEXT, verbatim — after this round no oracle-bound
-# row's newest driver check predates r9) plus the first 12 rows of
-# the 48-row r9-latest pool in CORRECTNESS_r09 key order. The two
+# stalest rows. r14 drains the ENTIRE 36-row r9-latest remainder
+# (r13's _QUEUED_NEXT, verbatim — after this round no oracle-bound
+# row's newest driver check predates r10) plus the oldest r10-latest
+# rows in CORRECTNESS_r10 key order to the 50-fit. The two
 # by-design rows-only sketches dedup_minhash_lsh/dedup_simhash stay
 # OUT of backfill (test_window_priority_ordering: proven rows-only
 # entries never burn a window slot — their machineries are
 # hash-checked via the md5 twins, which rotate normally).
 _BACKFILL = [
-    # r8-latest remainder, CORRECTNESS_r08 key order (all 28)
-    "csv_roundtrip_agg", "multimodal_jpeg_progressive_probe",
-    "bpe_encode_corpus", "bpe_tokenizer_roundtrip",
-    "udaf_regression_slope", "udtf_shingle_stats",
-    "q5_local_supplier_volume", "q7_volume_shipping",
-    "q8_national_market_share", "q9_product_profit",
-    "q14_promo_revenue", "q19_disjunctive_revenue",
-    "q3_shipping_priority", "scalar_math_funcs",
-    "dedup_ngram_jaccard", "streaming_static_enrich",
-    "skew_salted_join_requery", "bucketed_join_requery",
-    "text_unigram_quality", "boilerplate_removal",
-    "dedup_pipeline_keepers", "corpus_diff",
-    "embedding_random_projection", "streaming_ingest_dedup_requery",
-    "bpe_merge_rounds", "compact_requery",
-    "distinct_order_limit", "star_scan_region",
-    # oldest r9-latest rows, CORRECTNESS_r09 key order (first 12)
-    "url_canonicalize_stats", "url_domain_quota", "url_robots_filter",
-    "dedup_substring_groups", "dedup_substring_removal",
-    "dedup_exact_substr_combined", "events_rolling_actives",
-    "sketch_rollup_actives", "embedding_pq_audit",
-    "multimodal_png_probe", "text_lexical_diversity",
-    "text_code_detect",
-]
-
-# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
-# what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r9-latest remainder (36 oracle-bound
-# rows, in CORRECTNESS_r09 key order) — the r14 backfill head. After
-# these drain, the stalest pool is r10-latest (docs/CHECKED.md holds
-# the manifest).
-_QUEUED_NEXT = [
+    # r9-latest remainder, CORRECTNESS_r09 key order (all 36)
     "warc_meta_noindex", "topk_orders",
     "padding_waste_buckets", "filter_isin",
     "embedding_contamination_scan", "vocab_drift_top",
@@ -7017,6 +6976,40 @@ _QUEUED_NEXT = [
     "embedding_label_stats", "text_stats_by_lang",
     "text_quality_topk", "doc_fingerprint_prefix",
     "q2_min_cost_supplier",
+    # oldest r10-latest rows, CORRECTNESS_r10 key order (first 11)
+    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
+    "dedup_containment_pairs", "dedup_containment_guarded",
+    "multimodal_image_ahash", "multimodal_image_phash",
+    "dedup_image_phash_groups", "multimodal_exif_probe",
+    "multimodal_video_scenes", "audio_pitch_probe",
+    "audio_segments_probe",
+]
+
+# The explicit rotation queue (ADVICE r6 #4: no silent truncation —
+# what does not fit this round is QUEUED here by an explicit edit,
+# never dropped by a slice): the r10-latest remainder (39 oracle-bound
+# rows, in CORRECTNESS_r10 key order) — the r15 backfill head. After
+# these drain, the stalest pool is r11-latest (docs/CHECKED.md holds
+# the manifest).
+_QUEUED_NEXT = [
+    "dedup_semantic_centroid", "embedding_matryoshka_audit",
+    "data_selection_dsir", "q4_order_priority",
+    "q6_forecast_revenue", "q10_returned_items",
+    "q11_important_stock", "q12_late_shipment_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customer", "q20_excess_quantity_suppliers",
+    "warc_ingest_records", "window_topk_per_group",
+    "scalar_string_funcs", "similarity_topk_exact",
+    "similarity_ann_lsh", "tfidf_top_terms", "window_rank_ties",
+    "similarity_ivf", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "sql_api_exists",
+    "grouping_sets_sql", "percentile_exact", "variance_manual",
+    "correlation_manual", "unpivot_measures", "union_all_counts",
+    "range_join_purchase_errors", "streaming_session_windows",
+    "streaming_dedupe_count", "multimodal_decode",
+    "embedding_centroids", "vocab_top_tokens", "curation_filter",
+    "approx_cardinality",
 ]
 
 
