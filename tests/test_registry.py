@@ -132,3 +132,42 @@ def test_oracle_gate_dtype_directions(spark):
     # scalar/scalar equal types -> clean
     hard, warns = dtype_problems(scalar_df, duck_scalar)
     assert not hard and not warns
+
+
+def test_ann_pair_recall_contract():
+    """The executable ANN recall floor (VERDICT r13 "What's wrong"
+    #1): ann_pair_recall judges an approximate row by the fraction of
+    true (query_id, vec_id) hits it returned, ignoring rank/score
+    wobble; the floor constants pin the documented 13/15 sf0.1
+    measurement so a silent recall regression FAILS the 10x sweep
+    instead of reading as "a few more differing values"."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from check_oracle import ANN_RECALL_FLOOR, ann_pair_recall
+
+    cols = ["query_id", "vec_id", "cosine_u", "rank"]
+    truth = [(0, v, 100 - v, v + 1) for v in range(5)]
+
+    # identical hit set, scrambled ranks/scores -> recall 1.0
+    scrambled = [(q, v, 0, 99) for q, v, *_ in truth]
+    assert ann_pair_recall(scrambled, cols, truth, cols) == 1.0
+
+    # one true hit replaced by a miss -> 4/5
+    missed = scrambled[:4] + [(0, 777, 0, 5)]
+    assert ann_pair_recall(missed, cols, truth, cols) == 0.8
+
+    # column-order independence: spark side with reordered columns
+    sp_cols = ["rank", "vec_id", "cosine_u", "query_id"]
+    sp_rows = [(r[3], r[1], r[2], r[0]) for r in scrambled]
+    assert ann_pair_recall(sp_rows, sp_cols, truth, cols) == 1.0
+
+    # empty oracle degenerates to 1.0 (nothing to recall)
+    assert ann_pair_recall([], cols, [], cols) == 1.0
+
+    # the documented sf0.1 floor: 13/15 for both registered ANN rows
+    assert ANN_RECALL_FLOOR == {
+        "similarity_ann_lsh": 13 / 15,
+        "similarity_ivf": 13 / 15,
+    }
