@@ -4306,6 +4306,113 @@ BPE_MERGES_FILE_ROUNDTRIP_ORACLE = (
 )
 
 
+def hf_tokenizer_file_roundtrip(spark, sf_dir):
+    """L28d the TWO-FILE tokenizer SEAM driven under the oracle gate
+    (VERDICT r13 directive #7a — the vocab.json + merges.txt pair
+    every public BPE tokenizer ships, completing the merges-only r13
+    row): the deterministic GPT-2-style vocab derived from the fixed
+    export merge list (specials, base symbols in first-appearance
+    order, products in merge order — hf_vocab_from_merges) is
+    serialized WITH the merges to a real vocab.json + merges.txt
+    pair (dump_hf_tokenizer), parsed back strictly
+    (load_hf_tokenizer: JSON-object vocab, unique non-negative ids,
+    every merge operand AND product id-checked against the vocab),
+    and the corpus is encoded with the LOADED merges then id-mapped
+    with the LOADED vocab (unknown corpus words -> -1, the <unk>
+    convention). The oracle is the bpe_encode_corpus replay (shared
+    BY REFERENCE, marker-guard rewritten to expose the token list)
+    plus the SAME deterministic id CASE-mapping — any drift in
+    either file (id reorder, token mangling, merge reorder) changes
+    ids_md5 or tokens_md5 and hash-mismatches. Map-only, zero
+    shuffle; both files are KB-scale driver-side config that become
+    plan literals, exactly like production."""
+    from pathlib import Path
+
+    cat = _cat(spark, sf_dir)
+    base = Path(str(cat.scratch))
+    base.mkdir(parents=True, exist_ok=True)
+    vp, mp = base / "hf_vocab.json", base / "hf_merges.txt"
+    TX.dump_hf_tokenizer(
+        TX.hf_vocab_from_merges(_BPE_EXPORT_MERGES), _BPE_EXPORT_MERGES,
+        vp, mp,
+    )
+    vocab, merges = TX.load_hf_tokenizer(vp, mp)
+    d = _util.spread_input(
+        cat.table("documents").df.select("doc_id", "text"), spark
+    ).select(
+        "doc_id", "text",
+        F.size(TX.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint").alias("n_tokens"),
+    )
+    enc = TX.bpe_encode(d, merges=merges)
+    # id-map with the LOADED vocab as one plan-literal lookup map
+    # (KB-scale config -> literals, the merges broadcast analogue)
+    pairs = []
+    for tok, vid in sorted(vocab.items(), key=lambda kv: kv[1]):
+        pairs.extend([F.lit(tok), F.lit(vid)])
+    vmap = F.create_map(*pairs)
+    ids = F.transform(
+        F.col("bpe_tokens"),
+        lambda x: F.coalesce(F.element_at(vmap, x), F.lit(-1)),
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        F.md5(F.encode(F.concat_ws(" ", F.col("bpe_tokens")), "UTF-8"))
+        .alias("tokens_md5"),
+        F.md5(F.encode(
+            F.concat_ws(
+                " ", F.transform(ids, lambda i: i.cast("string"))
+            ),
+            "UTF-8",
+        )).alias("ids_md5"),
+        F.size(F.filter(ids, lambda i: i == -1))
+        .cast("bigint").alias("n_unk"),
+        F.lit(len(vocab)).cast("bigint").alias("n_vocab_loaded"),
+    )
+
+
+def _hf_tokenizer_oracle() -> str:
+    """The bpe_encode_corpus oracle's fold chain shared BY REFERENCE,
+    with the final SELECT rewritten (marker-count-guarded, the
+    _ivf_pq_oracle_for_batch precedent) to ALSO emit the id-mapped
+    hash/unk columns from the same deterministic vocab the Spark row
+    loads — so the replay text and the id assignment can never drift
+    between the twins."""
+    from .functions import text as _TX
+
+    marker = (
+        "SELECT doc_id, n_tokens, CAST(len(tl) AS BIGINT) AS n_bpe_tokens,\n"
+        "           md5(array_to_string(tl, ' ')) AS tokens_md5\n"
+        "    FROM s4"
+    )
+    if BPE_ENCODE_CORPUS_ORACLE.count(marker) != 1:
+        raise ValueError(
+            "BPE_ENCODE_CORPUS_ORACLE no longer contains exactly one "
+            "final-SELECT marker; update _hf_tokenizer_oracle's "
+            "rewrite to match"
+        )
+    vocab = _TX.hf_vocab_from_merges(_BPE_EXPORT_MERGES)
+    case = (
+        "CASE x "
+        + " ".join(
+            f"WHEN '{tok}' THEN {vid}"
+            for tok, vid in sorted(vocab.items(), key=lambda kv: kv[1])
+        )
+        + " ELSE -1 END"
+    )
+    final = f"""SELECT doc_id, n_tokens, CAST(len(tl) AS BIGINT) AS n_bpe_tokens,
+           md5(array_to_string(tl, ' ')) AS tokens_md5,
+           md5(array_to_string(list_transform(tl,
+               x -> CAST(({case}) AS VARCHAR)), ' ')) AS ids_md5,
+           CAST(len(list_filter(tl, x -> ({case}) = -1)) AS BIGINT)
+             AS n_unk,
+           CAST({len(vocab)} AS BIGINT) AS n_vocab_loaded
+    FROM s4"""
+    return BPE_ENCODE_CORPUS_ORACLE.replace(marker, final)
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -4493,6 +4600,10 @@ ALL_CANDIDATES = {
     "bpe_merges_file_roundtrip": (
         bpe_merges_file_roundtrip,
         BPE_MERGES_FILE_ROUNDTRIP_ORACLE,
+    ),
+    "hf_tokenizer_file_roundtrip": (
+        hf_tokenizer_file_roundtrip,
+        _hf_tokenizer_oracle(),
     ),
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
@@ -4871,6 +4982,10 @@ FLIPPED_R14 = (
     "dedup_soft_weights",
     "dedup_soft_weights_fuzzy",
     "data_selection_moore_lewis",
+    # registered AT BIRTH this round (directive #2 invariant; VERDICT
+    # r13 directive #7a): the vocab.json + merges.txt two-file
+    # tokenizer seam, oracle-gated from its first round
+    "hf_tokenizer_file_roundtrip",
 )
 
 FLIPPED = (

@@ -1137,6 +1137,146 @@ def load_classifier_weights(
     return w
 
 
+def hf_vocab_from_merges(merges, sep: str = "_", specials=("<unk>",)) -> dict:
+    """Deterministic GPT-2-style vocabulary derived from a merge
+    list — the vocab.json half of the standard two-file tokenizer
+    export (vocab.json + merges.txt, the format every public BPE
+    tokenizer ships): special tokens first, then the BASE symbols in
+    first-appearance order scanning the merges left-to-right (a
+    symbol that is itself an earlier merge's product is NOT base),
+    then one product token per merge in merge-priority order —
+    exactly the id assignment a greedy BPE trainer produces (byte
+    alphabet first, merged symbols appended as learned). ``sep``
+    matches :func:`bpe_encode`'s joined-token spelling (GPT-2's
+    byte-level concat convention is ``sep=""``)."""
+    vocab: dict = {}
+    for s in specials:
+        vocab[s] = len(vocab)
+    products = set()
+    pending = []
+    for a, b in ((m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+                 for m in merges):
+        for sym in (a, b):
+            if sym not in vocab and sym not in products:
+                vocab[sym] = len(vocab)
+        pending.append(f"{a}{sep}{b}")
+        products.add(f"{a}{sep}{b}")
+    for prod in pending:
+        if prod not in vocab:
+            vocab[prod] = len(vocab)
+    return vocab
+
+
+def dump_hf_tokenizer(
+    vocab: dict, merges, vocab_path, merges_path, sep: str = "_"
+) -> tuple:
+    """Serialize a (vocab, merges) tokenizer pair into the standard
+    two-file interchange format :func:`load_hf_tokenizer` reads back:
+    ``vocab.json`` (one JSON object, token -> integer id) and
+    ``merges.txt`` (via :func:`dump_bpe_merges`). Validates the pair
+    is self-consistent BEFORE writing — ids must be exactly
+    0..len-1 with no duplicates (the contiguous id space every
+    id-indexed embedding table assumes), and every merge product
+    must hold a vocab id (a merge that emits an un-id-able token
+    breaks any consumer) — so a malformed export can never be
+    produced, only refused."""
+    import json as _json
+
+    ids = sorted(vocab.values())
+    if ids != list(range(len(vocab))):
+        raise ValueError(
+            "vocab ids are not exactly 0..len-1 (duplicates or gaps) "
+            "— an id-indexed consumer would mis-look-up every token "
+            "after the first hole; refusing to export"
+        )
+    for m in merges:
+        a, b = (m[1], m[2]) if len(m) >= 4 else (m[0], m[1])
+        prod = f"{a}{sep}{b}"
+        if prod not in vocab:
+            raise ValueError(
+                f"merge product {prod!r} has no vocab id — the pair "
+                "is inconsistent; refusing to export"
+            )
+    vtext = _json.dumps(
+        dict(sorted(vocab.items(), key=lambda kv: kv[1])),
+        ensure_ascii=False, indent=0,
+    )
+    with open(vocab_path, "w", encoding="utf-8") as fh:
+        fh.write(vtext + "\n")
+    mtext = dump_bpe_merges(merges, merges_path)
+    return vtext, mtext
+
+
+def load_hf_tokenizer(vocab_source, merges_source, sep: str = "_") -> tuple:
+    """Two-file tokenizer loader — the vocab.json + merges.txt SEAM
+    (the standard export format of every public BPE tokenizer) made
+    executable like the merges-only loader before it: parse
+    vocab.json (strict JSON object, string tokens -> integer ids)
+    and merges.txt (:func:`load_bpe_merges`), then cross-validate
+    the pair the way a real tokenizer must — every merge operand AND
+    its product need a vocab id (ids are what the encoded corpus
+    ships downstream; a missing one silently drops tokens), ids must
+    be unique non-negative integers, tokens non-empty. Driver-side
+    by design: both files are KB-scale model config that becomes
+    plan literals (the merges.txt precedent). Returns
+    ``(vocab: dict, merges: list)``.
+
+    Property pinned in tests/test_text_curation.py: a derived pair
+    round-tripped through the two files encodes + id-maps the gate
+    corpus IDENTICALLY to the inline pair (loaded ≡ inline)."""
+    import json as _json
+
+    if isinstance(vocab_source, (str, bytes)) or hasattr(
+        vocab_source, "__fspath__"
+    ):
+        with open(vocab_source, encoding="utf-8") as fh:
+            raw = fh.read()
+    else:
+        raw = str(vocab_source)
+    try:
+        vocab = _json.loads(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"vocab.json is not valid JSON ({e}) — a truncated or "
+            "mangled vocab must fail at load, not mis-id a corpus"
+        )
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError(
+            "vocab.json must be one non-empty JSON object "
+            "(token -> id); refusing anything else"
+        )
+    seen_ids = set()
+    for tok, vid in vocab.items():
+        if not isinstance(tok, str) or not tok:
+            raise ValueError(
+                f"vocab token {tok!r} is empty or non-string — "
+                "refusing a malformed vocab"
+            )
+        if isinstance(vid, bool) or not isinstance(vid, int) or vid < 0:
+            raise ValueError(
+                f"vocab id {vid!r} for token {tok!r} is not a "
+                "non-negative integer — refusing a malformed vocab"
+            )
+        if vid in seen_ids:
+            raise ValueError(
+                f"duplicate vocab id {vid} (token {tok!r}) — an "
+                "ambiguous id space must fail at load"
+            )
+        seen_ids.add(vid)
+    merges = load_bpe_merges(merges_source)
+    for a, b in merges:
+        prod = f"{a}{sep}{b}"
+        for sym, what in ((a, "left operand"), (b, "right operand"),
+                          (prod, "product")):
+            if sym not in vocab:
+                raise ValueError(
+                    f"merge ({a!r}, {b!r}): {what} {sym!r} has no "
+                    "vocab id — the two files disagree; an encoder "
+                    "using this pair would emit un-id-able tokens"
+                )
+    return vocab, merges
+
+
 def bpe_encode(
     df: DataFrame,
     merges,

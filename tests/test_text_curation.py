@@ -596,6 +596,78 @@ def test_lang_profiles_quote_backslash_trigrams_roundtrip(spark, tmp_path):
         )
 
 
+def test_hf_tokenizer_pair_loaded_equals_inline(spark, tmp_path):
+    """VERDICT r13 directive #7a: the vocab.json + merges.txt
+    two-file tokenizer seam. A derived (vocab, merges) pair
+    round-tripped through both files must encode AND id-map a corpus
+    identically to the inline pair; inconsistent pairs fail at load
+    or at dump, never silently."""
+    import json
+
+    import pytest
+
+    from hustle_spark.functions import text as TX
+
+    merges = [("aa", "bb"), ("aa_bb", "cc")]
+    vocab = TX.hf_vocab_from_merges(merges)
+    # deterministic GPT-2-style assignment: specials, base symbols in
+    # first-appearance order, products in merge order
+    assert vocab == {
+        "<unk>": 0, "aa": 1, "bb": 2, "cc": 3, "aa_bb": 4,
+        "aa_bb_cc": 5,
+    }
+
+    vp, mp = tmp_path / "vocab.json", tmp_path / "merges.txt"
+    TX.dump_hf_tokenizer(vocab, merges, vp, mp)
+    lv, lm = TX.load_hf_tokenizer(vp, mp)
+    assert lv == vocab and lm == merges
+
+    # loaded ≡ inline on a micro corpus, through encode + id-map
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb"), (3, None)],
+        "doc_id bigint, text string",
+    )
+
+    def encode_ids(v, m):
+        enc = TX.bpe_encode(docs, merges=m)
+        rows = enc.select("doc_id", "bpe_tokens").collect()
+        return {
+            r.doc_id: [v.get(t, -1) for t in r.bpe_tokens] for r in rows
+        }
+
+    assert encode_ids(lv, lm) == encode_ids(vocab, merges)
+    # both merges chained: 'aa bb cc' -> aa_bb_cc (id 5); 'dd' -> -1
+    assert encode_ids(lv, lm)[1] == [5, -1]
+
+    # strictness: duplicate id, gapped ids on dump, missing product,
+    # missing operand, bad JSON, empty token
+    dup = tmp_path / "dup.json"
+    dup.write_text('{"a": 1, "b": 1}')
+    with pytest.raises(ValueError, match="duplicate vocab id"):
+        TX.load_hf_tokenizer(dup, mp)
+    with pytest.raises(ValueError, match="0..len-1"):
+        TX.dump_hf_tokenizer({"a": 0, "b": 2}, [], vp, mp)
+    with pytest.raises(ValueError, match="no vocab id"):
+        TX.dump_hf_tokenizer({"a": 0}, [("a", "a")], vp, mp)
+    nomrg = tmp_path / "nomrg.json"
+    nomrg.write_text('{"aa": 0}')
+    with pytest.raises(ValueError, match="no vocab id"):
+        TX.load_hf_tokenizer(nomrg, mp)
+    badj = tmp_path / "bad.json"
+    badj.write_text("{not json")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        TX.load_hf_tokenizer(badj, mp)
+    emptyt = tmp_path / "empty.json"
+    emptyt.write_text(json.dumps({"": 0}))
+    with pytest.raises(ValueError, match="empty or non-string"):
+        TX.load_hf_tokenizer(emptyt, mp)
+    # bool ids are not integer ids (Python bool subclasses int)
+    boolid = tmp_path / "bool.json"
+    boolid.write_text('{"a": true}')
+    with pytest.raises(ValueError, match="non-negative integer"):
+        TX.load_hf_tokenizer(boolid, mp)
+
+
 def test_dsir_score_with_weights_partial_table_total_frame(spark):
     """ADVICE r13 (low): a weight table that covers only SOME buckets
     (the advertised partial-export case) must still emit a TOTAL
