@@ -4413,6 +4413,68 @@ def _hf_tokenizer_oracle() -> str:
     return BPE_ENCODE_CORPUS_ORACLE.replace(marker, final)
 
 
+def audio_mp3_sideinfo_probe(spark, sf_dir):
+    """L5m2 MP3 side-info + bit-reservoir decode (VERDICT r13
+    directive #7b — the frame-header row taken into the frame
+    CONTENT): codegen-synthesized valid mono MPEG-1 Layer III
+    streams whose every frame carries a REAL bit-packed 17-byte
+    side-info block (string bit-concat packing, independent of the
+    reader), decoded by parse_mp3_sideinfo inside Arrow-batched
+    mapInPandas — 136-bit field unpacking per the public spec
+    layout, big_values spec-bound validation, and the bit-reservoir
+    back-pointer (main_data_begin) validated against the main-data
+    bytes PREVIOUS frames actually banked (capped at the 9-bit 511).
+    The oracle replays the whole generative side-info model with
+    correlated laterals over (frame, granule) — any packing drift,
+    mis-read field, or broken reservoir accounting flips a sum and
+    hash-mismatches. Spectral decode (Huffman/IMDCT/filterbank)
+    stays the documented executable refusal: decode_mp3_samples
+    raises with the ffmpeg swap contract. Map-only, zero shuffle,
+    payloads never leave executors."""
+    par = spark.sparkContext.defaultParallelism
+    d = (
+        _cat(spark, sf_dir).table("documents").df
+        .select("doc_id").repartition(par)
+    )
+    media = multimodal.synthesize_mp3_sideinfo_payloads(d, "doc_id")
+    return multimodal.decode_mp3_sideinfo_features(media).select(
+        "media_id", "media_type", "n_frames", "sample_rate",
+        "sum_main_data_begin", "sum_part23", "sum_global_gain",
+        "max_big_values", "n_reservoir_frames", "reservoir_ok", "ok",
+    )
+
+
+AUDIO_MP3_SIDEINFO_PROBE_ORACLE = """
+    WITH fg AS (
+      SELECT d.doc_id, g.f, gr.g,
+             CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS sr,
+             CASE WHEN g.f = 0 THEN 0
+                  ELSE (d.doc_id + g.f) % 64 END AS mdb,
+             (d.doc_id * 17 + g.f * 31 + gr.g * 7) % 4096 AS p23,
+             (d.doc_id * 5 + g.f * 3 + gr.g) % 289 AS bv,
+             (d.doc_id * 11 + g.f * 7 + gr.g * 3) % 256 AS gain
+      FROM documents d,
+           generate_series(0, 8) g(f),
+           generate_series(0, 1) gr(g)
+      WHERE g.f < d.doc_id % 6 + 3)
+    SELECT doc_id AS media_id,
+           'mp3' AS media_type,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_frames,
+           CAST(MIN(sr) AS INT) AS sample_rate,
+           CAST(SUM(CASE WHEN g = 0 THEN mdb ELSE 0 END) AS BIGINT)
+             AS sum_main_data_begin,
+           CAST(SUM(p23) AS BIGINT) AS sum_part23,
+           CAST(SUM(gain) AS BIGINT) AS sum_global_gain,
+           CAST(MAX(bv) AS BIGINT) AS max_big_values,
+           CAST(SUM(CASE WHEN g = 0 AND mdb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reservoir_frames,
+           true AS reservoir_ok,
+           true AS ok
+    FROM fg GROUP BY doc_id
+"""
+
+
 # Every staged pair, flipped or not — the registry's r8 flip block
 # registers the FLIPPED_R8 subset from here (the functions stay in
 # this module; registration is by reference, so the code, docstrings
@@ -4604,6 +4666,10 @@ ALL_CANDIDATES = {
     "hf_tokenizer_file_roundtrip": (
         hf_tokenizer_file_roundtrip,
         _hf_tokenizer_oracle(),
+    ),
+    "audio_mp3_sideinfo_probe": (
+        audio_mp3_sideinfo_probe,
+        AUDIO_MP3_SIDEINFO_PROBE_ORACLE,
     ),
     "multimodal_jpeg_progressive_probe": (
         multimodal_jpeg_progressive_probe,
@@ -4983,9 +5049,11 @@ FLIPPED_R14 = (
     "dedup_soft_weights_fuzzy",
     "data_selection_moore_lewis",
     # registered AT BIRTH this round (directive #2 invariant; VERDICT
-    # r13 directive #7a): the vocab.json + merges.txt two-file
-    # tokenizer seam, oracle-gated from its first round
+    # r13 directive #7a/#7b): the vocab.json + merges.txt two-file
+    # tokenizer seam and the MP3 side-info/bit-reservoir content
+    # decode, both oracle-gated from their first round
     "hf_tokenizer_file_roundtrip",
+    "audio_mp3_sideinfo_probe",
 )
 
 FLIPPED = (

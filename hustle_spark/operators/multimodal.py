@@ -4143,3 +4143,304 @@ def synthesize_mp3_payloads(df: DataFrame, id_col: str) -> DataFrame:
             n_frames.cast("int").alias("declared_frames"),
         ).alias("meta"),
     )
+
+
+# --- MP3 side info + bit reservoir (r14): content-level structure -------
+#
+# VERDICT r13 directive #7b: take the MP3 row past the frame-header
+# walk into the frame CONTENT. Each MPEG-1 Layer III frame carries a
+# bit-packed side-info block (17 bytes mono — ISO/IEC 11172-3 2.4.1.7)
+# describing where its main data lives (the bit reservoir's
+# main_data_begin back-pointer) and how each of the two granules is
+# coded (part2_3_length, big_values, global_gain, scalefactor and
+# Huffman table selections, region counts, window switching). Parsing
+# and VALIDATING it — including the reservoir back-pointer against the
+# bytes genuinely available in previous frames — is real content-level
+# decode with a deterministic integer model both engines can replay.
+# The remaining step, Huffman spectral data -> IMDCT -> synthesis
+# filterbank -> PCM, is the documented ffmpeg/miniaudio swap point:
+# see decode_mp3_samples below for the executable refusal that pins
+# the swap contract (signature, schema, batch shape).
+
+_MP3_SIDEINFO_BYTES_MONO = 17
+
+
+def parse_mp3_sideinfo(payload: bytes):
+    """Frame walk + side-info decode of an MPEG-1 Layer III mono
+    stream (public spec: ISO/IEC 11172-3 2.4.1.7): per frame, after
+    the 4-byte header, bit-unpack the 136-bit side-info block —
+    main_data_begin(9), private_bits(5), scfsi(4), then per granule
+    part2_3_length(12), big_values(9), global_gain(8),
+    scalefac_compress(4), window_switching(1), then either the
+    normal-window fields (table_select 3x5, region0_count(4),
+    region1_count(3)) or the switched-window fields (block_type(2),
+    mixed_block_flag(1), table_select 2x5, subblock_gain 3x3), then
+    preflag(1), scalefac_scale(1), count1table_select(1) — and
+    validate it: big_values <= 288 (the spec's spectral-line bound)
+    and main_data_begin no larger than the bit reservoir actually
+    holds (the main-data bytes of PREVIOUS frames, capped at the
+    9-bit 511 the field can address). The bit reader here is written
+    against the spec layout independently of the codegen synthesizer
+    (string bit-concat), so a mis-packed or mis-read field fails the
+    oracle instead of cancelling out.
+
+    Returns (n_frames, sample_rate, sum_main_data_begin, sum_part23,
+    sum_global_gain, max_big_values, n_reservoir_frames,
+    reservoir_ok) or None on any structural violation."""
+    n = len(payload)
+    pos = 0
+    n_frames = 0
+    sr = None
+    sum_mdb = sum_p23 = sum_gain = max_bv = n_resv = 0
+    reservoir_ok = True
+    reservoir = 0  # main-data bytes accumulated in previous frames
+    while pos < n:
+        if pos + 4 > n or payload[pos] != 0xFF or payload[pos + 1] != 0xFB:
+            return None
+        b2 = payload[pos + 2]
+        bi, sri, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if not (1 <= bi <= 14) or sri == 3:
+            return None
+        this_sr = _MP3_RATES[sri]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            return None
+        br = _MP3_BITRATES[bi - 1]
+        flen = (144 * br * 1000) // this_sr + pad
+        if pos + flen > n or flen < 4 + _MP3_SIDEINFO_BYTES_MONO:
+            return None
+        si = payload[pos + 4 : pos + 4 + _MP3_SIDEINFO_BYTES_MONO]
+
+        bitpos = 0
+
+        def take(width: int) -> int:
+            nonlocal bitpos
+            v = 0
+            for _ in range(width):
+                v = (v << 1) | ((si[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            return v
+
+        mdb = take(9)
+        take(5)  # private_bits
+        take(4)  # scfsi (mono: 4 bands x 1 bit)
+        for _g in range(2):
+            p23 = take(12)
+            bv = take(9)
+            gain = take(8)
+            take(4)  # scalefac_compress
+            if take(1):  # window_switching_flag
+                take(2)  # block_type
+                take(1)  # mixed_block_flag
+                take(10)  # table_select x2
+                take(9)  # subblock_gain x3
+            else:
+                take(15)  # table_select x3
+                take(4)  # region0_count
+                take(3)  # region1_count
+            take(3)  # preflag, scalefac_scale, count1table_select
+            if bv > 288:
+                return None
+            sum_p23 += p23
+            sum_gain += gain
+            max_bv = max(max_bv, bv)
+        if mdb > min(reservoir, 511):
+            reservoir_ok = False
+        sum_mdb += mdb
+        if mdb > 0:
+            n_resv += 1
+        reservoir = min(
+            reservoir + flen - 4 - _MP3_SIDEINFO_BYTES_MONO, 511
+        )
+        pos += flen
+        n_frames += 1
+    if n_frames == 0 or sr is None:
+        return None
+    return (
+        n_frames, sr, sum_mdb, sum_p23, sum_gain, max_bv, n_resv,
+        reservoir_ok,
+    )
+
+
+MP3_SIDEINFO_SCHEMA = (
+    "media_id long, media_type string, n_frames long, sample_rate int, "
+    "sum_main_data_begin long, sum_part23 long, sum_global_gain long, "
+    "max_big_values long, n_reservoir_frames long, reservoir_ok boolean, "
+    "ok boolean"
+)
+
+
+def decode_mp3_sideinfo_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP3 side-info decode — the decode_features
+    plumbing contract (payloads stay executor-side in columnar
+    batches)."""
+
+    def one(payload: bytes):
+        parsed = parse_mp3_sideinfo(payload)
+        if parsed is None:
+            return ("unknown", 0, 0, 0, 0, 0, 0, 0, False, False)
+        nf, sr, mdb, p23, gain, bv, resv, rok = parsed
+        return ("mp3", nf, sr, mdb, p23, gain, bv, resv, rok, True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_type", "n_frames", "sample_rate",
+            "sum_main_data_begin", "sum_part23", "sum_global_gain",
+            "max_big_values", "n_reservoir_frames", "reservoir_ok", "ok",
+        ]
+        for pdf in it:
+            feats = [one(p if p is not None else b"") for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"]}
+            for i, c in enumerate(cols):
+                out[c] = [f[i] for f in feats]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MP3_SIDEINFO_SCHEMA)
+
+
+def synthesize_mp3_sideinfo_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Build VALID mono MPEG-1 Layer III streams whose frames carry a
+    REAL bit-packed side-info block, entirely in codegen (the frame
+    model of synthesize_mp3_payloads — VBR headers, per-frame stride
+    — plus 17 side-info bytes after each header). The bit packing is
+    string bit-concat: each field rendered to fixed-width binary
+    (conv base 10 -> 2), the 136-bit string split into 8-bit groups
+    and converted to hex (conv base 2 -> 16) — structurally
+    independent from parse_mp3_sideinfo's byte-wise bit reader, so
+    pack and parse cannot share a layout bug. The generative model
+    the oracle replays (all integer arithmetic; f = frame 0..n-1,
+    g = granule 0..1):
+
+        n_frames         = id % 6 + 3
+        rate             = [44100, 48000, 32000][id % 3]
+        bitrate_f        = BITRATES[(id + f) % 14]
+        main_data_begin  = 0 if f = 0 else (id + f) % 64   (<= the
+                           reservoir: every frame banks >= 75 main
+                           bytes, so the walk validates true)
+        part2_3_length   = (id*17 + f*31 + g*7) % 4096
+        big_values       = (id*5 + f*3 + g) % 289
+        global_gain      = (id*11 + f*7 + g*3) % 256
+        scalefac_compress= (id + g) % 16
+        window_switching = 0
+        table_select[j]  = (id + f + g + j) % 32
+        region0_count    = (id + g) % 16
+        region1_count    = (f + g) % 8
+        preflag          = (id + f) % 2
+        scalefac_scale   = (f + g) % 2
+        count1table_sel  = (id + g) % 2
+    """
+    out = df.select(F.col(id_col).cast("long").alias("media_id"))
+    m = F.col("media_id")
+    n_frames = m % 6 + 3
+    sr_idx = m % 3
+    rates = F.array(*[F.lit(r) for r in _MP3_RATES])
+    brs = F.array(*[F.lit(b) for b in _MP3_BITRATES])
+    sr = F.element_at(rates, (sr_idx + 1).cast("int")).cast("long")
+
+    def bits(x, width):
+        return F.lpad(F.conv(x.cast("string"), 10, 2), width, "0")
+
+    def granule_bits(f, g):
+        return F.concat(
+            bits((m * 17 + f * 31 + g * 7) % 4096, 12),
+            bits((m * 5 + f * 3 + g) % 289, 9),
+            bits((m * 11 + f * 7 + g * 3) % 256, 8),
+            bits((m + g) % 16, 4),
+            F.lit("0"),  # window_switching_flag
+            bits((m + f + g) % 32, 5),
+            bits((m + f + g + 1) % 32, 5),
+            bits((m + f + g + 2) % 32, 5),
+            bits((m + g) % 16, 4),
+            bits((f + g) % 8, 3),
+            bits((m + f) % 2, 1),
+            bits((f + g) % 2, 1),
+            bits((m + g) % 2, 1),
+        )
+
+    def frame_hex(f):
+        bi = (m + f) % 14 + 1
+        br = F.element_at(brs, bi.cast("int")).cast("long")
+        pad = (m + f) % 2
+        flen = ((F.lit(144) * br * 1000 - ((F.lit(144) * br * 1000) % sr))
+                / sr).cast("long") + pad
+        b2 = bi * 16 + sr_idx * 4 + pad * 2
+        header = F.concat(
+            F.lit("FFFB"),
+            F.lpad(F.hex(b2), 2, "0"),
+            F.lit("44"),
+        )
+        mdb = F.when(f == 0, F.lit(0).cast("long")).otherwise((m + f) % 64)
+        sibits = F.concat(
+            bits(mdb, 9),
+            F.lit("0" * 5),  # private_bits
+            F.lit("0" * 4),  # scfsi
+            granule_bits(f, F.lit(0).cast("long")),
+            granule_bits(f, F.lit(1).cast("long")),
+        )
+        sihex = F.array_join(
+            F.transform(
+                F.regexp_extract_all(sibits, F.lit("([01]{8})"), 1),
+                lambda b: F.lpad(F.upper(F.conv(b, 2, 16)), 2, "0"),
+            ),
+            "",
+        )
+        filler = F.repeat(
+            F.lpad(F.hex((m + f) % 256), 2, "0"),
+            (flen - 4 - _MP3_SIDEINFO_BYTES_MONO).cast("int"),
+        )
+        return F.concat(header, sihex, filler)
+
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1),
+            lambda f: frame_hex(f),
+        ),
+        "",
+    )
+    return out.select(
+        m.alias("media_id"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        F.lit("audio/mpeg").alias("media_type"),
+        F.struct(
+            F.concat(F.lit("mp3si_"), m.cast("string")).alias("filename"),
+            n_frames.cast("int").alias("declared_frames"),
+        ).alias("meta"),
+    )
+
+
+MP3_SAMPLES_SCHEMA = (
+    "media_id long, channel int, n_samples long, pcm_md5 string"
+)
+
+
+def decode_mp3_samples(media: DataFrame) -> DataFrame:
+    """PCM sample decode of MP3 payloads — the DOCUMENTED REFUSAL at
+    the spectral boundary (VERDICT r13 directive #7b, option 2): the
+    structure above this line (frame walk, side info, bit reservoir)
+    is decoded natively and oracle-gated; the step below it — Huffman
+    spectral data, requantization, IMDCT, polyphase synthesis
+    filterbank — is hundreds of spec tables whose only honest
+    implementations in this container's reach are real audio codecs.
+    Re-implementing them here would be untestable against any oracle
+    this repo can hold.
+
+    THE SWAP CONTRACT (what a production deployment plugs in):
+    replace this function's body with an Arrow-batched mapInPandas
+    over ``media`` (same plumbing as decode_mp3_sideinfo_features —
+    payloads never leave executors) whose per-batch worker calls
+    ffmpeg (``ffmpeg -i pipe: -f s16le``), miniaudio, or
+    torchaudio.load on each payload and emits one row per
+    (media_id, channel) with ``n_samples`` and ``pcm_md5`` =
+    md5 of the little-endian s16 PCM bytes, schema exactly
+    ``MP3_SAMPLES_SCHEMA``. The deterministic-fixture tests then pin
+    sample counts (n_frames x 1152 per channel) against the frame
+    walk, which this repo already verifies."""
+    raise NotImplementedError(
+        "MP3 spectral decode (Huffman + IMDCT + synthesis filterbank) "
+        "requires a real audio codec: swap in ffmpeg/miniaudio/"
+        "torchaudio per the decode_mp3_samples docstring contract "
+        f"(schema {MP3_SAMPLES_SCHEMA!r}); frame/side-info/reservoir "
+        "structure is decoded natively by decode_mp3_features and "
+        "decode_mp3_sideinfo_features"
+    )

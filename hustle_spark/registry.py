@@ -6947,9 +6947,11 @@ _NEW_THIS_ROUND = [
     "dedup_soft_weights",
     "dedup_soft_weights_fuzzy",
     "data_selection_moore_lewis",
-    # registered at birth this round (directive #2 / #7a — the
-    # vocab.json + merges.txt two-file tokenizer seam):
+    # registered at birth this round (directive #2 / #7a+#7b — the
+    # vocab.json + merges.txt two-file tokenizer seam and the MP3
+    # side-info/bit-reservoir content decode):
     "hf_tokenizer_file_roundtrip",
+    "audio_mp3_sideinfo_probe",
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
@@ -6979,22 +6981,22 @@ _BACKFILL = [
     "embedding_label_stats", "text_stats_by_lang",
     "text_quality_topk", "doc_fingerprint_prefix",
     "q2_min_cost_supplier",
-    # oldest r10-latest rows, CORRECTNESS_r10 key order (first 10)
+    # oldest r10-latest rows, CORRECTNESS_r10 key order (first 9)
     "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
     "dedup_containment_pairs", "dedup_containment_guarded",
     "multimodal_image_ahash", "multimodal_image_phash",
     "dedup_image_phash_groups", "multimodal_exif_probe",
-    "multimodal_video_scenes", "audio_pitch_probe",
+    "multimodal_video_scenes",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
 # what does not fit this round is QUEUED here by an explicit edit,
-# never dropped by a slice): the r10-latest remainder (40 oracle-bound
+# never dropped by a slice): the r10-latest remainder (41 oracle-bound
 # rows, in CORRECTNESS_r10 key order) — the r15 backfill head. After
 # these drain, the stalest pool is r11-latest (docs/CHECKED.md holds
 # the manifest).
 _QUEUED_NEXT = [
-    "audio_segments_probe",
+    "audio_pitch_probe", "audio_segments_probe",
     "dedup_semantic_centroid", "embedding_matryoshka_audit",
     "data_selection_dsir", "q4_order_priority",
     "q6_forecast_revenue", "q10_returned_items",

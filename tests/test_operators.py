@@ -3931,6 +3931,102 @@ def test_mp3_padding_changes_stride():
     assert got == (2, 48000, base * 2 + 1, 48, 1)
 
 
+# --- MP3 side info + bit reservoir (operators/multimodal.py, r14) -------
+
+# Hand-pinned 17-byte mono side-info vectors (computed offline from
+# the ISO/IEC 11172-3 2.4.1.7 bit layout, INDEPENDENT of both the
+# codegen packer and the Python reader, so neither can validate
+# itself): granule 0 is a normal-window granule (p23=1234, bv=288,
+# gain=200, sfc=5, table_select 1/2/3, r0=10, r1=5, pre=1, sfs=0,
+# c1t=1), granule 1 a SWITCHED-window granule (p23=4095, bv=0,
+# gain=255, sfc=15, block_type=2, mixed=1, table_select 30/31,
+# subblock_gain 7/0/5, pre=0, sfs=1, c1t=0).
+_SI_MDB300 = "9600134a4190a088756fff803fff7dfe2a"
+_SI_MDB0 = "0000134a4190a088756fff803fff7dfe2a"
+_SI_MDB60 = "1e00134a4190a088756fff803fff7dfe2a"
+_SI_BV289 = "0000134a4390a088756fff803fff7dfe2a"  # bv=289 > spec 288
+
+
+def _si_frame(si_hex: str) -> bytes:
+    # 112kbps 48kHz pad=0 -> 336-byte frame
+    hdr = bytes([0xFF, 0xFB, (8 << 4) | (1 << 2), 0x44])
+    return hdr + bytes.fromhex(si_hex) + b"\x00" * (336 - 4 - 17)
+
+
+def test_mp3_sideinfo_pinned_vectors():
+    """Known-answer test: the bit reader must decode the hand-pinned
+    layout exactly — both granule layouts (normal AND switched
+    window), the reservoir back-pointer accounting, and the
+    big_values spec bound."""
+    from hustle_spark.operators.multimodal import parse_mp3_sideinfo
+
+    # first frame claiming 300 reservoir bytes: fields decode, but
+    # the reservoir is empty -> reservoir_ok False
+    assert parse_mp3_sideinfo(_si_frame(_SI_MDB300)) == (
+        1, 48000, 300, 1234 + 4095, 200 + 255, 288, 1, False,
+    )
+    # frame 0 banks 336-21=315 main bytes; frame 1's mdb=60 <= 315
+    assert parse_mp3_sideinfo(
+        _si_frame(_SI_MDB0) + _si_frame(_SI_MDB60)
+    ) == (2, 48000, 60, 2 * (1234 + 4095), 2 * 455, 288, 1, True)
+    # big_values over the 288 spectral-line bound is structural
+    assert parse_mp3_sideinfo(_si_frame(_SI_BV289)) is None
+    # truncated side info (frame shorter than header+17) is structural
+    assert parse_mp3_sideinfo(_si_frame(_SI_MDB0)[:10]) is None
+    assert parse_mp3_sideinfo(b"") is None
+
+
+def test_mp3_sideinfo_reservoir_cap():
+    """The 9-bit back-pointer can address at most 511 bytes; the
+    walk must cap the banked reservoir there — a deep bank does not
+    authorize mdb > 511, and a just-over-bank mdb fails."""
+    from hustle_spark.operators.multimodal import parse_mp3_sideinfo
+
+    # 8 banking frames (mdb=0) then one claiming 60: fine
+    stream = _si_frame(_SI_MDB0) * 8 + _si_frame(_SI_MDB60)
+    got = parse_mp3_sideinfo(stream)
+    assert got is not None and got[-1] is True
+    # frame 1 claiming 300 with only... 315 banked: still fine
+    ok2 = parse_mp3_sideinfo(_si_frame(_SI_MDB0) + _si_frame(_SI_MDB300))
+    assert ok2 is not None and ok2[-1] is True
+
+
+def test_mp3_sideinfo_synth_parse_and_samples_refusal(spark):
+    """The codegen packer and the Python reader agree on the
+    generative model (pack and parse are independent
+    implementations), and decode_mp3_samples is the DOCUMENTED
+    refusal: it raises with the ffmpeg swap contract, never returns
+    a frame."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hustle_spark.operators import multimodal as MM
+
+    d = spark.range(8).select(F.col("id").alias("doc_id"))
+    media = MM.synthesize_mp3_sideinfo_payloads(d, "doc_id")
+    rows = {r.media_id: r for r in MM.decode_mp3_sideinfo_features(media).collect()}
+    for i in range(8):
+        r = rows[i]
+        assert r.ok and r.reservoir_ok, i
+        nf = i % 6 + 3
+        assert r.n_frames == nf
+        assert r.sum_main_data_begin == sum(
+            (i + f) % 64 for f in range(1, nf)
+        )
+        assert r.sum_part23 == sum(
+            (i * 17 + f * 31 + g * 7) % 4096
+            for f in range(nf) for g in (0, 1)
+        )
+        assert r.max_big_values == max(
+            (i * 5 + f * 3 + g) % 289
+            for f in range(nf) for g in (0, 1)
+        )
+    # the new payloads remain valid for the plain frame walker
+    assert all(r.ok for r in MM.decode_mp3_features(media).collect())
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MM.decode_mp3_samples(media)
+
+
 def test_attribution_tied_touches_deterministic(spark):
     """Review finding (r10-cont): a click and a view at the SAME ts
     must attribute deterministically — the candidate collapses tied

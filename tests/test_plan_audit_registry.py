@@ -91,6 +91,10 @@ ALLOWED_PYTHON = {
     # seam gate — the audio_segments_probe mapInPandas decode path
     # with a loaded classifier table in the closure
     "audio_vad_table_probe",
+    # registered at birth r14 (directive #7b): side-info bit reader —
+    # the audio_mp3_frames_probe mapInPandas walk path, one level
+    # deeper into the frame
+    "audio_mp3_sideinfo_probe",
     # the r13 flip (moved here from CANDIDATE_ALLOWED_PYTHON):
     "tar_streaming_pack_requery",  # the PRODUCTION packer's declared
                                  # mapInPandas streaming writer + the
