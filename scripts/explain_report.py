@@ -140,17 +140,20 @@ SHOWCASE = {
     # r13 at-birth seam rows
     "lang_profiles_file_roundtrip": "the loaded (lang, tri, weight) TSV broadcasts exactly like the fit profile — explode map-only, doc-keyed score shuffle, per-doc argmax window; the file seam adds zero plan nodes",
     "audio_vad_table_probe": "the loaded step table ships in the mapInPandas closure — same single Arrow decode stage as audio_segments_probe, no join for the model",
+    # the r14 flip (moved from CANDIDATE_SHOWCASE — registered rows now)
+    "dedup_soft_weights": "map-only fingerprint; ONE digest-keyed groupBy; the join back on the same key reuses the groupBy's exchange — text never crosses a shuffle",
+    "dedup_soft_weights_fuzzy": "guarded jaccard pair stage (max_df bounds the digest join) -> edge-bounded pointer-jumping CC -> one label-keyed groupBy for sizes/weights; text never enters the weighting operator",
+    "data_selection_moore_lewis": "ONE bigram explode feeds BOTH vocabulary-sized broadcast models; wide work is the doc-keyed re-aggregation and one range sort of the 1-row-per-doc score frame",
+    # r14 at-birth seam rows
+    "hf_tokenizer_file_roundtrip": "vocab.json + merges.txt parsed driver-side into plan literals (merge folds + one create_map lookup) — the id mapping is a map-only transform, zero extra stages for the two-file seam",
+    "audio_mp3_sideinfo_probe": "codegen bit-string side-info packing + one Arrow bit-reader stage — same single mapInPandas shape as the frame walk, payloads never leave executors",
 }
 
 
 # staged candidate rows (hustle_spark/candidates.py) whose plans are
 # themselves evidence — resolved via STAGED_CANDIDATES until their
-# wave flips (the r13-staged trio below flips in r14)
-CANDIDATE_SHOWCASE: dict = {
-    "dedup_soft_weights": "map-only fingerprint; ONE digest-keyed groupBy; the join back on the same key reuses the groupBy's exchange — text never crosses a shuffle",
-    "dedup_soft_weights_fuzzy": "guarded jaccard pair stage (max_df bounds the digest join) -> edge-bounded pointer-jumping CC -> one label-keyed groupBy for sizes/weights; text never enters the weighting operator",
-    "data_selection_moore_lewis": "ONE bigram explode feeds BOTH vocabulary-sized broadcast models; wide work is the doc-keyed re-aggregation and one range sort of the 1-row-per-doc score frame",
-}
+# wave flips (empty after the r14 flip; new rows register at birth)
+CANDIDATE_SHOWCASE: dict = {}
 
 
 def main():
