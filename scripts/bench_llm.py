@@ -165,6 +165,16 @@ BENCH_LLM = [
     "bpe_merges_file_roundtrip",
     "lang_profiles_file_roundtrip",
     "audio_vad_table_probe",
+    # appended round 14 (append-only protocol): the r14 flip — exact
+    # and fuzzy SoftDedup down-weighting, Moore-Lewis selection —
+    # plus the round's two at-birth seam rows (the vocab.json +
+    # merges.txt two-file tokenizer gate and the MP3 side-info /
+    # bit-reservoir content decode)
+    "dedup_soft_weights",
+    "dedup_soft_weights_fuzzy",
+    "data_selection_moore_lewis",
+    "hf_tokenizer_file_roundtrip",
+    "audio_mp3_sideinfo_probe",
 ]
 
 WARM_RUNS = 3

@@ -251,19 +251,29 @@ DEFAULT_PROBES = [
     # — the audio_segments_probe map-only Arrow class with a loaded
     # step table in the closure
     "audio_vad_table_probe",
-    # staged r13 (one-round-max invariant, flip r14): SoftDedup
+    # flipped r14: SoftDedup
     # down-weighting — map-only fingerprint + ONE digest groupBy +
     # exchange-reusing join back; the probe pins the join never
     # re-shuffles the corpus
     "dedup_soft_weights",
-    # staged r13: fuzzy SoftDedup — the guarded jaccard pair stage +
+    # flipped r14: fuzzy SoftDedup — the guarded jaccard pair stage +
     # edge-bounded CC + one label groupBy; the probe pins the
     # composition stays bounded by the max_df guard at 100x
     "dedup_soft_weights_fuzzy",
-    # staged r13: Moore-Lewis selection — one bigram explode, two
+    # flipped r14: Moore-Lewis selection — one bigram explode, two
     # vocabulary-sized broadcast models, doc-keyed re-agg + one range
     # sort; the probe pins both models stay broadcast at 100x
     "data_selection_moore_lewis",
+    # appended r14 (registered at birth): the MP3 side-info +
+    # bit-reservoir decode — the audio_mp3_frames_probe map-only
+    # synth + Arrow walk class, one bit-reader level deeper; probed
+    # to pin the content stage stays payload-local at 100x
+    "audio_mp3_sideinfo_probe",
+    # hf_tokenizer_file_roundtrip deliberately ABSENT — NOT silently:
+    # its Spark side is bpe_encode_corpus (already probed) plus one
+    # map-only create_map id lookup; the two files are KB-scale
+    # driver-side config, scale-independent by construction — the
+    # same contract as bpe_merges_file_roundtrip directly below.
     # bpe_merges_file_roundtrip deliberately ABSENT — NOT silently:
     # its Spark side is bpe_encode_corpus (already probed via
     # bpe_encode_corpus itself) plus a driver-side KB file write; the
