@@ -257,144 +257,96 @@ def repeated_substring_groups(
                      share arbitrarily more),
       sample       — the shared substring itself, to repeat_len chars.
 
-    The group key for a run of consecutive ranks is rank - (index of
-    the member among members ordered by rank) — the islands trick, with
-    the member index supplied by the same range-partitioned global
-    dense rank the SA construction uses (member ranks are unique, so
-    dense rank == row index). Runs additionally SPLIT where the
-    adjacent LCP dips below min_len even though both sides stay
-    members of other runs — membership alone is not edge-transitivity.
+    GRAM-CLASS FORMULATION (r14 — the optimization that removes the
+    corpus-wide position sort): an adjacent capped LCP >= min_len means
+    the two suffixes agree on their first min_len characters, i.e.
+    share their min_len-GRAM (LCP >= min_len requires both suffixes to
+    carry >= min_len chars, and then it IS gram equality). Suffixes
+    with equal grams are CONTIGUOUS in the (cap-prefix, id, pos) order
+    — truncation is monotone, so any suffix sorting between two
+    class members shares their gram and is itself a member. Therefore:
 
-    Scale shape: members (positions inside repeated regions) are the
-    only rows past the LCP stage; everything after is group-keyed
-    aggregation. Lee et al. cut every repeat the SA surfaces — this
-    group table is exactly the audit/cut list that pass consumes."""
-    runs = _repeat_runs(df, text, id_col, min_len, prefix_cap)
-    groups = (
-        runs.groupBy("__g")
+    - members  = suffixes whose gram class has >= 2 occurrences,
+    - islands  = exactly the gram classes (internal edges all >=
+      min_len by gram equality; class boundaries always split because
+      a differing gram caps the edge LCP below min_len; rank gaps
+      cannot occur inside a contiguous class),
+    - group_id = MIN(rank) over the class = the number of suffixes
+      whose min_len-TRUNCATED suffix string sorts strictly below the
+      gram (classes occupy contiguous rank intervals in gram order;
+      a suffix shorter than min_len that prefixes the gram compares
+      below it, matching the shorter-suffix-first sentinel
+      convention) — an exclusive prefix sum of per-gram position
+      counts in gram order,
+    - repeat_len / sample need the cap-prefix only WITHIN qualifying
+      classes (min over adjacent-member capped LCPs; when
+      prefix_cap == min_len they are the constants min_len / gram and
+      the member pass is skipped entirely).
+
+    The plan is one gram aggregation plus one range sort of the
+    DISTINCT-gram count table — no corpus-position sort, no LCP
+    self-join, no member rank, no running-sum scan (the r13 shape:
+    9.0 s at sf0.1; the guide section 2.3-2.4 shuffle-removal pass).
+
+    Scale shape: the wide operations are a hash aggregation keyed on
+    the gram and a range sort of the deduplicated gram table;
+    qualifying-class member work is proportional to true repeats."""
+    base = suffix_positions(df, text=text, id_col=id_col, prefix_cap=prefix_cap)
+    pos = base.withColumn(
+        "__gram",
+        F.col("__prefix") if prefix_cap == min_len
+        else F.expr(f"substring(__prefix, 1, {int(min_len)})"),
+    )
+    # per-gram totals over ALL positions (short tail grams included:
+    # they cannot form classes but their counts place every class's
+    # rank interval); exclusive prefix sum in gram order = MIN(rank)
+    cnt = pos.groupBy("__gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    cum = _running_sum(cnt, "__gram", "n_occ", "__cum")
+    classes = cum.withColumn(
+        "group_id", (F.col("__cum") - F.col("n_occ")).cast("bigint")
+    ).filter(
+        (F.length("__gram") == min_len)
+        & (F.col("n_occ") >= 2)
+        & (F.col("n_docs") >= min_docs)
+    )
+    if prefix_cap == min_len:
+        # cap-saturated special case: every internal edge's capped LCP
+        # is exactly min_len and the shared sample IS the gram
+        return classes.select(
+            "group_id",
+            "n_occ",
+            "n_docs",
+            F.lit(int(min_len)).cast("int").alias("repeat_len"),
+            F.col("__gram").alias("sample"),
+        )
+    # general case: min adjacent capped LCP + first member's prefix,
+    # computed only over members of qualifying classes
+    mem = pos.join(classes.select("__gram"), "__gram", "left_semi")
+    w_cls = Window.partitionBy("__gram").orderBy("__prefix", id_col, "pos")
+    edged = mem.withColumn("__pp", F.lag("__prefix").over(w_cls))
+    stats = (
+        edged.withColumn(
+            "__lcp",
+            F.when(
+                F.col("__pp").isNotNull(),
+                _capped_lcp(F.col("__prefix"), F.col("__pp")),
+            ),
+        )
+        .groupBy("__gram")
         .agg(
-            F.min("rank").alias("group_id"),
-            F.count(F.lit(1)).alias("n_occ"),
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
-            # min over the interval's INTERNAL edges = shared length;
-            # the boundary row's lcp_prev belongs to the previous group
-            F.min(F.when(F.col("__b") == 0, F.col("lcp_prev"))).alias(
-                "repeat_len"
-            ),
-            # first member by rank (ranks are unique, so min(struct)
-            # picks the group_id row); carry its (id, pos) so the
-            # sample text can be re-derived from the docs table below
-            # instead of hauling the prefix through the group shuffle
-            F.min(
-                F.struct(
-                    F.col("rank").alias("r"),
-                    F.col(id_col).alias("i"),
-                    F.col("pos").alias("p"),
-                )
-            ).alias("__first"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-        .select(
-            "group_id",
-            "n_occ",
-            "n_docs",
-            F.col("repeat_len").cast("int").alias("repeat_len"),
-            F.col("__first.i").alias("__fid"),
-            F.col("__first.p").alias("__fpos"),
+            F.min("__lcp").alias("__rl"),
+            F.min(F.struct(F.col("__prefix").alias("p"))).alias("__first"),
         )
     )
-    # sample re-derivation: groups are FEW (bounded by true repeats),
-    # so broadcast them against one docs scan — substring(text,
-    # pos+1, repeat_len) of the first member is byte-identical to the
-    # prefix slice the group shuffle used to carry
-    docs = df.select(
-        F.col(id_col).alias("__fid"),
-        F.coalesce(F.col(text), F.lit("")).alias("__ftext"),
-    )
-    return (
-        F.broadcast(groups)
-        .join(docs, "__fid")
-        .select(
-            "group_id",
-            "n_occ",
-            "n_docs",
-            "repeat_len",
-            F.expr("substring(__ftext, __fpos + 1, repeat_len)").alias(
-                "sample"
-            ),
-        )
-    )
-
-
-def _repeat_runs(
-    df: DataFrame,
-    text: str,
-    id_col: str,
-    min_len: int,
-    prefix_cap: int,
-) -> DataFrame:
-    """Per-member run frame shared by groups and removal: suffixes
-    inside some repeated region (an adjacent capped LCP >= min_len on
-    either side), each carrying its island key ``__g`` (split on rank
-    gaps and sub-threshold edges — membership alone is not
-    edge-transitivity), boundary flag ``__b``, rank, lcp_prev, and
-    (id, pos) — scalars only; the carried prefix is dropped at the
-    LCP stage (see the width-cut note below)."""
-    # cap-order SA (suffix_array_capped): equivalent to the full order
-    # for everything downstream — see its docstring — at ONE global
-    # sort instead of the doubling loop (measured 27.6 s -> the sort's
-    # few seconds for the removal row at sf0.1). checkpoint: sa feeds
-    # lcp_adjacent's self-join and lcped feeds its own reverse join —
-    # without truncation each action would replay the pipeline per
-    # branch
-    from pyspark import StorageLevel
-
-    sa = suffix_array_capped(
-        df, text=text, id_col=id_col, prefix_cap=prefix_cap
-    )
-    # WIDTH CUT (r9): the carried prefix is needed by exactly two
-    # stages — the SA range sort (it IS the sort key) and the LCP
-    # self-join. Everything downstream operates on scalars, so the
-    # prefix is dropped HERE, before the checkpoint: the frozen frame,
-    # the member filter, the member dense rank, and the boundary
-    # running sum all carry (id, pos, rank, lcp_prev) ≈ 24 bytes per
-    # position instead of + prefix_cap chars — a ~2-3x shuffle/spill
-    # cut on the two corpus-sized range scans below (group sample text
-    # is re-derived from the docs table at the end, where groups are
-    # few — repeated_substring_groups).
-    lcped = (
-        lcp_adjacent(sa, id_col=id_col)
-        .select(id_col, "pos", "rank", "lcp_prev")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    # a suffix is a member iff it shares >= min_len with a rank
-    # neighbor on either side; lcp_next via the reverse join
-    nxt = lcped.select(
-        (F.col("rank") - 1).alias("rank"), F.col("lcp_prev").alias("lcp_next")
-    )
-    marked = lcped.join(nxt, "rank", "left")
-    members = marked.filter(
-        (F.col("lcp_prev") >= min_len) | (F.col("lcp_next") >= min_len)
-    )
-    # islands: consecutive ranks with a qualifying SHARED edge stay in
-    # one group; split on rank gaps (automatic: a gapped rank has a
-    # sub-threshold or absent lcp_prev edge) and on sub-threshold edges
-    # DISK_ONLY here too: members are ~7% of positions on a natural
-    # corpus but CORPUS-SIZED on repeat-heavy ones (the 10x replica
-    # study's injected corpus) — the honest assumption for a dedup op
-    idx = _global_dense_rank(
-        members, ["rank"], "__mi",
-        checkpoint_storage=StorageLevel.DISK_ONLY,
-    )
-    boundary = (
-        F.col("lcp_prev").isNull() | (F.col("lcp_prev") < min_len)
-    ).cast("bigint")
-    flagged = idx.withColumn("__b", boundary)
-    # group seed = running count of boundaries up to each member, a
-    # prefix sum over the member index — same range-partition scan
-    return _running_sum(
-        flagged, "__mi", "__b", "__g",
-        checkpoint_storage=StorageLevel.DISK_ONLY,
+    return classes.join(stats, "__gram").select(
+        "group_id",
+        "n_occ",
+        "n_docs",
+        F.col("__rl").cast("int").alias("repeat_len"),
+        F.expr("substring(__first.p, 1, __rl)").alias("sample"),
     )
 
 
@@ -426,25 +378,71 @@ def repeated_substring_removal(
     here), original char count, chars removed. Documents with nothing
     flagged pass through verbatim; NULL text folds to ''.
 
-    Scale shape: members are the only rows past the LCP stage; marks
-    collapse per document (bounded by the doc's own length), merge
-    into disjoint intervals via the same codegen fold as the token
-    pass, and the rebuild is size(intervals)+1 substring copies."""
-    runs = _repeat_runs(df, text, id_col, min_len, prefix_cap)
-    qual = (
-        runs.groupBy("__g")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__g")
-    )
-    marks = (
-        runs.join(qual, "__g", "left_semi")
-        .select(F.col(id_col), F.col("pos").alias("__lo"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("__lo")).alias("__starts"))
-    )
+    GRAM-CLASS FORMULATION (r14, see repeated_substring_groups): a
+    member is a suffix whose min_len-gram class has >= 2 occurrences,
+    and island qualification (>= min_docs distinct documents) is the
+    class's distinct-document count — the cut never consults ranks,
+    LCP values, or the cap-prefix, so the whole corpus-position sort,
+    LCP self-join, member rank and running-sum scan of the r13 shape
+    (10.3 s at sf0.1) collapse into ONE gram-keyed window pass (the
+    same shuffle key the class stats need; guide section 2.3-2.4).
+    ``prefix_cap`` only bounds DETECTION (capped LCP < min_len when
+    cap < min_len finds no members — preserved explicitly); it never
+    widens a row here.
+
+    Scale shape: one hash shuffle of (id, pos, gram) scalars keyed on
+    the gram; marks collapse per document (bounded by the doc's own
+    length), merge into disjoint intervals via the same codegen fold
+    as the token pass, and the rebuild is size(intervals)+1 substring
+    copies."""
+    from ..util import spread_input
+
     base = df.select(
         F.col(id_col), F.coalesce(F.col(text), F.lit("")).alias("__t")
+    )
+    if prefix_cap < min_len:
+        # capped LCP can never reach min_len: no members, no cuts —
+        # the r13 shape's behavior, kept explicit
+        return base.select(
+            id_col,
+            F.col("__t").alias(text),
+            F.length("__t").cast("bigint").alias("n_chars"),
+            F.lit(0).cast("bigint").alias("n_removed"),
+        )
+    t = F.coalesce(F.col(text), F.lit(""))
+    pos = (
+        spread_input(df, df.sparkSession)
+        .select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") >= min_len)
+        .select(
+            id_col,
+            # only positions carrying a FULL min_len-gram can be
+            # members; tail positions' short grams form their own
+            # (never-qualifying) classes, so dropping them map-side
+            # changes nothing downstream
+            F.explode(
+                F.sequence(F.lit(0), F.length("__t") - int(min_len))
+            ).alias("__pos"),
+            F.col("__t"),
+        )
+        .select(
+            id_col,
+            F.col("__pos").cast("int").alias("__lo"),
+            F.expr(f"substring(__t, __pos + 1, {int(min_len)})").alias(
+                "__gram"
+            ),
+        )
+    )
+    w_gram = Window.partitionBy("__gram")
+    members = pos.withColumn(
+        "__n", F.count(F.lit(1)).over(w_gram)
+    ).withColumn(
+        "__nd", F.size(F.collect_set(F.col(id_col)).over(w_gram))
+    ).filter((F.col("__n") >= 2) & (F.col("__nd") >= min_docs))
+    marks = (
+        members.select(F.col(id_col), F.col("__lo"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__lo")).alias("__starts"))
     )
     withs = base.join(marks, id_col, "left").select(
         id_col,
