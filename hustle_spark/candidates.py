@@ -95,8 +95,12 @@ def url_robots_filter(spark, sf_dir):
     precedence fold, AND the filter are all differentially pinned.
     Scale shape: domains << documents, robots side broadcast, corpus
     scanned once; match + precedence are filter()/aggregate() HOFs in
-    codegen."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    codegen. Input spread to session parallelism (r14): the synthesis
+    + longest-match HOF chain is map-only, so a single-split source
+    would run the whole corpus scan on one core."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id"), spark
+    )
     urls = URLS.synthesize_messy_urls(d, "doc_id")
     domains = urls.select(
         URLS.url_domain(F.col("url")).alias("domain")
@@ -107,13 +111,13 @@ def url_robots_filter(spark, sf_dir):
         URLS.robots_rules(F.col("robots_txt")).alias("rules"),
         URLS.robots_crawl_delay(F.col("robots_txt")).alias("crawl_delay"),
     )
-    out = URLS.robots_filter(urls, parsed.select("domain", "rules"))
-    delays = parsed.select(
-        F.col("domain").alias("__ddom"), "crawl_delay"
+    # crawl_delay rides the one rules broadcast (r14): a second
+    # broadcast join here recomputed the whole urls->distinct->parse
+    # subtree as its own job
+    out = URLS.robots_filter(
+        urls, parsed.select("domain", "rules", "crawl_delay")
     )
-    return out.join(
-        F.broadcast(delays), out["domain"] == delays["__ddom"], "left"
-    ).select("doc_id", "domain", "blocked", "crawl_delay")
+    return out.select("doc_id", "domain", "blocked", "crawl_delay")
 
 
 URL_ROBOTS_FILTER_ORACLE = f"""
@@ -2565,9 +2569,10 @@ def streaming_curation_requery(spark, sf_dir):
     """S7/L40 the composed curation gate as a STRUCTURED STREAMING
     stage (the incremental corpus-build shape: score documents as
     they arrive, not in a nightly batch): the documents corpus is
-    split into three id-range parquet files, read back through a REAL
-    availableNow file-source stream FORCED onto the multi-batch path
-    (maxFilesPerTrigger=1), each micro-batch scored by the SAME
+    spread over ~3x-parallelism round-robin parquet files, read back
+    through a REAL availableNow file-source stream FORCED onto the
+    multi-batch path (maxFilesPerTrigger sized for three size-balanced
+    micro-batches), each micro-batch scored by the SAME
     functions.text.curation_verdict the batch row uses — the gate is
     map-only/stateless, which is exactly the property that makes it
     streamable with a plain append sink and batch-identical output —
@@ -2585,16 +2590,24 @@ def streaming_curation_requery(spark, sf_dir):
     base = Path(str(cat.scratch)) / "stream_curation"
     shutil.rmtree(base, ignore_errors=True)
     src_dir = base / "src"
-    # three id-range slices -> three genuine micro-batches
-    for lo, hi, name in ((0, 170, "b1"), (170, 340, "b2"), (340, 10**9, "b3")):
-        d.filter((F.col("doc_id") % 1000000 >= lo)
-                 & (F.col("doc_id") % 1000000 < hi)).coalesce(1).write.parquet(
-            str(src_dir / name)
-        )
+    # r14 reshape (guide sections 1.2 / 2.5): the r13 layout wrote
+    # three fixed id-range slices via three filtered full scans and
+    # streamed them at maxFilesPerTrigger=1 — at sf0.1 the third range
+    # held 93% of the corpus, so one micro-batch ran 9x longer than
+    # the others ON ONE CORE (one file = one scan split). Now ONE
+    # round-robin write lays down ~3x-parallelism small files and
+    # maxFilesPerTrigger = ceil(n_files/3) keeps the SAME forced
+    # multi-batch path (3 genuine micro-batches, batch-identical
+    # map-only gate) while each micro-batch scans its file set in
+    # parallel and batches are size-balanced at every SF instead of
+    # only at the gate SF.
+    par = spark.sparkContext.defaultParallelism
+    d.repartition(3 * par).write.parquet(str(src_dir))
+    n_files = sum(1 for p in src_dir.glob("*.parquet"))
     stream = (
         spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src_dir / "*"))
+        .option("maxFilesPerTrigger", max(1, -(-n_files // 3)))
+        .parquet(str(src_dir))
     )
     scored = TX.curation_verdict(
         stream.withColumn("__hyg", _hygiene_dirty_expr()),
@@ -4031,9 +4044,9 @@ MULTIMODAL_GIF_PROBE_ORACLE = """
 def streaming_sketch_requery(spark, sf_dir):
     """S7e/L52 the count–min sketch as a STREAMING ingest (the
     production shape the batch twin's docstring promises: sketch the
-    stream as it arrives, merge cells later): events split into three
-    id-range parquet slices, read back through a REAL availableNow
-    file-source stream forced onto the multi-batch path, and each
+    stream as it arrives, merge cells later): events spread over
+    round-robin parquet files, read back through a REAL availableNow
+    file-source stream forced onto a three-micro-batch path, and each
     micro-batch reduced to its PARTIAL (d, bucket, cnt) cell frame by
     the same sketches.cms_build the batch row uses, appended to a
     cell sink via foreachBatch — the documented pattern for
@@ -4056,16 +4069,22 @@ def streaming_sketch_requery(spark, sf_dir):
     base = Path(str(cat.scratch)) / "stream_sketch"
     shutil.rmtree(base, ignore_errors=True)
     src_dir = base / "src"
-    # three id-range slices -> three genuine micro-batches
-    for lo, hi, name in ((0, 350, "b1"), (350, 700, "b2"), (700, 10**9, "b3")):
-        ev.filter(
-            (F.col("event_id") % 1000000 >= lo)
-            & (F.col("event_id") % 1000000 < hi)
-        ).coalesce(1).write.parquet(str(src_dir / name))
+    # three genuine micro-batches, r14 reshape: ONE round-robin write
+    # of three size-balanced files replaces the three filtered full
+    # scans and their 93%-skewed third slice (guide section 1.2). The
+    # (event_id, user_id) rows are two ints, so per-batch scan cost is
+    # trivial and the cheap 3-file layout beats a many-file spread
+    # (measured: 3x-parallelism files cost +0.8 s in listing/commit
+    # overhead here while winning nothing back — unlike the text-heavy
+    # curation stream, where within-batch scan parallelism pays).
+    # Micro-batch BOUNDARIES move but cell addition commutes (the
+    # mergeable-sketch property this row exists to demonstrate), so
+    # the merged sink and the audit output are unchanged.
+    ev.repartition(3).write.parquet(str(src_dir))
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(str(src_dir / "*"))
+        .parquet(str(src_dir))
     )
     cells_dir = base / "cells"
     cell_schema = sketches.cms_build(

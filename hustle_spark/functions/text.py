@@ -874,10 +874,17 @@ def bpe_learn_merges(
     trains on a corpus SAMPLE; the loop here is the honest distributed
     shape for the counting phase, which is where corpus scale lives.
     Intermediate token frames are tracked-cached; each round releases
-    its predecessor."""
-    from ..util import tracked_cache
+    its predecessor. The input is spread to the session's parallelism
+    BEFORE tokenization (r14): every round's merge fold and pair count
+    replay over the cached token frame's partitioning, so a
+    single-split source would otherwise pin the whole loop — measured
+    ~1 s/round on one core at sf0.1 — to one task; the one-time
+    repartition is amortized across all 2x n_merges passes."""
+    from ..util import spread_input, tracked_cache
 
-    cur = df.select(tokens(F.col(text)).alias("__toks"))
+    cur = spread_input(df, df.sparkSession).select(
+        tokens(F.col(text)).alias("__toks")
+    )
     cur = tracked_cache(cur)
     merges = []
     for rnd in range(1, n_merges + 1):

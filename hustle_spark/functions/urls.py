@@ -461,7 +461,10 @@ def robots_filter(
     (or no robots row for the domain) means allowed. ``robots`` is
     (domain, rules array<struct<pfx:string, allow:boolean>>) — one
     row per domain, e.g. robots_rules over fetched bodies. Returns
-    the input plus (domain, blocked).
+    the input plus (domain, blocked) plus any EXTRA columns carried on
+    the robots side (e.g. crawl_delay — r14: politeness metadata rides
+    the one broadcast instead of forcing callers into a second
+    broadcast join whose subtree recomputes the whole domain parse).
 
     Scale shape: domains number FAR fewer than documents and the rule
     arrays are tiny, so the robots side is an explicit BROADCAST
@@ -469,9 +472,11 @@ def robots_filter(
     shuffled; the longest-match scan is an aggregate() HOF over the
     matching rules, all in codegen."""
     d = docs.withColumn("__dom", url_domain(F.col(url_col)))
+    extras = [c for c in robots.columns if c not in (domain_col, rules_col)]
     r = robots.select(
         F.col(domain_col).alias("__dom"),
         F.col(rules_col).alias("__rules"),
+        *[F.col(c) for c in extras],
     )
     path = url_path(F.col(url_col))
     matching = F.filter("__rules", lambda x: path.startswith(x["pfx"]))
@@ -506,6 +511,7 @@ def robots_filter(
         *[F.col(c) for c in docs.columns],
         F.col("__dom").alias("domain"),
         blocked.alias("blocked"),
+        *[F.col(c) for c in extras],
     )
 
 
