@@ -3586,8 +3586,12 @@ def classifier_calibration_bins(spark, sf_dir):
     + one bin agg; emitted as DATA (n/ok/ppm per bin), no fragile
     monotonicity bit — the stand-in weights are a hash scramble, so
     flat agreement is the expected honest reading until a trained
-    table swaps in."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    table swaps in. Input spread (r14): both scoring scans are
+    map-only text HOF chains that a single-split source serialized."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     sc = TX.quality_classifier_scores(d).select("doc_id", "margin")
     gq = TX.gopher_quality_stats(d).select("doc_id", "passes")
     j = sc.join(gq, "doc_id")
