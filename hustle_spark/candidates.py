@@ -3637,8 +3637,14 @@ def dedup_minhash_incremental(spark, sf_dir):
     signatures); the unseen tail mostly must not. Scale shape: index
     build is one signature groupBy done ONCE; each batch pays its own
     shingling plus a batch-sized equi-join against the (tiny) index —
-    the anti-join-the-index shape at fuzzy granularity."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    the anti-join-the-index shape at fuzzy granularity. Input spread
+    (r14): index and batch branches BOTH re-derive md5 signatures
+    from this frame, so a single-split source serialized two full
+    signature scans (measured 2x at sf0.1)."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     index_docs = d.filter(F.col("doc_id") < 250)
     batch = d.filter(F.col("doc_id") >= 250).unionAll(
         d.filter(F.col("doc_id") < 21).select(
@@ -3721,8 +3727,13 @@ def dedup_minhash_incremental_grow(spark, sf_dir):
     production regime where yesterday's index grew out of yesterday's
     corpus. Same 12-hash/4-band md5 twin, same (band, sig) equi-join,
     same verdict columns as L13b; the measured both-sides ratio was
-    3.2 at 100x on the scratch probe this row replaces."""
-    d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
+    3.2 at 100x on the scratch probe this row replaces. Input spread
+    (r14): as in L13b, both branches re-derive signatures from this
+    frame — spread once, parallelize both scans."""
+    d = _util.spread_input(
+        _cat(spark, sf_dir).table("documents").df.select("doc_id", "text"),
+        spark,
+    )
     index_docs = d.filter(F.col("doc_id") % 3 == 0)
     batch = d.filter(F.col("doc_id") % 3 != 0).unionAll(
         d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 63)).select(

@@ -390,14 +390,20 @@ def connected_components(
     Iteration is driver-controlled with a convergence check — this is
     the declared iterative-algorithm class, not a hot-path collect.
     """
-    # cache the undirected edge list once: it is re-joined every
-    # iteration, and for real pair graphs the edge-producing join
-    # (LSH candidates / cosine verify) is the dominant cost — without
-    # the cache each iteration would replay it
-    und = (
-        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-        .union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-    ).cache()
+    # materialize the DIRECTED edge list once (eager checkpoint), then
+    # derive the undirected view from it: for real pair graphs the
+    # edge-producing join (LSH candidates / cosine verify / digest
+    # Jaccard) is the dominant cost, and the old union-of-two-branches
+    # cache computed that subtree TWICE inside its materializing job
+    # (r14 — one full pairs pass saved; guide section 1.2). The union
+    # over checkpoint blocks is memory-fast every iteration, so the
+    # separate und cache is no longer needed.
+    e0 = edges.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).localCheckpoint(eager=True)
+    und = e0.union(
+        e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
     # initial label: min(self, min neighbor)
     labels = (
         und.groupBy("x").agg(F.min("y").alias("nbr_min"))
@@ -453,7 +459,6 @@ def connected_components(
             if stats is not None:
                 stats["converged"] = True
             break
-    und.unpersist()
     # final labels stay cached (downstream actions would otherwise
     # replay the whole iterative lineage); released via release_cached()
     _tracked_cache(labels)
