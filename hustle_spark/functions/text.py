@@ -1375,7 +1375,11 @@ def lm_perplexity_scores(
         )
     ).filter(F.instr(F.col("gram"), " ") > 0)
     bc = ref_pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__c12"))
-    bc = bc.filter(F.col("__c12") >= min_count)
+    # eager checkpoint (r14): the model is vocabulary-bounded and feeds
+    # TWO broadcast subtrees (bc itself and the pc re-aggregation) —
+    # uncheckpointed, each broadcast job replays the reference explode
+    # + count from the corpus scan
+    bc = bc.filter(F.col("__c12") >= min_count).localCheckpoint(eager=True)
     pc = bc.groupBy(
         F.split(F.col("gram"), " ")[0].alias("__w1")
     ).agg(F.sum("__c12").alias("__pc"))
@@ -1409,7 +1413,10 @@ def lm_perplexity_scores(
         F.sum("__nll_e6").alias("sum_nll_e6"),
     ).withColumn(
         "mean_nll_e6", F.expr("sum_nll_e6 DIV n_bigrams").cast("bigint")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ eager checkpoint (r14): the 1-row-per-doc score frame feeds the
+    # n_scored broadcast, the rank's range sort AND its offsets collect
+    # — uncheckpointed, the whole pairs+model join replayed 3x
     n_scored = per_doc.agg(F.count(F.lit(1)).alias("__n"))
     ranked = global_dense_rank(per_doc, ["mean_nll_e6", id_col], "__r")
     bucketed = ranked.crossJoin(F.broadcast(n_scored)).select(
