@@ -2072,6 +2072,10 @@ def embedding_pq_audit(spark, sf_dir):
         "label", "vec_id", "m", "code",
         F.posexplode(F.col("sv")).alias("j", "v"),
     ).withColumn("v", F.col("v").cast("long"))
+    # eager checkpoint (r14): dims feeds both the centroid aggregate
+    # and the distortion join probe side — uncheckpointed, the
+    # quantize+double-explode subtree computed twice per action
+    dims = dims.localCheckpoint(eager=True)
     cent = dims.groupBy("m", "code", "j").agg(
         F.expr("sum(v) div count(1)").alias("c")
     )
