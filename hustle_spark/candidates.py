@@ -1482,18 +1482,19 @@ def retrieval_rrf_fusion(spark, sf_dir):
     RRF defines). Emits the fused top-5 per query plus an in_both
     flag (consensus docs vs single-ranker finds). The fusion layer
     itself is rank-only — a full-outer join of two 5-row-per-query
-    lists; the two rankers each pay their own (pruned, broadcast-
-    semi-joined) corpus scan, and sharing the tokenized scan across
-    scoring FAMILIES is the documented optimization seam (the
-    bm25_tf_frame split covers the two BM25 curves; TF-IDF's scoring
-    path differs)."""
+    lists; BOTH rankers score over ONE shared tokenized/pruned tf
+    frame (r14 — the seam this docstring used to only document:
+    retrieval.tfidf_score_from_frame produces tfidf_topk's
+    byte-identical ranks from bm25_tf_frame, so the corpus lower+split
+    scan and the stats collect run once, not per ranker)."""
     from .operators import retrieval as R
 
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
-    bm = R.bm25_topk(d, _TFIDF_QUERIES, k=5).select(
+    frame = R.bm25_tf_frame(d, _TFIDF_QUERIES)
+    bm = R.bm25_score_fixed(frame, k=5).select(
         "query_id", "doc_id", F.col("rnk").alias("__rb")
     )
-    tfi = R.tfidf_topk(d, _TFIDF_QUERIES, k=5).select(
+    tfi = R.tfidf_score_from_frame(frame, k=5).select(
         "query_id", "doc_id", F.col("rnk").alias("__rt")
     )
     j = bm.join(tfi, ["query_id", "doc_id"], "full")

@@ -224,6 +224,42 @@ def bm25_score_fixed(frame, k: int = 5) -> DataFrame:
     )
 
 
+def tfidf_score_from_frame(frame, k: int = 5) -> DataFrame:
+    """Integer TF-IDF scored over a prebuilt ``bm25_tf_frame`` tuple —
+    byte-identical output to :func:`tfidf_topk` (the frame's tf counts
+    are the same pruned (doc, term) occurrence counts; dl is simply
+    unused), split out (r14) so fusion-style compositions share ONE
+    tokenized/pruned/cached frame across scoring FAMILIES instead of
+    each ranker re-running the lower+split corpus scan and the stats
+    collect — the optimization seam the rrf_fusion docstring
+    documented."""
+    tf, qdf, n_docs, _total_tokens = frame
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.expr(
+                f"(CAST({IDF_SCALE} AS BIGINT) * ({n_docs} + 1)) div (df + 1)"
+            ).alias("idf_w"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(qdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("tf * idf_w")).cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
 def bm25_float_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],

@@ -3308,6 +3308,43 @@ def test_blocklist_filter_matches_duckdb(spark, catalog, duck):
     assert got2 == {1: 0, 2: 3}
 
 
+def test_tfidf_score_from_frame_equals_tfidf_topk(spark):
+    """The shared-frame TF-IDF scorer (r14, the rrf_fusion
+    one-tokenized-scan optimization) must be byte-identical to the
+    standalone tfidf_topk entry point: same scores, same ranks, same
+    tiebreaks — including a doc that matches only one ranker's terms
+    and an exact-tie pair."""
+    from hustle_spark.operators.retrieval import (
+        bm25_tf_frame,
+        tfidf_score_from_frame,
+        tfidf_topk,
+    )
+    from hustle_spark.util import release_cached
+
+    docs = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta"),
+        (3, "gamma gamma gamma delta"),
+        (4, "beta beta alpha beta"),
+        (5, "delta epsilon"),
+        (6, "alpha beta"),  # identical to doc 2: tie -> id order
+        (7, None),
+    ]
+    queries = [(1, "alpha gamma"), (2, "beta delta epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r.query_id, r.doc_id): (r.score, r.rnk)
+        for r in tfidf_topk(df, queries, k=4).collect()
+    }
+    frame = bm25_tf_frame(df, queries)
+    shared = {
+        (r.query_id, r.doc_id): (r.score, r.rnk)
+        for r in tfidf_score_from_frame(frame, k=4).collect()
+    }
+    release_cached()
+    assert shared == base and len(base) > 0
+
+
 def test_bm25_float_topk_python_differential(spark):
     """bm25_float_topk vs an independent pure-Python replay of the
     textbook formula (ln idf, k1=1.2 / b=0.75 curve, sorted-term
