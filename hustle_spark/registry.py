@@ -6772,7 +6772,13 @@ def lang_profiles_file_roundtrip(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     path = Path(str(cat.scratch)) / "lang_profiles_roundtrip.tsv"
     path.parent.mkdir(parents=True, exist_ok=True)
-    d = _util.spread_input(cat.table("documents").df, spark)
+    # tracked-cache the spread doc frame (r14): the fit/dump collect
+    # and the classify action are SEPARATE jobs here (unlike
+    # text_lang_id_trigram's single action), so uncached each replays
+    # the spread shuffle + scan
+    d = _util.tracked_cache(
+        _util.spread_input(cat.table("documents").df, spark)
+    )
     profiles = TX.lang_profiles_trigram(
         d.filter(F.col("doc_id") % 2 == 0), top_k=64
     )

@@ -292,14 +292,17 @@ DEFAULT_PROBES = [
     # csv_roundtrip_agg deliberately absent: customer is a symlinked
     # (non-replicated) table in the 100x corpus, so its ratio reads
     # ~1.0 and proves nothing.
-    # dedup_substring_groups / dedup_substring_removal deliberately
-    # absent too — NOT silently: the suffix array pays one row per
-    # CHARACTER through O(log) global range sorts, so the 100x corpus
-    # means ~2B-row sort rounds in this single-node container (hours,
-    # not a probe). Their scale evidence is the 10x sf1 probe
-    # (scripts/scale_probe.py dedup_substring_groups ...), recorded in
-    # BASELINE.md; the cost model is linear-in-characters by
-    # construction (Lee et al. pay the same).
+    # appended r14: the substring-repeat trio, PROBEABLE for the first
+    # time — the r13 exclusion ("O(log) global range sorts over one
+    # row per character — hours, not a probe") described the
+    # suffix-array shape the r14 gram-class rewrite removed; the cost
+    # model is now one gram-keyed hash pass (removal) / one
+    # distinct-gram range scan (groups), still one row per character
+    # but no sort rounds. Isolated single-row chunks (the heavy
+    # corpus-sized class; see ISOLATED_PROBES).
+    "dedup_substring_removal",
+    "dedup_substring_groups",
+    "dedup_exact_substr_combined",
 ]
 
 # linear on 100x data would be ~100; the job floor and constant stages
@@ -459,6 +462,12 @@ ISOLATED_PROBES = {
     "audio_vad_table_probe",
     "text_token_fertility",
     "multimodal_gif_probe",
+    # r14: the substring trio shuffles one row per corpus character —
+    # isolated so their GB-scale gram shuffles never share a JVM with
+    # (or contaminate) the bounded rows
+    "dedup_substring_removal",
+    "dedup_substring_groups",
+    "dedup_exact_substr_combined",
 }
 
 
