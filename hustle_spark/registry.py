@@ -6931,8 +6931,32 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r13: none — no registered fn source or oracle changed since its
-    # last driver row (the r12 agreement-row re-proof drained).
+    # r14 (optimization round): every row whose implementation moved —
+    # at the query function OR the operator module underneath it —
+    # rotates in so the driver re-proves the optimized code path.
+    # Query-source changes:
+    "streaming_curation_requery",
+    "streaming_sketch_requery",
+    "url_robots_filter",
+    "classifier_calibration_bins",
+    "dedup_minhash_incremental",
+    "dedup_minhash_incremental_grow",
+    "embedding_pq_audit",
+    "retrieval_rrf_fusion",
+    "lang_profiles_file_roundtrip",
+    # Operator-module changes the source hash cannot see
+    # (operators/suffixes.py gram-class rewrite, operators/dedup.py
+    # connected_components edge checkpoint, functions/text.py
+    # bpe_learn_merges spread + lm_perplexity_scores checkpoints):
+    "dedup_substring_groups",
+    "dedup_substring_removal",
+    "dedup_exact_substr_combined",
+    "dedup_cluster_cc",
+    "dedup_jaccard_clusters",
+    "dedup_pipeline_keepers",
+    "bpe_merge_rounds",
+    "bpe_tokenizer_roundtrip",
+    "text_lm_perplexity",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6982,17 +7006,12 @@ _BACKFILL = [
     "set_intersect", "set_union", "window_running_total",
     "window_lag_delta", "rollup_status_priority", "cube_flags",
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
-    "pivot_event_types", "time_tumbling_hour", "time_sliding_2h",
-    "sessionize_users", "dedup_exact_stats", "dedup_exact_keep_min",
-    "embedding_label_stats", "text_stats_by_lang",
-    "text_quality_topk", "doc_fingerprint_prefix",
-    "q2_min_cost_supplier",
-    # oldest r10-latest rows, CORRECTNESS_r10 key order (first 9)
-    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
-    "dedup_containment_pairs", "dedup_containment_guarded",
-    "multimodal_image_ahash", "multimodal_image_phash",
-    "dedup_image_phash_groups", "multimodal_exif_probe",
-    "multimodal_video_scenes",
+    "pivot_event_types", "time_tumbling_hour",
+    # r14 NOTE: the 18-entry _CHANGED head (the optimization round's
+    # re-proof set) displaces the tail of the planned r14 backfill —
+    # 9 r9-latest rows and the 9 r10-latest rows move to the FRONT of
+    # _QUEUED_NEXT by this explicit edit (never a silent slice); the
+    # r9 drain completes in r15 instead of r14.
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -7002,6 +7021,18 @@ _BACKFILL = [
 # these drain, the stalest pool is r11-latest (docs/CHECKED.md holds
 # the manifest).
 _QUEUED_NEXT = [
+    # r14-displaced backfill tail (see the _BACKFILL note): the r9
+    # remainder first, then the r10-latest rows, original order
+    "time_sliding_2h", "sessionize_users", "dedup_exact_stats",
+    "dedup_exact_keep_min", "embedding_label_stats",
+    "text_stats_by_lang", "text_quality_topk",
+    "doc_fingerprint_prefix", "q2_min_cost_supplier",
+    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
+    "dedup_containment_pairs", "dedup_containment_guarded",
+    "multimodal_image_ahash", "multimodal_image_phash",
+    "dedup_image_phash_groups", "multimodal_exif_probe",
+    "multimodal_video_scenes",
+    # r10-latest remainder (r13's plan, unchanged below)
     "audio_pitch_probe", "audio_segments_probe",
     "dedup_semantic_centroid", "embedding_matryoshka_audit",
     "data_selection_dsir", "q4_order_priority",
