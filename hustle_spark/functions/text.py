@@ -1480,28 +1480,48 @@ def moore_lewis_scores(
 
     toks = F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), WS)
 
-    def model(where):
-        ref = df.filter(where)
-        rp = ref.select(
-            F.explode(
-                sliding_grams(F.split(F.lower(F.col(text)), WS), 2)
-            ).alias("gram")
-        ).filter(F.instr(F.col("gram"), " ") > 0)
-        bc = rp.groupBy("gram").agg(F.count(F.lit(1)).alias("c12"))
-        pc = bc.groupBy(
-            F.split(F.col("gram"), " ")[0].alias("w1")
-        ).agg(F.sum("c12").alias("pc"))
-        v = (
-            ref.select(
-                F.explode(F.split(F.lower(F.col(text)), WS)).alias("w")
-            )
-            .filter(F.col("w") != "")
-            .agg(F.count_distinct("w").alias("V"))
+    # FUSED model fit (r14): both LMs come from ONE pass over the
+    # union of the reference slices with per-row membership flags —
+    # conditional counts (count_if / count_distinct over a when())
+    # give each model exactly its own slice's statistics (a gram
+    # absent from one slice carries a 0 there, which the scorer's
+    # coalesce(.., 0) treated as 0 already), so six broadcast
+    # subtrees each re-scanning a reference slice collapse into two.
+    flagged = df.select(
+        F.col(text),
+        indomain_where.alias("__fin"),
+        general_where.alias("__fgen"),
+    ).filter(F.col("__fin") | F.col("__fgen"))
+    rp = flagged.select(
+        "__fin",
+        "__fgen",
+        F.explode(
+            sliding_grams(F.split(F.lower(F.col(text)), WS), 2)
+        ).alias("gram"),
+    ).filter(F.instr(F.col("gram"), " ") > 0)
+    bc_both = rp.groupBy("gram").agg(
+        F.count_if(F.col("__fin")).alias("__ci"),
+        F.count_if(F.col("__fgen")).alias("__cg"),
+    )
+    pc_both = bc_both.groupBy(
+        F.split(F.col("gram"), " ")[0].alias("__w1")
+    ).agg(F.sum("__ci").alias("__pi"), F.sum("__cg").alias("__pg"))
+    v_both = (
+        flagged.select(
+            "__fin",
+            "__fgen",
+            F.explode(F.split(F.lower(F.col(text)), WS)).alias("w"),
         )
-        return bc, pc, v
-
-    bc_in, pc_in, v_in = model(indomain_where)
-    bc_gen, pc_gen, v_gen = model(general_where)
+        .filter(F.col("w") != "")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("__fin"), F.col("w"))
+            ).alias("__Vi"),
+            F.count_distinct(
+                F.when(F.col("__fgen"), F.col("w"))
+            ).alias("__Vg"),
+        )
+    )
 
     pairs = df.select(
         F.col(id_col), F.explode(sliding_grams(toks, 2)).alias("gram")
@@ -1518,30 +1538,9 @@ def moore_lewis_scores(
 
     scored_pairs = (
         pairs.withColumn("__w1", F.split(F.col("gram"), " ")[0])
-        .join(
-            F.broadcast(bc_in.withColumnRenamed("c12", "__ci")), "gram",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                pc_in.withColumnRenamed("pc", "__pi")
-                .withColumnRenamed("w1", "__w1")
-            ),
-            "__w1", "left",
-        )
-        .join(
-            F.broadcast(bc_gen.withColumnRenamed("c12", "__cg")), "gram",
-            "left",
-        )
-        .join(
-            F.broadcast(
-                pc_gen.withColumnRenamed("pc", "__pg")
-                .withColumnRenamed("w1", "__w1")
-            ),
-            "__w1", "left",
-        )
-        .crossJoin(F.broadcast(v_in.withColumnRenamed("V", "__Vi")))
-        .crossJoin(F.broadcast(v_gen.withColumnRenamed("V", "__Vg")))
+        .join(F.broadcast(bc_both), "gram", "left")
+        .join(F.broadcast(pc_both), "__w1", "left")
+        .crossJoin(F.broadcast(v_both))
         .select(
             F.col(id_col),
             nll(F.col("__ci"), F.col("__pi"), F.col("__Vi")).alias("__ni"),
