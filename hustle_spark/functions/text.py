@@ -2324,6 +2324,11 @@ def dsir_importance(
             "r_b"
         ),
     )
+    # eager checkpoint (r14): the profile is n_buckets-bounded (1024
+    # rows) and feeds TWO consumers — the totals scalar and the weight
+    # table — each of which otherwise replays the full corpus
+    # explode+md5 to rebuild it (3 corpus passes in the plan; 2 after)
+    prof = prof.localCheckpoint(eager=True)
     tot = prof.agg(
         F.sum("t_b").cast("bigint").alias("tt"),
         F.sum("r_b").cast("bigint").alias("rr"),
@@ -2423,6 +2428,10 @@ def dsir_fit_weights(
             "r_b"
         ),
     )
+    # eager checkpoint (r14): same two-consumer bounded profile as
+    # dsir_importance — totals scalar + weight select each replayed
+    # the corpus explode+md5 without it
+    prof = prof.localCheckpoint(eager=True)
     tot = prof.agg(
         F.sum("t_b").cast("bigint").alias("tt"),
         F.sum("r_b").cast("bigint").alias("rr"),

@@ -6957,6 +6957,11 @@ _CHANGED = [
     "bpe_merge_rounds",
     "bpe_tokenizer_roundtrip",
     "text_lm_perplexity",
+    # functions/text.py dsir_importance profile checkpoint (the
+    # post-close pickup session's change — promoted by hand like the
+    # rest of the module-level set; displaces time_tumbling_hour to
+    # the front of _QUEUED_NEXT):
+    "data_selection_dsir",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -7006,7 +7011,7 @@ _BACKFILL = [
     "set_intersect", "set_union", "window_running_total",
     "window_lag_delta", "rollup_status_priority", "cube_flags",
     "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
-    "pivot_event_types", "time_tumbling_hour",
+    "pivot_event_types",
     # r14 NOTE: the 18-entry _CHANGED head (the optimization round's
     # re-proof set) displaces the tail of the planned r14 backfill —
     # 9 r9-latest rows and the 9 r10-latest rows move to the FRONT of
@@ -7022,7 +7027,10 @@ _BACKFILL = [
 # the manifest).
 _QUEUED_NEXT = [
     # r14-displaced backfill tail (see the _BACKFILL note): the r9
-    # remainder first, then the r10-latest rows, original order
+    # remainder first, then the r10-latest rows, original order.
+    # time_tumbling_hour displaced by the data_selection_dsir
+    # promotion (pickup session).
+    "time_tumbling_hour",
     "time_sliding_2h", "sessionize_users", "dedup_exact_stats",
     "dedup_exact_keep_min", "embedding_label_stats",
     "text_stats_by_lang", "text_quality_topk",
@@ -7035,7 +7043,7 @@ _QUEUED_NEXT = [
     # r10-latest remainder (r13's plan, unchanged below)
     "audio_pitch_probe", "audio_segments_probe",
     "dedup_semantic_centroid", "embedding_matryoshka_audit",
-    "data_selection_dsir", "q4_order_priority",
+    "q4_order_priority",
     "q6_forecast_revenue", "q10_returned_items",
     "q11_important_stock", "q12_late_shipment_priority",
     "q13_customer_distribution", "q15_top_supplier",
