@@ -868,31 +868,46 @@ def bpe_learn_merges(
     (round, a, b, pair_count, total_tokens_after).
 
     Scale shape per round: one explode → map-side-combined pair count
-    (the only corpus shuffle), a LIMIT-1 top pair collected to the
-    driver (one row — the IVF-centroid precedent for bounded driver
-    state), then a map-only fold applies the merge. Production BPE
-    trains on a corpus SAMPLE; the loop here is the honest distributed
-    shape for the counting phase, which is where corpus scale lives.
-    Intermediate token frames are tracked-cached; each round releases
-    its predecessor. The input is spread to the session's parallelism
-    BEFORE tokenization (r14): every round's merge fold and pair count
-    replay over the cached token frame's partitioning, so a
+    (the only corpus shuffle) feeding ONE fused driver collect, then a
+    map-only fold applies the merge. Production BPE trains on a corpus
+    SAMPLE; the loop here is the honest distributed shape for the
+    counting phase, which is where corpus scale lives. Intermediate
+    token frames are tracked-cached; each round releases its
+    predecessor. The input is spread to the session's parallelism
+    BEFORE tokenization (r14; only the text column rides the
+    equalizing shuffle — ADVICE r14): every round's merge fold and
+    pair count replay over the cached token frame's partitioning, so a
     single-split source would otherwise pin the whole loop — measured
     ~1 s/round on one core at sf0.1 — to one task; the one-time
-    repartition is amortized across all 2x n_merges passes."""
+    repartition is amortized across all n_merges passes.
+
+    ONE ACTION PER ROUND (r15, guide section 1.2 — the old loop ran
+    two: a LIMIT-1 top-pair collect plus a sum-of-sizes scan of the
+    merged frame): the pair explode's zip_with pads the shorter slice
+    with NULL, emitting exactly ONE null-b row per non-empty document,
+    so within a single counting pass over frame r
+        total_tokens(r) = (# non-null pairs) + (# null-pad rows)
+    holds exactly, per document (size = (size-1) + 1; empty docs
+    contribute to neither side). Keeping the pad rows as a NULL gram
+    group therefore lets round r's aggregation return the PREVIOUS
+    round's total_tokens_after alongside its own top pair — one job
+    per round plus a single sum-of-sizes bookend for the final round.
+    The min(struct(-c, g)) aggregate replays the old
+    ORDER BY c DESC, g ASC LIMIT 1 total order exactly."""
     from ..util import spread_input, tracked_cache
 
-    cur = spread_input(df, df.sparkSession).select(
+    cur = spread_input(df.select(F.col(text)), df.sparkSession).select(
         tokens(F.col(text)).alias("__toks")
     )
     cur = tracked_cache(cur)
     merges = []
+    pending = None  # (round, a, b, pair_count) awaiting total_after
+    prev_frame = None  # superseded cache, released once cur materializes
     for rnd in range(1, n_merges + 1):
-        pair_str = F.concat_ws(
-            " ",
-            F.col("__p.a"),
-            F.col("__p.b"),
-        )
+        gram = F.when(
+            F.col("__p.b").isNotNull(),
+            F.concat_ws(" ", F.col("__p.a"), F.col("__p.b")),
+        )  # NULL for the one zip_with pad row per non-empty doc
         pairs = (
             cur.select(
                 F.explode(
@@ -906,25 +921,48 @@ def bpe_learn_merges(
                     )
                 ).alias("__p")
             )
-            .filter(F.col("__p.b").isNotNull())
-            .select(pair_str.alias("g"))
+            .select(gram.alias("g"))
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        top = pairs.orderBy(F.col("c").desc(), F.col("g").asc()).limit(1).collect()
-        if not top:
+        row = pairs.agg(
+            F.min(
+                F.when(
+                    F.col("g").isNotNull(),
+                    F.struct((-F.col("c")).alias("nc"), F.col("g").alias("g")),
+                )
+            ).alias("top"),
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c"))).alias("np"),
+            F.max(F.when(F.col("g").isNull(), F.col("c"))).alias("nd"),
+        ).collect()[0]
+        if prev_frame is not None:
+            prev_frame.unpersist()  # cur's cache materialized just now
+            prev_frame = None
+        if pending is not None:
+            merges.append(
+                pending + (int(row.np or 0) + int(row.nd or 0),)
+            )
+            pending = None
+        if row.top is None:
             break
-        a, b = top[0].g.split(" ", 1)
+        a, b = row.top.g.split(" ", 1)
         joined = a + sep + b
         nxt = tracked_cache(
             cur.select(bpe_apply_merge(F.col("__toks"), a, b, joined).alias("__toks"))
         )
-        total_after = nxt.select(
+        pending = (rnd, a, b, int(-row.top.nc))
+        prev_frame = cur
+        cur = nxt
+    if pending is not None:
+        # final round's total: one sum-of-sizes bookend (also the
+        # action that materializes the final frame's cache before the
+        # superseded predecessor is released)
+        total_after = cur.select(
             F.sum(F.size("__toks")).cast("bigint").alias("n")
         ).collect()[0].n
-        cur.unpersist()
-        cur = nxt
-        merges.append((rnd, a, b, int(top[0].c), int(total_after or 0)))
+        merges.append(pending + (int(total_after or 0),))
+    if prev_frame is not None:
+        prev_frame.unpersist()
     return merges, cur
 
 

@@ -433,12 +433,55 @@ def repeated_substring_removal(
             ),
         )
     )
-    w_gram = Window.partitionBy("__gram")
-    members = pos.withColumn(
-        "__n", F.count(F.lit(1)).over(w_gram)
-    ).withColumn(
-        "__nd", F.size(F.collect_set(F.col(id_col)).over(w_gram))
-    ).filter((F.col("__n") >= 2) & (F.col("__nd") >= min_docs))
+    # membership via a groupBy stats frame + semi-join, NOT a
+    # whole-partition window (r15, guide section 2.5): count/collect_set
+    # over Window.partitionBy(gram) puts EVERY occurrence of one gram in
+    # a single task and materializes the per-gram doc set per partition
+    # — a ubiquitous boilerplate gram (whitespace runs, HTML fragments)
+    # is a classic hot key at corpus scale. The aggregation gets
+    # map-side partial combine and the semi-join is skew-splittable by
+    # AQE (the build side carries one row per qualifying gram).
+    # Same shape repeated_substring_groups already uses for its stats.
+    if min_docs >= 2:
+        # nd >= min_docs >= 2 implies n_occ >= 2, so qualification is
+        # a pure distinct-(gram, doc) count. Grams are deduped PER
+        # DOCUMENT map-side (array_distinct over the doc's own gram
+        # array — state bounded by one document, the HOF-work class),
+        # so the one stats shuffle carries one row per (doc, distinct
+        # gram) into a map-side-combined count — no corpus-wide
+        # hash-distinct state, no second exchange
+        doc_grams = (
+            spread_input(df, df.sparkSession)
+            .select(F.col(id_col), t.alias("__t"))
+            .filter(F.length("__t") >= min_len)
+            .select(
+                id_col,
+                F.explode(
+                    F.array_distinct(
+                        F.expr(
+                            f"transform(sequence(0, length(__t) - {int(min_len)}),"
+                            f" i -> substring(__t, i + 1, {int(min_len)}))"
+                        )
+                    )
+                ).alias("__gram"),
+            )
+        )
+        qual = (
+            doc_grams.groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__gram")
+        )
+    else:
+        # min_docs <= 1: every repeated gram qualifies regardless of
+        # document spread — a plain map-side-combined occurrence count
+        qual = (
+            pos.groupBy("__gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("__gram")
+        )
+    members = pos.join(qual, "__gram", "left_semi")
     marks = (
         members.select(F.col(id_col), F.col("__lo"))
         .groupBy(id_col)

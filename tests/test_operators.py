@@ -2806,6 +2806,33 @@ def test_bpe_learn_merges(spark):
     final.unpersist()
 
 
+def test_bpe_learn_merges_fused_totals(spark):
+    """r15: the fused one-action-per-round loop derives round r's
+    total_tokens_after from round r+1's pair-count job via the zip_with
+    pad-row identity (total_tokens = n_pairs + n_nonempty_docs, exact
+    per document within one frame). Empty docs, single-token docs and
+    pair exhaustion before n_merges are the rows that stress it."""
+    from hustle_spark.functions.text import bpe_learn_merges
+
+    texts = ["x y x y", "", "solo", "x y"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges, final = bpe_learn_merges(df, n_merges=3)
+    ref, _ = _py_bpe_reference(texts, 3)
+    assert merges == ref
+    final.unpersist()
+
+    # pair exhaustion: the loop breaks in round 2, and round 1's
+    # total_tokens_after must still land via the bookend action
+    df2 = spark.createDataFrame([(0, "p q"), (1, "p q")],
+                                "doc_id long, text string")
+    merges2, final2 = bpe_learn_merges(df2, n_merges=3)
+    ref2, _ = _py_bpe_reference(["p q", "p q"], 3)
+    assert merges2 == ref2
+    assert len(merges2) == 1 and merges2[0][4] == 2
+    final2.unpersist()
+
+
 def test_vocab_drift(spark):
     from hustle_spark.operators.snapshot import vocab_drift
 
