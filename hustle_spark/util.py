@@ -65,6 +65,17 @@ def release_frames(frames) -> int:
             n += 1
         except Exception:
             pass
+        # localCheckpoint()ed frames: df.unpersist() is a no-op — the
+        # blocks belong to the materialized RDD behind the plan's
+        # LogicalRDD leaf and otherwise free only when the lazy
+        # ContextCleaner GCs it (r15; ADVICE r14 on the CC edge
+        # checkpoint). Release them NOW; the probe throws on any
+        # non-checkpoint plan and is ignored. Only safe once every
+        # consumer of the frame is done — same contract as unpersist.
+        try:
+            f._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
     _CACHED[:] = [f for f in _CACHED if id(f) not in ids]
     return n
 
@@ -122,6 +133,54 @@ def spread_input(df, spark):
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+# Parquet-footer row counts per file tuple: INPUT METADATA (the same
+# class as Spark's own file-listing cache, guide section 6), never
+# query results — reading a footer costs ~1 ms; the memo only avoids
+# re-stat()ing the same files across the many probe rows of one run.
+_FOOTER_ROWS: dict = {}
+
+
+def stat_partitions(df, spark, rows_per_task: int = 512) -> int:
+    """Input-stat-derived partition count for per-row-bounded Arrow
+    stages (the mapInPandas media decodes): ceil(rows / rows_per_task)
+    clamped to [1, defaultParallelism]. The r14 sweep measured the
+    family's floor as ~65% synth codegen + ~5 ms/task Python-worker
+    Arrow setup, so on a tiny corpus partitions=cores is pure per-task
+    overhead (par=8 beat par=32 by 27% at sf0.1's 5k rows) while at
+    scale ceil(rows/target) >= cores and the clamp returns full
+    parallelism — the honest version of the partition shrink r14
+    declined as a bench-tuned constant. Row counts come from the
+    parquet footers of ``df``'s input files, read driver-side (no
+    Spark job); any failure (non-parquet source, no files) falls back
+    to defaultParallelism, i.e. the old behavior."""
+    import math
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        return par
+    if not files:
+        return par
+    n_rows = _FOOTER_ROWS.get(files)
+    if n_rows is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n_rows = sum(
+                pq.ParquetFile(f[7:] if f.startswith("file://") else f)
+                .metadata.num_rows
+                for f in files
+                if f.endswith(".parquet")
+            )
+        except Exception:
+            n_rows = 0
+        _FOOTER_ROWS[files] = n_rows
+    if not n_rows:
+        return par
+    return max(1, min(par, math.ceil(n_rows / rows_per_task)))
 
 
 # --- scalable global ordering primitives --------------------------------
