@@ -405,7 +405,7 @@ def connected_components(
         e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
     )
     # initial label: min(self, min neighbor)
-    labels = (
+    labels = init_labels = (
         und.groupBy("x").agg(F.min("y").alias("nbr_min"))
         .select("x", F.least(F.col("x"), F.col("nbr_min")).alias("label"))
     ).cache()
@@ -462,6 +462,17 @@ def connected_components(
     # final labels stay cached (downstream actions would otherwise
     # replay the whole iterative lineage); released via release_cached()
     _tracked_cache(labels)
+    # e0's checkpoint blocks are edge-sized and no longer reachable
+    # once labels is itself a checkpoint leaf — free them NOW instead
+    # of waiting for ContextCleaner GC / query-boundary cleanup
+    # (ADVICE r14: compositions calling CC repeatedly inside one query
+    # otherwise accumulate edge-sized blocks). Only safe after the
+    # loop ran: an un-iterated labels frame would still recompute
+    # through e0's lineage.
+    if labels is not init_labels:
+        from ..util import release_frames
+
+        release_frames([e0])
     return labels.select(F.col("x").alias("id"), F.col("label").alias("cluster_id"))
 
 

@@ -918,6 +918,7 @@ def build_ivf_pq_index(
     d_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    freeze: bool = True,
 ) -> dict:
     """Build the IVF+PQ index ONCE, amortized across many
     :func:`ivf_pq_search` calls — the FAISS build/search split (r12:
@@ -925,6 +926,11 @@ def build_ivf_pq_index(
     EVERY call since the r12 cache-release fix, which is honest for a
     single batch but wrong for the production loop of "index the
     corpus, then answer query batches all day").
+
+    ``freeze=False`` swaps the eager checkpoints for the pre-r15 lazy
+    tracked caches — results identical; used by the plan-audit lazy
+    variants (tests/test_plan_audit_registry.py), which must see the
+    full build subtree instead of a checkpoint leaf.
 
     Returns a dict of the two cached index frames plus the build
     params (search validates against them):
@@ -967,22 +973,36 @@ def build_ivf_pq_index(
             ),
         ),
     )
-    # tracked-cache the listed frame: the codebook build, the probe
-    # candidate join, the refine rerank AND the exact-top-k audit all
-    # read it — uncached, each downstream action replays the int8
-    # quantization + the nested sign-code folds (the deepest codegen
-    # in the repo), which dominated the r10 sf0.1 reading (19.9 s).
-    # Cache cost is one corpus pass and (id, vec, q8, list, codes)
-    # per row — at cluster scale this is the materialized index,
-    # exactly what FAISS persists.
+    # EAGER checkpoint of the listed frame (r15; was a lazy tracked
+    # cache): the codebook build, the probe candidate join, the refine
+    # rerank AND the exact-top-k audit all read it — uncached, each
+    # downstream action replays the int8 quantization + the nested
+    # sign-code folds (the deepest codegen in the repo), which
+    # dominated the r10 sf0.1 reading (19.9 s). The LAZY cache still
+    # materialized that subtree TWICE: the first search's broadcast
+    # subqueries (query LUT via the codebook, probe table) and its
+    # main candidate stage race into the unfilled cache concurrently,
+    # each computing the deep codegen for itself. One eager
+    # materialization at build time is the FAISS "train once" step —
+    # the cost is one corpus pass either way, now paid exactly once.
+    # Blocks are freed by release_frames (checkpoint-aware since r15),
+    # keeping the caller-owns-the-release contract.
     from ..util import tracked_cache
-    listed = tracked_cache(
+
+    _pin = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if freeze
+        else tracked_cache
+    )
+    listed = _pin(
         sign_quantize(q8c, vec_col=vec_col, n_bits=n_bits).withColumn(
             "__codes", codes_arr
         )
     )
     # codebook: per-(m, code, j) integer truncated means — ONE bounded
     # corpus pass (explode to dims, <= m_subs * 2^d_sub * d_sub output)
+    # over the frozen listed blocks, itself frozen (every search's LUT
+    # broadcast reads it)
     dims = listed.select(
         id_col,
         F.explode("__codes").alias("s"),
@@ -993,7 +1013,7 @@ def build_ivf_pq_index(
             F.expr(f"slice(q8, s.m * {d_sub} + 1, {d_sub})")
         ).alias("j", "v"),
     ).withColumn("v", F.col("v").cast("long"))
-    cent = tracked_cache(
+    cent = _pin(
         dims.groupBy("m", "code", "j").agg(
             F.expr("sum(v) div count(1)").alias("c")
         )

@@ -3499,12 +3499,36 @@ def test_ivf_pq_build_search_split_matches_topk(spark):
     )
     util.release_cached()
     idx = build_ivf_pq_index(df)
-    assert len(util._CACHED) == 2  # exactly listed + centroids
+    # r15 contract: the index frames are EAGER localCheckpoints, not
+    # tracked caches — build pins nothing in _CACHED, both frames are
+    # checkpoint leaves (plan = Scan ExistingRDD, already materialized)
+    assert len(util._CACHED) == 0
+    for key in ("listed", "centroids"):
+        assert "LogicalRDD" in (
+            idx[key]._jdf.queryExecution().analyzed().toString()
+        )
     got1 = sorted(tuple(r) for r in ivf_pq_search(idx, qs, k=3).collect())
-    assert len(util._CACHED) == 2  # search pinned nothing new
+    assert len(util._CACHED) == 0  # search pinned nothing new
     got2 = sorted(tuple(r) for r in ivf_pq_search(idx, qs, k=3).collect())
     assert got1 == want and got2 == want
-    assert util.release_frames([idx["listed"], idx["centroids"]]) == 2
+    # release_frames is checkpoint-aware (r15): it must actually free
+    # the materialized RDD blocks, not just no-op on the unpersist
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    util.release_frames([idx["listed"], idx["centroids"]])
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after <= before - 2
+    # freeze=False keeps the pre-r15 lazy tracked-cache contract the
+    # plan-audit variants rely on, with identical results
+    lazy_idx = build_ivf_pq_index(df, freeze=False)
+    assert len(util._CACHED) == 2  # exactly listed + centroids
+    got3 = sorted(
+        tuple(r) for r in ivf_pq_search(lazy_idx, qs, k=3).collect()
+    )
+    assert got3 == want
+    assert util.release_frames(
+        [lazy_idx["listed"], lazy_idx["centroids"]]
+    ) == 2
 
 
 def test_release_frames_scoped(spark):

@@ -123,7 +123,9 @@ def _lazy_ann_ivf_pq_search(spark, sf_dir):
     e = _cat(spark, sf_dir).table("embeddings").df.select(
         "vec_id", "embedding"
     )
-    idx = build_ivf_pq_index(e)
+    # freeze=False: the audit must see the full build subtree,
+    # not the production eager-checkpoint leaf (r15)
+    idx = build_ivf_pq_index(e, freeze=False)
     return ivf_pq_search(idx, e.filter("vec_id < 5"), k=5)
 
 
@@ -138,7 +140,8 @@ def _lazy_ann_ivf_pq_batched(spark, sf_dir):
     e = _cat(spark, sf_dir).table("embeddings").df.select(
         "vec_id", "embedding"
     )
-    idx = build_ivf_pq_index(e)
+    # freeze=False: see _lazy_ann_ivf_pq_search (r15)
+    idx = build_ivf_pq_index(e, freeze=False)
     return (
         ivf_pq_search(idx, e.filter("vec_id < 5"), k=5)
         .withColumn("batch", F.lit(1).cast("bigint"))
