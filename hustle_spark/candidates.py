@@ -1490,7 +1490,7 @@ def retrieval_rrf_fusion(spark, sf_dir):
     from .operators import retrieval as R
 
     d = _cat(spark, sf_dir).table("documents").df.select("doc_id", "text")
-    frame = R.bm25_tf_frame(d, _TFIDF_QUERIES)
+    frame = R.bm25_tf_frame(d, _TFIDF_QUERIES, freeze=True)
     bm = R.bm25_score_fixed(frame, k=5).select(
         "query_id", "doc_id", F.col("rnk").alias("__rb")
     )
@@ -1569,7 +1569,7 @@ def retrieval_bm25_rank_agreement(spark, sf_dir):
     # ONE tokenized/pruned/cached tf frame, scored by both curves
     # (ADVICE r9 #2: the two top-k entry points each rebuilt it, so
     # the lower+split scan and the stats collect ran twice per call)
-    frame = R.bm25_tf_frame(d, _TFIDF_QUERIES)
+    frame = R.bm25_tf_frame(d, _TFIDF_QUERIES, freeze=True)
     fixed = R.bm25_score_fixed(frame, k=5)
     flt = R.bm25_score_float(frame, k=5).select(
         "query_id", "doc_id", F.col("rnk").alias("__frnk")

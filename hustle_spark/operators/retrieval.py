@@ -97,6 +97,7 @@ def bm25_tf_frame(
     queries: list[tuple[int, str]],
     text: str = "text",
     id_col: str = "doc_id",
+    freeze: bool = False,
 ):
     """The tokenize/prune/tf pipeline BOTH BM25 curves score over —
     shared so the rank-agreement audit's premise (identical tokenized,
@@ -109,8 +110,20 @@ def bm25_tf_frame(
     tf = (doc_id, term, tf, dl) for query-term matches only (the
     broadcast prune runs BEFORE the tf shuffle), qdf = the broadcast
     (query_id, term) table, and the two scalar corpus stats (declared
-    loop-control collects, the tfidf n_docs precedent)."""
-    from ..util import tracked_cache
+    loop-control collects, the tfidf n_docs precedent).
+
+    ``freeze=True`` eagerly localCheckpoints the tf table and releases
+    the tokenized base cache (r15, guide section 1.2/5): every scorer
+    reads tf twice (its df/idf subtree plus the scoring join), so
+    multi-curve compositions — the rank-agreement audit (2 curves) and
+    rrf_fusion (2 ranker families) — replay the explode + prune + tf
+    shuffle 4x from a lazy frame; frozen, they read blocks. Measured
+    A/B at sf0.1: fusion 1.52 -> 1.24 s, agreement flat-to-better.
+    Single-curve callers keep the default LAZY frame: with only two tf
+    consumers over the cached base the checkpoint action costs more
+    than the replay it saves (bm25_topk 1.04 -> 1.23 s when frozen —
+    the r14 tiny-frame lesson)."""
+    from ..util import release_frames, tracked_cache
 
     spark = docs.sparkSession
     # tracked-cache the tokenized frame: the N/A stats collect below
@@ -144,6 +157,15 @@ def bm25_tf_frame(
         F.count(F.lit(1)).alias("tf"),
         F.max("dl").alias("dl"),  # per-doc constant, carried not joined
     )
+    if freeze:
+        # the frame is match-bounded (docs containing query terms x
+        # query terms), the same data every scorer shuffles anyway;
+        # with tf frozen the tokenized base cache has served both its
+        # consumers (the stats collect above, this materialization) —
+        # release it here instead of pinning the full corpus until
+        # query-boundary cleanup
+        tf = tf.localCheckpoint(eager=True)
+        release_frames([base])
     return tf, qdf, n_docs, total_tokens
 
 
