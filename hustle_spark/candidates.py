@@ -47,11 +47,11 @@ def multimodal_jpeg_progressive_probe(spark, sf_dir):
     that mis-accumulates coefficients across scans or mis-applies a
     refinement pass cannot pass by luck. Same single-split input
     spread as the other media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_progressive_payloads(d, "doc_id")
     feats = multimodal.decode_jpeg_features(media)
     return feats.select(
@@ -923,11 +923,11 @@ def multimodal_image_ahash(spark, sf_dir):
     Near-dup grouping downstream bands the 64 bits into exact-match
     chunks and equi-joins (the SimHash shape, no all-pairs). Same
     single-split spread as the other media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_bmp_payloads(d, "doc_id")
     return multimodal.decode_image_ahash(media)
 
@@ -1035,11 +1035,11 @@ def multimodal_png_probe(spark, sf_dir):
     correlated generate_series laterals — the BMP pixel-probe idiom
     over the compressed format. Same single-split spread as the
     other media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_png_payloads(d, "doc_id")
     feats = multimodal.decode_pixel_features(media)
     return feats.select(
@@ -1081,11 +1081,11 @@ def multimodal_image_phash(spark, sf_dir):
     and every threshold vote; downstream grouping is the same banded
     equi-join as aHash/SimHash, never all-pairs. Same single-split
     spread as the other media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_bmp_payloads(d, "doc_id")
     return multimodal.decode_image_phash(media)
 
@@ -1161,11 +1161,11 @@ def audio_pitch_probe(spark, sf_dir):
     of the threshold rule, and the oracle agrees on it exactly).
     YIN/pYIN swaps in behind the same (detected_period, peak_score)
     contract."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_wav_tone_payloads(d, "doc_id")
     feats = multimodal.decode_audio_pitch(media)
     return feats.select(
@@ -1222,11 +1222,11 @@ def multimodal_exif_probe(spark, sf_dir):
     replays the generative metadata model closed-form. Orientation
     feeds rotation normalization, make/timestamp feed provenance
     dedup — the metadata half of image curation."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_exif_payloads(d, "doc_id")
     return multimodal.decode_exif_features(media)
 
@@ -1260,11 +1260,11 @@ def multimodal_video_scenes(spark, sf_dir):
     coincide (exhaustively verified for 10k ids in the synthesizer
     docstring's bound). pyscenedetect/ffmpeg histogram detectors swap
     in behind the same (n_scenes, boundaries) contract."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_mp4_scene_payloads(d, "doc_id")
     return multimodal.detect_video_scenes(media)
 
@@ -1732,11 +1732,11 @@ def dedup_image_phash_groups(spark, sf_dir):
     expected pHash precision loss on tiny images, reproduced exactly
     by the oracle, which recomputes every pHash from the generative
     model (grid, integer DCT, ranked median, threshold votes)."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_bmp_brightness_payloads(d, "doc_id")
     ph = multimodal.decode_image_phash(media)
     # md5 computed MAP-SIDE so the groupBy shuffles 16-byte digests,
@@ -1797,11 +1797,11 @@ def audio_segments_probe(spark, sf_dir):
     margin construction); short-tail docs carry recovered=NULL, the
     honest quantization residual of grid-aligned windows. The oracle
     replays samples, window classes, and the flip count exactly."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_wav_speech_payloads(d, "doc_id")
     feats = multimodal.decode_audio_segments(media)
     n = F.col("media_id") % 10 * 4 + 60
@@ -3536,11 +3536,11 @@ def audio_mp3_frames_probe(spark, sf_dir):
     and the bitrate table as a CASE ladder — frame count, byte size,
     integer duration, and the VBR distinct-bitrate count all pinned.
     Full spectral decode is the documented ffmpeg swap point."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_mp3_payloads(d, "doc_id")
     return multimodal.decode_mp3_features(media).select(
         "media_id", "media_type", "n_frames", "sample_rate",
@@ -3821,11 +3821,11 @@ def multimodal_tiff_probe(spark, sf_dir):
     B=(id+2x+7y)%256, w=id%5+4, h=id%7+3) with correlated
     generate_series laterals — the PNG/GIF-probe idiom over the IFD
     container. Same single-split spread as the other media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_tiff_payloads(d, "doc_id")
     feats = multimodal.decode_pixel_features(media)
     return feats.select(
@@ -4020,11 +4020,11 @@ def multimodal_gif_probe(spark, sf_dir):
     generate_series laterals — the PNG-probe idiom over the
     LZW-compressed format. Same single-split spread as the other
     media probes."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_gif_payloads(d, "doc_id")
     feats = multimodal.decode_pixel_features(media)
     return feats.select(
@@ -4470,11 +4470,11 @@ def audio_mp3_sideinfo_probe(spark, sf_dir):
     stays the documented executable refusal: decode_mp3_samples
     raises with the ffmpeg swap contract. Map-only, zero shuffle,
     payloads never leave executors."""
-    par = spark.sparkContext.defaultParallelism
-    d = (
-        _cat(spark, sf_dir).table("documents").df
-        .select("doc_id").repartition(par)
-    )
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware partition sizing from the input's parquet
+    # footers (util.stat_partitions, r15): full parallelism at scale,
+    # fewer per-task Arrow setups on a tiny gate corpus
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_mp3_sideinfo_payloads(d, "doc_id")
     return multimodal.decode_mp3_sideinfo_features(media).select(
         "media_id", "media_type", "n_frames", "sample_rate",

@@ -6174,9 +6174,9 @@ def multimodal_jpeg_probe(spark, sf_dir):
     # repartitions the 8-byte ids BEFORE synthesis — the only
     # shuffle, bounded by id width (explicit N: AQE does not coalesce
     # user-numbered repartitions back to one partition)
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id").repartition(par))
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware sizing (util.stat_partitions, r15)
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_features(media)
     return feats.select(
@@ -6237,9 +6237,9 @@ def multimodal_jpeg_color_probe(spark, sf_dir):
     # ids repartitioned before synthesis so the Python decode runs
     # wide (see multimodal_jpeg_probe — single-split testdata otherwise
     # serializes the whole mapInPandas stage)
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id").repartition(par))
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware sizing (util.stat_partitions, r15)
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_color_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_color_features(media)
     return feats.select(
@@ -6316,9 +6316,9 @@ def multimodal_jpeg_subsampled_probe(spark, sf_dir):
     # ids repartitioned before synthesis so the Python decode runs
     # wide (see multimodal_jpeg_probe — single-split testdata otherwise
     # serializes the whole mapInPandas stage)
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id").repartition(par))
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware sizing (util.stat_partitions, r15)
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_subsampled_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_subsampled_features(media)
     return feats.select(
@@ -6375,9 +6375,9 @@ def multimodal_jpeg_restart_probe(spark, sf_dir):
     # ids repartitioned before synthesis so the Python decode runs
     # wide (see multimodal_jpeg_probe — single-split testdata otherwise
     # serializes the whole mapInPandas stage)
-    par = spark.sparkContext.defaultParallelism
-    d = (_cat(spark, sf_dir).table("documents").df
-         .select("doc_id").repartition(par))
+    docs = _cat(spark, sf_dir).table("documents").df.select("doc_id")
+    # rows-per-task-aware sizing (util.stat_partitions, r15)
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_jpeg_restart_payloads(d, id_col="doc_id")
     feats = multimodal.decode_jpeg_restart_features(media)
     return feats.select(
@@ -6858,8 +6858,9 @@ def audio_vad_table_probe(spark, sf_dir):
         [(0, 0), (201, 1), (100000, 0)], path
     )
     table = multimodal.load_vad_decision_table(path)
-    par = spark.sparkContext.defaultParallelism
-    d = cat.table("documents").df.select("doc_id").repartition(par)
+    docs = cat.table("documents").df.select("doc_id")
+    # rows-per-task-aware sizing (util.stat_partitions, r15)
+    d = docs.repartition(_util.stat_partitions(docs, spark))
     media = multimodal.synthesize_wav_speech_payloads(d, "doc_id")
     feats = multimodal.decode_audio_segments(media, decision_table=table)
     return feats.select(
