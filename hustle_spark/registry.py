@@ -1524,8 +1524,9 @@ def insert_jsonl_requery(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     d = cat.table("documents").df
     dump = str(Path(str(cat.scratch)) / "jsonl_flat_documents")
-    if not (Path(dump) / "_SUCCESS").is_file():
-        SRC.write_jsonl(d, dump)  # no partitioning: records carry all fields
+    # export paid every run (r15) — same rationale as orc_roundtrip_agg
+    shutil.rmtree(dump, ignore_errors=True)
+    SRC.write_jsonl(d, dump)  # no partitioning: records carry all fields
     root = Path(str(cat.scratch)) / "lifecycle_ins"
     shutil.rmtree(root, ignore_errors=True)
     root.mkdir(parents=True)
@@ -3416,14 +3417,16 @@ def orc_roundtrip_agg(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     o = cat.table("orders").df
     dst = str(cat.scratch / "orc_orders")
-    # the dump is deterministic per sf_dir, so plan-only consumers
-    # (plan audit, explain report) don't re-pay the write every time
-    # the query function is constructed; gate on _SUCCESS, not the bare
-    # dir — a crashed partial write leaves a dir without the marker and
-    # must be rewritten, not silently aggregated (overwrite mode
-    # replaces the partial output)
-    if not (Path(dst) / "_SUCCESS").is_file():
-        SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
+    # the export is paid EVERY run (r15; VERDICT r14 "What's wrong"
+    # #4): the old _SUCCESS gate skipped the dump when a prior run's
+    # marker existed under scratch — persisted intermediate state
+    # keyed on the sf_dir, so warm bench timings excluded the write
+    # step. The roundtrip row times dump + read-back, like the
+    # streaming rows rewrite their slice files inside the timed fn.
+    import shutil as _sh
+
+    _sh.rmtree(dst, ignore_errors=True)
+    SRC.write_orc(o, dst, partition_by=["o_orderstatus"])
     # explicit schema: ORC footers carry types, but an EMPTY export has
     # no footers at all (and no partition dirs) — the declared schema
     # keeps the scan plannable in that degenerate case too
@@ -4792,10 +4795,11 @@ def jsonl_roundtrip_agg(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     d = cat.table("documents").df
     dst = str(cat.scratch / "jsonl_documents")
-    # _SUCCESS gate, same rationale as orc_roundtrip_agg: never
-    # aggregate a crashed partial export
-    if not (Path(dst) / "_SUCCESS").is_file():
-        SRC.write_jsonl(d, dst, partition_by=["lang"])
+    # export paid every run (r15) — same rationale as orc_roundtrip_agg
+    import shutil as _sh
+
+    _sh.rmtree(dst, ignore_errors=True)
+    SRC.write_jsonl(d, dst, partition_by=["lang"])
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
