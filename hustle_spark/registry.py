@@ -6936,37 +6936,63 @@ _WINDOW_SIZE = 50
 # Changed since their last driver row (manual promotions — helper-level
 # edits do not move a registry function's content hash):
 _CHANGED = [
-    # r14 (optimization round): every row whose implementation moved —
+    # r15 (optimization round 2): every row whose implementation moved —
     # at the query function OR the operator module underneath it —
     # rotates in so the driver re-proves the optimized code path.
-    # Query-source changes:
+    # Query-source changes — roundtrip rows now pay their export every
+    # run (the _SUCCESS dump-cache closure, VERDICT r14 #7):
+    "orc_roundtrip_agg",
+    "jsonl_roundtrip_agg",
+    "csv_roundtrip_agg",
+    "insert_jsonl_requery",
+    # streaming multi-batch invariant made explicit (ADVICE r14 #3):
     "streaming_curation_requery",
-    "streaming_sketch_requery",
-    "url_robots_filter",
-    "classifier_calibration_bins",
-    "dedup_minhash_incremental",
-    "dedup_minhash_incremental_grow",
-    "embedding_pq_audit",
+    # frozen shared bm25 tf frame (freeze=True callers):
     "retrieval_rrf_fusion",
-    "lang_profiles_file_roundtrip",
-    # Operator-module changes the source hash cannot see
-    # (operators/suffixes.py gram-class rewrite, operators/dedup.py
-    # connected_components edge checkpoint, functions/text.py
-    # bpe_learn_merges spread + lm_perplexity_scores checkpoints):
-    "dedup_substring_groups",
+    "retrieval_bm25_rank_agreement",
+    # stats-derived partition sizing for the mapInPandas media decode
+    # family (util.stat_partitions — VERDICT r14 #5, all 18 sites):
+    "multimodal_jpeg_probe",
+    "multimodal_jpeg_color_probe",
+    "multimodal_jpeg_subsampled_probe",
+    "multimodal_jpeg_restart_probe",
+    "multimodal_jpeg_progressive_probe",
+    "multimodal_png_probe",
+    "multimodal_gif_probe",
+    "multimodal_tiff_probe",
+    "multimodal_image_ahash",
+    "multimodal_image_phash",
+    "multimodal_exif_probe",
+    "multimodal_video_scenes",
+    "audio_pitch_probe",
+    "audio_segments_probe",
+    "audio_vad_table_probe",
+    "audio_mp3_frames_probe",
+    "audio_mp3_sideinfo_probe",
+    "dedup_image_phash_groups",
+    # Operator-module changes the source hash cannot see:
+    # operators/suffixes.py de-skewed membership pass (VERDICT #1):
     "dedup_substring_removal",
+    "dedup_substring_groups",
     "dedup_exact_substr_combined",
+    # functions/text.py bpe_learn_merges one-action-per-round fusion
+    # (VERDICT #2):
+    "bpe_merge_rounds",
+    "bpe_tokenizer_roundtrip",
+    # operators/dedup.py connected_components e0 checkpoint release
+    # (ADVICE r14 #2) — direct + indirect CC consumers:
     "dedup_cluster_cc",
     "dedup_jaccard_clusters",
     "dedup_pipeline_keepers",
-    "bpe_merge_rounds",
-    "bpe_tokenizer_roundtrip",
-    "text_lm_perplexity",
-    # functions/text.py dsir_importance profile checkpoint (the
-    # post-close pickup session's change — promoted by hand like the
-    # rest of the module-level set; displaces time_tumbling_hour to
-    # the front of _QUEUED_NEXT):
-    "data_selection_dsir",
+    "dedup_soft_weights_fuzzy",
+    # operators/similarity.py build_ivf_pq_index eager checkpoints
+    # (VERDICT #4):
+    "ann_ivf_pq_search",
+    "ann_ivf_pq_batched",
+    # operators/retrieval.py bm25_tf_frame gained the freeze seam
+    # (default-False path byte-equivalent, promoted on the r14
+    # module-change convention anyway):
+    "retrieval_bm25_topk",
 ]
 
 # New queries registered this round — every addition goes here.
@@ -6983,15 +7009,8 @@ _CHANGED = [
 # oldest r10-latest rows in CORRECTNESS_r10 key order to the 50-fit;
 # the r10 remainder is QUEUED (not dropped) as the r15 backfill head.
 _NEW_THIS_ROUND = [
-    # the r13 staged pool, flipped (VERDICT r13 directive #1):
-    "dedup_soft_weights",
-    "dedup_soft_weights_fuzzy",
-    "data_selection_moore_lewis",
-    # registered at birth this round (directive #2 / #7a+#7b — the
-    # vocab.json + merges.txt two-file tokenizer seam and the MP3
-    # side-info/bit-reservoir content decode):
-    "hf_tokenizer_file_roundtrip",
-    "audio_mp3_sideinfo_probe",
+    # r15 is an optimization round: no new query rows (the round's
+    # rule — no features beyond what an optimization needs).
 ]
 
 # Already-proven entries, oldest driver row first, used to fill the
@@ -7005,23 +7024,17 @@ _NEW_THIS_ROUND = [
 # entries never burn a window slot — their machineries are
 # hash-checked via the md5 twins, which rotate normally).
 _BACKFILL = [
-    # r9-latest remainder, CORRECTNESS_r09 key order (all 36)
-    "warc_meta_noindex", "topk_orders",
-    "padding_waste_buckets", "filter_isin",
-    "embedding_contamination_scan", "vocab_drift_top",
-    "text_bigram_quality", "sharded_export_requery",
-    "rollup_view_requery", "nest_requery", "semi_join_customers",
-    "anti_join_customers", "left_join_nation_suppliers",
-    "full_outer_nation_activity", "cross_join_pairs", "set_except",
-    "set_intersect", "set_union", "window_running_total",
-    "window_lag_delta", "rollup_status_priority", "cube_flags",
-    "scalar_date_funcs", "case_when_bucketing", "json_props_extract",
-    "pivot_event_types",
-    # r14 NOTE: the 18-entry _CHANGED head (the optimization round's
-    # re-proof set) displaces the tail of the planned r14 backfill —
-    # 9 r9-latest rows and the 9 r10-latest rows move to the FRONT of
-    # _QUEUED_NEXT by this explicit edit (never a silent slice); the
-    # r9 drain completes in r15 instead of r14.
+    # r15: 37 _CHANGED rows leave 13 backfill slots. Drain the
+    # _QUEUED_NEXT head in order (the r14-displaced r9 remainder) —
+    # skipping the queued rows that moved into _CHANGED themselves
+    # this round (retrieval_bm25_topk/_rank_agreement and the seven
+    # media rows, which get their fresh driver row via the head).
+    "time_tumbling_hour", "time_sliding_2h", "sessionize_users",
+    "dedup_exact_stats", "dedup_exact_keep_min",
+    "embedding_label_stats", "text_stats_by_lang",
+    "text_quality_topk", "doc_fingerprint_prefix",
+    "q2_min_cost_supplier", "dedup_containment_pairs",
+    "dedup_containment_guarded", "dedup_semantic_centroid",
 ]
 
 # The explicit rotation queue (ADVICE r6 #4: no silent truncation —
@@ -7031,23 +7044,11 @@ _BACKFILL = [
 # these drain, the stalest pool is r11-latest (docs/CHECKED.md holds
 # the manifest).
 _QUEUED_NEXT = [
-    # r14-displaced backfill tail (see the _BACKFILL note): the r9
-    # remainder first, then the r10-latest rows, original order.
-    # time_tumbling_hour displaced by the data_selection_dsir
-    # promotion (pickup session).
-    "time_tumbling_hour",
-    "time_sliding_2h", "sessionize_users", "dedup_exact_stats",
-    "dedup_exact_keep_min", "embedding_label_stats",
-    "text_stats_by_lang", "text_quality_topk",
-    "doc_fingerprint_prefix", "q2_min_cost_supplier",
-    "retrieval_bm25_topk", "retrieval_bm25_rank_agreement",
-    "dedup_containment_pairs", "dedup_containment_guarded",
-    "multimodal_image_ahash", "multimodal_image_phash",
-    "dedup_image_phash_groups", "multimodal_exif_probe",
-    "multimodal_video_scenes",
-    # r10-latest remainder (r13's plan, unchanged below)
-    "audio_pitch_probe", "audio_segments_probe",
-    "dedup_semantic_centroid", "embedding_matryoshka_audit",
+    # r15: queue head drained into _BACKFILL (13 rows) and the queued
+    # rows that changed this round moved to _CHANGED (explicit edits,
+    # never a silent slice). Remainder below in the original
+    # CORRECTNESS_r10 key order — the r16 backfill head.
+    "embedding_matryoshka_audit",
     "q4_order_priority",
     "q6_forecast_revenue", "q10_returned_items",
     "q11_important_stock", "q12_late_shipment_priority",
